@@ -1,0 +1,104 @@
+"""Table registry.
+
+The reference registers JPA-annotated Java classes and derives schema by
+reflection (reference: ``persistent/Session.java:181-277``); annotations like
+``@Id``, ``@NoCheck``, ``@Threshold`` drive persist/index behaviour
+(``core/NoCheck.java``, ``core/Threshold.java``).  Here a table is a named
+entry mapping to either
+
+* an **external** parquet path (read-only — the driver's testdata), or
+* a **managed** table directory under the engine warehouse (writable via
+  :mod:`interference_spark.dml.store`).
+
+Schema is an explicit Spark ``StructType`` (or DDL string) instead of class
+reflection; the annotation surface survives as plain keyword metadata.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+from .errors import InvalidTableDescription, TableNotRegistered
+
+
+def _as_struct(schema: T.StructType | str | None) -> T.StructType | None:
+    if schema is None or isinstance(schema, T.StructType):
+        return schema
+    parsed = T._parse_datatype_string(schema)
+    if not isinstance(parsed, T.StructType):
+        raise InvalidTableDescription(f"schema DDL must describe a struct: {schema!r}")
+    return parsed
+
+
+@dataclass
+class TableDef:
+    """One registered table.
+
+    ``id_col`` ≈ ``@Id`` (upsert key for ``persist``/``find``);
+    ``nocheck`` ≈ ``@NoCheck`` (blind append, skip upsert lookup);
+    ``threshold`` ≈ ``@Threshold(n)`` (ring buffer retention);
+    ``indexes`` ≈ ``@Table(indexes=...)`` — kept as metadata only: Catalyst
+    filter pushdown / partition pruning replaces physical index tables
+    (reference ``core/IndexFrame.java``).
+    """
+
+    name: str
+    path: str
+    schema: T.StructType | None = None
+    managed: bool = False
+    id_col: str | None = None
+    nocheck: bool = False
+    threshold: int | None = None
+    indexes: tuple[str, ...] = ()
+    partition_cols: tuple[str, ...] = ()
+    meta: dict = field(default_factory=dict)
+
+    def require_schema(self) -> T.StructType:
+        if self.schema is None:
+            raise InvalidTableDescription(f"table {self.name!r} has no schema")
+        return self.schema
+
+
+class Catalog:
+    """Name → :class:`TableDef`. Case-sensitive, like the reference
+    ("All class and field names are case sensitive" — manual)."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, TableDef] = {}
+
+    def register(self, td: TableDef) -> TableDef:
+        self._tables[td.name] = td
+        return td
+
+    def unregister(self, name: str) -> None:
+        self._tables.pop(name, None)
+
+    def get(self, name: str) -> TableDef:
+        # Accept fully-qualified reference-style names
+        # ("su.interference.test.entity.Dept") by their last segment too.
+        if name in self._tables:
+            return self._tables[name]
+        tail = name.rsplit(".", 1)[-1]
+        if tail in self._tables:
+            return self._tables[tail]
+        raise TableNotRegistered(f"table {name!r} is not registered")
+
+    def __contains__(self, name: str) -> bool:
+        try:
+            self.get(name)
+            return True
+        except TableNotRegistered:
+            return False
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def register_sf_dir(self, sf_dir: str) -> None:
+        """Register every ``<name>.parquet`` in a driver testdata dir."""
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                name = fn[: -len(".parquet")]
+                self.register(TableDef(name=name, path=os.path.join(sf_dir, fn)))

@@ -1,0 +1,114 @@
+"""IR for the dialect.
+
+Replaces the reference's flag-based IR — (List<SQLTable>, CList,
+NestedCondition), reference ``sql/SQLSelect.java`` — with small dataclasses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+# group functions, reference sql/SQLGroupFunction.java:47-52
+FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "LAST")
+# scalar conversions recognized by the reference tokenizer but never
+# evaluated there (sql/SQLColumn.java:81-84,177-186 — dead F_TO_* constants);
+# we implement them for real.
+SCALAR_FUNCS = ("TO_NUMBER", "TO_CHAR", "TO_DATE")
+
+
+@dataclass(frozen=True)
+class ColumnRef:
+    alias: str  # table alias (resolved)
+    name: str   # column name (case-sensitive)
+
+    @property
+    def default_out(self) -> str:
+        # "d.deptName" -> "ddeptName", reference sql/CList.java:175-179
+        return f"{self.alias}{self.name}"
+
+    def __str__(self) -> str:
+        return f"{self.alias}.{self.name}"
+
+
+@dataclass
+class SelectItem:
+    ref: ColumnRef
+    func: Optional[str] = None          # COUNT/SUM/MIN/MAX/AVG/LAST
+    scalar: Optional[str] = None        # TO_NUMBER/TO_CHAR/TO_DATE
+    out_name: str = ""                  # result column name
+
+    @property
+    def is_agg(self) -> bool:
+        return self.func is not None
+
+
+@dataclass
+class TableRef:
+    name: str
+    alias: str
+
+
+@dataclass
+class ValueCondition:
+    """column <op> literal(s) — reference sql/ValueCondition.java."""
+
+    ref: ColumnRef
+    op: str                    # '=' '<>' '<' '>' '<=' '>=' 'IN' 'LIKE'
+    values: list = field(default_factory=list)
+    negated: bool = False      # NOT IN / NOT LIKE
+
+
+@dataclass
+class SubqueryCondition:
+    """column IN [SELECT ...] — parsed-but-dead in the reference
+    (sql/ValueCondition.java:94-95); implemented here as a semi-join."""
+
+    ref: ColumnRef
+    query: "Query"
+    negated: bool = False
+
+
+@dataclass
+class JoinCondition:
+    """column <op> column — reference sql/JoinCondition.java."""
+
+    left: ColumnRef
+    op: str
+    right: ColumnRef
+
+
+@dataclass
+class ConditionGroup:
+    """One nesting level; a single connective kind per level (mixed AND+OR
+    at one level is InvalidCondition — reference sql/NestedCondition.java:366-438)."""
+
+    connective: Optional[str]  # 'AND' | 'OR' | None (single child)
+    children: list = field(default_factory=list)
+
+
+Condition = Union[ValueCondition, JoinCondition, SubqueryCondition, ConditionGroup]
+
+
+@dataclass
+class WindowBy:
+    """WINDOW BY col INTERVAL = n — count-based sliding window
+    (reference sql/SQLGroupContainer.java:120-158)."""
+
+    ref: ColumnRef
+    interval: int
+
+
+@dataclass
+class Query:
+    kind: str = "SELECT"               # SELECT | PROCESS
+    stream: bool = False
+    distinct: bool = False
+    star: bool = False
+    items: list[SelectItem] = field(default_factory=list)
+    tables: list[TableRef] = field(default_factory=list)
+    where: Optional[Condition] = None
+    group_by: list[ColumnRef] = field(default_factory=list)
+    order_by: list[ColumnRef] = field(default_factory=list)
+    window_by: Optional[WindowBy] = None
+    within: Optional[str] = None       # PROCESS ... WITHIN <processor>

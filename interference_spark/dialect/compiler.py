@@ -1,0 +1,311 @@
+"""Compile a parsed :class:`Query` into a lazy Spark DataFrame plan.
+
+Where the reference hand-schedules physical execution (left-deep SQLCursor
+chain, weight-ranked join algorithm selection, per-frame task distribution —
+``sql/SQLJoin.java:57-123``, ``sql/SQLJoinDispatcher.java:79-167``), we emit a
+declarative DataFrame plan and let Catalyst/AQE pick join order and physical
+strategy.  The one reference heuristic we keep on purpose: equi-join
+conditions in a top-level AND tree become join ``on`` expressions; an OR at
+the root disables join-condition extraction (everything becomes a post-join
+filter), mirroring the reference's "OR disables optimized joins" rule
+(``sql/NestedCondition.java:604,613``) — except Catalyst can usually still
+rescue the plan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import InvalidCondition
+from .ast import (
+    ColumnRef,
+    ConditionGroup,
+    JoinCondition,
+    Query,
+    SelectItem,
+    SubqueryCondition,
+    ValueCondition,
+)
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _col(ref: ColumnRef) -> Column:
+    return F.col(f"{ref.alias}.{ref.name}")
+
+
+def _value_expr(vc: ValueCondition) -> Column:
+    c = _col(vc.ref)
+    if vc.op == "IN":
+        e = c.isin(*vc.values)
+    elif vc.op == "LIKE":
+        # substring-contains semantics, NOT SQL % patterns
+        # (reference sql/NestedCondition.java:173-188: indexOf >= 0)
+        e = c.contains(vc.values[0])
+    elif vc.op == "=":
+        e = c == F.lit(vc.values[0])
+    elif vc.op == "<>":
+        e = c != F.lit(vc.values[0])
+    elif vc.op == "<":
+        e = c < F.lit(vc.values[0])
+    elif vc.op == ">":
+        e = c > F.lit(vc.values[0])
+    elif vc.op == "<=":
+        e = c <= F.lit(vc.values[0])
+    elif vc.op == ">=":
+        e = c >= F.lit(vc.values[0])
+    else:  # pragma: no cover
+        raise InvalidCondition(vc.op)
+    return ~e if vc.negated else e
+
+
+def _join_expr(jc: JoinCondition) -> Column:
+    l, r = _col(jc.left), _col(jc.right)
+    return {
+        "=": l == r, "<>": l != r, "<": l < r,
+        ">": l > r, "<=": l <= r, ">=": l >= r,
+    }[jc.op]
+
+
+def _cond_expr(cond) -> Column:
+    if isinstance(cond, ValueCondition):
+        return _value_expr(cond)
+    if isinstance(cond, JoinCondition):
+        return _join_expr(cond)
+    if isinstance(cond, ConditionGroup):
+        exprs = [_cond_expr(ch) for ch in cond.children]
+        op = (lambda a, b: a & b) if cond.connective in ("AND", None) else (lambda a, b: a | b)
+        return functools.reduce(op, exprs)
+    if isinstance(cond, SubqueryCondition):
+        raise InvalidCondition(
+            "IN [SELECT ...] is only supported as a top-level AND conjunct"
+        )
+    raise InvalidCondition(str(cond))
+
+
+def _split_where(where):
+    """Top-level AND conjuncts → (equi/theta join conds, subqueries, filters).
+
+    Mirrors the reference's predicate-to-stage coordination
+    (sql/NestedCondition.java:711-743) at the logical level; Catalyst does
+    the physical placement.
+    """
+    joins: list[JoinCondition] = []
+    subqueries: list[SubqueryCondition] = []
+    filters: list = []
+    if where is None:
+        return joins, subqueries, filters
+    conjuncts = (
+        where.children
+        if isinstance(where, ConditionGroup) and where.connective in ("AND", None)
+        else [where]
+    )
+    for c in conjuncts:
+        if isinstance(c, JoinCondition):
+            joins.append(c)
+        elif isinstance(c, SubqueryCondition):
+            subqueries.append(c)
+        else:
+            filters.append(c)
+    return joins, subqueries, filters
+
+
+def _build_join(dfs: dict[str, DataFrame], order: list[str], joins: list[JoinCondition]) -> DataFrame:
+    """Left-deep fold over the join graph: each step attaches every join
+    condition whose aliases are now both available.  Catalyst re-orders as it
+    sees fit; AQE fixes sizes at runtime."""
+    remaining = list(joins)
+    done = {order[0]}
+    out = dfs[order[0]]
+    pending = order[1:]
+    while pending:
+        # pick the next table connected to the joined set (reference joins
+        # largest-first; we keep FROM order and let Catalyst/CBO reorder)
+        pick = None
+        for alias in pending:
+            if any(
+                (jc.left.alias == alias and jc.right.alias in done)
+                or (jc.right.alias == alias and jc.left.alias in done)
+                for jc in remaining
+            ):
+                pick = alias
+                break
+        if pick is None:
+            pick = pending[0]  # disconnected → cross join
+        conds = [
+            jc for jc in remaining
+            if {jc.left.alias, jc.right.alias} <= done | {pick}
+        ]
+        remaining = [jc for jc in remaining if jc not in conds]
+        if conds:
+            on = functools.reduce(lambda a, b: a & b, (_join_expr(jc) for jc in conds))
+            out = out.join(dfs[pick], on, "inner")
+        else:
+            out = out.crossJoin(dfs[pick])
+        done.add(pick)
+        pending.remove(pick)
+    for jc in remaining:  # both sides were already joined (cycle) → filter
+        out = out.filter(_join_expr(jc))
+    return out
+
+
+def _scalar_expr(item: SelectItem, dtype: T.DataType, engine) -> Column:
+    c = _col(item.ref)
+    if item.scalar == "TO_NUMBER":
+        return c.cast("double")
+    if item.scalar == "TO_CHAR":
+        if isinstance(dtype, (T.TimestampType, T.DateType)):
+            return F.date_format(c, engine.date_format)
+        return c.cast("string")
+    if item.scalar == "TO_DATE":
+        return F.to_timestamp(c, engine.date_format)
+    return c
+
+
+def _agg_expr(item: SelectItem, dtype: T.DataType, engine) -> Column:
+    c = _col(item.ref)
+    strict = engine.strict_compat
+    f = item.func
+    if f == "COUNT":
+        return F.count(c)
+    if f == "SUM":
+        if strict and isinstance(dtype, _FRACTIONAL):
+            # reference SUM silently contributes 0 for float/double inputs
+            # (sql/SQLGroupFunction.java:95-103)
+            return F.lit(0).cast("long")
+        if strict:
+            return F.sum(c).cast("long")
+        return F.sum(c)
+    if f == "AVG" or (f == "LAST" and strict):
+        # strict LAST == AVG: F_LAST/F_AVG constant collision in the
+        # reference (sql/SQLGroupFunction.java:51-52)
+        if strict:
+            # integer division sum/cnt on longs (sql/SQLGroupFunction.java:71,81)
+            return (F.sum(c).cast("double") / F.count(c)).cast("long")
+        return F.avg(c)
+    if f == "MIN":
+        return F.min(c)
+    if f == "MAX":
+        return F.max(c)
+    if f == "LAST":
+        return F.last(c)
+    raise InvalidCondition(f"unknown function {f}")  # pragma: no cover
+
+
+def _dtype_of(dfs: dict[str, DataFrame], ref: ColumnRef) -> T.DataType:
+    for f in dfs[ref.alias].schema.fields:
+        if f.name == ref.name:
+            return f.dataType
+    raise KeyError(str(ref))  # pragma: no cover — parser validated
+
+
+def compile_query(engine, q: Query) -> DataFrame:
+    """Batch compilation. Streaming queries reuse this via
+    :mod:`interference_spark.streaming` with streaming sources."""
+    dfs = {t.alias: engine.table(t.name).alias(t.alias) for t in q.tables}
+    return compile_on(engine, q, dfs)
+
+
+def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
+    """Compile against caller-supplied source DataFrames (batch or
+    streaming)."""
+    joins, subqueries, filters = _split_where(q.where)
+    out = _build_join(dfs, [t.alias for t in q.tables], joins)
+    if filters:
+        out = out.filter(functools.reduce(lambda a, b: a & b, map(_cond_expr, filters)))
+    for sq in subqueries:
+        sub = compile_query(engine, sq.query)
+        sub_col = sub.columns[0]
+        how = "left_anti" if sq.negated else "left_semi"
+        out = out.join(sub, _col(sq.ref) == sub[sub_col], how)
+
+    if q.window_by is not None:
+        return _compile_window_by(q, out)
+
+    agg_items = [i for i in q.items if i.is_agg]
+    if agg_items:
+        aggs = [
+            _agg_expr(i, _dtype_of(dfs, i.ref), engine).alias(i.out_name)
+            for i in agg_items
+        ]
+        if q.group_by:
+            gcols = [_col(g) for g in q.group_by]
+            out = out.groupBy(*gcols).agg(*aggs)
+            # project to select-list order / names
+            sel = []
+            for i in q.items:
+                if i.is_agg:
+                    sel.append(F.col(i.out_name))
+                else:
+                    sel.append(F.col(i.ref.name).alias(i.out_name))
+            out = out.select(*sel)
+        else:
+            out = out.agg(*aggs)
+    else:
+        out = out.select(*[
+            (
+                _scalar_expr(i, _dtype_of(dfs, i.ref), engine)
+                if i.scalar
+                else _col(i.ref)
+            ).alias(i.out_name)
+            for i in q.items
+        ])
+
+    if q.distinct:
+        # reference parses DISTINCT but never executes it
+        # (sql/SQLSelect.java:169-171 — documented divergence: we implement it)
+        out = out.distinct()
+
+    if q.order_by:
+        # ascending only: the dialect has no ASC/DESC token
+        names = []
+        for o in q.order_by:
+            match = next(
+                i.out_name for i in q.items
+                if not i.is_agg and i.ref.alias == o.alias and i.ref.name == o.name
+            )
+            names.append(match)
+        out = out.orderBy(*[F.asc(n) for n in names])
+    return out
+
+
+def _compile_window_by(q: Query, joined: DataFrame) -> DataFrame:
+    """Batch semantics of WINDOW BY col INTERVAL = n (count-based sliding
+    window, reference sql/SQLGroupContainer.java:120-158): order rows by the
+    window column; from the n-th row on, emit each select-list aggregate over
+    the last n rows.
+
+    Global count-based windows are inherently sequential — the reference
+    runs them single-threaded on the master.  The batch analogue is a
+    single-partition window frame; the streaming analogue
+    (streaming/windows.py) keeps a bounded ring buffer in state.  For
+    per-key scalability use GROUP BY + streaming windows instead.
+    """
+    from pyspark.sql import Window as W
+
+    n = q.window_by.interval
+    wcol = _col(q.window_by.ref)
+    w = W.orderBy(wcol).rowsBetween(-(n - 1), W.currentRow)
+    rn = W.orderBy(wcol)
+    out = joined
+    cols = []
+    for i in q.items:
+        if not i.is_agg:
+            raise InvalidCondition("WINDOW BY select list must be group functions")
+        base = _col(i.ref)
+        fn = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
+              "MAX": F.max, "AVG": F.avg, "LAST": F.last}[i.func]
+        cols.append(fn(base).over(w).alias(i.out_name))
+    out = (
+        out.withColumn("__rn", F.row_number().over(rn))
+        .select(*cols, F.col("__rn"))
+        .filter(F.col("__rn") >= n)
+        .orderBy("__rn")
+        .drop("__rn")
+    )
+    return out

@@ -1,0 +1,185 @@
+"""Managed table storage: a directory of parquet part files.
+
+The reference stores rows in fixed-size frames across striped data files
+(``core/Frame.java``, ``persistent/DataFile.java``) with frame-level
+replication.  None of that is ported — Spark's unit of storage parallelism is
+the parquet row-group/file, and durability comes from shared storage.  What
+this module keeps is the *operation surface*:
+
+* ``append``           — blind insert (``@NoCheck`` path, reference
+                         ``persistent/Table.java:1208,1306``): writes a new
+                         part file, never touching existing ones.  This is
+                         what makes a managed table double as a *stream*
+                         (table-is-a-queue duality, reference README): a
+                         Structured-Streaming file source over the table
+                         directory sees the snapshot and then every new file.
+* ``upsert``           — persist-by-@Id (reference
+                         ``persistent/Table.java:1187-1409``): anti-join +
+                         union + atomic swap (the Delta-less MERGE).
+* ``delete_where``     — transactional delete / CEP ``purge``.
+* ``apply_threshold``  — ``@Threshold(n)`` ring-buffer retention
+                         (``core/Threshold.java``): keep the newest n rows
+                         by id.
+
+Concurrency note: single-writer per table (the reference serializes writers
+with frame/table locks — ``persistent/Table.java:2403-2437``; we document the
+same requirement instead of porting locks). Readers are safe against
+appends; upsert swaps are atomic at the file level (write-new-then-delete-
+old), so a concurrent reader sees at worst a consistent-older set plus new
+files — on a real deployment, swap-based ops would go through Delta/Iceberg
+instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import TableDef
+from ..errors import InvalidParameter
+
+
+def _parts(td: TableDef) -> list[str]:
+    return sorted(glob.glob(os.path.join(td.path, "*.parquet")))
+
+
+def init_table_dir(td: TableDef) -> None:
+    os.makedirs(td.path, exist_ok=True)
+
+
+def read_managed(spark: SparkSession, td: TableDef) -> DataFrame:
+    schema = td.require_schema()
+    files = _parts(td)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def _new_part(td: TableDef) -> str:
+    return os.path.join(td.path, f"part-{uuid.uuid4().hex}.parquet")
+
+
+def append_rows(td: TableDef, rows: list[dict]) -> str:
+    """Driver-side small-batch append (the ``persist`` hot path).  Uses
+    pyarrow directly — a Spark job per 1-row insert would be absurd; this is
+    what lets the ingest bench match the reference's ~100k obj/s figure."""
+    if not rows:
+        return ""
+    schema = td.require_schema()
+    arrow_schema = pa.schema(
+        [pa.field(f.name, _to_arrow(f.dataType), f.nullable) for f in schema.fields]
+    )
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
+    table = pa.Table.from_pydict(cols, schema=arrow_schema)
+    path = _new_part(td)
+    pq.write_table(table, path, compression="zstd")
+    return path
+
+
+def append_df(td: TableDef, df: DataFrame) -> None:
+    """Distributed append: executors write to a tmp dir, then the files move
+    into the table dir (rename within one filesystem = atomic-enough)."""
+    tmp = td.path + f".tmp-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    for f in glob.glob(os.path.join(tmp, "*.parquet")):
+        os.rename(f, _new_part(td))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def overwrite(td: TableDef, df: DataFrame) -> None:
+    """Replace table contents: write new parts, then remove old parts."""
+    old = _parts(td)
+    tmp = td.path + f".tmp-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    new_names = []
+    for f in glob.glob(os.path.join(tmp, "*.parquet")):
+        p = _new_part(td)
+        os.rename(f, p)
+        new_names.append(p)
+    for f in old:
+        os.remove(f)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def upsert(spark: SparkSession, td: TableDef, new_df: DataFrame) -> None:
+    """MERGE-by-id: update matching ids, insert the rest
+    (reference persist(): ``persistent/Session.java:436-457``)."""
+    if td.id_col is None:
+        raise InvalidParameter(f"table {td.name} has no @Id column; use append")
+    cur = read_managed(spark, td)
+    merged = cur.join(new_df, cur[td.id_col] == new_df[td.id_col], "left_anti").unionByName(
+        new_df.select(*[f.name for f in td.require_schema().fields])
+    )
+    overwrite(td, merged)
+
+
+def delete_where(spark: SparkSession, td: TableDef, predicate) -> int:
+    """Delete rows matching a Column predicate; returns deleted count."""
+    cur = read_managed(spark, td)
+    keep = cur.filter(~predicate)
+    n_before = cur.count()
+    overwrite(td, keep)
+    return n_before - read_managed(spark, td).count()
+
+
+def apply_threshold(spark: SparkSession, td: TableDef) -> None:
+    """@Threshold(n): drop oldest rows past n, ordered by the id column
+    (ids are monotonically increasing in the reference's ring tables)."""
+    if not td.threshold or td.id_col is None:
+        return
+    cur = read_managed(spark, td)
+    if cur.count() <= td.threshold:
+        return
+    from pyspark.sql import functions as F
+
+    cutoff = (
+        cur.select(td.id_col)
+        .orderBy(F.desc(td.id_col))
+        .limit(td.threshold)
+        .agg(F.min(td.id_col).alias("m"))
+        .first()["m"]
+    )
+    overwrite(td, cur.filter(F.col(td.id_col) >= cutoff))
+
+
+def _to_arrow(dt) -> pa.DataType:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_to_arrow(dt.elementType))
+    if isinstance(dt, T.MapType):
+        return pa.map_(_to_arrow(dt.keyType), _to_arrow(dt.valueType))
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    raise InvalidParameter(f"unsupported type for managed store: {dt}")

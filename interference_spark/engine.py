@@ -1,0 +1,141 @@
+"""Engine: SparkSession + catalog + engine-wide config.
+
+Counterpart of the reference's ``core/Instance.java`` (single per-node engine
+object owning storage and config) — here the "storage" is Spark itself plus a
+parquet warehouse directory for managed tables.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import Catalog, TableDef
+
+
+def build_spark(
+    app_name: str = "interference_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Opinionated local-mode session builder.
+
+    AQE on (runtime re-plan / skew-join / partition coalescing), Arrow on
+    (fast Pandas-UDF boundary), UTC timezone (oracle comparability).
+    On a real cluster, pass master=None and submit with cluster conf.
+    """
+    cpus = os.cpu_count() or 4
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else max(cpus, 8)),
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    if master is not None:
+        b = b.master(master)
+    elif "SPARK_GRAFT_CPUS" in os.environ:
+        b = b.master(f"local[{os.environ['SPARK_GRAFT_CPUS']}]")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class Engine:
+    """Owns a SparkSession, the table catalog, and the managed-table
+    warehouse. ``strict_compat=True`` reproduces the reference dialect's
+    numeric quirks (integer AVG division, SUM skipping float columns —
+    reference ``sql/SQLGroupFunction.java:68-103``); default is standard
+    SQL semantics (documented divergence, SURVEY §7.4.5)."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        warehouse: str | None = None,
+        strict_compat: bool = False,
+        date_format: str = "dd.MM.yyyy",
+    ) -> None:
+        self.spark = spark or build_spark()
+        self.catalog = Catalog()
+        self.strict_compat = strict_compat
+        # literal date parsing pattern, reference `config/properties` dateformat
+        self.date_format = date_format
+        self.warehouse = warehouse or tempfile.mkdtemp(prefix="ifs_warehouse_")
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # -- registration ------------------------------------------------------
+    def register_parquet(self, name: str, path: str, **meta) -> TableDef:
+        """Register an external (read-only) parquet file/dir as a table."""
+        return self.catalog.register(TableDef(name=name, path=path, **meta))
+
+    def register_sf_dir(self, sf_dir: str) -> None:
+        self.catalog.register_sf_dir(sf_dir)
+
+    def register_table(
+        self,
+        name: str,
+        schema,
+        id_col: str | None = None,
+        nocheck: bool = False,
+        threshold: int | None = None,
+        indexes: tuple[str, ...] = (),
+        partition_cols: tuple[str, ...] = (),
+    ) -> TableDef:
+        """DDL: create a managed (writable) table — analogue of
+        ``session.registerTable`` (reference ``persistent/Session.java:181``)."""
+        from .catalog import _as_struct
+        from .dml.store import init_table_dir
+
+        path = os.path.join(self.warehouse, name)
+        td = TableDef(
+            name=name,
+            path=path,
+            schema=_as_struct(schema),
+            managed=True,
+            id_col=id_col,
+            nocheck=nocheck,
+            threshold=threshold,
+            indexes=tuple(indexes),
+            partition_cols=tuple(partition_cols),
+        )
+        init_table_dir(td)
+        return self.catalog.register(td)
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+
+        td = self.catalog.get(name)
+        self.catalog.unregister(td.name)
+        if td.managed and os.path.isdir(td.path):
+            shutil.rmtree(td.path)
+
+    # -- reading -----------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        td = self.catalog.get(name)
+        return self.read_table(td)
+
+    def read_table(self, td: TableDef) -> DataFrame:
+        if td.managed:
+            from .dml.store import read_managed
+
+            return read_managed(self.spark, td)
+        if td.schema is not None:
+            return self.spark.read.schema(td.schema).parquet(td.path)
+        return self.spark.read.parquet(td.path)
+
+    def session(self):
+        from .session import Session
+
+        return Session(self)

@@ -1,0 +1,160 @@
+"""Session facade — the JPA-like object API plus SQL entry point.
+
+Counterpart of the reference's ``persistent/Session.java``:
+
+=====================  =====================================================
+reference               here
+=====================  =====================================================
+registerTable           :meth:`Session.register_table` (delegates to Engine)
+persist(o)              :meth:`Session.persist` — upsert-by-id, or blind
+                        append for ``@NoCheck`` tables (staged until commit)
+find(Class, id)         :meth:`Session.find` — keyed filter
+delete(o)               :meth:`Session.delete`
+purge(o)                :meth:`Session.purge` — delete ignoring staging
+execute(sql)            :meth:`Session.execute` — dialect SQL → DataFrame /
+                        StreamQueue / ProcessResult
+commit()/rollback()     :meth:`Session.commit` / :meth:`Session.rollback`
+=====================  =====================================================
+
+Transaction semantics divergence (documented, SURVEY §7.4.3-4): the reference
+implements READ COMMITTED with undo chunks and frame locks
+(``persistent/Transaction.java``).  Here ``persist``/``delete`` *stage* in
+the session and become visible to every reader at ``commit()`` — equivalent
+visibility for commit-then-read usage, no inter-session locking.  Commit also
+feeds streams, exactly like the reference (commit-fed frame queues,
+``core/SyncQueue.java:93``): a committed append lands as a new parquet file,
+which every Structured-Streaming file source over the table directory picks
+up.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dml import store
+from .engine import Engine
+from .errors import InvalidParameter
+
+
+class Session:
+    def __init__(self, engine: Engine) -> None:
+        self.engine = engine
+        self.spark = engine.spark
+        # staged (uncommitted) work: table -> list of pending ops
+        self._staged_rows: dict[str, list[dict]] = {}
+        self._staged_deletes: dict[str, list] = {}
+        self._streams: list = []
+
+    # ---------------------------------------------------------------- DDL
+    def register_table(self, name: str, schema, **kw):
+        return self.engine.register_table(name, schema, **kw)
+
+    # ---------------------------------------------------------------- DML
+    def persist(self, table: str, row: dict | list[dict]) -> None:
+        """Stage row(s) for insert/upsert; visible after :meth:`commit`."""
+        td = self.engine.catalog.get(table)
+        if not td.managed:
+            raise InvalidParameter(f"table {td.name} is read-only (external)")
+        rows = row if isinstance(row, list) else [row]
+        self._staged_rows.setdefault(td.name, []).extend(rows)
+
+    def persist_df(self, table: str, df: DataFrame) -> None:
+        """Distributed bulk persist. @NoCheck tables blind-append
+        immediately (the reference's fast path skips all checks too);
+        upsert tables MERGE immediately — large DataFrames are not staged
+        driver-side."""
+        td = self.engine.catalog.get(table)
+        if td.nocheck or td.id_col is None:
+            store.append_df(td, df)
+        else:
+            store.upsert(self.spark, td, df)
+        store.apply_threshold(self.spark, td)
+
+    def find(self, table: str, id_value: Any):
+        """Point lookup by @Id (reference ``Session.find``,
+        ``persistent/Session.java:326-342``). Catalyst pushes the equality
+        to the parquet scan — the moral equivalent of the reference's id
+        index probe."""
+        td = self.engine.catalog.get(table)
+        if td.id_col is None:
+            raise InvalidParameter(f"table {td.name} has no @Id column")
+        return (
+            self.engine.read_table(td)
+            .filter(F.col(td.id_col) == id_value)
+            .first()
+        )
+
+    def delete(self, table: str, id_value: Any) -> None:
+        """Stage a delete-by-id; applied at commit."""
+        td = self.engine.catalog.get(table)
+        if td.id_col is None:
+            raise InvalidParameter(f"table {td.name} has no @Id column")
+        self._staged_deletes.setdefault(td.name, []).append(id_value)
+
+    def purge(self, table: str, id_value: Any) -> None:
+        """Immediate delete ignoring staging (reference CEP consumption,
+        ``persistent/Session.java:478-488``)."""
+        td = self.engine.catalog.get(table)
+        store.delete_where(self.spark, td, F.col(td.id_col) == id_value)
+
+    def commit(self) -> None:
+        """Flush staged work. Appends become new part files → feed streams."""
+        for name, ids in self._staged_deletes.items():
+            td = self.engine.catalog.get(name)
+            store.delete_where(self.spark, td, F.col(td.id_col).isin(ids))
+        self._staged_deletes.clear()
+        for name, rows in self._staged_rows.items():
+            td = self.engine.catalog.get(name)
+            if td.nocheck or td.id_col is None:
+                store.append_rows(td, rows)
+            else:
+                # upsert path: last staged row per id wins
+                by_id = {}
+                for r in rows:
+                    by_id[r.get(td.id_col)] = r
+                schema = td.require_schema()
+                new_df = self.spark.createDataFrame(
+                    [tuple(r.get(f.name) for f in schema.fields) for r in by_id.values()],
+                    schema,
+                )
+                store.upsert(self.spark, td, new_df)
+            store.apply_threshold(self.spark, td)
+        self._staged_rows.clear()
+
+    def rollback(self) -> None:
+        """Discard staged work (reference rollback physically removes
+        inserted rows — ours never wrote them)."""
+        self._staged_rows.clear()
+        self._staged_deletes.clear()
+
+    # ---------------------------------------------------------------- SQL
+    def execute(self, sql: str):
+        """SQL entry point (reference ``Session.execute``).
+
+        Returns a lazy DataFrame for batch SELECT, a
+        :class:`~interference_spark.streaming.stream_queue.StreamQueue` for
+        SELECT STREAM, and a :class:`ProcessResult` for PROCESS.
+        """
+        from .dialect import compile_query, parse
+
+        q = parse(self.engine, sql)
+        if q.kind == "PROCESS":
+            from .dml.process import run_process
+
+            return run_process(self, q)
+        if q.stream:
+            from .streaming.runner import run_stream
+
+            return run_stream(self, q)
+        return compile_query(self.engine, q)
+
+    def close(self) -> None:
+        for s in self._streams:
+            try:
+                s.stop()
+            except Exception:
+                pass
+        self._streams.clear()

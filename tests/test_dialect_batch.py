@@ -1,0 +1,215 @@
+"""End-to-end batch execution of the dialect (FIXTURES.md §A semantics),
+cross-checked against DuckDB where the semantics are SQL-expressible."""
+
+import duckdb
+import pytest
+
+
+def _key(row):
+    return tuple((v is None, v) for v in row)
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=_key)
+
+
+def _duck(engine, sql_duck, tables):
+    con = duckdb.connect()
+    for name in tables:
+        pdf = engine.table(name).toPandas()
+        con.register(name, pdf)
+    return sorted((tuple(r) for r in con.execute(sql_duck).fetchall()), key=_key)
+
+
+def test_milestone1_join(session, engine):
+    df = session.execute(
+        "select d.deptName, e.empName from Dept d, Emp e where d.deptId = e.deptId"
+    )
+    assert df.columns == ["ddeptName", "eempName"]
+    got = _rows(df)
+    want = _duck(
+        engine,
+        "select d.deptName, e.empName from Dept d, Emp e where d.deptId = e.deptId",
+        ["Dept", "Emp"],
+    )
+    assert got == want
+    assert len(got) == 8  # null-dept emp drops out of the inner join
+
+
+def test_equijoin_plan_is_not_cartesian(session):
+    df = session.execute(
+        "select d.deptName, e.empName from Dept d, Emp e where d.deptId = e.deptId"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_typed_predicates_and_in(session, engine):
+    sql = "select e.empName from Emp e where e.salary >= 1000.5 and e.deptId in [1, 2]"
+    got = _rows(session.execute(sql))
+    want = _duck(
+        engine,
+        "select empName from Emp where salary >= 1000.5 and deptId in (1, 2)",
+        ["Emp"],
+    )
+    assert got == want and len(got) > 0
+
+
+def test_like_contains_semantics(session, engine):
+    got = _rows(session.execute("select e.empName from Emp e where e.descript like 'abc'"))
+    # contains, not SQL LIKE: every non-null descript contains "abc"
+    want = _duck(
+        engine, "select empName from Emp where descript like '%abc%'", ["Emp"]
+    )
+    assert got == want and len(got) == 8
+
+
+def test_or_nesting(session, engine):
+    sql = (
+        "select e.empName from Emp e "
+        "where e.salary > 1000 and (e.deptId = 1 or e.deptId = 2)"
+    )
+    got = _rows(session.execute(sql))
+    want = _duck(
+        engine,
+        "select empName from Emp where salary > 1000 and (deptId = 1 or deptId = 2)",
+        ["Emp"],
+    )
+    assert got == want
+
+
+def test_group_by_with_aggs(session, engine):
+    sql = (
+        "select count(e.empId), sum(e.salary) sumsal, avg(e.empId) avgid, "
+        "min(e.empId) minid, max(e.empId) maxid, d.deptName "
+        "from Dept d, Emp e where d.deptId = e.deptId group by d.deptName"
+    )
+    df = session.execute(sql)
+    assert df.columns == ["counteempId", "sumsal", "avgid", "minid", "maxid", "ddeptName"]
+    got = _rows(df)
+    want = _duck(
+        engine,
+        "select count(e.empId), sum(e.salary), avg(e.empId), min(e.empId), "
+        "max(e.empId), d.deptName from Dept d, Emp e "
+        "where d.deptId = e.deptId group by d.deptName",
+        ["Dept", "Emp"],
+    )
+    assert got == want
+
+
+def test_grand_total(session, engine):
+    df = session.execute("select count(e.empId), max(e.salary) from Emp e")
+    got = _rows(df)
+    want = _duck(engine, "select count(empId), max(salary) from Emp", ["Emp"])
+    assert got == want and len(got) == 1
+
+
+def test_order_by_ascending(session, engine):
+    df = session.execute(
+        "select e.deptId, e.empName from Emp e order by e.deptId, e.empName"
+    )
+    got = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.register("Emp", engine.table("Emp").toPandas())
+    want = [
+        tuple(r)
+        for r in con.execute(
+            "select deptId, empName from Emp order by deptId asc nulls first, "
+            "empName asc nulls first"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_distinct(session, engine):
+    got = _rows(session.execute("select distinct e.deptId from Emp e"))
+    want = _duck(engine, "select distinct deptId from Emp", ["Emp"])
+    assert got == want
+
+
+def test_select_star_entity(session):
+    df = session.execute("select * from Dept d")
+    assert df.columns == ["deptId", "deptName"]
+    assert df.count() == 3
+
+
+def test_in_subquery_semijoin(session, engine):
+    got = _rows(
+        session.execute(
+            "select e.empName from Emp e where e.deptId in [select d.deptId from Dept d]"
+        )
+    )
+    want = _duck(
+        engine,
+        "select empName from Emp where deptId in (select deptId from Dept)",
+        ["Dept", "Emp"],
+    )
+    assert got == want
+
+
+def test_window_by_batch(session, engine):
+    df = session.execute(
+        "select count(e.empId), sum(e.empId) s from Emp e window by e.empId interval = 3"
+    )
+    got = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.register("Emp", engine.table("Emp").toPandas())
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            select cnt, s from (
+              select count(empId) over w cnt, sum(empId) over w s,
+                     row_number() over (order by empId) rn
+              from Emp
+              window w as (order by empId rows between 2 preceding and current row)
+            ) where rn >= 3 order by rn
+            """
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_theta_join(session, engine):
+    got = _rows(
+        session.execute(
+            "select d.deptName, e.empName from Dept d, Emp e where d.deptId < e.deptId"
+        )
+    )
+    want = _duck(
+        engine,
+        "select d.deptName, e.empName from Dept d, Emp e where d.deptId < e.deptId",
+        ["Dept", "Emp"],
+    )
+    assert got == want
+
+
+def test_three_way_join(session, engine):
+    # self-join flavored 3-way to exercise the join-graph builder
+    sql = (
+        "select d.deptName, e.empName, f.empName fname from Dept d, Emp e, Emp f "
+        "where d.deptId = e.deptId and e.empId = f.empId"
+    )
+    got = _rows(session.execute(sql))
+    want = _duck(
+        engine,
+        "select d.deptName, e.empName, f.empName from Dept d, Emp e, Emp f "
+        "where d.deptId = e.deptId and e.empId = f.empId",
+        ["Dept", "Emp"],
+    )
+    assert got == want
+
+
+def test_strict_compat_aggregates(spark, engine, tmp_path):
+    from interference_spark import Engine
+
+    eng = Engine(spark=spark, warehouse=str(tmp_path / "w"), strict_compat=True)
+    eng.catalog = engine.catalog  # share tables
+    s = eng.session()
+    df = s.execute(
+        "select sum(e.salary) fsum, sum(e.empId) isum, avg(e.empId) iavg from Emp e"
+    )
+    row = df.first()
+    assert row["fsum"] == 0          # SUM skips float/double inputs
+    assert row["isum"] == sum([1, 2, 3, 4, 5, 6, 7, 8, 99])
+    assert row["iavg"] == row["isum"] // 9  # integer division

@@ -1,0 +1,214 @@
+"""Parser + validation-error taxonomy tests (FIXTURES.md §A queries 1-6)."""
+
+import pytest
+
+from interference_spark import errors
+from interference_spark.dialect import parse
+from interference_spark.dialect.ast import (
+    ConditionGroup,
+    JoinCondition,
+    SubqueryCondition,
+    ValueCondition,
+)
+
+
+def test_milestone1_join_parse(engine):
+    q = parse(
+        engine,
+        "select d.deptName, e.empName from Dept d, Emp e where d.deptId = e.deptId",
+    )
+    assert [t.alias for t in q.tables] == ["d", "e"]
+    assert [i.out_name for i in q.items] == ["ddeptName", "eempName"]
+    assert isinstance(q.where, JoinCondition)
+    assert q.where.op == "="
+
+
+def test_fully_qualified_table_names(engine):
+    q = parse(
+        engine,
+        "select d.deptName from su.interference.test.entity.Dept d",
+    )
+    assert q.tables[0].alias == "d"
+
+
+def test_empty_group_by_malformed(engine):
+    with pytest.raises(errors.SQLException):
+        parse(engine, "select sum(e.salary), count(e.empId) from Emp e group by")
+
+
+def test_agg_aliases(engine):
+    q = parse(
+        engine,
+        "select count(e.empId), sum(e.salary) cnt2, d.deptName from Dept d, Emp e "
+        "where d.deptId = e.deptId group by d.deptName",
+    )
+    assert q.items[0].out_name == "counteempId"
+    assert q.items[1].out_name == "cnt2"
+    assert q.items[2].out_name == "ddeptName"
+
+
+def test_in_list_and_typed_literals(engine):
+    q = parse(
+        engine,
+        "select e.empName from Emp e where e.salary >= 1000.5 and e.deptId in [1, 2, 3]",
+    )
+    g = q.where
+    assert isinstance(g, ConditionGroup) and g.connective == "AND"
+    vc_sal, vc_in = g.children
+    assert isinstance(vc_sal, ValueCondition) and vc_sal.values == [1000.5]
+    assert isinstance(vc_in, ValueCondition) and vc_in.op == "IN"
+    assert vc_in.values == [1, 2, 3]
+
+
+def test_like_is_contains(engine):
+    q = parse(engine, "select e.empName from Emp e where e.descript like 'abc'")
+    assert q.where.op == "LIKE"
+    assert q.where.values == ["abc"]
+
+
+def test_not_in_not_like(engine):
+    q = parse(
+        engine,
+        "select e.empName from Emp e where e.deptId not in [1] or e.descript not like 'x'",
+    )
+    a, b = q.where.children
+    assert a.negated and b.negated
+
+
+def test_in_subquery(engine):
+    q = parse(
+        engine,
+        "select e.empName from Emp e where e.deptId in [select d.deptId from Dept d]",
+    )
+    assert isinstance(q.where, SubqueryCondition)
+
+
+def test_star_single_table(engine):
+    q = parse(engine, "select * from Emp e")
+    assert q.star and len(q.items) == 6
+
+
+def test_order_and_group_asc_only(engine):
+    q = parse(engine, "select e.deptId, e.empName from Emp e order by e.deptId, e.empName")
+    assert [o.name for o in q.order_by] == ["deptId", "empName"]
+    with pytest.raises(errors.InvalidOrderByPart):
+        parse(engine, "select e.deptId from Emp e order by e.deptId desc")
+
+
+def test_window_by(engine):
+    q = parse(
+        engine,
+        "select count(e.empId), sum(e.salary) from Emp e window by e.empId interval = 100",
+    )
+    assert q.window_by.interval == 100
+    assert q.window_by.ref.name == "empId"
+
+
+def test_process_parse(engine):
+    q = parse(engine, "process Emp e within MyProcessor where e.deptId = 1")
+    assert q.kind == "PROCESS" and q.within == "MyProcessor"
+    assert isinstance(q.where, ValueCondition)
+
+
+# ---- error taxonomy ------------------------------------------------------
+
+def test_missing_from(engine):
+    with pytest.raises(errors.MissingFromClause):
+        parse(engine, "select e.empName")
+
+
+def test_missing_within(engine):
+    with pytest.raises(errors.MissingWithinClause):
+        parse(engine, "process Emp e where e.deptId = 1")
+
+
+def test_star_multi_table_error(engine):
+    with pytest.raises(errors.InvalidColumnDescription):
+        parse(engine, "select * from Dept d, Emp e where d.deptId = e.deptId")
+
+
+def test_ambiguous_bare_column(engine):
+    with pytest.raises(errors.AmbiguousColumnName):
+        parse(engine, "select deptId from Dept d, Emp e where d.deptId = e.deptId")
+
+
+def test_bare_column_single_owner_ok(engine):
+    q = parse(engine, "select empName from Dept d, Emp e where d.deptId = e.deptId")
+    assert q.items[0].ref.alias == "e"
+
+
+def test_mixed_and_or_one_level(engine):
+    with pytest.raises(errors.InvalidCondition):
+        parse(
+            engine,
+            "select e.empName from Emp e where e.deptId = 1 and e.deptId = 2 or e.deptId = 3",
+        )
+
+
+def test_nested_and_or_ok(engine):
+    q = parse(
+        engine,
+        "select e.empName from Emp e where e.salary > 1000 and (e.deptId = 1 or e.deptId = 2)",
+    )
+    g = q.where
+    assert g.connective == "AND"
+    assert isinstance(g.children[1], ConditionGroup)
+    assert g.children[1].connective == "OR"
+
+
+def test_bad_literal_type(engine):
+    with pytest.raises(errors.InvalidConditionValue):
+        parse(engine, "select e.empName from Emp e where e.deptId = 1.5")
+    with pytest.raises(errors.InvalidConditionValue):
+        parse(engine, "select e.empName from Emp e where e.empName = 5")
+    with pytest.raises(errors.InvalidConditionValue):
+        parse(engine, "select e.empName from Emp e where e.deptId = 'x'")
+
+
+def test_unquoted_string_literal(engine):
+    with pytest.raises(errors.InvalidConditionValue):
+        parse(engine, "select e.empName from Emp e where e.empName = bogus_name_xx")
+
+
+def test_group_validation(engine):
+    with pytest.raises(errors.InvalidGroupColumnSet):
+        parse(engine, "select count(e.empId), e.deptId from Emp e")
+    with pytest.raises(errors.InvalidGroupColumnSet):
+        parse(engine, "select count(e.empId), e.deptId from Emp e group by e.empName")
+    with pytest.raises(errors.InvalidGroupColumnSet):
+        parse(engine, "select e.deptId from Emp e group by e.deptId")
+
+
+def test_window_exclusive_with_group_order(engine):
+    with pytest.raises(errors.InvalidWindowByPart):
+        parse(
+            engine,
+            "select count(e.empId) from Emp e group by e.deptId window by e.empId interval = 5",
+        )
+
+
+def test_missing_paren(engine):
+    with pytest.raises(errors.MissingRightParenthesis):
+        parse(engine, "select e.empName from Emp e where (e.deptId = 1 or e.deptId = 2")
+
+
+def test_clause_order(engine):
+    with pytest.raises(errors.InvalidSQLStatement):
+        parse(engine, "select e.empName from Emp e order by e.empName where e.deptId = 1")
+
+
+def test_unknown_table(engine):
+    with pytest.raises(errors.TableNotRegistered):
+        parse(engine, "select x.a from NotThere x")
+
+
+def test_invalid_statement(engine):
+    with pytest.raises(errors.InvalidSQLStatement):
+        parse(engine, "UPDATE Emp SET x = 1")
+
+
+def test_date_literal(engine):
+    q = parse(engine, "select e.empName from Emp e where e.hireDate = '03.01.2020'")
+    import datetime
+
+    assert q.where.values == [datetime.datetime(2020, 1, 3)]
