@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the ingest path (persist/append throughput) against the
+reference's published 100k objects/sec figure (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+# headline subset: the full inventory runs in the correctness gate; bench
+# keeps the heavy hitters + one representative per operator family.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dialect_group_agg",
+    "dialect_multiway_join",
+    "dialect_window_count_sliding",
+    "topk_per_group",
+    "events_agg_by_type",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "sim_cosine_topk",
+    "mm_feature_extract",
+]
+
+
+def main() -> None:
+    from interference_spark import build_spark
+    from interference_spark import inventory
+
+    spark = build_spark(
+        app_name="ifs-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_conf={"spark.driver.memory": os.environ.get("IFS_DRIVER_MEM", "48g")},
+    )
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = inventory.QUERIES[name]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm (JIT, code cache)
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # ingest bench: @NoCheck blind-append path (reference: 100k obj/s)
+    timings["ingest_append_100k"] = round(_bench_ingest(spark), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock at sf (sum of per-query sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _bench_ingest(spark) -> float:
+    """100k small-object persist via the @NoCheck blind-append fast path."""
+    import shutil
+    import tempfile
+
+    from interference_spark import Engine
+
+    wh = tempfile.mkdtemp(prefix="ifs_bench_wh_")
+    try:
+        eng = Engine(spark=spark, warehouse=wh)
+        eng.register_table(
+            "ring", "id long, val long, name string", id_col="id", nocheck=True
+        )
+        s = eng.session()
+        n = 100_000
+        rows = [{"id": i, "val": i * 2, "name": f"obj{i}"} for i in range(n)]
+        t0 = time.perf_counter()
+        for start in range(0, n, 10_000):
+            s.persist("ring", rows[start : start + 10_000])
+            s.commit()
+        dt = time.perf_counter() - t0
+        assert eng.table("ring").count() == n
+        return dt
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -97,8 +97,28 @@ class Catalog:
         return sorted(self._tables)
 
     def register_sf_dir(self, sf_dir: str) -> None:
-        """Register every ``<name>.parquet`` in a driver testdata dir."""
+        """Register every ``<name>.parquet`` in a driver testdata dir.
+
+        Parquet TIMESTAMP(NANOS) columns are illegal for Spark's reader;
+        they're detected here (via the pyarrow footer) and converted to
+        microsecond timestamps on read (Engine.read_table), with
+        ``spark.sql.legacy.parquet.nanosAsLong`` exposing the raw int64.
+        """
+        import pyarrow.parquet as pq
+
         for fn in sorted(os.listdir(sf_dir)):
             if fn.endswith(".parquet"):
                 name = fn[: -len(".parquet")]
-                self.register(TableDef(name=name, path=os.path.join(sf_dir, fn)))
+                path = os.path.join(sf_dir, fn)
+                nanos = []
+                try:
+                    asch = pq.read_schema(path)
+                    nanos = [
+                        f.name
+                        for f in asch
+                        if str(f.type).startswith("timestamp[ns")
+                    ]
+                except Exception:
+                    pass
+                meta = {"nanos_cols": nanos} if nanos else {}
+                self.register(TableDef(name=name, path=path, meta=meta))

@@ -11,6 +11,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import Catalog, TableDef
 
@@ -68,6 +69,12 @@ class Engine:
         date_format: str = "dd.MM.yyyy",
     ) -> None:
         self.spark = spark or build_spark()
+        try:
+            # tolerate TIMESTAMP(NANOS) parquet (driver testdata events.ts);
+            # read_table converts the raw int64 back to a timestamp
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         self.catalog = Catalog()
         self.strict_compat = strict_compat
         # literal date parsing pattern, reference `config/properties` dateformat
@@ -131,9 +138,15 @@ class Engine:
             from .dml.store import read_managed
 
             return read_managed(self.spark, td)
-        if td.schema is not None:
+        if td.schema is not None and not td.meta.get("nanos_cols"):
             return self.spark.read.schema(td.schema).parquet(td.path)
-        return self.spark.read.parquet(td.path)
+        df = self.spark.read.parquet(td.path)
+        for c in td.meta.get("nanos_cols", ()):
+            # int64 nanoseconds → microsecond timestamp (exact truncation)
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS LONG))")
+            )
+        return df
 
     def session(self):
         from .session import Session

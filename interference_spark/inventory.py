@@ -1,0 +1,673 @@
+"""Query inventory: the driver-facing catalog of implemented operators.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL oracle for DuckDB (or ``None`` where the operator is not
+SQL-expressible → the driver records a rows-only check).
+
+Float determinism policy (this is what makes value-hash comparison work):
+
+* sums over *integral-valued* doubles (l_quantity, user_id) are exact in
+  IEEE double regardless of order → safe to SUM directly;
+* sums over fractional doubles (prices, discounts) are order-dependent →
+  every such aggregate casts the (deterministic, per-row) double product to
+  ``DECIMAL(38, N)`` first, sums exactly, then casts back to double. Both
+  engines perform the identical rounding chain → bit-identical results;
+* timestamps are returned as epoch seconds (``CAST(ts AS LONG)`` / DuckDB
+  ``CAST(floor(epoch(ts)) AS BIGINT)``) so session timezones can't skew the
+  comparison.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import Engine
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_ENGINES: dict[tuple[int, str], Engine] = {}
+
+
+def engine_for(spark: SparkSession, sf_dir: str) -> Engine:
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        eng = Engine(spark=spark)
+        eng.register_sf_dir(sf_dir)
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col: F.Column, scale: int = 6) -> F.Column:
+    """Exact-accumulation sum: deterministic double per row → decimal."""
+    return col.cast(f"decimal(38,{scale})")
+
+
+def _epoch(col) -> F.Column:
+    """Epoch seconds from TIMESTAMP or TIMESTAMP_NTZ (via session-UTC)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
+# =====================================================================
+# Dialect-driven queries — exercise parser → compiler → Catalyst
+# (SURVEY §2.1-S1/S4, §2.2 P1-P11, §2.3 J1-J8, §2.4, §2.6, §2.7)
+# =====================================================================
+
+@query(
+    "dialect_join_filter",
+    """SELECT n.n_name AS nn_name, c.c_name AS cc_name, c.c_acctbal AS cc_acctbal
+       FROM nation n, customer c
+       WHERE n.n_nationkey = c.c_nationkey AND c.c_acctbal >= 0.0""",
+)
+def dialect_join_filter(spark, sf_dir):
+    """Equi-join + typed float literal (reference manual's Dept/Emp join
+    shape; result naming = alias concatenation)."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select n.n_name, c.c_name, c.c_acctbal from nation n, customer c "
+        "where n.n_nationkey = c.c_nationkey and c.c_acctbal >= 0.0"
+    )
+
+
+@query(
+    "dialect_multiway_join",
+    """SELECT r.r_name AS rr_name, n.n_name AS nn_name, s.s_name AS ss_name
+       FROM region r, nation n, supplier s
+       WHERE r.r_regionkey = n.n_regionkey AND n.n_nationkey = s.s_nationkey""",
+)
+def dialect_multiway_join(spark, sf_dir):
+    """3-way comma-join; the reference builds a left-deep SQLCursor chain
+    (sql/SQLJoin.java:91-121) — we hand Catalyst the join graph."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select r.r_name, n.n_name, s.s_name from region r, nation n, supplier s "
+        "where r.r_regionkey = n.n_regionkey and n.n_nationkey = s.s_nationkey"
+    )
+
+
+@query(
+    "dialect_group_agg",
+    """SELECT count(l.l_orderkey) AS cnt, sum(l.l_quantity) AS sum_qty,
+              avg(l.l_quantity) AS avg_qty, min(l.l_quantity) AS min_qty,
+              max(l.l_quantity) AS max_qty,
+              l.l_returnflag AS ll_returnflag, l.l_linestatus AS ll_linestatus
+       FROM lineitem l GROUP BY l.l_returnflag, l.l_linestatus""",
+)
+def dialect_group_agg(spark, sf_dir):
+    """GROUP BY with all five group functions (A1-A5; l_quantity doubles are
+    integral-valued → exact sums)."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select count(l.l_orderkey) cnt, sum(l.l_quantity) sum_qty, "
+        "avg(l.l_quantity) avg_qty, min(l.l_quantity) min_qty, "
+        "max(l.l_quantity) max_qty, l.l_returnflag, l.l_linestatus "
+        "from lineitem l group by l.l_returnflag, l.l_linestatus"
+    )
+
+
+@query(
+    "dialect_in_list",
+    """SELECT p.p_name AS pp_name, p.p_brand AS pp_brand, p.p_size AS pp_size
+       FROM part p
+       WHERE p.p_brand IN ('Brand#1','Brand#2','Brand#3') AND p.p_size >= 10""",
+)
+def dialect_in_list(spark, sf_dir):
+    """Bracket IN-list + numeric predicate (P5, P10)."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select p.p_name, p.p_brand, p.p_size from part p "
+        "where p.p_brand in ['Brand#1', 'Brand#2', 'Brand#3'] and p.p_size >= 10"
+    )
+
+
+@query(
+    "dialect_like_contains",
+    """SELECT p.p_partkey AS pp_partkey, p.p_name AS pp_name FROM part p
+       WHERE p.p_name LIKE '%wid%'""",
+)
+def dialect_like_contains(spark, sf_dir):
+    """Reference LIKE = substring contains (P7) — oracle uses %..%."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select p.p_partkey, p.p_name from part p where p.p_name like 'wid'"
+    )
+
+
+@query(
+    "dialect_theta_join",
+    """SELECT n.n_name AS nn_name, s.s_name AS ss_name
+       FROM nation n, supplier s
+       WHERE n.n_nationkey < s.s_nationkey AND n.n_regionkey = 0""",
+)
+def dialect_theta_join(spark, sf_dir):
+    """Non-equi (theta) join — reference J8 nested-loops fallback; Spark
+    broadcasts the small side."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select n.n_name, s.s_name from nation n, supplier s "
+        "where n.n_nationkey < s.s_nationkey and n.n_regionkey = 0"
+    )
+
+
+@query(
+    "dialect_order_by",
+    """SELECT c.c_custkey AS cc_custkey, c.c_name AS cc_name FROM customer c
+       ORDER BY c.c_custkey""",
+)
+def dialect_order_by(spark, sf_dir):
+    """Ascending-only ORDER BY (O1)."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select c.c_custkey, c.c_name from customer c order by c.c_custkey"
+    )
+
+
+@query(
+    "dialect_distinct",
+    """SELECT DISTINCT o.o_orderstatus AS oo_orderstatus,
+              o.o_orderpriority AS oo_orderpriority FROM orders o""",
+)
+def dialect_distinct(spark, sf_dir):
+    """DISTINCT — parsed-only in the reference (A12), implemented for real."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select distinct o.o_orderstatus, o.o_orderpriority from orders o"
+    )
+
+
+@query("dialect_select_star", "SELECT r_regionkey, r_name FROM region")
+def dialect_select_star(spark, sf_dir):
+    """Single-table SELECT * (P2: entity result)."""
+    return engine_for(spark, sf_dir).session().execute("select * from region r")
+
+
+@query(
+    "dialect_in_subquery",
+    """SELECT c.c_custkey AS cc_custkey, c.c_name AS cc_name FROM customer c
+       WHERE c.c_nationkey IN
+             (SELECT n_nationkey FROM nation WHERE n_name LIKE '%NATION_1%')""",
+)
+def dialect_in_subquery(spark, sf_dir):
+    """IN [SELECT ...] — dead stub in the reference (P6), implemented as a
+    left-semi join."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select c.c_custkey, c.c_name from customer c where c.c_nationkey in "
+        "[select n.n_nationkey from nation n where n.n_name like 'NATION_1']"
+    )
+
+
+@query(
+    "dialect_grand_total",
+    """SELECT count(o.o_orderkey) AS cnt, min(o.o_totalprice) AS mn,
+              max(o.o_totalprice) AS mx FROM orders o""",
+)
+def dialect_grand_total(spark, sf_dir):
+    """All-function select list, no GROUP BY → single row (A9)."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select count(o.o_orderkey) cnt, min(o.o_totalprice) mn, "
+        "max(o.o_totalprice) mx from orders o"
+    )
+
+
+@query(
+    "dialect_window_count_sliding",
+    """SELECT cnt, sum_uid, mn FROM (
+         SELECT count(event_id) OVER w AS cnt, sum(user_id) OVER w AS sum_uid,
+                min(value) OVER w AS mn,
+                row_number() OVER (ORDER BY event_id) AS rn
+         FROM events
+         WINDOW w AS (ORDER BY event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+       ) WHERE rn >= 100""",
+)
+def dialect_window_count_sliding(spark, sf_dir):
+    """WINDOW BY col INTERVAL = n — the reference's count-based sliding
+    window (A11/C3), batch semantics: one aggregate row per arriving row
+    from the n-th onward."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select count(e.event_id) cnt, sum(e.user_id) sum_uid, min(e.value) mn "
+        "from events e window by e.event_id interval = 100"
+    )
+
+
+@query(
+    "dialect_or_conditions",
+    """SELECT o.o_orderkey AS oo_orderkey, o.o_totalprice AS oo_totalprice
+       FROM orders o
+       WHERE o.o_orderstatus = 'P' AND (o.o_orderpriority = '1-URGENT'
+             OR o.o_totalprice >= 400000.0)""",
+)
+def dialect_or_conditions(spark, sf_dir):
+    """Nested AND(OR) tree — one connective kind per level (P8)."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select o.o_orderkey, o.o_totalprice from orders o "
+        "where o.o_orderstatus = 'P' and (o.o_orderpriority = '1-URGENT' "
+        "or o.o_totalprice >= 400000.0)"
+    )
+
+
+# =====================================================================
+# DataFrame-level OLAP — TPC-H-shaped plans at scale
+# =====================================================================
+
+@query(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+              avg(l_quantity) AS avg_qty,
+              CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan → partial+final agg, filter pushed to parquet."""
+    e = engine_for(spark, sf_dir)
+    l = e.table("lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+        F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.sum(_dec(F.col("l_discount"))).cast("double").alias("sum_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """SELECT l.l_orderkey AS l_orderkey,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+              CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS odate_epoch,
+              o.o_orderpriority AS o_orderpriority
+       FROM customer c, orders o, lineitem l
+       WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+         AND l.l_orderkey = o.o_orderkey
+         AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    Customer side is broadcast; top-k runs as TakeOrderedAndProject."""
+    e = engine_for(spark, sf_dir)
+    c = e.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = e.table("orders").filter(F.col("o_orderdate") < "1998-06-01")
+    l = e.table("lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _epoch("o_orderdate").alias("odate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """SELECT n.n_name AS n_name,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+       FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+       WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+         AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+         AND r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY n.n_name""",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with two broadcastable dims and a
+    same-nation co-location condition."""
+    e = engine_for(spark, sf_dir)
+    c, o, l = e.table("customer"), e.table("orders"), e.table("lineitem")
+    s, n, r = e.table("supplier"), e.table("nation"), e.table("region")
+    o = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    r = r.filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "topk_per_group",
+    """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+         SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rk
+         FROM customer
+       ) WHERE rk <= 3""",
+)
+def topk_per_group(spark, sf_dir):
+    """Top-k per group via ranking window — beyond the reference (it has no
+    analytic functions, SURVEY §2.5); a one-shuffle pattern at scale."""
+    from pyspark.sql import Window as W
+
+    e = engine_for(spark, sf_dir)
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        e.table("customer")
+        .select(
+            "c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "events_agg_by_type",
+    """SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_uid,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts_epoch,
+              CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch
+       FROM events GROUP BY event_type""",
+)
+def events_agg_by_type(spark, sf_dir):
+    e = engine_for(spark, sf_dir)
+    return (
+        e.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("user_id").alias("sum_uid"),
+            F.min("ts").cast("long").alias("min_ts_epoch"),
+            F.max("ts").cast("long").alias("max_ts_epoch"),
+        )
+    )
+
+
+@query(
+    "point_lookup",
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM customer WHERE c_custkey = 42""",
+)
+def point_lookup(spark, sf_dir):
+    """find-by-@Id analogue (S2): equality predicate pushed to the parquet
+    scan replaces the reference's index probe."""
+    e = engine_for(spark, sf_dir)
+    return e.table("customer").filter(F.col("c_custkey") == 42)
+
+
+# =====================================================================
+# Training-data pipeline operators (north-star extensions)
+# =====================================================================
+
+@query(
+    "dedup_exact",
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf_dir):
+    from .pipeline.dedup import exact_dedup
+
+    e = engine_for(spark, sf_dir)
+    return exact_dedup(e.table("documents"))
+
+
+@query(
+    "text_fingerprint",
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    from .pipeline.text import fingerprint
+
+    e = engine_for(spark, sf_dir)
+    return e.table("documents").select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "text_token_count",
+    """SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       FROM documents""",
+)
+def text_token_count(spark, sf_dir):
+    from .pipeline.text import token_count
+
+    e = engine_for(spark, sf_dir)
+    return e.table("documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+@query(
+    "text_quality",
+    """SELECT doc_id,
+              length(text) AS n_chars_calc,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE) AS alpha_ratio,
+              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE) AS digit_ratio,
+              CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+                / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE) AS space_ratio,
+              CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE) AS punct_ratio
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    from .pipeline.text import quality_features
+
+    e = engine_for(spark, sf_dir)
+    return quality_features(e.table("documents")).select(
+        "doc_id", "n_chars_calc", "n_tokens",
+        "alpha_ratio", "digit_ratio", "space_ratio", "punct_ratio",
+    )
+
+
+def _lang_score_sql(lang: str, words: tuple[str, ...]) -> str:
+    terms = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+    )
+    return f"({terms})"
+
+
+def _lang_id_oracle() -> str:
+    """Argmax with ties → lexicographically largest lang code: identical to
+    Spark's greatest(struct(score, lang)) comparison, spelled as a CASE
+    chain from the largest code downward (DuckDB greatest can't take
+    structs)."""
+    from .pipeline.text import LANG_MARKERS
+
+    scores = {
+        lang: _lang_score_sql(lang, words) for lang, words in LANG_MARKERS.items()
+    }
+    ordered = sorted(scores, reverse=True)  # fr, es, en, de
+    alls = ", ".join(scores[l] for l in ordered)
+    branches = []
+    for i, lang in enumerate(ordered[:-1]):
+        conds = " AND ".join(
+            f"{scores[lang]} >= {scores[other]}" for other in ordered[i + 1:]
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return f"""
+      SELECT doc_id,
+             CASE WHEN greatest({alls}) = 0 THEN 'und'
+                  {' '.join(branches)}
+                  ELSE '{ordered[-1]}' END AS lang_pred
+      FROM documents
+    """
+
+
+@query("lang_id", None)  # oracle attached below (built from LANG_MARKERS)
+def lang_id(spark, sf_dir):
+    from .pipeline.text import lang_id as _lang_id
+
+    e = engine_for(spark, sf_dir)
+    return _lang_id(e.table("documents")).select("doc_id", "lang_pred")
+
+
+ORACLES["lang_id"] = _lang_id_oracle()
+
+
+_COS_ORACLE = """
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id <> 0
+), acc AS (
+  SELECT e.vec_id,
+         sum(CAST(e.v * q.qv AS DECIMAL(38,14))) AS dot_d,
+         sum(CAST(e.v * e.v AS DECIMAL(38,14))) AS n_e,
+         sum(CAST(q.qv * q.qv AS DECIMAL(38,14))) AS n_q
+  FROM e JOIN q USING (pos) GROUP BY e.vec_id
+)
+SELECT vec_id,
+       CAST(dot_d AS DOUBLE) / (sqrt(CAST(n_e AS DOUBLE)) * sqrt(CAST(n_q AS DOUBLE))) AS cosine
+FROM acc ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_cosine_topk_exact", _COS_ORACLE)
+def sim_cosine_topk_exact(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding, decimal-exact
+    accumulation (oracle-grade; see module docstring in pipeline/similarity)."""
+    from .pipeline.similarity import cosine_topk_exact_decimal
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    return cosine_topk_exact_decimal(
+        emb.filter(F.col("vec_id") != 0), emb.filter(F.col("vec_id") == 0), k=10
+    )
+
+
+@query("sim_cosine_topk", None)  # float-sum order differs per engine → rows-only
+def sim_cosine_topk(spark, sf_dir):
+    """The fast path: JVM zip_with/aggregate dot product, no Python, no
+    decimals — what you'd run at 100 TB."""
+    from .pipeline.similarity import cosine_topk
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@query("sim_ivf_search", None)
+def sim_ivf_search(spark, sf_dir):
+    """IVF approximate NN: deterministic coarse quantizer + nprobe search."""
+    from .pipeline.similarity import ivf_build, ivf_search
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, cents = ivf_build(emb.filter(F.col("vec_id") != 0), n_centroids=16)
+    return ivf_search(assigned, cents, qvec, k=10, nprobe=4)
+
+
+@query("dedup_minhash_lsh", None)  # seeded-hash pipeline → rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    from .pipeline.dedup import minhash_dedup_pairs
+
+    e = engine_for(spark, sf_dir)
+    return minhash_dedup_pairs(e.table("documents"), threshold=0.4)
+
+
+@query("dedup_simhash", None)
+def dedup_simhash(spark, sf_dir):
+    from .pipeline.dedup import simhash_pairs
+
+    e = engine_for(spark, sf_dir)
+    return simhash_pairs(e.table("documents"), max_hamming=3)
+
+
+@query("dedup_embedding_neardup", None)
+def dedup_embedding_neardup(spark, sf_dir):
+    from .pipeline.dedup import embedding_neardup_pairs
+
+    e = engine_for(spark, sf_dir)
+    return embedding_neardup_pairs(
+        e.table("embeddings"), threshold=0.9, planes=6
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """WITH grams AS (
+         SELECT doc_id,
+                list_distinct([substring(text, i, 3)
+                               for i in generate_series(1, greatest(length(text)-2, 1))]) AS gs
+         FROM documents
+       ), sized AS (
+         SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(count(*) AS DOUBLE) / CAST(a.n + b.n - count(*) AS DOUBLE) AS jaccard
+       FROM sized a JOIN sized b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id, a.n, b.n
+       HAVING CAST(count(*) AS DOUBLE) / CAST(a.n + b.n - count(*) AS DOUBLE) >= 0.5""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from .pipeline.dedup import ngram_jaccard_pairs
+
+    e = engine_for(spark, sf_dir)
+    return ngram_jaccard_pairs(e.table("documents"), n=3, threshold=0.5)
+
+
+@query(
+    "mm_feature_extract",
+    """SELECT doc_id AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+              upper(hex(substring(text, 1, 8))) AS head_hex,
+              CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_frames
+       FROM documents""",
+)
+def mm_feature_extract(spark, sf_dir):
+    """Multimodal plumbing: text bytes as a stand-in binary payload, decoded
+    by the deterministic fake decoder through the real mapInPandas path."""
+    from .pipeline.multimodal import feature_extract, with_binary_payload
+
+    e = engine_for(spark, sf_dir)
+    media = with_binary_payload(e.table("documents"), "text", "doc_id")
+    return feature_extract(media, decoder="fake", frame_bytes=256)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,97 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These go beyond the reference's surface (it has no string functions at all —
+SURVEY §2.8) and are designed JVM-side: every operator here is built from
+``pyspark.sql.functions`` so it stays inside whole-stage codegen — no Python
+in the hot path.  At 100 TB these are embarrassingly parallel scans: no
+shuffle, predicate/column pruning reaches the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword marker sets for the n-gram/stopword-count
+# language-ID heuristic. Deliberately tiny and fixed: the heuristic must be
+# reproducible in ANSI SQL for the correctness oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "and", "is", "of", "to"),
+    "es": ("el", "la", "que", "los", "una"),
+    "fr": ("le", "la", "les", "est", "une"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punctuation boundaries — a cheap, deterministic stand-in
+    for BPE tokenizers when estimating token budgets at corpus scale."""
+    t = F.trim(text)
+    pieces = F.regexp_extract_all(t, F.lit(r"([A-Za-z]+|\d+|[^\sA-Za-z\d])"), 1)
+    return F.size(pieces)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized, lower-cased
+    text. Stable across engines (md5 of UTF-8 bytes)."""
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(norm)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / character-class / ratio features used for corpus quality
+    filtering. Pure column expressions — vectorized, no shuffle."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,!?;:]", ""))
+    denom = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars).cast("double")
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars,
+            "n_tokens": token_count(t),
+            "alpha_ratio": n_alpha.cast("double") / denom,
+            "digit_ratio": n_digit.cast("double") / denom,
+            "space_ratio": n_space.cast("double") / denom,
+            "punct_ratio": n_punct.cast("double") / denom,
+        }
+    )
+
+
+def _marker_count(text: Column, word: str) -> Column:
+    # \b word boundaries exist in both Java regex (Spark) and RE2 (DuckDB),
+    # keeping the oracle SQL bit-identical.
+    return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum((_marker_count(text, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword-marker counts;
+    ties break toward the lexicographically largest language code (so the
+    rule is expressible as ``greatest(struct(score, lang)...)`` in ANSI SQL);
+    all-zero scores → 'und'."""
+    scores = lang_scores(F.col(text_col))
+    pairs = [F.struct(s.alias("s"), F.lit(lang).alias("l")) for lang, s in scores.items()]
+    best = F.greatest(*pairs)
+    pred = F.when(best.getField("s") == 0, F.lit("und")).otherwise(best.getField("l"))
+    out = df.withColumn("lang_pred", pred)
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s)
+    return out

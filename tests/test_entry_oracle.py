@@ -1,0 +1,76 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+at sf0.001 and compare against its DuckDB oracle — row count, column names,
+and exact values after column-name sort + row sort.
+
+Stricter than a hash: exact equality, so any driver-side hash scheme that is
+a function of the sorted values must also match.
+"""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("IFS_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _sorted_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in idx) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+
+
+@pytest.fixture(scope="module")
+def duck(spark):
+    con = duckdb.connect()
+    for t in entrymod.inventory.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    scols = df.columns
+    srows = [tuple(r) for r in df.collect()]
+    if name not in ORACLES:
+        # rows-only contract: runs, stable schema, deterministic re-run
+        assert isinstance(scols, list) and len(scols) > 0
+        df2 = QUERIES[name](spark, SF_DIR)
+        assert _sorted_rows(scols, srows) == _sorted_rows(
+            df2.columns, [tuple(r) for r in df2.collect()]
+        )
+        return
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    got = _sorted_rows(scols, srows)
+    want = _sorted_rows(dcols, drows)
+    assert got == want, f"{name}: values differ\nspark: {got[:3]}\nduck:  {want[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["rr_name", "nn_name", "ss_name"]
