@@ -48,16 +48,60 @@ def _parts(td: TableDef) -> list[str]:
     return sorted(glob.glob(os.path.join(td.path, "*.parquet")))
 
 
+def _tombstone_dir(td: TableDef) -> str:
+    # underscore prefix → invisible to Spark's FileIndex, so batch reads and
+    # file-stream sources over the table dir never see it
+    return os.path.join(td.path, "_tombstones")
+
+
+def _tombstone_parts(td: TableDef) -> list[str]:
+    return sorted(glob.glob(os.path.join(_tombstone_dir(td), "*.parquet")))
+
+
 def init_table_dir(td: TableDef) -> None:
     os.makedirs(td.path, exist_ok=True)
 
 
 def read_managed(spark: SparkSession, td: TableDef) -> DataFrame:
+    """Current table contents = part files minus tombstoned ids.
+
+    Tombstones are the poor-man's deletion vectors (Delta-style): PROCESS
+    and streaming deletes append id files under ``_tombstones/`` instead of
+    rewriting parts — crucial for PROCESS STREAM, whose own file source
+    would otherwise re-ingest rewritten part files as new data."""
     schema = td.require_schema()
     files = _parts(td)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    df = spark.read.schema(schema).parquet(*files)
+    tombs = _tombstone_parts(td)
+    if tombs and td.id_col:
+        dead = spark.read.parquet(*tombs).select(td.id_col).distinct()
+        df = df.join(dead, td.id_col, "left_anti")
+    return df
+
+
+def add_tombstones(spark: SparkSession, td: TableDef, ids_df: DataFrame) -> None:
+    """Logical delete: append an id file; readers anti-join it."""
+    if td.id_col is None:
+        raise InvalidParameter(f"table {td.name} has no @Id column")
+    os.makedirs(_tombstone_dir(td), exist_ok=True)
+    tmp = td.path + f".tmp-{uuid.uuid4().hex}"
+    ids_df.select(td.id_col).write.mode("overwrite").parquet(tmp)
+    for f in glob.glob(os.path.join(tmp, "*.parquet")):
+        os.rename(
+            f, os.path.join(_tombstone_dir(td), f"ts-{uuid.uuid4().hex}.parquet")
+        )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact(spark: SparkSession, td: TableDef) -> None:
+    """Physically apply tombstones and merge small part files."""
+    if not _tombstone_parts(td):
+        return
+    overwrite(td, read_managed(spark, td))
 
 
 def _new_part(td: TableDef) -> str:
@@ -94,16 +138,16 @@ def append_df(td: TableDef, df: DataFrame) -> None:
 
 
 def overwrite(td: TableDef, df: DataFrame) -> None:
-    """Replace table contents: write new parts, then remove old parts."""
+    """Replace table contents: write new parts, then remove old parts and
+    any tombstones (content is physical again)."""
     old = _parts(td)
     tmp = td.path + f".tmp-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
-    new_names = []
     for f in glob.glob(os.path.join(tmp, "*.parquet")):
-        p = _new_part(td)
-        os.rename(f, p)
-        new_names.append(p)
+        os.rename(f, _new_part(td))
     for f in old:
+        os.remove(f)
+    for f in _tombstone_parts(td):
         os.remove(f)
     import shutil
 

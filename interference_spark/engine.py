@@ -81,6 +81,13 @@ class Engine:
         self.date_format = date_format
         self.warehouse = warehouse or tempfile.mkdtemp(prefix="ifs_warehouse_")
         os.makedirs(self.warehouse, exist_ok=True)
+        # EventProcessor registry for PROCESS ... WITHIN (name → class/instance)
+        self.processors: dict[str, object] = {}
+
+    def register_processor(self, name: str, processor) -> None:
+        """Register an EventProcessor (class or instance) for
+        ``PROCESS <table> WITHIN <name>`` (reference D11/D13)."""
+        self.processors[name] = processor
 
     # -- registration ------------------------------------------------------
     def register_parquet(self, name: str, path: str, **meta) -> TableDef:

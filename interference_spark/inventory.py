@@ -224,7 +224,8 @@ def dialect_grand_total(spark, sf_dir):
 @query(
     "dialect_window_count_sliding",
     """SELECT cnt, sum_uid, mn FROM (
-         SELECT count(event_id) OVER w AS cnt, sum(user_id) OVER w AS sum_uid,
+         SELECT CAST(count(event_id) OVER w AS BIGINT) AS cnt,
+                CAST(sum(user_id) OVER w AS BIGINT) AS sum_uid,
                 min(value) OVER w AS mn,
                 row_number() OVER (ORDER BY event_id) AS rn
          FROM events
@@ -393,7 +394,7 @@ def topk_per_group(spark, sf_dir):
 
 @query(
     "events_agg_by_type",
-    """SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_uid,
+    """SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid,
               CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts_epoch,
               CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch
        FROM events GROUP BY event_type""",
@@ -663,6 +664,145 @@ def mm_feature_extract(spark, sf_dir):
     e = engine_for(spark, sf_dir)
     media = with_binary_payload(e.table("documents"), "text", "doc_id")
     return feature_extract(media, decoder="fake", frame_bytes=256)
+
+
+# =====================================================================
+# Streaming (CEP) + PROCESS — executed to completion, results as DataFrame
+# =====================================================================
+
+def _copy_events_managed(spark, sf_dir: str, prefix: str):
+    """Copy the events table into a managed stream table as ONE id-ordered
+    part file: a single micro-batch whose in-batch sort gives exact arrival
+    order (the reference's @Id-order assumption; at scale, ingestion is
+    naturally id-ordered because ids are generated at append time)."""
+    import uuid
+
+    from .dml import store
+
+    e = engine_for(spark, sf_dir)
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    src = e.table("events")
+    td = e.register_table(name, src.schema, id_col="event_id", nocheck=True)
+    store.append_df(td, src.coalesce(1).sortWithinPartitions("event_id"))
+    return e, name
+
+
+@query(
+    "stream_snapshot_filter",
+    """SELECT event_id AS eevent_id, user_id AS euser_id, value AS evalue
+       FROM events WHERE event_type = 'error'""",
+)
+def stream_snapshot_filter(spark, sf_dir):
+    """SELECT STREAM filter/projection (C1): snapshot of existing rows via
+    the file-source; run to completion and materialize the queue."""
+    e, name = _copy_events_managed(spark, sf_dir, "EvSnap")
+    s = e.session()
+    sq = s.execute(
+        f"select stream e.event_id, e.user_id, e.value from {name} e "
+        f"where e.event_type = 'error'"
+    )
+    try:
+        rows = sq.drain_available()
+    finally:
+        sq.stop()
+    return spark.createDataFrame(
+        [(r["eevent_id"], r["euser_id"], r["evalue"]) for r in rows],
+        "eevent_id long, euser_id long, evalue double",
+    )
+
+
+@query(
+    "stream_tumbling_keychange",
+    """WITH o AS (
+         SELECT event_id, event_type, user_id,
+                lag(event_type) OVER (ORDER BY event_id) AS prev
+         FROM events
+       ), runs AS (
+         SELECT event_id, event_type, user_id,
+                sum(CASE WHEN prev IS NULL OR event_type <> prev THEN 1 ELSE 0 END)
+                    OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS run_id
+         FROM o
+       )
+       SELECT CAST(count(event_id) AS BIGINT) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid,
+              event_type AS eevent_type
+       FROM runs WHERE run_id <> (SELECT max(run_id) FROM runs)
+       GROUP BY run_id, event_type""",
+)
+def stream_tumbling_keychange(spark, sf_dir):
+    """Tumbling = emit on group-key change in @Id order (A10/C2); the final
+    open run is never emitted — the oracle's gap-and-islands query excludes
+    the last island identically."""
+    e, name = _copy_events_managed(spark, sf_dir, "EvTum")
+    s = e.session()
+    sq = s.execute(
+        f"select stream count(e.event_id) cnt, sum(e.user_id) sum_uid, "
+        f"e.event_type from {name} e group by e.event_type"
+    )
+    try:
+        rows = sq.drain_available()
+    finally:
+        sq.stop()
+    return spark.createDataFrame(
+        [(r["cnt"], r["sum_uid"], r["eevent_type"]) for r in rows],
+        "cnt long, sum_uid long, eevent_type string",
+    )
+
+
+@query(
+    "stream_sliding_count_window",
+    """SELECT cnt, sum_uid, mn FROM (
+         SELECT CAST(count(event_id) OVER w AS BIGINT) AS cnt,
+                CAST(sum(user_id) OVER w AS BIGINT) AS sum_uid,
+                min(value) OVER w AS mn,
+                row_number() OVER (ORDER BY event_id) AS rn
+         FROM events
+         WINDOW w AS (ORDER BY event_id ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+       ) WHERE rn >= 100""",
+)
+def stream_sliding_count_window(spark, sf_dir):
+    """Streaming WINDOW BY (A11/C3): per-arrival aggregate over the last-n
+    ring buffer held in applyInPandasWithState state — same emissions as the
+    batch window-frame formulation, so they share an oracle."""
+    e, name = _copy_events_managed(spark, sf_dir, "EvSlide")
+    s = e.session()
+    sq = s.execute(
+        f"select stream count(e.event_id) cnt, sum(e.user_id) sum_uid, "
+        f"min(e.value) mn from {name} e window by e.event_id interval = 100"
+    )
+    try:
+        rows = sq.drain_available()
+    finally:
+        sq.stop()
+    return spark.createDataFrame(
+        [(r["cnt"], r["sum_uid"], r["mn"]) for r in rows],
+        "cnt long, sum_uid long, mn double",
+    )
+
+
+@query(
+    "process_within_consume",
+    """SELECT event_id, event_type FROM events WHERE event_type <> 'click'""",
+)
+def process_within_consume(spark, sf_dir):
+    """PROCESS t WITHIN ep WHERE ... (D11): visit matching rows distributed,
+    delete consumed ones; returns the surviving table."""
+    e, name = _copy_events_managed(spark, sf_dir, "EvProc")
+
+    def make():
+        class ConsumeClicks:
+            def process(self, row) -> bool:
+                return True
+
+            def delete(self) -> bool:
+                return True
+
+        return ConsumeClicks
+
+    e.register_processor("ConsumeClicks", make())
+    s = e.session()
+    s.execute(f"process {name} e within ConsumeClicks where e.event_type = 'click'")
+    return e.table(name).select("event_id", "event_type")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,103 @@
+"""StreamQueue: the consumer handle for SELECT STREAM results.
+
+Counterpart of the reference's ``sql/StreamQueue.java`` (bounded queue with
+``poll()`` and ``stop()``, capacity 10000).  Backed by a Structured
+Streaming query writing via ``foreachBatch`` into a thread-safe driver-side
+queue; each micro-batch is ordered by the table's @Id column before
+enqueueing — the reference's own ordering assumption (its streams are fed in
+frame order keyed by monotonically increasing ids; manual "Tumbling
+windows": grouping order is based on the @Id value).
+
+Divergence (SURVEY §7.4.4): the reference streams *uncommitted* inserts
+(dirty reads); we stream committed appends only — each committed append is a
+new parquet part file picked up by the file source.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any
+
+from pyspark.sql import DataFrame, Row
+
+CAPACITY = 10_000  # reference sql/StreamQueue.java:44
+
+
+class StreamQueue:
+    def __init__(
+        self,
+        df: DataFrame,
+        order_col: str | None,
+        query_name: str,
+        checkpoint_dir: str | None = None,
+    ) -> None:
+        self._q: queue.Queue[Row] = queue.Queue(maxsize=CAPACITY)
+        self._stopped = threading.Event()
+        self.columns = df.columns
+
+        def feed(batch_df: DataFrame, epoch_id: int) -> None:
+            rows = (
+                batch_df.orderBy(order_col).collect()
+                if order_col and order_col in batch_df.columns
+                else batch_df.collect()
+            )
+            for r in rows:
+                if self._stopped.is_set():
+                    return
+                self._q.put(r)
+
+        writer = (
+            df.writeStream.outputMode("append")
+            .queryName(query_name)
+            .foreachBatch(feed)
+        )
+        if checkpoint_dir:
+            # per-session checkpoint = the reference's per-session stream
+            # resume position (Session.streamFramePtr,
+            # persistent/Session.java:694-700)
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        self._query = writer.start()
+
+    # ------------------------------------------------------------- consumer
+    def poll(self, timeout: float | None = 0.5) -> Row | None:
+        """Next row or None (reference StreamQueue.poll)."""
+        try:
+            return self._q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def drain_available(self) -> list[Row]:
+        """Process everything currently in the source, then drain the queue
+        (synchronous snapshot semantics for tests/batch analyses)."""
+        self._query.processAllAvailable()
+        out = []
+        while True:
+            try:
+                out.append(self._q.get_nowait())
+            except queue.Empty:
+                return out
+
+    def stop(self) -> None:
+        """Terminate the continuous query (reference StreamQueue.stop)."""
+        self._stopped.set()
+        try:
+            self._query.stop()
+        except Exception:
+            pass
+
+    @property
+    def is_active(self) -> bool:
+        return self._query.isActive
+
+
+class ProcessResult:
+    """Outcome of PROCESS ... WITHIN (batch): counts + surviving table."""
+
+    def __init__(self, processed: int, deleted: int, table: str) -> None:
+        self.processed = processed
+        self.deleted = deleted
+        self.table = table
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"ProcessResult(processed={self.processed}, deleted={self.deleted}, table={self.table!r})"

@@ -1,0 +1,172 @@
+"""Custom stateful streaming operators — the two pieces Structured Streaming
+doesn't provide natively (SURVEY §4 "custom work" 1-2):
+
+* **tumbling key-change emission** (reference A10/C2,
+  ``sql/FrameGroupTask.java:43-100``): a group row is emitted when the group
+  key *changes* in arrival order — not on a time boundary.
+* **sliding count-window** (reference A11/C3,
+  ``sql/SQLGroupContainer.java:120-158``): keep the last n rows; once full,
+  emit the aggregate over the buffer for every arriving row.
+
+Both are built on ``applyInPandasWithState``.  The reference executes these
+globally ordered by @Id on a single master thread; we reproduce that with a
+constant grouping key (single state partition) — correct-by-construction,
+sequential by design.  For scalable variants, pass a real ``partition_by``
+key: state is then per key and Spark distributes it (the semantics become
+per-key arrival order, which is what a sharded CEP deployment wants).
+
+Arrival order: rows are sorted by the order column *within* each micro-batch;
+batch boundaries follow file-commit order. This matches the reference's own
+assumption that ids are monotonically increasing in arrival order.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "LAST")
+
+
+def _spark_type(t: str):
+    return {"long": T.LongType(), "double": T.DoubleType(), "string": T.StringType()}[t]
+
+
+def _agg_value(func: str, vals: list):
+    vals = [v for v in vals if v is not None]
+    if func == "COUNT":
+        return len(vals)
+    if not vals:
+        return None
+    if func == "SUM":
+        return sum(vals)
+    if func == "MIN":
+        return min(vals)
+    if func == "MAX":
+        return max(vals)
+    if func == "AVG":
+        return sum(vals) / len(vals)
+    if func == "LAST":
+        return vals[-1]
+    raise ValueError(func)
+
+
+def _out_field_type(func: str, in_type: str) -> str:
+    if func == "COUNT":
+        return "long"
+    if func == "AVG":
+        return "double"
+    return in_type
+
+
+def tumbling_keychange(
+    sdf: DataFrame,
+    order_col: str,
+    group_col: str,
+    aggs: list[tuple[str, str, str]],
+    col_types: dict[str, str],
+) -> DataFrame:
+    """Emit one row per *run* of equal group keys, at the moment the key
+    changes; the final open run stays buffered (exactly the reference's
+    behaviour — it emits only on change).
+
+    aggs: [(FUNC, in_col, out_name)]; col_types: in_col -> long|double|string.
+    """
+    need = sorted({c for _, c, _ in aggs} | {order_col, group_col})
+    out_fields = [T.StructField(f"__g_{group_col}", _spark_type(col_types[group_col]))]
+    for func, c, out in aggs:
+        out_fields.append(T.StructField(out, _spark_type(_out_field_type(func, col_types[c]))))
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"key": None, "vals": {c: [] for _, c, _ in aggs}, "open": False}
+        emitted: list[dict] = []
+
+        def close_group():
+            row = {f"__g_{group_col}": st["key"]}
+            for func, c, out in aggs:
+                row[out] = _agg_value(func, st["vals"][c])
+            emitted.append(row)
+
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(order_col)
+            for _, r in batch.iterrows():
+                k = r[group_col]
+                if st["open"] and k != st["key"]:
+                    close_group()
+                    st["vals"] = {c: [] for _, c, _ in aggs}
+                st["key"] = k if not isinstance(k, (pd.Timestamp,)) else str(k)
+                st["open"] = True
+                for _, c, _ in aggs:
+                    v = r[c]
+                    st["vals"][c].append(None if pd.isna(v) else _py(v))
+        state.update((json.dumps(st),))
+        if emitted:
+            yield pd.DataFrame(emitted)
+
+    grouped = sdf.select(*need).withColumn("__gk", F.lit(0)).groupBy("__gk")
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def sliding_count_window(
+    sdf: DataFrame,
+    order_col: str,
+    interval: int,
+    aggs: list[tuple[str, str, str]],
+    col_types: dict[str, str],
+) -> DataFrame:
+    """WINDOW BY col INTERVAL = n over a stream: ring buffer of the last n
+    rows in state; from the n-th arrival onward, one aggregate row per
+    arriving row."""
+    need = sorted({c for _, c, _ in aggs} | {order_col})
+    out_fields = [
+        T.StructField(out, _spark_type(_out_field_type(func, col_types[c])))
+        for func, c, out in aggs
+    ]
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        buf: list[dict] = json.loads(state.get[0]) if state.exists else []
+        emitted: list[dict] = []
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(order_col)
+            for _, r in batch.iterrows():
+                buf.append({c: (None if pd.isna(r[c]) else _py(r[c])) for c in need})
+                if len(buf) > interval:
+                    buf.pop(0)
+                if len(buf) == interval:
+                    row = {}
+                    for func, c, out in aggs:
+                        row[out] = _agg_value(func, [b[c] for b in buf])
+                    emitted.append(row)
+        state.update((json.dumps(buf),))
+        if emitted:
+            yield pd.DataFrame(emitted)
+
+    grouped = sdf.select(*need).withColumn("__gk", F.lit(0)).groupBy("__gk")
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def _py(v):
+    """numpy scalar → python native (json-serializable)."""
+    try:
+        return v.item()
+    except AttributeError:
+        return v

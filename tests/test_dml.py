@@ -1,0 +1,155 @@
+"""Object/DML surface: persist (append + upsert), find, delete, purge,
+commit/rollback visibility, @Threshold retention, tombstones, PROCESS."""
+
+import pytest
+
+from interference_spark.dml import store
+from interference_spark import errors
+
+
+@pytest.fixture()
+def fresh(engine):
+    """A fresh managed table per test."""
+    import uuid
+
+    name = f"T{uuid.uuid4().hex[:8]}"
+    engine.register_table(name, "id long, val long, tag string", id_col="id")
+    yield name
+    engine.drop_table(name)
+
+
+def test_persist_commit_visibility(session, engine, fresh):
+    session.persist(fresh, {"id": 1, "val": 10, "tag": "a"})
+    assert engine.table(fresh).count() == 0  # staged, not visible
+    session.commit()
+    assert engine.table(fresh).count() == 1
+
+
+def test_rollback_discards(session, engine, fresh):
+    session.persist(fresh, {"id": 1, "val": 10, "tag": "a"})
+    session.rollback()
+    session.commit()
+    assert engine.table(fresh).count() == 0
+
+
+def test_persist_upsert_by_id(session, engine, fresh):
+    session.persist(fresh, [{"id": 1, "val": 10, "tag": "a"},
+                            {"id": 2, "val": 20, "tag": "b"}])
+    session.commit()
+    session.persist(fresh, {"id": 1, "val": 99, "tag": "a2"})  # update
+    session.persist(fresh, {"id": 3, "val": 30, "tag": "c"})   # insert
+    session.commit()
+    rows = {r["id"]: (r["val"], r["tag"]) for r in engine.table(fresh).collect()}
+    assert rows == {1: (99, "a2"), 2: (20, "b"), 3: (30, "c")}
+
+
+def test_find_by_id(session, engine, fresh):
+    session.persist(fresh, [{"id": i, "val": i * 2, "tag": "x"} for i in range(5)])
+    session.commit()
+    row = session.find(fresh, 3)
+    assert row["val"] == 6
+    assert session.find(fresh, 999) is None
+
+
+def test_delete_and_purge(session, engine, fresh):
+    session.persist(fresh, [{"id": i, "val": i, "tag": "x"} for i in range(4)])
+    session.commit()
+    session.delete(fresh, 1)
+    assert engine.table(fresh).count() == 4  # staged delete
+    session.commit()
+    assert sorted(r["id"] for r in engine.table(fresh).collect()) == [0, 2, 3]
+    session.purge(fresh, 2)  # immediate
+    assert sorted(r["id"] for r in engine.table(fresh).collect()) == [0, 3]
+
+
+def test_nocheck_blind_append(spark, engine):
+    engine.register_table("RingNC", "id long, v long", id_col="id", nocheck=True)
+    try:
+        s = engine.session()
+        s.persist("RingNC", [{"id": 1, "v": 1}, {"id": 1, "v": 2}])  # dup id OK
+        s.commit()
+        assert engine.table("RingNC").count() == 2  # no upsert dedup
+    finally:
+        engine.drop_table("RingNC")
+
+
+def test_threshold_retention(spark, engine):
+    engine.register_table("RingT", "id long, v long", id_col="id",
+                          nocheck=True, threshold=10)
+    try:
+        s = engine.session()
+        s.persist("RingT", [{"id": i, "v": i} for i in range(25)])
+        s.commit()
+        ids = sorted(r["id"] for r in engine.table("RingT").collect())
+        assert ids == list(range(15, 25))  # newest 10 by id
+    finally:
+        engine.drop_table("RingT")
+
+
+def test_tombstones_hide_rows(spark, engine, fresh):
+    s = engine.session()
+    s.persist(fresh, [{"id": i, "val": i, "tag": "x"} for i in range(6)])
+    s.commit()
+    td = engine.catalog.get(fresh)
+    dead = spark.createDataFrame([(2,), (4,)], "id long")
+    store.add_tombstones(spark, td, dead)
+    assert sorted(r["id"] for r in engine.table(fresh).collect()) == [0, 1, 3, 5]
+    store.compact(spark, td)
+    assert sorted(r["id"] for r in engine.table(fresh).collect()) == [0, 1, 3, 5]
+    assert not store._tombstone_parts(td)
+
+
+def test_persist_to_external_rejected(session):
+    with pytest.raises(errors.InvalidParameter):
+        session.persist("region", {"r_regionkey": 99, "r_name": "X"})
+
+
+def _drop_tag_b():
+    # defined in function scope → cloudpickle ships the class by value,
+    # so Python workers don't need the test module importable
+    class DropTagB:
+        def process(self, row) -> bool:
+            return True
+
+        def delete(self) -> bool:
+            return True
+
+    return DropTagB
+
+
+def _count_only():
+    class CountOnly:
+        def process(self, row) -> bool:
+            return True
+
+        def delete(self) -> bool:
+            return False
+
+    return CountOnly
+
+
+def test_process_within_deletes(session, engine, fresh):
+    session.persist(fresh, [
+        {"id": i, "val": i, "tag": "b" if i % 2 else "a"} for i in range(10)
+    ])
+    session.commit()
+    engine.register_processor("DropTagB", _drop_tag_b())
+    res = session.execute(f"process {fresh} t within DropTagB where t.tag = 'b'")
+    assert res.processed == 5 and res.deleted == 5
+    remaining = engine.table(fresh)
+    assert remaining.count() == 5
+    assert all(r["tag"] == "a" for r in remaining.collect())
+
+
+def test_process_without_delete(session, engine, fresh):
+    session.persist(fresh, [{"id": i, "val": i, "tag": "a"} for i in range(4)])
+    session.commit()
+    engine.register_processor("CountOnly", _count_only())
+    res = session.execute(f"process {fresh} t within CountOnly")
+    assert res.processed == 4 and res.deleted == 0
+    assert engine.table(fresh).count() == 4
+
+
+def test_process_unknown_processor(session, engine, fresh):
+    with pytest.raises(errors.InvalidParameter):
+        session.execute(f"process {fresh} t within NoSuchProcessor")

@@ -1,0 +1,135 @@
+"""SELECT STREAM / CEP: snapshot+tail, tumbling key-change, sliding
+count-window, PROCESS STREAM (FIXTURES.md §A queries 7-10)."""
+
+import pytest
+
+
+@pytest.fixture()
+def stream_table(engine):
+    import uuid
+
+    name = f"Ev{uuid.uuid4().hex[:8]}"
+    engine.register_table(
+        name,
+        "eventId long, eventType long, eventValue long, groupValue string",
+        id_col="eventId",
+        nocheck=True,
+    )
+    yield name
+    engine.drop_table(name)
+
+
+def _rows(n, start=0, gv=None):
+    return [
+        {
+            "eventId": i,
+            "eventType": i % 3,
+            "eventValue": i * 10,
+            "groupValue": gv(i) if gv else f"g{i // 4}",
+        }
+        for i in range(start, start + n)
+    ]
+
+
+def test_stream_snapshot_then_tail(session, engine, stream_table):
+    session.persist(stream_table, _rows(8))
+    session.commit()
+    sq = session.execute(
+        f"select stream e.eventId, e.eventValue from {stream_table} e "
+        f"where e.eventType = 1"
+    )
+    try:
+        snap = sq.drain_available()
+        assert [r["eeventId"] for r in snap] == [1, 4, 7]
+        # tail: new committed appends flow into the same queue
+        session.persist(stream_table, _rows(6, start=8))
+        session.commit()
+        tail = sq.drain_available()
+        assert [r["eeventId"] for r in tail] == [10, 13]
+    finally:
+        sq.stop()
+
+
+def test_stream_requires_managed_and_id(session, engine):
+    from interference_spark import errors
+
+    with pytest.raises(errors.InvalidParameter):
+        session.execute("select stream r.r_name from region r")
+
+
+def test_tumbling_keychange(session, engine, stream_table):
+    # runs of equal groupValue; emission on change only (last group open)
+    session.persist(stream_table, _rows(12))  # groups g0(0-3) g1(4-7) g2(8-11)
+    session.commit()
+    sq = session.execute(
+        f"select stream sum(e.eventValue) s, count(e.eventId) c, e.groupValue "
+        f"from {stream_table} e group by e.groupValue"
+    )
+    try:
+        rows = sq.drain_available()
+        got = [(r["egroupValue"], r["s"], r["c"]) for r in rows]
+        assert got == [("g0", 60, 4), ("g1", 220, 4)]  # g2 stays open
+        # key change arrives → g2 closes
+        session.persist(
+            stream_table,
+            [{"eventId": 12, "eventType": 0, "eventValue": 1, "groupValue": "g9"}],
+        )
+        session.commit()
+        more = sq.drain_available()
+        assert [(r["egroupValue"], r["s"], r["c"]) for r in more] == [("g2", 380, 4)]
+    finally:
+        sq.stop()
+
+
+def test_sliding_count_window_stream(session, engine, stream_table):
+    session.persist(stream_table, _rows(6))
+    session.commit()
+    sq = session.execute(
+        f"select stream count(e.eventId) c, sum(e.eventValue) s, max(e.eventId) m "
+        f"from {stream_table} e window by e.eventId interval = 3"
+    )
+    try:
+        rows = sq.drain_available()
+        got = [(r["c"], r["s"], r["m"]) for r in rows]
+        # windows: [0,1,2] [1,2,3] [2,3,4] [3,4,5]
+        assert got == [(3, 30, 2), (3, 60, 3), (3, 90, 4), (3, 120, 5)]
+        # tail keeps the ring buffer across commits
+        session.persist(stream_table, _rows(1, start=6))
+        session.commit()
+        more = sq.drain_available()
+        assert [(r["c"], r["s"], r["m"]) for r in more] == [(3, 150, 6)]
+    finally:
+        sq.stop()
+
+
+def test_process_stream(session, engine, stream_table):
+    def make():
+        class DropType2:
+            def process(self, row) -> bool:
+                return True
+
+            def delete(self) -> bool:
+                return True
+
+        return DropType2
+
+    engine.register_processor("DropType2", make())
+    session.persist(stream_table, _rows(9))
+    session.commit()
+    h = session.execute(
+        f"process stream {stream_table} e within DropType2 where e.eventType = 2"
+    )
+    try:
+        h.process_all_available()
+        assert h.processed == 3 and h.deleted == 3
+        left = engine.table(stream_table)
+        assert left.count() == 6
+        assert all(r["eventType"] != 2 for r in left.collect())
+        # continuous: new matching events get consumed too
+        session.persist(stream_table, _rows(3, start=9))  # types 0,1,2
+        session.commit()
+        h.process_all_available()
+        assert h.deleted == 4
+        assert engine.table(stream_table).count() == 8
+    finally:
+        h.stop()
