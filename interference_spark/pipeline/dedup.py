@@ -86,6 +86,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) via a vectorized Pandas UDF — Arrow
     batches in, numpy (a*h+b) % p minima out."""
+    from . import ensure_parallelism
+
+    df = ensure_parallelism(df)
     a, b = _perm_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -115,32 +118,34 @@ def minhash_dedup_pairs(
     Jaccard; id_a < id_b. The band bucket is the shuffle key — pairs are only
     formed within buckets (never a global cross join)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    # signatures feed three plan branches (banding + both re-attach joins);
+    # persist so the Pandas-UDF stage runs once. At 100 TB you'd materialize
+    # signatures to a table instead — same idea, durable.
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed).persist()
+    # candidates travel as narrow (id, bucket) rows — the 128-long signature
+    # arrays never enter the band shuffle (they'd dominate its byte volume);
+    # they re-attach afterwards via two id-joins on the tiny candidate set.
     banded = sigs.select(
         F.col(id_col),
-        F.col("signature"),
-        F.posexplode(
+        F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.slice(
-                    F.col("signature"), i * rows_per_band + 1, rows_per_band
+                lambda i: F.xxhash64(
+                    i, F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
                 ),
             )
-        ).alias("band", "band_sig"),
-    ).withColumn("bucket", F.xxhash64(F.col("band"), F.col("band_sig")))
-
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "bucket"
+        ).alias("bucket"),
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "bucket"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "bucket")
     pairs = (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -151,7 +156,9 @@ def minhash_dedup_pairs(
         / F.lit(float(num_perm))
     )
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -163,6 +170,9 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens (md5-derived token hashes,
     unweighted bit votes). Vectorized Pandas UDF."""
+    from . import ensure_parallelism
+
+    df = ensure_parallelism(df)
 
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:

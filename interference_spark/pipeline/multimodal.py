@@ -84,6 +84,10 @@ def feature_extract(
             "container); the fake decoder exercises identical Spark plumbing"
         )
 
+    from . import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), target_batch_rows):
