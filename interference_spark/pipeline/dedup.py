@@ -349,3 +349,79 @@ def embedding_neardup_pairs(
         )
 
     return bucketed.groupBy("bucket").applyInPandas(verify, out_schema).distinct()
+
+
+# ------------------------------------------------ duplicate clustering
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Component labels (node → min id in its connected component) over an
+    undirected duplicate-pair edge set, via distributed min-label
+    propagation: each round is one join + one groupBy-min, label lineage cut
+    with ``localCheckpoint`` so round N's plan doesn't replay rounds 1..N-1.
+
+    Rounds needed = graph diameter. Duplicate clusters are near-cliques
+    (every member pairs with most others), so diameter is tiny (≤ 3-4) and
+    this converges in a handful of rounds even at 100 TB; ``max_rounds`` is
+    a safety rail, and convergence is detected by a cheap count of changed
+    labels. Returns (id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # neighbor's current label flows across each directed edge
+        msgs = edges.join(
+            labels.select(F.col("id").alias("v"), F.col("cluster_id")), "v"
+        ).select(F.col("u").alias("id"), "cluster_id")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Full-corpus cluster assignment: every doc gets a cluster_id (its
+    component's min id; singletons label themselves). The canonical doc of
+    a cluster is the one with ``doc_id == cluster_id`` — filtering on that
+    IS the deduplicated corpus."""
+    labels = connected_components(pairs, id_a, id_b)
+    return (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,46 @@
+"""Direct unit tests for pipeline operators whose interesting cases the
+synthetic corpus doesn't exercise (e.g. long-diameter components)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cc(spark):
+    from interference_spark.pipeline.dedup import connected_components
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            (r.id, r.cluster_id) for r in connected_components(df).collect()
+        }
+
+    return run
+
+
+def test_cc_chain_converges(cc):
+    # 0-1-2-3-4-5: diameter 5 forces multiple propagation rounds
+    got = cc([(i, i + 1) for i in range(5)])
+    assert got == {(i, 0) for i in range(6)}
+
+
+def test_cc_two_components(cc):
+    got = cc([(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_cc_clique_and_singleton_absent(cc):
+    # clique {5,6,7}; nodes not in any edge don't appear (dedup_clusters
+    # backfills singletons with their own id)
+    got = cc([(5, 6), (6, 7), (5, 7)])
+    assert got == {(5, 5), (6, 5), (7, 5)}
+
+
+def test_dedup_clusters_backfills_singletons(spark):
+    from interference_spark.pipeline.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 3)}
