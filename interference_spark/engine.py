@@ -104,6 +104,33 @@ class Engine:
         """Register an external (read-only) parquet file/dir as a table."""
         return self.catalog.register(TableDef(name=name, path=path, **meta))
 
+    def register_external(
+        self,
+        name: str,
+        path: str,
+        format: str = "parquet",
+        schema=None,
+        **options,
+    ) -> TableDef:
+        """Register any Spark-readable source (csv/json/orc/parquet/text) as
+        a read-only table. The reference only reads its own frame files
+        (``persistent/DataFile.java``); connector breadth is free on Spark.
+        Always pass an explicit ``schema`` for csv/json in production —
+        schema inference is a full extra pass over 100 TB."""
+        from .catalog import _as_struct
+
+        fmt = format.lower()
+        if fmt == "parquet" and not options:
+            return self.register_parquet(name, path, schema=_as_struct(schema))
+        return self.catalog.register(
+            TableDef(
+                name=name,
+                path=path,
+                schema=_as_struct(schema),
+                meta={"format": fmt, "options": options},
+            )
+        )
+
     def register_sf_dir(self, sf_dir: str) -> None:
         self.catalog.register_sf_dir(sf_dir)
 
@@ -155,6 +182,14 @@ class Engine:
             from .dml.store import read_managed
 
             return read_managed(self.spark, td)
+        fmt = td.meta.get("format")
+        if fmt and fmt != "parquet":
+            reader = self.spark.read.format(fmt).options(
+                **td.meta.get("options", {})
+            )
+            if td.schema is not None:
+                reader = reader.schema(td.schema)
+            return reader.load(td.path)
         if td.schema is not None and not td.meta.get("nanos_cols"):
             df = self.spark.read.schema(td.schema).parquet(td.path)
         else:

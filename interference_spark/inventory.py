@@ -711,6 +711,50 @@ def mm_feature_extract(spark, sf_dir):
     return feature_extract(media, decoder="fake", frame_bytes=256)
 
 
+@query(
+    "mm_resize",
+    """SELECT doc_id AS media_id,
+              CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS byte_len,
+              CAST(((octet_length(encode(text)) + 1) // 2) // 256 + 1 AS BIGINT) AS n_frames
+       FROM documents""",
+)
+def mm_resize(spark, sf_dir):
+    """Resize plumbing (binary-in/binary-out mapInPandas), verified through
+    the feature extractor: resized payload keeps every 2nd byte, so
+    byte_len = ceil(n/2) — the oracle checks the arithmetic end to end."""
+    from .pipeline.multimodal import feature_extract, resize, with_binary_payload
+
+    e = engine_for(spark, sf_dir)
+    media = with_binary_payload(e.table("documents"), "text", "doc_id")
+    return feature_extract(
+        resize(media, scale_div=2), decoder="fake", frame_bytes=256
+    ).select("media_id", "byte_len", "n_frames")
+
+
+@query(
+    "mm_frame_sample",
+    """WITH f AS (
+         SELECT doc_id, octet_length(encode(text)) AS n,
+                unnest(generate_series(0, octet_length(encode(text)) // 256, 4)) AS fi
+         FROM documents
+       )
+       SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+              CAST(least(256, n - fi * 256) AS BIGINT) AS frame_len
+       FROM f""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling (row-expanding mapInPandas: media → every 4th
+    256-byte frame); the oracle recomputes frame indexes and lengths with a
+    lateral generate_series."""
+    from .pipeline.multimodal import frame_sample, with_binary_payload
+
+    e = engine_for(spark, sf_dir)
+    media = with_binary_payload(e.table("documents"), "text", "doc_id")
+    return frame_sample(media, frame_bytes=256, stride=4).select(
+        "media_id", "frame_idx", F.length("frame").cast("long").alias("frame_len")
+    )
+
+
 # =====================================================================
 # Streaming (CEP) + PROCESS — executed to completion, results as DataFrame
 # =====================================================================

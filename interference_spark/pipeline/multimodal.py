@@ -105,3 +105,104 @@ def feature_extract(
                 )
 
     return df.select("media_id", "content").mapInPandas(op, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize(
+    df: DataFrame,
+    scale_div: int = 2,
+    decoder: str = "fake",
+    target_batch_rows: int = 1024,
+) -> DataFrame:
+    """Schema-preserving payload transform (image resize / audio resample).
+
+    ``fake``: keeps every ``scale_div``-th byte — deterministic, size-
+    proportional, exercises the binary-in/binary-out Arrow path whose batch
+    sizing is the actual scale risk (payloads dominate partition bytes).
+    ``real``: stub — PIL ``Image.resize`` / soxr resample per batch.
+    Records the transform in ``meta['resized']``.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real resize requires PIL/soxr (not in this container); the "
+            "fake decoder exercises identical Spark plumbing"
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_batch_rows):
+                chunk = pdf.iloc[start : start + target_batch_rows].copy()
+                chunk["content"] = [
+                    None if c is None else bytes(c[::scale_div])
+                    for c in chunk["content"]
+                ]
+                chunk["meta"] = [
+                    {**(m or {}), "resized": f"1/{scale_div}"}
+                    for m in chunk["meta"]
+                ]
+                yield chunk
+
+    return df.select(
+        "media_id", "kind", "content", "mime", "meta"
+    ).mapInPandas(op, RESIZE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    stride: int = 4,
+    decoder: str = "fake",
+    target_batch_rows: int = 256,
+) -> DataFrame:
+    """Explode media into sampled frames: one output row per kept frame
+    (media_id, frame_idx, frame) — the row-expanding mapInPandas shape
+    (video → frames) where output rows ≫ input rows, so the op yields
+    per-chunk to keep any single Arrow batch bounded.
+
+    ``fake``: payload split into ``frame_bytes`` chunks, every ``stride``-th
+    kept. ``real``: stub — pyav keyframe iteration per batch.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real frame sampling requires pyav (not in this container); "
+            "the fake decoder exercises identical Spark plumbing"
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_batch_rows):
+                chunk = pdf.iloc[start : start + target_batch_rows]
+                ids, idxs, frames = [], [], []
+                for mid, c in zip(chunk["media_id"], chunk["content"]):
+                    if c is None:
+                        continue
+                    n_frames = len(c) // frame_bytes + 1
+                    for fi in range(0, n_frames, stride):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(
+                            bytes(c[fi * frame_bytes : (fi + 1) * frame_bytes])
+                        )
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": idxs, "frame": frames}
+                ).astype({"media_id": "int64", "frame_idx": "int64"})
+
+    return df.select("media_id", "content").mapInPandas(op, FRAME_SCHEMA)

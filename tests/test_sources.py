@@ -1,0 +1,74 @@
+"""External source formats (SURVEY §2.1 S11): the reference reads only its
+own frame files; on Spark csv/json/orc register as first-class tables and
+join with parquet through the dialect."""
+
+import os
+
+import pytest
+
+from interference_spark import Engine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sources")
+    e = Engine(spark=spark)
+    e.register_sf_dir("/root/testdata/sf0.001")
+
+    spark.createDataFrame(
+        [(0, "AFRICA-X"), (1, "AMERICA-X"), (2, "ASIA-X"), (3, "EUROPE-X"), (4, "MIDEAST-X")],
+        "rkey int, label string",
+    ).coalesce(1).write.mode("overwrite").option("header", True).csv(
+        str(tmp / "labels_csv")
+    )
+    e.register_external(
+        "region_labels",
+        str(tmp / "labels_csv"),
+        format="csv",
+        schema="rkey int, label string",
+        header=True,
+    )
+
+    spark.createDataFrame(
+        [(0, 10.0), (1, 20.0)], "rkey int, weight double"
+    ).coalesce(1).write.mode("overwrite").json(str(tmp / "weights_json"))
+    e.register_external(
+        "region_weights",
+        str(tmp / "weights_json"),
+        format="json",
+        schema="rkey int, weight double",
+    )
+
+    spark.createDataFrame(
+        [(0, "o"), (1, "o2")], "rkey int, note string"
+    ).coalesce(1).write.mode("overwrite").orc(str(tmp / "notes_orc"))
+    e.register_external(
+        "region_notes", str(tmp / "notes_orc"), format="orc"
+    )
+    return e
+
+
+def test_csv_reads_with_schema(eng):
+    rows = eng.table("region_labels").collect()
+    assert len(rows) == 5
+    assert {r.label for r in rows} >= {"ASIA-X", "EUROPE-X"}
+
+
+def test_csv_joins_parquet_via_dialect(eng):
+    s = eng.session()
+    df = s.execute(
+        "select r.r_name, l.label from region r, region_labels l "
+        "where r.r_regionkey = l.rkey"
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert set(df.columns) == {"rr_name", "llabel"}
+
+
+def test_json_source(eng):
+    got = {(r.rkey, r.weight) for r in eng.table("region_weights").collect()}
+    assert got == {(0, 10.0), (1, 20.0)}
+
+
+def test_orc_source_infers_schema(eng):
+    assert eng.table("region_notes").count() == 2
