@@ -36,7 +36,36 @@ from pyspark.sql import functions as F
 
 from .dml import store
 from .engine import Engine
-from .errors import InvalidParameter
+from .errors import InvalidParameter, InvalidSQLStatement
+
+
+class SystemResult:
+    """Outcome of a system statement (reference ``sql/SQLSystem.java``
+    returns a message-bearing result)."""
+
+    def __init__(self, statement: str, message: str) -> None:
+        self.statement = statement
+        self.message = message
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"SystemResult({self.statement!r}: {self.message!r})"
+
+
+# Statements whose storage/cluster effect has no Spark analogue — accepted
+# for surface parity, reported as no-ops (reference sql/SQLSystem.java:45-170
+# wires them to storage/instance lifecycle; Spark's session + warehouse dir
+# have no separate init/open/close lifecycle).
+_SYSTEM_NOOPS = (
+    "ALTER SYSTEM INIT STORAGE",
+    "ALTER SYSTEM OPEN STORAGE",
+    "ALTER SYSTEM CLOSE STORAGE",
+    "CREATE INSTANCE",
+    "STARTUP INSTANCE",
+    "SHUTDOWN INSTANCE",
+    "START APP",
+    "FREEZE",
+    "UNFREEZE",
+)
 
 
 class Session:
@@ -140,6 +169,9 @@ class Session:
         """
         from .dialect import compile_query, parse
 
+        sys_result = self._execute_system(sql)
+        if sys_result is not None:
+            return sys_result
         q = parse(self.engine, sql)
         if q.kind == "PROCESS":
             from .dml.process import run_process
@@ -150,6 +182,44 @@ class Session:
 
             return run_stream(self, q)
         return compile_query(self.engine, q)
+
+    def _execute_system(self, sql: str) -> SystemResult | None:
+        """System statements (reference ``sql/SQLSystem.java:45-170``,
+        dispatched by ``sql/SQLStatementFactory.java:55-72``). Returns None
+        when ``sql`` is not a system statement."""
+        stmt = " ".join(sql.strip().rstrip(";").split())
+        up = stmt.upper()
+        if up == "COMMIT":
+            self.commit()
+            return SystemResult(stmt, "committed")
+        if up == "ROLLBACK":
+            self.rollback()
+            return SystemResult(stmt, "rolled back")
+        if up == "ALTER SESSION LOGOUT":
+            self.close()
+            return SystemResult(stmt, "session closed")
+        if up.startswith("CONNECT"):
+            # single-user engine: auth is the Spark deployment's concern
+            if len(stmt.split()) != 2 or "/" not in stmt.split()[1]:
+                raise InvalidSQLStatement("CONNECT requires user/password")
+            return SystemResult(stmt, "connected")
+        if up == "ALTER SYSTEM CHECK STORAGE":
+            import os
+
+            n = len(self.engine.catalog.names())
+            ok = os.path.isdir(self.engine.warehouse)
+            return SystemResult(
+                stmt, f"warehouse {'ok' if ok else 'missing'}, {n} tables"
+            )
+        if up == "ALTER SYSTEM DROP STORAGE":
+            for name in list(self.engine.catalog.names()):
+                td = self.engine.catalog.get(name)
+                if td.managed:
+                    self.engine.drop_table(name)
+            return SystemResult(stmt, "managed tables dropped")
+        if up in _SYSTEM_NOOPS:
+            return SystemResult(stmt, "no-op on Spark (documented divergence)")
+        return None
 
     def close(self) -> None:
         for s in self._streams:

@@ -1,0 +1,59 @@
+"""System statements (reference sql/SQLSystem.java:45-170, dispatched from
+sql/SQLStatementFactory.java:55-72) through Session.execute."""
+
+import pytest
+
+from interference_spark import Engine
+from interference_spark.errors import InvalidSQLStatement
+from interference_spark.session import SystemResult
+
+
+@pytest.fixture()
+def session(spark, tmp_path):
+    e = Engine(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.register_table("t", "id long, v string", id_col="id")
+    return e.session()
+
+
+def test_commit_statement_flushes_staged(session):
+    session.persist("t", {"id": 1, "v": "a"})
+    r = session.execute("COMMIT")
+    assert isinstance(r, SystemResult) and r.message == "committed"
+    assert session.engine.table("t").count() == 1
+
+
+def test_rollback_statement_discards(session):
+    session.persist("t", {"id": 2, "v": "b"})
+    r = session.execute("rollback;")
+    assert r.message == "rolled back"
+    assert session.engine.table("t").count() == 0
+
+
+def test_check_storage_reports(session):
+    r = session.execute("ALTER SYSTEM CHECK STORAGE")
+    assert "ok" in r.message and "1 tables" in r.message
+
+
+def test_drop_storage_drops_managed_only(session):
+    session.persist("t", {"id": 1, "v": "a"})
+    session.commit()
+    session.execute("ALTER SYSTEM DROP STORAGE")
+    assert "t" not in session.engine.catalog
+
+
+def test_connect_and_logout(session):
+    assert session.execute("CONNECT admin/secret").message == "connected"
+    with pytest.raises(InvalidSQLStatement):
+        session.execute("CONNECT adminonly")
+    assert session.execute("ALTER SESSION LOGOUT").message == "session closed"
+
+
+def test_lifecycle_noops(session):
+    for stmt in ("STARTUP INSTANCE", "FREEZE", "ALTER SYSTEM INIT STORAGE"):
+        assert "no-op" in session.execute(stmt).message
+
+
+def test_non_system_still_parses(session):
+    session.persist("t", {"id": 3, "v": "c"})
+    session.commit()
+    assert session.execute("select t.v from t t where t.id = 3").count() == 1
