@@ -129,6 +129,17 @@ class Session:
         td = self.engine.catalog.get(table)
         store.delete_where(self.spark, td, F.col(td.id_col) == id_value)
 
+    def content_queue(self, table: str, prefetch: bool = True):
+        """Drain a table's full content as a row iterator — the analogue of
+        ``Session.getContentQueue`` / ``Table.poll()`` (reference
+        ``persistent/Session.java:355-379``, ``core/RetrieveQueue.java``).
+        Backed by ``toLocalIterator`` with partition prefetch: the driver
+        holds at most one partition ahead, never the whole table."""
+        df = self.engine.table(table)
+        if td_id := self.engine.catalog.get(table).id_col:
+            df = df.orderBy(td_id)
+        return df.toLocalIterator(prefetchPartitions=prefetch)
+
     def commit(self) -> None:
         """Flush staged work. Appends become new part files → feed streams."""
         for name, ids in self._staged_deletes.items():

@@ -57,3 +57,11 @@ def test_non_system_still_parses(session):
     session.persist("t", {"id": 3, "v": "c"})
     session.commit()
     assert session.execute("select t.v from t t where t.id = 3").count() == 1
+
+
+def test_content_queue_drains_in_id_order(session):
+    for i in (3, 1, 2):
+        session.persist("t", {"id": i, "v": f"v{i}"})
+    session.commit()
+    ids = [r.id for r in session.content_queue("t")]
+    assert ids == [1, 2, 3]
