@@ -368,6 +368,73 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 @query(
+    "q6_forecast_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+                  AS revenue,
+              count(*) AS n_rows
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.03 AND 0.07
+         AND l_quantity < 24.0""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan → filter → grand-total agg. The whole
+    predicate reaches the parquet scan (PushedFilters on date, discount,
+    quantity); no shuffle beyond the single-row final agg."""
+    e = engine_for(spark, sf_dir)
+    l = e.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return l.agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q10_returned_items",
+    """SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+              c.c_acctbal AS c_acctbal, n.n_name AS n_name
+       FROM customer c, orders o, lineitem l, nation n
+       WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+         AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: selective fact filters → join → agg → top-20
+    (TakeOrderedAndProject, never a global sort)."""
+    e = engine_for(spark, sf_dir)
+    c, o, n = e.table("customer"), e.table("orders"), e.table("nation")
+    l = e.table("lineitem").filter(F.col("l_returnflag") == "R")
+    o = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
     "topk_per_group",
     """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
          SELECT c_nationkey, c_custkey, c_acctbal,
