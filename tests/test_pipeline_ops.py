@@ -44,3 +44,32 @@ def test_dedup_clusters_backfills_singletons(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(docs, pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 3)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from interference_spark.pipeline.skew import salted_join
+
+    # hot key: 90% of left rows share key 7
+    left = spark.createDataFrame(
+        [(7 if i % 10 else i, i) for i in range(1000)], "k int, v long"
+    )
+    right = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "k int, name string")
+    plain = {(r.k, r.v, r.name) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.k, r.v, r.name)
+        for r in salted_join(left, right, "k", salt=8).collect()
+    }
+    # k=7 (900 hot rows) + k=0 (one row) match right's keys 0..9
+    assert salted == plain and len(plain) == 901
+
+
+def test_salted_join_left_outer(spark):
+    from interference_spark.pipeline.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (99, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, w string")
+    rows = {
+        (r.k, r.v, r.w)
+        for r in salted_join(left, right, "k", how="left", salt=4).collect()
+    }
+    assert rows == {(1, "a", "x"), (99, "b", None)}
