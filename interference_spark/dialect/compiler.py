@@ -280,32 +280,21 @@ def _compile_window_by(q: Query, joined: DataFrame) -> DataFrame:
     window column; from the n-th row on, emit each select-list aggregate over
     the last n rows.
 
-    Global count-based windows are inherently sequential — the reference
-    runs them single-threaded on the master.  The batch analogue is a
-    single-partition window frame; the streaming analogue
-    (streaming/windows.py) keeps a bounded ring buffer in state.  For
-    per-key scalability use GROUP BY + streaming windows instead.
+    Executed by :mod:`interference_spark.plans.window_dist`: range-split by
+    the window column, per-split parallel frames with n-1 boundary rows
+    shipped to the next split — no single-task global window at scale (the
+    reference runs these single-threaded on the master; we don't). The
+    streaming analogue (streaming/windows.py) keeps a bounded ring buffer
+    in state.
     """
-    from pyspark.sql import Window as W
+    from ..plans.window_dist import sliding_count_window
 
     n = q.window_by.interval
-    wcol = _col(q.window_by.ref)
-    w = W.orderBy(wcol).rowsBetween(-(n - 1), W.currentRow)
-    rn = W.orderBy(wcol)
-    out = joined
-    cols = []
-    for i in q.items:
+    items = []
+    proj = [_col(q.window_by.ref).alias("__w")]
+    for k, i in enumerate(q.items):
         if not i.is_agg:
             raise InvalidCondition("WINDOW BY select list must be group functions")
-        base = _col(i.ref)
-        fn = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
-              "MAX": F.max, "AVG": F.avg, "LAST": F.last}[i.func]
-        cols.append(fn(base).over(w).alias(i.out_name))
-    out = (
-        out.withColumn("__rn", F.row_number().over(rn))
-        .select(*cols, F.col("__rn"))
-        .filter(F.col("__rn") >= n)
-        .orderBy("__rn")
-        .drop("__rn")
-    )
-    return out
+        proj.append(_col(i.ref).alias(f"__a{k}"))
+        items.append((i.func, f"__a{k}", i.out_name))
+    return sliding_count_window(joined.select(*proj), "__w", items, n)

@@ -73,3 +73,28 @@ def test_salted_join_left_outer(spark):
         for r in salted_join(left, right, "k", how="left", salt=4).collect()
     }
     assert rows == {(1, "a", "x"), (99, "b", None)}
+
+
+def test_sliding_window_dist_matches_single_task(spark):
+    from interference_spark.plans.window_dist import (
+        _single_task,
+        sliding_count_window,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i % 13)) for i in range(500)],
+        "eid long, uid long, val double",
+    )
+    items = [("COUNT", "eid", "cnt"), ("SUM", "uid", "s"), ("MIN", "val", "m")]
+    dist = sliding_count_window(df, "eid", items, n=5, num_partitions=8)
+    single = _single_task(df, "eid", items, n=5)
+    assert [tuple(r) for r in dist.collect()] == [tuple(r) for r in single.collect()]
+    assert dist.count() == 496
+
+
+def test_sliding_window_falls_back_on_tiny_input(spark):
+    from interference_spark.plans.window_dist import sliding_count_window
+
+    df = spark.createDataFrame([(i, i) for i in range(6)], "eid long, v long")
+    out = sliding_count_window(df, "eid", [("SUM", "v", "s")], n=5, num_partitions=8)
+    assert [r.s for r in out.collect()] == [0 + 1 + 2 + 3 + 4, 1 + 2 + 3 + 4 + 5]
