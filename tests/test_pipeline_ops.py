@@ -98,3 +98,15 @@ def test_sliding_window_falls_back_on_tiny_input(spark):
     df = spark.createDataFrame([(i, i) for i in range(6)], "eid long, v long")
     out = sliding_count_window(df, "eid", [("SUM", "v", "s")], n=5, num_partitions=8)
     assert [r.s for r in out.collect()] == [0 + 1 + 2 + 3 + 4, 1 + 2 + 3 + 4 + 5]
+
+
+def test_co_partitioned_join_adds_no_extra_exchange(spark):
+    from interference_spark.pipeline.partitioning import co_partitioned_join
+
+    left = spark.range(0, 10000).withColumnRenamed("id", "k")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS w")
+    joined = co_partitioned_join(left, right, "k", num_partitions=8)
+    assert joined.count() == 1000
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # exactly the two explicit repartition exchanges, none added by the join
+    assert plan.count("Exchange hashpartitioning") == 2
