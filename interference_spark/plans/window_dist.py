@@ -57,16 +57,33 @@ def _single_task(df: DataFrame, wcol: str, items, n: int) -> DataFrame:
     )
 
 
+# below this estimated input size the single-task frame wins: the
+# distributed plan pays a materialization + 2 extra jobs that only
+# amortize on inputs too big for one task (same philosophy as
+# spark.sql.autoBroadcastJoinThreshold)
+SINGLE_TASK_MAX_BYTES = 256 << 20
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable → assume big
+        return 1 << 62
+
+
 def sliding_count_window(
     df: DataFrame,
     wcol: str,
     items: list[tuple[str, str, str]],
     n: int,
     num_partitions: int | None = None,
+    single_task_max_bytes: int = SINGLE_TASK_MAX_BYTES,
 ) -> DataFrame:
     """``items`` = [(func, input_col, output_alias), ...]; one output row per
     input row from the n-th onward (ordered by ``wcol``), aggregating the
     last n rows. Output in window order."""
+    if _estimated_bytes(df) <= single_task_max_bytes:
+        return _single_task(df, wcol, items, n)
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     # eager localCheckpoint: materializes the range-partitioned layout so

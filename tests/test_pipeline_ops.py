@@ -86,7 +86,10 @@ def test_sliding_window_dist_matches_single_task(spark):
         "eid long, uid long, val double",
     )
     items = [("COUNT", "eid", "cnt"), ("SUM", "uid", "s"), ("MIN", "val", "m")]
-    dist = sliding_count_window(df, "eid", items, n=5, num_partitions=8)
+    # single_task_max_bytes=0 forces the distributed path at test scale
+    dist = sliding_count_window(
+        df, "eid", items, n=5, num_partitions=8, single_task_max_bytes=0
+    )
     single = _single_task(df, "eid", items, n=5)
     assert [tuple(r) for r in dist.collect()] == [tuple(r) for r in single.collect()]
     assert dist.count() == 496
