@@ -47,15 +47,27 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
+_PUNCT = ".,!?;:"
+
+
+def _class_count(t: Column, chars: str) -> Column:
+    # chars removed via translate (single char-map pass, whole-stage
+    # codegen) — ~an order of magnitude cheaper than a regexp_replace
+    # rewrite of the full string
+    return F.length(t) - F.length(F.translate(t, chars, ""))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / character-class / ratio features used for corpus quality
     filtering. Pure column expressions — vectorized, no shuffle."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    n_space = F.length(F.regexp_replace(t, r"[^ ]", ""))
-    n_punct = F.length(F.regexp_replace(t, r"[^.,!?;:]", ""))
+    n_alpha = _class_count(t, _ALPHA)
+    n_digit = _class_count(t, _DIGIT)
+    n_space = _class_count(t, " ")
+    n_punct = _class_count(t, _PUNCT)
     denom = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars).cast("double")
     return df.withColumns(
         {
