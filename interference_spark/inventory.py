@@ -549,7 +549,15 @@ def text_token_count(spark, sf_dir):
               CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
                 / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE) AS space_ratio,
               CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-                / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE) AS punct_ratio
+                / CAST(CASE WHEN length(text)=0 THEN 1 ELSE length(text) END AS DOUBLE) AS punct_ratio,
+              CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], lower(x)))) AS DOUBLE)
+                / CAST(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) = 0
+                            THEN 1
+                            ELSE (CASE WHEN length(trim(text)) = 0 THEN 0
+                                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                       END AS DOUBLE) AS stopword_ratio
        FROM documents""",
 )
 def text_quality(spark, sf_dir):
@@ -560,6 +568,7 @@ def text_quality(spark, sf_dir):
     return quality_features(ensure_parallelism(e.table("documents"))).select(
         "doc_id", "n_chars_calc", "n_tokens",
         "alpha_ratio", "digit_ratio", "space_ratio", "punct_ratio",
+        "stopword_ratio",
     )
 
 

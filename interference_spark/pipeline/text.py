@@ -59,6 +59,21 @@ def _class_count(t: Column, chars: str) -> Column:
     return F.length(t) - F.length(F.translate(t, chars, ""))
 
 
+# small English stopword core — enough for a quality signal; extend freely
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as",
+)
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Tokens (whitespace split) that are stopwords, case-insensitive.
+    JVM-side array ops — no UDF."""
+    stoplist = F.array(*[F.lit(w) for w in stopwords])
+    toks = F.split(F.trim(text), r"\s+")
+    return F.size(F.filter(toks, lambda x: F.array_contains(stoplist, F.lower(x))))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / character-class / ratio features used for corpus quality
     filtering. Pure column expressions — vectorized, no shuffle."""
@@ -68,6 +83,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_digit = _class_count(t, _DIGIT)
     n_space = _class_count(t, " ")
     n_punct = _class_count(t, _PUNCT)
+    n_tok = token_count(t)
+    tok_denom = F.when(n_tok == 0, F.lit(1)).otherwise(n_tok).cast("double")
     denom = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars).cast("double")
     return df.withColumns(
         {
@@ -77,6 +94,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "digit_ratio": n_digit.cast("double") / denom,
             "space_ratio": n_space.cast("double") / denom,
             "punct_ratio": n_punct.cast("double") / denom,
+            "stopword_ratio": stopword_count(t).cast("double") / tok_denom,
         }
     )
 
