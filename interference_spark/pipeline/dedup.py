@@ -247,32 +247,88 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity via inverted-index self-join:
-    explode distinct grams → join per gram → |A∩B| by count, |A∪B| by
-    inclusion-exclusion. Shuffle cost is Σ(posting list²) — bounded by
-    dropping ultra-common grams at scale (not needed at test SF)."""
+    """Exact n-gram Jaccard pairs at or above ``threshold``.
+
+    ``prefix_filter=True`` (default) runs the distributed prefix-filtered
+    set-similarity join (the PPJoin/Vernica-style plan; cf. PAPERS.md
+    "Distributed Streaming Set Similarity Join", ICDE 2020): candidates are
+    generated only from each doc's |g| - ceil(t·|g|) + 1 *globally rarest*
+    grams — any pair with Jaccard ≥ t provably shares one — then verified
+    exactly with ``array_intersect``. This is LOSSLESS pruning: identical
+    output to the naive plan, but the inverted-index shuffle carries prefix
+    postings instead of all postings, collapsing the Σ(posting-list²) blowup
+    on common grams that dominates at corpus scale. A length filter
+    (t·|a| ≤ |b| ≤ |a|/t) prunes candidates further before verification.
+
+    ``prefix_filter=False`` keeps the naive full-posting join (cheaper at
+    tiny scale — no frequency pass)."""
     grams = df.select(
         F.col(id_col), char_ngrams(F.col(text_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
+
+    if not prefix_filter:
+        exploded = grams.select(id_col, "n_grams", F.explode("grams").alias("g"))
+        l = exploded.select(
+            F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g"
+        )
+        r = exploded.select(
+            F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "g"
+        )
+        inter = (
+            l.join(r, "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.count("*").alias("inter"))
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("inter")
+        ).cast("double")
+        return (
+            inter.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    from pyspark.sql import Window as W
+
     exploded = grams.select(id_col, "n_grams", F.explode("grams").alias("g"))
-    l = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g"
+    freq = exploded.groupBy("g").agg(F.count("*").alias("df_g"))
+    ranked = exploded.join(freq, "g").withColumn(
+        "__rk",
+        F.row_number().over(W.partitionBy(id_col).orderBy("df_g", "g")),
     )
-    r = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "g"
+    prefix_len = (
+        F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
     )
-    inter = (
+    pref = ranked.filter(F.col("__rk") <= prefix_len)
+    l = pref.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g")
+    r = pref.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "g")
+    cand = (
         l.join(r, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
+            & (F.col("nb") <= F.floor(F.col("na") / F.lit(threshold)))
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("grams").alias("ga"), F.col("n_grams").alias("na")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("grams").alias("gb"), F.col("n_grams").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    jac = inter.cast("double") / (
+        F.col("na") + F.col("nb") - inter
     ).cast("double")
     return (
-        inter.withColumn("jaccard", jac)
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -113,3 +113,27 @@ def test_co_partitioned_join_adds_no_extra_exchange(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     # exactly the two explicit repartition exchanges, none added by the join
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_ngram_prefix_filter_is_lossless(spark):
+    from interference_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),
+            (3, "pack my box with five dozen liquor jugs"),
+            (4, "pack my box with five dozen liquor jug"),
+            (5, "completely unrelated text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    naive = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.6, prefix_filter=False).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.6, prefix_filter=True).collect()
+    }
+    assert pref == naive and len(naive) == 2  # (1,2) and (3,4)
