@@ -7,9 +7,10 @@ Two tiers, as a 100 TB design demands:
   embarrassingly parallel, then a tiny ``orderBy().limit(k)`` which Spark
   executes as per-partition top-k + merge (TakeOrderedAndProject — no full
   sort shuffle).
-* **IVF** — deterministic coarse quantizer (no training nondeterminism):
-  centroids are a fixed sample of the corpus; search probes only the
-  ``nprobe`` nearest partitions.  At scale the assignment is written
+* **IVF** — deterministic coarse quantizer: k-means centroids (fixed
+  lowest-id init + distributed Lloyd rounds, no RNG anywhere), assignment
+  via one numpy matmul per Arrow batch; search probes only the ``nprobe``
+  nearest partitions.  At scale the assignment is written
   partitioned-by-centroid so a query touches ~nprobe/k of the data.
 
 An exact-decimal variant backs the DuckDB correctness oracle: float sums
@@ -19,8 +20,11 @@ then converts to double — bit-identical across engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _as_double(vec: Column) -> Column:
@@ -95,21 +99,62 @@ def cosine_topk_exact_decimal(
 
 
 # ---------------------------------------------------------------- IVF
+def ivf_train(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic distributed Lloyd iterations: init = the n lowest-id
+    vectors (reproducible, no RNG), then ``iters`` rounds of
+    assign-(argmax cosine)-and-average, entirely as DataFrame ops — the
+    per-round shuffle is (centroid, dim_pos) partial means, never vectors
+    to the driver (only the n_centroids × dim means are collected).
+    Empty clusters keep their previous centroid."""
+    cents = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in df.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        assigned = df.select(
+            _argmax_centroid(F.col(vec_col), cents).alias("centroid"),
+            F.posexplode(vec_d).alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["centroid"], {})[r["pos"]] = r["m"]
+        cents = [
+            (
+                cid,
+                [by_c[cid][p] for p in sorted(by_c[cid])]
+                if cid in by_c
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_build(
     df: DataFrame,
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_iters: int = 2,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Deterministic IVF index: centroids = the n lowest-id vectors
-    (reproducible without iterative training); assignment = argmax cosine.
-    Returns (assignments DF with `centroid` column, centroid list).
-    At 100 TB: write assignments partitioned by `centroid` so probing
-    reads only matching partitions (partition pruning)."""
-    cents = [
-        (int(r[id_col]), [float(x) for x in r[vec_col]])
-        for r in df.orderBy(id_col).limit(n_centroids).collect()
-    ]
+    """Deterministic IVF index: k-means centroids (``ivf_train``);
+    assignment = argmax cosine. Returns (assignments DF with `centroid`
+    column, centroid list). At 100 TB: write assignments partitioned by
+    `centroid` so probing reads only matching partitions (partition
+    pruning)."""
+    cents = ivf_train(df, n_centroids, train_iters, vec_col, id_col)
     assigned = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -119,14 +164,26 @@ def ivf_build(
 
 
 def _argmax_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    pairs = [
-        F.struct(
-            cosine(vec, F.array(*[F.lit(v) for v in cvec])).alias("s"),
-            F.lit(cid).alias("c"),
-        )
-        for cid, cvec in cents
-    ]
-    return F.greatest(*pairs).getField("c")
+    """Nearest centroid by cosine, as ONE numpy matmul per Arrow batch
+    against the broadcast (k × d) centroid matrix — k dot products per row
+    as a JVM expression tree is ~50× slower. Ties break to the higher
+    centroid id (centroids scanned in descending id order)."""
+    order = sorted(cents, key=lambda cv: -cv[0])
+    ids = np.array([cid for cid, _ in order], dtype=np.int64)
+    c = np.stack([np.asarray(v, dtype=np.float64) for _, v in order])
+    norms = np.linalg.norm(c, axis=1)
+    norms[norms == 0] = 1.0
+    cn = c / norms[:, None]
+
+    @F.pandas_udf(T.LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0] = 1.0
+        sims = (m / mn[:, None]) @ cn.T
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    return assign(vec)
 
 
 def ivf_search(
@@ -139,8 +196,6 @@ def ivf_search(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Probe the nprobe centroids nearest to the query, brute-force inside."""
-    import numpy as np
-
     qa = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(qa) or 1.0
 
