@@ -435,6 +435,40 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "q14_promo_effect",
+    """SELECT 100.00 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                   ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+              / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+              AS promo_revenue
+       FROM lineitem l, part p
+       WHERE l.l_partkey = p.p_partkey
+         AND l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: fact-dim join + conditional aggregation (CASE
+    inside SUM). Part is broadcast; decimal accumulation keeps the ratio
+    bit-identical to the oracle."""
+    e = engine_for(spark, sf_dir)
+    l = e.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = e.table("part")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.00) * F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+            .alias("promo_revenue")
+        )
+    )
+
+
+@query(
     "topk_per_group",
     """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
          SELECT c_nationkey, c_custkey, c_acctbal,
