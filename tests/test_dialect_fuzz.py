@@ -144,3 +144,39 @@ def test_random_condition_tree_matches_duckdb(tree, data, duck, engine):
         ).fetchall()
     }
     assert got == want, f"dialect: {dial!r}"
+
+
+VALID = "select o.o_orderkey from orders o where o.o_totalprice > 1000.0 group by o.o_orderkey order by o.o_orderkey"
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_mutated_sql_raises_typed_errors_only(data, engine):
+    """Any mutation of a valid statement either parses (and compiles to a
+    DataFrame) or raises a typed SQLException from the reference's error
+    taxonomy — never an arbitrary crash (reference sqlexception/*.java)."""
+    from interference_spark.errors import SQLException, StorageException
+
+    s = VALID
+    for _ in range(data.draw(st.integers(min_value=1, max_value=4))):
+        kind = data.draw(st.sampled_from(["del", "dup", "swap", "insert"]))
+        i = data.draw(st.integers(min_value=0, max_value=max(0, len(s) - 2)))
+        if kind == "del":
+            s = s[:i] + s[i + data.draw(st.integers(min_value=1, max_value=8)):]
+        elif kind == "dup":
+            s = s[:i] + s[i:i + 6] + s[i:]
+        elif kind == "swap":
+            j = data.draw(st.integers(min_value=0, max_value=max(0, len(s) - 1)))
+            ls = list(s)
+            ls[i], ls[j] = ls[j], ls[i]
+            s = "".join(ls)
+        else:
+            s = s[:i] + data.draw(st.sampled_from([",", "(", ")", "'", " where ", "*"])) + s[i:]
+    try:
+        engine.session().execute(s)
+    except (SQLException, StorageException):
+        pass  # typed, expected
