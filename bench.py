@@ -28,6 +28,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q14_promo_effect",
     "dialect_group_agg",
     "dialect_multiway_join",
     "dialect_window_count_sliding",
