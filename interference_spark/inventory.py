@@ -689,7 +689,29 @@ def sim_cosine_topk_exact(spark, sf_dir):
     )
 
 
-@query("sim_cosine_topk", None)  # float-sum order differs per engine → rows-only
+@query(
+    "sim_cosine_topk",
+    # Spark's aggregate() is a strict left fold over the array; DuckDB's
+    # list_reduce is the same fold (its implicit first-element init differs
+    # from Spark's 0.0 init only by a leading +0.0, which is an IEEE no-op),
+    # so even the float-sum cosine is bit-reproducible across engines.
+    """WITH v AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings
+       ), q AS (
+         SELECT e AS qe FROM v WHERE vec_id = 0
+       ), s AS (
+         SELECT v.vec_id,
+                list_reduce([v.e[i] * q.qe[i] for i in generate_series(1, 64)],
+                            (a, x) -> a + x)
+                / (sqrt(list_reduce([v.e[i] * v.e[i] for i in generate_series(1, 64)],
+                                    (a, x) -> a + x))
+                   * sqrt(list_reduce([q.qe[i] * q.qe[i] for i in generate_series(1, 64)],
+                                      (a, x) -> a + x))) AS cosine
+         FROM v, q WHERE v.vec_id <> 0
+       )
+       SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
 def sim_cosine_topk(spark, sf_dir):
     """The fast path: JVM zip_with/aggregate dot product, no Python, no
     decimals — what you'd run at 100 TB."""
@@ -713,7 +735,66 @@ def sim_ivf_search(spark, sf_dir):
     return ivf_search(assigned, cents, qvec, k=10, nprobe=4)
 
 
-@query("dedup_minhash_lsh", None)  # seeded-hash pipeline → rows-only check
+def _minhash_oracle(num_perm: int = 128, bands: int = 32, threshold: float = 0.4) -> str:
+    """MinHash+LSH is deterministic end to end (seeded permutations, md5
+    shingle hashes), so DuckDB can recompute it exactly: the permutation
+    constants are inlined, the numpy uint64 wraparound is replicated with
+    HUGEINT mod 2^64, and LSH banding becomes per-band signature-slice
+    equality (bucket hashing is just an equality proxy on Spark's side)."""
+    from .pipeline.dedup import _perm_params
+
+    a, b = _perm_params(num_perm, 42)
+    vals = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    rpb = num_perm // bands
+    band_conds = "\n            OR ".join(
+        f"a.sig[{i * rpb + 1}:{(i + 1) * rpb}] = b.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
+        for i in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS tk
+  FROM documents
+), shing AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) = 0 THEN ['']
+              WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_distinct([array_to_string(tk[i:i+2], ' ')
+                                  for i in generate_series(1, len(tk) - 2)])
+         END AS ss
+  FROM toks
+), sh AS (
+  SELECT doc_id, unnest(ss) AS s FROM shing
+), hh AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(s), 1, 2))::BIGINT::HUGEINT
+         + ('0x' || substring(md5(s), 3, 2))::BIGINT::HUGEINT * 256
+         + ('0x' || substring(md5(s), 5, 2))::BIGINT::HUGEINT * 65536
+         + ('0x' || substring(md5(s), 7, 2))::BIGINT::HUGEINT * 16777216 AS h
+  FROM sh
+), mv AS (
+  SELECT doc_id, p.i,
+         min(CAST((p.a::HUGEINT * h + p.b)
+                  % 18446744073709551616::HUGEINT
+                  % 2305843009213693951 % 4294967295 AS BIGINT)) AS v
+  FROM hh, (VALUES {vals}) p(i, a, b)
+  GROUP BY doc_id, p.i
+), sigs AS (
+  SELECT doc_id, list(v ORDER BY i) AS sig FROM mv GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len([j for j in generate_series(1, {num_perm})
+                 if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)} AS est_jaccard
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE ({band_conds})
+  AND CAST(len([j for j in generate_series(1, {num_perm})
+                if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)} >= {threshold}
+"""
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     from .pipeline.dedup import minhash_dedup_pairs
 
@@ -721,7 +802,42 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(e.table("documents"), threshold=0.4)
 
 
-@query("dedup_simhash", None)
+# SimHash is fully deterministic (md5 token hashes, little-endian), so the
+# DuckDB oracle recomputes the 64-bit fingerprint bit by bit and brute-forces
+# all pairs — the Spark side's pigeonhole banding is lossless for
+# hamming ≤ 3, so the results must be identical.
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS tok
+  FROM documents
+), tb AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id, bs.b,
+         ((('0x' || substring(h, (bs.b // 8) * 2 + 1, 2))::BIGINT >> (bs.b % 8)) & 1) AS bit
+  FROM tb, (SELECT unnest(generate_series(0, 63)) AS b) bs
+), votes AS (
+  SELECT doc_id, b, sum(2 * bit - 1) AS v FROM bits GROUP BY doc_id, b
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
+              + sum(CASE WHEN v > 0 AND b = 63 THEN -9223372036854775808 ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), all_docs AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sh s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM all_docs a JOIN all_docs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
     from .pipeline.dedup import simhash_pairs
 
@@ -729,13 +845,67 @@ def dedup_simhash(spark, sf_dir):
     return simhash_pairs(e.table("documents"), max_hamming=3)
 
 
-@query("dedup_embedding_neardup", None)
+def _embedding_neardup_oracle(
+    threshold: float = 0.9, planes: int = 6, dim: int = 64, seed: int = 42
+) -> str:
+    """Hyperplane LSH + exact-decimal cosine are both deterministic: the
+    plane constants inline at full double precision (repr round-trips), the
+    bucket sign bit folds the projection in list order exactly like Spark's
+    ``aggregate`` (leading +0.0 cannot flip a sign), and the decimal cosine
+    chain is order-free — so DuckDB reproduces the operator bit for bit."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    hyper = rng.standard_normal((planes, dim))
+    plane_rows = ", ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(x)) for x in hyper[j]))
+        for j in range(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), pl AS (
+  SELECT * FROM (VALUES {plane_rows}) p(j, pv)
+), proj AS (
+  SELECT v.vec_id, pl.j,
+         list_reduce([v.e[i] * pl.pv[i] FOR i IN generate_series(1, {dim})],
+                     (acc, x) -> acc + x) AS d
+  FROM v, pl
+), bk AS (
+  SELECT vec_id, string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id
+), b AS (
+  SELECT v.vec_id, v.e, bk.bucket FROM v JOIN bk USING (vec_id)
+), cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.e AS ea, c.e AS eb
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+), expl AS (
+  SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM cand
+), s AS (
+  SELECT id_a, id_b,
+         sum(CAST(floor((x * y) * 1e14) AS BIGINT)) AS dot_d,
+         sum(CAST(floor((x * x) * 1e14) AS BIGINT)) AS na,
+         sum(CAST(floor((y * y) * 1e14) AS BIGINT)) AS nb
+  FROM expl GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       CAST(dot_d AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+FROM s
+WHERE CAST(dot_d AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= {threshold}
+"""
+
+
+@query("dedup_embedding_neardup", _embedding_neardup_oracle(threshold=0.3))
 def dedup_embedding_neardup(spark, sf_dir):
+    """Threshold 0.3 (not the production-ish 0.9): the synthetic embeddings
+    are near-orthogonal (max in-bucket cosine ≈ 0.5), so a high threshold
+    would make the oracle comparison vacuous (0 = 0 rows)."""
     from .pipeline.dedup import embedding_neardup_pairs
 
     e = engine_for(spark, sf_dir)
     return embedding_neardup_pairs(
-        e.table("embeddings"), threshold=0.9, planes=6
+        e.table("embeddings"), threshold=0.3, planes=6
     )
 
 

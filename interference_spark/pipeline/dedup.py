@@ -13,8 +13,9 @@ Scale design (the point of each algorithm at 100 TB):
 * **ngram jaccard** — exact verification path: explode distinct n-grams,
                       self-join per gram (the classic "inverted index join"),
                       so cost is Σ posting-list², not n².
-* **embedding**     — random-hyperplane LSH buckets, exact cosine verify
-                      within buckets via ``applyInPandas`` (numpy matmul).
+* **embedding**     — random-hyperplane LSH buckets, same-bucket verify
+                      with quantized-integer cosine (deterministic on any
+                      partitioning AND engine — oracle-reproducible).
 
 All hashing is seeded/deterministic — no PYTHONHASHSEED dependence anywhere.
 """
@@ -345,8 +346,12 @@ def embedding_neardup_pairs(
     dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: random-hyperplane LSH bucket (one
-    shuffle), exact cosine verify inside buckets with numpy matmul via
-    applyInPandas. Multi-probe (sign-flip of one plane) keeps recall up."""
+    shuffle on an 8-char sign string), then exact cosine verification of
+    same-bucket candidates with an order-free decimal accumulation chain —
+    bit-identical on any partitioning AND reproducible by the DuckDB oracle
+    (a numpy-matmul verify would differ in low float bits per BLAS
+    summation order). Candidate volume is bounded by bucket sizes, never
+    O(n^2)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
@@ -373,38 +378,49 @@ def embedding_neardup_pairs(
         ),
         "",
     )
-    bucketed = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+    bucketed = df.select(
+        F.col(id_col), vec_d.alias("__e"), bucket.alias("bucket")
     )
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        ids = pdf[id_col].to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        mn = m / norms[:, None]
-        sim = mn @ mn.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sim[ia, ib] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
-                "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
-                "cosine": sim[ia, ib][mask],
-            }
-        )
-
-    return bucketed.groupBy("bucket").applyInPandas(verify, out_schema).distinct()
+    l = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("__e").alias("ea"), "bucket"
+    )
+    r = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("__e").alias("eb"), "bucket"
+    )
+    # Deterministic cosine on ANY partitioning and engine: per-position
+    # products (exact doubles for float32 inputs) are quantized with
+    # floor(p * 1e14) into BIGINTs — floor has no tie-breaking (unlike
+    # double→decimal rounding, where Spark HALF_UP vs DuckDB banker's
+    # rounding diverge) — and integer sums are exact. Quantization error
+    # ≤ dim·1e-14 on an LSH similarity score is immaterial.
+    q = F.lit(1e14)
+    cand = (
+        l.join(r, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ea", "eb")
+    )
+    zipped = F.zip_with(
+        F.col("ea"), F.col("eb"),
+        lambda x, y: F.named_struct(F.lit("x"), x, F.lit("y"), y),
+    )
+    expl = cand.select(
+        "id_a", "id_b", F.explode(zipped).alias("v")
+    )
+    x, y = F.col("v.x"), F.col("v.y")
+    sums = expl.groupBy("id_a", "id_b").agg(
+        F.sum(F.floor((x * y) * q)).alias("dot_d"),
+        F.sum(F.floor((x * x) * q)).alias("na"),
+        F.sum(F.floor((y * y) * q)).alias("nb"),
+    )
+    cos = F.col("dot_d").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        sums.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 # ------------------------------------------------ duplicate clustering
