@@ -153,3 +153,18 @@ def test_process_without_delete(session, engine, fresh):
 def test_process_unknown_processor(session, engine, fresh):
     with pytest.raises(errors.InvalidParameter):
         session.execute(f"process {fresh} t within NoSuchProcessor")
+
+
+def test_with_unique_id_is_unique(spark):
+    from interference_spark.dml.ids import with_unique_id
+
+    df = with_unique_id(spark.range(0, 5000).repartition(8), "uid")
+    assert df.select("uid").distinct().count() == 5000
+
+
+def test_with_sequential_id_is_dense(spark):
+    from interference_spark.dml.ids import with_sequential_id
+
+    df = with_sequential_id(spark.range(0, 1000).repartition(8), "sid", start=1)
+    got = sorted(r.sid for r in df.collect())
+    assert got == list(range(1, 1001))
