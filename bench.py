@@ -66,6 +66,8 @@ def main() -> None:
 
     # ingest bench: @NoCheck blind-append path (reference: 100k obj/s)
     timings["ingest_append_100k"] = round(_bench_ingest(spark), 4)
+    # upsert bench: persist-by-@Id MERGE path (10k upserts onto 100k rows)
+    timings["ingest_upsert_10k"] = round(_bench_upsert(spark), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -105,6 +107,32 @@ def _bench_ingest(spark) -> float:
             s.commit()
         dt = time.perf_counter() - t0
         assert eng.table("ring").count() == n
+        return dt
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _bench_upsert(spark) -> float:
+    """10k upserts (half updates, half inserts) onto a 100k-row table via
+    the persist-by-@Id merge path."""
+    import shutil
+    import tempfile
+
+    from interference_spark import Engine
+
+    wh = tempfile.mkdtemp(prefix="ifs_bench_wh_")
+    try:
+        eng = Engine(spark=spark, warehouse=wh)
+        eng.register_table("kv", "id long, val long", id_col="id")
+        s = eng.session()
+        s.persist("kv", [{"id": i, "val": i} for i in range(100_000)])
+        s.commit()
+        ups = [{"id": 95_000 + i, "val": -i} for i in range(10_000)]
+        t0 = time.perf_counter()
+        s.persist("kv", ups)
+        s.commit()
+        dt = time.perf_counter() - t0
+        assert eng.table("kv").count() == 105_000
         return dt
     finally:
         shutil.rmtree(wh, ignore_errors=True)

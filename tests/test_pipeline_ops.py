@@ -137,3 +137,22 @@ def test_ngram_prefix_filter_is_lossless(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.6, prefix_filter=True).collect()
     }
     assert pref == naive and len(naive) == 2  # (1,2) and (3,4)
+
+
+def test_ivf_recall_vs_exact(spark):
+    from interference_spark.inventory import engine_for
+    from interference_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_search,
+    )
+    from pyspark.sql import functions as F
+
+    emb = engine_for(spark, "/root/testdata/sf0.001").table("embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in cosine_topk(corpus, qvec, k=10).collect()}
+    assigned, cents = ivf_build(corpus, n_centroids=16)
+    approx = {r.vec_id for r in ivf_search(assigned, cents, qvec, k=10, nprobe=4).collect()}
+    # nprobe=4/16 of a near-random corpus: demand at least half the true top-k
+    assert len(exact & approx) >= 5
