@@ -171,12 +171,15 @@ class Session:
         self._staged_deletes.clear()
 
     # ---------------------------------------------------------------- SQL
-    def execute(self, sql: str):
+    def execute(self, sql: str, stream_id: str | None = None):
         """SQL entry point (reference ``Session.execute``).
 
         Returns a lazy DataFrame for batch SELECT, a
         :class:`~interference_spark.streaming.stream_queue.StreamQueue` for
         SELECT STREAM, and a :class:`ProcessResult` for PROCESS.
+        ``stream_id`` (SELECT STREAM only) names a durable resume position:
+        re-executing with the same id continues after already-delivered
+        rows (reference ``Session.streamFramePtr``).
         """
         from .dialect import compile_query, parse
 
@@ -191,7 +194,7 @@ class Session:
         if q.stream:
             from .streaming.runner import run_stream
 
-            return run_stream(self, q)
+            return run_stream(self, q, stream_id=stream_id)
         return compile_query(self.engine, q)
 
     def _execute_system(self, sql: str) -> SystemResult | None:

@@ -30,7 +30,11 @@ def _simple_type(dt: T.DataType) -> str:
     return "string"
 
 
-def run_stream(session, q: Query) -> StreamQueue:
+def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
+    """``stream_id`` names the stream's checkpoint: re-executing with the
+    same id RESUMES after already-delivered rows instead of replaying the
+    snapshot — the analogue of the reference's per-session resume position
+    (``Session.streamFramePtr``, ``persistent/Session.java:694-700``)."""
     if len(q.tables) != 1:
         raise InvalidParameter("SELECT STREAM works on a single table")
     engine = session.engine
@@ -55,7 +59,9 @@ def run_stream(session, q: Query) -> StreamQueue:
         .parquet(td.path)
     )
 
-    checkpoint = os.path.join(engine.warehouse, "_checkpoints", uuid.uuid4().hex)
+    checkpoint = os.path.join(
+        engine.warehouse, "_checkpoints", stream_id or uuid.uuid4().hex
+    )
     types = {f.name: _simple_type(f.dataType) for f in schema.fields}
 
     if q.group_by or q.window_by is not None:

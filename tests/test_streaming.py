@@ -133,3 +133,27 @@ def test_process_stream(session, engine, stream_table):
         assert engine.table(stream_table).count() == 8
     finally:
         h.stop()
+
+
+def test_stream_resume_by_stream_id(session, engine, stream_table):
+    """Named checkpoint = per-session resume position (reference
+    Session.streamFramePtr): a restarted stream with the same stream_id
+    continues after already-delivered rows instead of replaying."""
+    session.persist(stream_table, _rows(6))
+    session.commit()
+    sq = session.execute(
+        f"select stream e.eventId from {stream_table} e", stream_id="resume1"
+    )
+    try:
+        assert [r["eeventId"] for r in sq.drain_available()] == [0, 1, 2, 3, 4, 5]
+    finally:
+        sq.stop()
+    session.persist(stream_table, _rows(4, start=6))
+    session.commit()
+    sq2 = session.execute(
+        f"select stream e.eventId from {stream_table} e", stream_id="resume1"
+    )
+    try:
+        assert [r["eeventId"] for r in sq2.drain_available()] == [6, 7, 8, 9]
+    finally:
+        sq2.stop()
