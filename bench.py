@@ -125,8 +125,13 @@ def _bench_upsert(spark) -> float:
         eng = Engine(spark=spark, warehouse=wh)
         eng.register_table("kv", "id long, val long", id_col="id")
         s = eng.session()
-        s.persist("kv", [{"id": i, "val": i} for i in range(100_000)])
-        s.commit()
+        # 10 id-clustered parts — the targeted MERGE rewrites only the
+        # parts whose id range the upsert touches
+        for start in range(0, 100_000, 10_000):
+            s.persist(
+                "kv", [{"id": i, "val": i} for i in range(start, start + 10_000)]
+            )
+            s.commit()
         ups = [{"id": 95_000 + i, "val": -i} for i in range(10_000)]
         t0 = time.perf_counter()
         s.persist("kv", ups)

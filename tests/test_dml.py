@@ -168,3 +168,28 @@ def test_with_sequential_id_is_dense(spark):
     df = with_sequential_id(spark.range(0, 1000).repartition(8), "sid", start=1)
     got = sorted(r.sid for r in df.collect())
     assert got == list(range(1, 1001))
+
+
+def test_targeted_upsert_rewrites_only_affected_parts(spark, tmp_path):
+    """Force the targeted MERGE path: parts whose id range the upsert does
+    not touch must keep their original file, byte for byte."""
+    import os
+
+    from interference_spark import Engine
+    from interference_spark.dml import store
+
+    eng = Engine(spark=spark, warehouse=str(tmp_path / "wh"))
+    td = eng.register_table("kv", "id long, val long", id_col="id")
+    for start in (0, 100, 200):  # 3 id-clustered parts, one file each
+        store.append_rows(td, [{"id": i, "val": i} for i in range(start, start + 100)])
+    before = {f: os.path.getmtime(f) for f in store._parts(td)}
+    assert len(before) == 3
+    new = spark.createDataFrame([(250, -1), (300, -2)], "id long, val long")
+    store.upsert(spark, td, new, full_rewrite_max_bytes=0)  # force targeted
+    after = set(store._parts(td))
+    untouched = {f for f, m in before.items() if f in after}
+    # the two parts not containing id 250 survive physically
+    assert len(untouched) == 2
+    rows = {(r.id, r.val) for r in eng.table("kv").collect()}
+    assert (250, -1) in rows and (300, -2) in rows and (250, 250) not in rows
+    assert len(rows) == 301
