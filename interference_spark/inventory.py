@@ -435,6 +435,41 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "asof_join_events",
+    """WITH p AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+       ), s AS (
+         SELECT user_id, ts, max(event_id) AS signup_id
+         FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+       )
+       SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+              CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
+              s.signup_id AS signup_id
+       FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""",
+)
+def asof_join_events(spark, sf_dir):
+    """As-of (temporal) join: each purchase gets the latest prior-or-equal
+    signup per user — the union+keyed-window plan (plans/asof.py, one
+    shuffle); the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .plans.asof import as_of_join
+
+    e = engine_for(spark, sf_dir)
+    ev = e.table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+    )
+    out = as_of_join(p, s, "user_id", "ts", "ts")
+    return out.select(
+        "purchase_id", "user_id", _epoch("ts").alias("p_epoch"), "signup_id"
+    )
+
+
+@query(
     "q14_promo_effect",
     """SELECT 100.00 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
                    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))

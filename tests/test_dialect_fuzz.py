@@ -180,3 +180,43 @@ def test_mutated_sql_raises_typed_errors_only(data, engine):
         engine.session().execute(s)
     except (SQLException, StorageException):
         pass  # typed, expected
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_grouped_aggregate_matches_duckdb(data, duck, engine):
+    """Random GROUP BY aggregates over integral-valued columns (exact in
+    IEEE double under any summation order) must match DuckDB."""
+    aggs = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["COUNT", "SUM", "MIN", "MAX"]),
+                st.sampled_from(["o_orderkey", "o_custkey"]),
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    gcol = data.draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    sel_d = ", ".join(
+        f"{f.lower()}(o.{c}) a{i}" for i, (f, c) in enumerate(aggs)
+    )
+    sel_s = ", ".join(f"{f}({c}) AS a{i}" for i, (f, c) in enumerate(aggs))
+    got = {
+        tuple(r)
+        for r in engine.session()
+        .execute(f"select {sel_d}, o.{gcol} from orders o group by o.{gcol}")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT {sel_s}, {gcol} FROM orders GROUP BY {gcol}"
+        ).fetchall()
+    }
+    assert got == want

@@ -156,3 +156,26 @@ def test_ivf_recall_vs_exact(spark):
     approx = {r.vec_id for r in ivf_search(assigned, cents, qvec, k=10, nprobe=4).collect()}
     # nprobe=4/16 of a near-random corpus: demand at least half the true top-k
     assert len(exact & approx) >= 5
+
+
+def test_as_of_join_backward_inclusive(spark):
+    from interference_spark.plans.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 7, "l3")],
+        "k int, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 9, "r9")],
+        "k int, t long, rv string",
+    )
+    out = {
+        (r.k, r.t, r.lv, r.rv, r.t_r)
+        for r in as_of_join(left, right, "k", "t", "t").collect()
+    }
+    assert out == {
+        (1, 5, "l0", None, None),        # nothing at or before t=5
+        (1, 10, "l1", "r10", 10),        # inclusive at equal ts
+        (1, 20, "l2", "r15", 15),        # latest prior
+        (2, 7, "l3", None, None),        # key 2 right row is later
+    }
