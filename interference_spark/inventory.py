@@ -470,6 +470,89 @@ def asof_join_events(spark, sf_dir):
 
 
 @query(
+    "sketch_kmv_distinct_users",
+    """WITH h AS (
+         SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS hv
+         FROM events
+       ), mins AS (
+         SELECT hv FROM h ORDER BY hv LIMIT 64
+       ), s AS (
+         SELECT count(*) AS cnt, max(hv) AS mx FROM mins
+       )
+       SELECT CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+                   ELSE 63.0 / (CAST(mx AS DOUBLE) / 4503599627370496.0)
+              END AS est_distinct
+       FROM s""",
+)
+def sketch_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch over events.user_id — engine-reproducible
+    alternative to HLL (see pipeline/sketch.py); the oracle recomputes the
+    identical estimate."""
+    from .pipeline.sketch import kmv_distinct_count
+
+    e = engine_for(spark, sf_dir)
+    return kmv_distinct_count(e.table("events"), "user_id", k=64)
+
+
+@query(
+    "rollup_hourly_events",
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
+              event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+              count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY date_trunc('hour', ts), event_type""",
+)
+def rollup_hourly_events(spark, sf_dir):
+    """Hypertable-style time-bucket rollup: continuous aggregate per
+    (hour bucket, event type). One partial+final agg; at scale this is the
+    materialized rollup you'd maintain incrementally in foreachBatch."""
+    e = engine_for(spark, sf_dir)
+    ev = e.table("events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("__bucket"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            _epoch(F.col("__bucket")).alias("bucket_epoch"),
+            "event_type", "n_events", "sum_value", "n_users",
+        )
+    )
+
+
+@query(
+    "range_join_value_bands",
+    """SELECT e.event_id AS event_id, b.band AS band
+       FROM events e JOIN (
+         SELECT * FROM (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+                               ('high', 150.0, 1000000.0)) t(band, lo, hi)
+       ) b ON e.value >= b.lo AND e.value < b.hi
+       WHERE e.event_type = 'purchase'""",
+)
+def range_join_value_bands(spark, sf_dir):
+    """Range (interval) join: point-in-interval via broadcast of the small
+    interval side — Catalyst executes BroadcastNestedLoopJoin, which is the
+    right plan when one side is tiny. (For two LARGE sides, bucketize the
+    ranges and equi-join on bucket first; the small-dim case is the common
+    telemetry shape.)"""
+    e = engine_for(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e6)],
+        "band string, lo double, hi double",
+    )
+    ev = e.table("events").filter(F.col("event_type") == "purchase")
+    return ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+    ).select("event_id", "band")
+
+
+@query(
     "q14_promo_effect",
     """SELECT 100.00 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
                    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))

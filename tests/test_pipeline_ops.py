@@ -179,3 +179,18 @@ def test_as_of_join_backward_inclusive(spark):
         (1, 20, "l2", "r15", 15),        # latest prior
         (2, 7, "l3", None, None),        # key 2 right row is later
     }
+
+
+def test_kmv_estimate_accuracy(spark):
+    from interference_spark.pipeline.sketch import kmv_distinct_count
+
+    df = spark.range(0, 20000).selectExpr("id % 5000 AS u")  # 5000 distinct
+    est = kmv_distinct_count(df, "u", k=256).first().est_distinct
+    assert abs(est - 5000) / 5000 < 0.15  # ~1/sqrt(254) ≈ 6% expected
+
+
+def test_kmv_exact_below_k(spark):
+    from interference_spark.pipeline.sketch import kmv_distinct_count
+
+    df = spark.range(0, 1000).selectExpr("id % 40 AS u")
+    assert kmv_distinct_count(df, "u", k=64).first().est_distinct == 40.0
