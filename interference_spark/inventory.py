@@ -470,6 +470,22 @@ def asof_join_events(spark, sf_dir):
 
 
 @query(
+    "sample_deterministic_10pct",
+    """SELECT doc_id FROM documents
+       WHERE ('0x' || substring(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+             < CAST(0.1 * 4503599627370496 AS BIGINT)""",
+)
+def sample_deterministic_10pct(spark, sf_dir):
+    """Reproducible 10% corpus sample by hash of id (pipeline/text.py
+    hash_sample) — the same 10% on every run, engine, and partitioning,
+    unlike df.sample()."""
+    from .pipeline.text import hash_sample
+
+    e = engine_for(spark, sf_dir)
+    return hash_sample(e.table("documents"), "doc_id", 0.1).select("doc_id")
+
+
+@query(
     "sketch_kmv_distinct_users",
     """WITH h AS (
          SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS hv

@@ -125,3 +125,19 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang, s in scores.items():
         out = out.withColumn(f"score_{lang}", s)
     return out
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = "s0"
+) -> DataFrame:
+    """Deterministic sampling: keep rows whose md5(salt ∥ id) falls in the
+    lowest ``rate`` fraction of hash space. Unlike ``df.sample`` this is
+    reproducible across runs, engines, partitionings, and retries — the
+    property a training-data pipeline needs so a 1% corpus sample is THE
+    SAME 1% everywhere. Different salts give independent samples."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(h < F.lit(int(rate * 4503599627370496.0)))
