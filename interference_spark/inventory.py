@@ -1191,6 +1191,44 @@ def _copy_events_managed(spark, sf_dir: str, prefix: str):
 
 
 @query(
+    "stream_event_time_hourly",
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
+              event_type, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY date_trunc('hour', ts), event_type""",
+)
+def stream_event_time_hourly(spark, sf_dir):
+    """Event-time tumbling windows over the STREAMING path (beyond-reference
+    C5): native window() aggregate, availableNow run-to-completion in
+    complete mode; the oracle is the equivalent batch rollup."""
+    import uuid
+
+    from .streaming.windows import event_time_rollup
+
+    e, name = _copy_events_managed(spark, sf_dir, "EvTime")
+    td = e.catalog.get(name)
+    sdf = spark.readStream.schema(td.require_schema()).parquet(td.path)
+    agg = event_time_rollup(
+        sdf, "ts", "1 hour", keys=("event_type",), value_col="value"
+    )
+    qname = f"et_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname).select(
+        _epoch(F.col("window.start")).alias("bucket_epoch"),
+        "event_type", "n_events", "sum_value",
+    )
+    # materialize: the memory sink table is tied to the (stopped) query
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
     "stream_snapshot_filter",
     """SELECT event_id AS eevent_id, user_id AS euser_id, value AS evalue
        FROM events WHERE event_type = 'error'""",

@@ -170,3 +170,28 @@ def _py(v):
         return v.item()
     except AttributeError:
         return v
+
+
+def event_time_rollup(
+    sdf: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: tuple[str, ...] = (),
+    value_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window aggregate — a beyond-reference extension
+    (the reference CEP has NO event time, only arrival order — SURVEY C5).
+    Native Structured Streaming ``window()`` groupBy: state is one row per
+    (window, keys); ``watermark`` bounds it for unbounded append-mode
+    streams (late rows beyond the bound are dropped). Complete/update-mode
+    run-to-completion consumers can omit the watermark."""
+    w = sdf.withWatermark(ts_col, watermark) if watermark else sdf
+    aggs = [F.count("*").alias("n_events")]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value")
+        )
+    return w.groupBy(F.window(F.col(ts_col), duration), *keys).agg(*aggs)
