@@ -1191,6 +1191,43 @@ def _copy_events_managed(spark, sf_dir: str, prefix: str):
 
 
 @query(
+    "sessionize_users",
+    """WITH o AS (
+         SELECT user_id, ts, value,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events
+       ), marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN prev IS NULL
+                          OR epoch(ts) - epoch(prev) >= 1800 THEN 1 ELSE 0 END AS new_s
+         FROM o
+       ), runs AS (
+         SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked
+       )
+       SELECT user_id, count(*) AS n_events,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       FROM runs GROUP BY user_id, sid""",
+)
+def sessionize_users(spark, sf_dir):
+    """Per-user sessionization (30-minute gap) via native session_window —
+    the oracle rebuilds sessions with a lag + cumulative-sum run id."""
+    from .streaming.windows import sessionize
+
+    e = engine_for(spark, sf_dir)
+    out = sessionize(
+        e.table("events"), "ts", ("user_id",), gap="30 minutes", value_col="value"
+    )
+    return out.select(
+        "user_id", "n_events",
+        _epoch(F.col("__start")).alias("start_epoch"), "sum_value",
+    )
+
+
+@query(
     "stream_event_time_hourly",
     """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
               event_type, count(*) AS n_events,

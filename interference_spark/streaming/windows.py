@@ -195,3 +195,33 @@ def event_time_rollup(
             .alias("sum_value")
         )
     return w.groupBy(F.window(F.col(ts_col), duration), *keys).agg(*aggs)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    keys: tuple[str, ...],
+    gap: str = "30 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Sessionization via native ``session_window``: per key, events whose
+    gaps stay under ``gap`` merge into one session (half-open — a gap of
+    exactly ``gap`` starts a new session). Works on batch DataFrames and
+    streams alike; streaming state is one open session per key, closed by
+    the watermark. A classic user-modeling / training-data shaping op the
+    reference cannot express."""
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("__start"),
+    ]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value")
+        )
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(*aggs)
+        .drop("session_window")
+    )
