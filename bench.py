@@ -33,6 +33,7 @@ HEADLINE = [
     "dialect_multiway_join",
     "dialect_window_count_sliding",
     "topk_per_group",
+    "point_lookup",
     "events_agg_by_type",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -194,3 +194,31 @@ def test_kmv_exact_below_k(spark):
 
     df = spark.range(0, 1000).selectExpr("id % 40 AS u")
     assert kmv_distinct_count(df, "u", k=64).first().est_distinct == 40.0
+
+
+def test_sliding_window_dist_property(spark):
+    """Randomized equivalence: distributed vs single-task frames across
+    awkward shapes (empty, n=1, n≈rows, rows<n, many empty splits)."""
+    import random
+
+    from interference_spark.plans.window_dist import (
+        _single_task,
+        sliding_count_window,
+    )
+
+    rng = random.Random(7)
+    for _ in range(8):
+        rows = rng.choice([0, 1, 5, 37, 120])
+        n = rng.choice([1, 2, 5, 30])
+        parts = rng.choice([1, 3, 8, 16])
+        df = spark.createDataFrame(
+            [(i, i % 5) for i in range(rows)], "eid long, v long"
+        )
+        items = [("SUM", "v", "s"), ("COUNT", "eid", "c")]
+        dist = sliding_count_window(
+            df, "eid", items, n=n, num_partitions=parts, single_task_max_bytes=0
+        ).collect()
+        single = _single_task(df, "eid", items, n=n).collect()
+        assert [tuple(r) for r in dist] == [tuple(r) for r in single], (
+            rows, n, parts,
+        )
