@@ -29,6 +29,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_effect",
+    "q18_large_orders",
     "dialect_group_agg",
     "dialect_multiway_join",
     "dialect_window_count_sliding",

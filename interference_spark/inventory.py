@@ -603,6 +603,51 @@ def q14_promo_effect(spark, sf_dir):
 
 
 @query(
+    "q18_large_orders",
+    """SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+              o.o_orderkey AS o_orderkey,
+              CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS odate_epoch,
+              o.o_totalprice AS o_totalprice,
+              sum(l.l_quantity) AS sum_qty
+       FROM customer c, orders o, lineitem l
+       WHERE o.o_orderkey IN (
+               SELECT l_orderkey FROM lineitem
+               GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0)
+         AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+       GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 100""",
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate → threshold filter → semi-join back into
+    the fact tables → re-aggregate → top-k. The semi join keeps only
+    qualifying orderkeys flowing into the 3-way join; top-100 runs as
+    TakeOrderedAndProject."""
+    e = engine_for(spark, sf_dir)
+    c, o, l = e.table("customer"), e.table("orders"), e.table("lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150.0)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            _epoch("o_orderdate").alias("odate_epoch"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
     "topk_per_group",
     """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
          SELECT c_nationkey, c_custkey, c_acctbal,
