@@ -511,6 +511,51 @@ def sketch_kmv_distinct_users(spark, sf_dir):
 
 
 @query(
+    "sketch_cms_heavy_tokens",
+    """WITH toks AS (
+         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
+         FROM documents WHERE length(trim(text)) > 0
+       ), ds AS (
+         SELECT unnest(generate_series(0, 3)) AS d
+       ), pairs AS (
+         SELECT v, d,
+                ('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':' || v), 1, 13))::BIGINT % 64 AS b
+         FROM toks CROSS JOIN ds
+       ), sketch AS (
+         SELECT d, b, count(*) AS cnt FROM pairs GROUP BY d, b
+       ), total AS (
+         SELECT sum(cnt) AS tot FROM sketch WHERE d = 0
+       ), probe AS (
+         SELECT c.v, ds.d,
+                ('0x' || substring(md5('cms' || CAST(ds.d AS VARCHAR) || ':' || c.v), 1, 13))::BIGINT % 64 AS b
+         FROM (SELECT DISTINCT v FROM toks) c CROSS JOIN ds
+       ), est AS (
+         SELECT p.v, min(s.cnt) AS est_count
+         FROM probe p JOIN sketch s ON s.d = p.d AND s.b = p.b
+         GROUP BY p.v
+       )
+       SELECT e.v AS token, CAST(e.est_count AS BIGINT) AS est_count
+       FROM est e, total t WHERE e.est_count * 40 >= t.tot""",
+)
+def sketch_cms_heavy_tokens(spark, sf_dir):
+    """Count-Min-sketch heavy hitters over the document token stream
+    (pipeline/sketch.py cms_heavy_hitters): tokens with estimated frequency
+    ≥ 1/40 of the corpus. Deterministic md5 hash family → the oracle
+    rebuilds the identical d×w counter table and min-estimates in SQL."""
+    from .pipeline.sketch import cms_heavy_hitters
+
+    e = engine_for(spark, sf_dir)
+    toks = (
+        e.table("documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    )
+    return cms_heavy_hitters(toks, "tok", width=64, depth=4, frac_den=40).select(
+        F.col("v").alias("token"), "est_count"
+    )
+
+
+@query(
     "rollup_hourly_events",
     """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
               event_type,
@@ -1307,6 +1352,49 @@ def stream_event_time_hourly(spark, sf_dir):
         "event_type", "n_events", "sum_value",
     )
     # materialize: the memory sink table is tied to the (stopped) query
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "stream_event_time_sliding",
+    """WITH e AS (
+         SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events
+       ), x AS (
+         SELECT ((t // 1800) - k) * 1800 AS w_start, value
+         FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) ks
+       )
+       SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       FROM x GROUP BY w_start""",
+)
+def stream_event_time_sliding(spark, sf_dir):
+    """Sliding event-time windows (1 h window, 30 min slide) over the
+    streaming path: each event lands in 2 overlapping windows. The oracle
+    expands the fan-out arithmetically — window starts are the slide
+    multiples ((t div 1800) - k)·1800, k ∈ {0,1}, matching Spark's
+    epoch-aligned window() expansion exactly."""
+    import uuid
+
+    from .streaming.windows import event_time_rollup
+
+    e, name = _copy_events_managed(spark, sf_dir, "EvSlideT")
+    td = e.catalog.get(name)
+    sdf = spark.readStream.schema(td.require_schema()).parquet(td.path)
+    agg = event_time_rollup(
+        sdf, "ts", "1 hour", value_col="value", slide="30 minutes"
+    )
+    qname = f"ets_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname).select(
+        _epoch(F.col("window.start")).alias("w_start"), "n_events", "sum_value"
+    )
     return spark.createDataFrame(out.collect(), out.schema)
 
 

@@ -1,4 +1,4 @@
-"""Cardinality sketching.
+"""Cardinality and frequency sketching.
 
 Spark's built-in ``approx_count_distinct`` (HyperLogLog++) is the default at
 scale, but its register layout is engine-specific — it cannot be verified
@@ -11,6 +11,14 @@ Distributed shape: hash → distinct → ``orderBy().limit(k)``, which Spark
 executes as per-partition top-k + driver merge of k·P values
 (TakeOrderedAndProject) — exactly the partial-sketch-then-merge pattern,
 never a global sort.
+
+:func:`cms_sketch` / :func:`cms_heavy_hitters` add a Count-Min sketch on the
+same deterministic hash family: frequency estimation and heavy-hitter
+extraction whose d×w counter table is an *additive* aggregate — partial
+sketches merge by cell-wise sum, which is exactly what Spark's partial
+aggregation does for the ``groupBy(d, b).count()`` formulation. The sketch
+(d·w rows) is broadcast for the probe join, so estimating frequencies never
+shuffles the fact side.
 """
 
 from __future__ import annotations
@@ -45,3 +53,76 @@ def kmv_distinct_count(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         F.lit(float(k - 1)) / (F.col("mx").cast("double") / F.lit(_TWO_52))
     )
     return s.select(est.alias("est_distinct"))
+
+
+def cms_bucket(col: Column, seed: str, width: int) -> Column:
+    """Deterministic Count-Min bucket: 52-bit md5 hash of ``seed ⊕ value``
+    mod ``width`` — reproducible in any engine with md5 (the DuckDB oracle
+    recomputes it via ``('0x' || substring(md5(...), 1, 13))::BIGINT``)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), col.cast("string"))), 1, 13), 16, 10
+    ).cast("long")
+    return h % F.lit(width)
+
+
+def _cms_probes(col: Column, width: int, depth: int) -> Column:
+    """array<struct<d,b>> of this value's ``depth`` sketch cells."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), cms_bucket(col, f"cms{d}:", width).alias("b")
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_sketch(df: DataFrame, col: str, width: int = 64, depth: int = 4) -> DataFrame:
+    """Count-Min sketch of ``df[col]`` as a ``(d, b, cnt)`` DataFrame with at
+    most ``depth × width`` rows. One wide pass over the data: each row
+    explodes into its ``depth`` cells and a single groupBy counts them —
+    Spark's map-side partial aggregation makes this the canonical
+    "local sketch per partition, merge by cell-wise sum" plan with only the
+    tiny counter table on the shuffle."""
+    return (
+        df.select(F.explode(_cms_probes(F.col(col), width, depth)).alias("p"))
+        .select("p.d", "p.b")
+        .groupBy("d", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    width: int = 64,
+    depth: int = 4,
+    frac_den: int = 40,
+) -> DataFrame:
+    """Items whose Count-Min estimated frequency is ≥ ``1/frac_den`` of all
+    rows, as ``(v, est_count)``. est = min over the item's ``depth`` cells
+    (the classic CMS upper-bound estimate; collisions only ever
+    over-estimate, so no true heavy hitter is missed). The total row count
+    is read from the sketch itself (sum of any one depth row) — no second
+    scan of the data; integer cross-multiplication avoids float thresholds.
+
+    At 100 TB the ``distinct()`` candidate set is the scaling concern, not
+    the sketch: cap it by probing only candidates that survive a per-
+    partition local top-k or a deterministic hash-sample, then estimate via
+    the (broadcast, tiny) sketch exactly as here."""
+    sketch = cms_sketch(df, col, width, depth)
+    total = sketch.filter(F.col("d") == 0).agg(F.sum("cnt").alias("total"))
+    est = (
+        df.select(F.col(col).alias("v"))
+        .distinct()
+        .select("v", F.explode(_cms_probes(F.col("v"), width, depth)).alias("p"))
+        .select("v", "p.d", "p.b")
+        .join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("v")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * frac_den >= F.col("total"))
+        .select("v", "est_count")
+    )

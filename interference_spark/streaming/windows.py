@@ -179,13 +179,18 @@ def event_time_rollup(
     keys: tuple[str, ...] = (),
     value_col: str | None = None,
     watermark: str | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window aggregate — a beyond-reference extension
-    (the reference CEP has NO event time, only arrival order — SURVEY C5).
+    """Event-time window aggregate — a beyond-reference extension (the
+    reference CEP has NO event time, only arrival order — SURVEY C5).
     Native Structured Streaming ``window()`` groupBy: state is one row per
     (window, keys); ``watermark`` bounds it for unbounded append-mode
     streams (late rows beyond the bound are dropped). Complete/update-mode
-    run-to-completion consumers can omit the watermark."""
+    run-to-completion consumers can omit the watermark.
+
+    ``slide`` < ``duration`` makes the windows overlapping (sliding): each
+    event lands in duration/slide windows — Spark expands that fan-out
+    before the aggregate, so state stays one row per (window, keys)."""
     w = sdf.withWatermark(ts_col, watermark) if watermark else sdf
     aggs = [F.count("*").alias("n_events")]
     if value_col:
@@ -194,7 +199,12 @@ def event_time_rollup(
             .cast("double")
             .alias("sum_value")
         )
-    return w.groupBy(F.window(F.col(ts_col), duration), *keys).agg(*aggs)
+    win = (
+        F.window(F.col(ts_col), duration, slide)
+        if slide
+        else F.window(F.col(ts_col), duration)
+    )
+    return w.groupBy(win, *keys).agg(*aggs)
 
 
 def sessionize(

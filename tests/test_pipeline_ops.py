@@ -2,6 +2,7 @@
 synthetic corpus doesn't exercise (e.g. long-diameter components)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -222,3 +223,29 @@ def test_sliding_window_dist_property(spark):
         assert [tuple(r) for r in dist] == [tuple(r) for r in single], (
             rows, n, parts,
         )
+
+
+def test_cms_exact_when_collision_free(spark):
+    """3 distinct values in 64 buckets × 4 depths: min-over-depth recovers
+    the exact counts, and the heavy-hitter threshold is applied correctly."""
+    from interference_spark.pipeline.sketch import cms_heavy_hitters
+
+    data = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(data, "v string").repartition(8)
+    # frac_den=2 → threshold 85/2: only "a" (50) qualifies
+    hh = {r["v"]: r["est_count"] for r in
+          cms_heavy_hitters(df, "v", width=64, depth=4, frac_den=2).collect()}
+    assert hh == {"a": 50}
+
+
+def test_cms_estimate_is_upper_bound(spark):
+    """Tiny width forces collisions; CMS must only ever over-estimate."""
+    from interference_spark.pipeline.sketch import cms_heavy_hitters
+
+    df = spark.range(0, 2000).selectExpr("CAST(id % 97 AS STRING) AS v")
+    est = {r["v"]: r["est_count"] for r in
+           cms_heavy_hitters(df, "v", width=8, depth=2, frac_den=10**6).collect()}
+    exact = {r["v"]: r["n"] for r in
+             df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)
