@@ -249,3 +249,24 @@ def test_cms_estimate_is_upper_bound(spark):
              df.groupBy("v").agg(F.count("*").alias("n")).collect()}
     assert set(est) == set(exact)
     assert all(est[v] >= exact[v] for v in exact)
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key into the same bucket count:
+    the merge join runs with no Exchange (shuffle) on either side."""
+    from interference_spark.pipeline.partitioning import write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS x")
+    b = spark.range(0, 500).selectExpr("id AS k", "id * 3 AS y")
+    try:
+        ta = write_bucketed(a, "t_buck_a", "k", 8, path=str(tmp_path / "a"))
+        tb = write_bucketed(b, "t_buck_b", "k", 8, path=str(tmp_path / "b"))
+        j = ta.join(tb.hint("merge"), "k")  # pin SMJ (no broadcast shortcut)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 500
+        got = {(r.k, r.x, r.y) for r in j.collect()}
+        assert got == {(i, 2 * i, 3 * i) for i in range(500)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_buck_a")
+        spark.sql("DROP TABLE IF EXISTS t_buck_b")
