@@ -1516,6 +1516,42 @@ def process_within_consume(spark, sf_dir):
     return e.table(name).select("event_id", "event_type")
 
 
+@query(
+    "process_stream_consume",
+    """SELECT event_id, event_type FROM events WHERE event_type <> 'error'""",
+)
+def process_stream_consume(spark, sf_dir):
+    """PROCESS STREAM t WITHIN ep WHERE ... (D12): continuous PROCESS over
+    the table's stream view — snapshot micro-batches visit matching rows via
+    the same distributed mapInPandas pass as batch PROCESS, consumed rows are
+    tombstoned per micro-batch (reference `sql/SQLCursor.java:339-430`
+    process-flag path). Run to completion on the snapshot, then return the
+    surviving table: events minus the consumed 'error' rows."""
+    e, name = _copy_events_managed(spark, sf_dir, "EvPStr")
+
+    def make():
+        class ConsumeErrors:
+            def process(self, row) -> bool:
+                return True
+
+            def delete(self) -> bool:
+                return True
+
+        return ConsumeErrors
+
+    e.register_processor("ConsumeErrors", make())
+    s = e.session()
+    h = s.execute(
+        f"process stream {name} e within ConsumeErrors "
+        f"where e.event_type = 'error'"
+    )
+    try:
+        h.process_all_available()
+    finally:
+        h.stop()
+    return e.table(name).select("event_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
