@@ -58,6 +58,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = inventory.QUERIES[name]
+        # collect garbage left by PRIOR queries (broadcasts, shuffle state)
+        # so each measurement isolates this query's own cost — in a 48g
+        # rarely-collected heap, deferred cleanup otherwise lands on
+        # whichever query runs last and inflates it ~3x
+        spark.sparkContext._jvm.System.gc()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm (JIT, code cache)
         best = float("inf")
         for _ in range(2):  # best-of-2: robust to transient host noise
@@ -67,8 +72,10 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     # ingest bench: @NoCheck blind-append path (reference: 100k obj/s)
+    spark.sparkContext._jvm.System.gc()
     timings["ingest_append_100k"] = round(_bench_ingest(spark), 4)
     # upsert bench: persist-by-@Id MERGE path (10k upserts onto 100k rows)
+    spark.sparkContext._jvm.System.gc()
     timings["ingest_upsert_10k"] = round(_bench_upsert(spark), 4)
 
     total = round(sum(timings.values()), 4)
