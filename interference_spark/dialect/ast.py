@@ -112,3 +112,22 @@ class Query:
     order_by: list[ColumnRef] = field(default_factory=list)
     window_by: Optional[WindowBy] = None
     within: Optional[str] = None       # PROCESS ... WITHIN <processor>
+    limit: Optional[int] = None        # EXTENSION: the reference has no
+    #                                    LIMIT token (SURVEY §2.6)
+
+
+@dataclass
+class SetQuery:
+    """UNION [ALL] / INTERSECT / EXCEPT chain — an EXTENSION: the reference
+    has no set operations at all (SURVEY §2.7; grep over sql/ confirms).
+    ANSI semantics: positional column matching, result names from the first
+    operand, INTERSECT binds tighter than UNION/EXCEPT, UNION/INTERSECT/
+    EXCEPT deduplicate, UNION ALL keeps duplicates."""
+
+    parts: list = field(default_factory=list)   # Query | SetQuery
+    ops: list[str] = field(default_factory=list)  # len(parts) - 1
+
+    # class-level flags so Session.execute dispatch treats a set chain
+    # exactly like a batch SELECT
+    kind: str = "SELECT"
+    stream: bool = False

@@ -20,13 +20,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..errors import InvalidCondition
+from ..errors import InvalidColumnDescription, InvalidCondition
 from .ast import (
     ColumnRef,
     ConditionGroup,
     JoinCondition,
     Query,
     SelectItem,
+    SetQuery,
     SubqueryCondition,
     ValueCondition,
 )
@@ -204,11 +205,38 @@ def _dtype_of(dfs: dict[str, DataFrame], ref: ColumnRef) -> T.DataType:
     raise KeyError(str(ref))  # pragma: no cover — parser validated
 
 
-def compile_query(engine, q: Query) -> DataFrame:
+def compile_query(engine, q) -> DataFrame:
     """Batch compilation. Streaming queries reuse this via
     :mod:`interference_spark.streaming` with streaming sources."""
+    if isinstance(q, SetQuery):
+        return _compile_setop(engine, q)
     dfs = {t.alias: engine.table(t.name).alias(t.alias) for t in q.tables}
     return compile_on(engine, q, dfs)
+
+
+def _compile_setop(engine, sq: SetQuery) -> DataFrame:
+    """ANSI set semantics over positionally-matched operands (extension;
+    SURVEY §2.7). Spark's union/intersect/subtract are all positional with
+    result names from the left side — exactly the ANSI rule. Each dedup
+    variant is one hash-aggregate shuffle; Catalyst plans INTERSECT/EXCEPT
+    as left-semi/anti joins, which broadcast when a side is small."""
+    out = compile_query(engine, sq.parts[0])
+    for op, part in zip(sq.ops, sq.parts[1:]):
+        df = compile_query(engine, part)
+        if len(df.columns) != len(out.columns):
+            raise InvalidColumnDescription(
+                f"set operation column count mismatch: "
+                f"{len(out.columns)} vs {len(df.columns)}"
+            )
+        if op == "UNION ALL":
+            out = out.union(df)
+        elif op == "UNION":
+            out = out.union(df).distinct()
+        elif op == "INTERSECT":
+            out = out.intersect(df)
+        else:  # EXCEPT
+            out = out.subtract(df)
+    return out
 
 
 def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
@@ -271,6 +299,10 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
             )
             names.append(match)
         out = out.orderBy(*[F.asc(n) for n in names])
+    if q.limit is not None:
+        # with ORDER BY Catalyst fuses this into TakeOrderedAndProject —
+        # a per-partition top-k + driver merge, never a global sort
+        out = out.limit(q.limit)
     return out
 
 

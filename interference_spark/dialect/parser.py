@@ -54,6 +54,7 @@ from .ast import (
     JoinCondition,
     Query,
     SelectItem,
+    SetQuery,
     SubqueryCondition,
     TableRef,
     ValueCondition,
@@ -64,8 +65,13 @@ MAX_NESTING = 64  # reference: TooManyNestedConditions
 
 # scan order is irrelevant; _CLAUSE_ORDER defines valid statement order:
 # PROCESS tbl WITHIN p WHERE …; SELECT … FROM … WHERE … GROUP/ORDER/WINDOW BY
-_CLAUSES = ["FROM", "WITHIN", "WHERE", "GROUP BY", "ORDER BY", "WINDOW BY"]
+# (LIMIT is an extension — the reference has no LIMIT token, SURVEY §2.6)
+_CLAUSES = ["FROM", "WITHIN", "WHERE", "GROUP BY", "ORDER BY", "WINDOW BY", "LIMIT"]
 _CLAUSE_ORDER = {c: i for i, c in enumerate(_CLAUSES)}
+
+# set-operation keywords (extension — SURVEY §2.7: the reference has none);
+# scanned at the top level of the whole statement, longest first
+_SET_OPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
 
 _NUM_RE = re.compile(r"^[+-]?\d+$")
 _DEC_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
@@ -142,6 +148,47 @@ def _scan_clauses(sql: str) -> list[tuple[str, int, int]]:
     return hits
 
 
+def _scan_setops(sql: str) -> list[tuple[str, int, int]]:
+    """Find top-level set-operation keywords outside quotes/brackets/parens
+    (same scan discipline as :func:`_scan_clauses`)."""
+    hits = []
+    depth_p = depth_b = 0
+    q: str | None = None
+    i, n = 0, len(sql)
+    up = sql.upper()
+    while i < n:
+        ch = sql[i]
+        if q:
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth_p += 1
+        elif ch == ")":
+            depth_p -= 1
+        elif ch == "[":
+            depth_b += 1
+        elif ch == "]":
+            depth_b -= 1
+        elif depth_p == 0 and depth_b == 0:
+            for kw in _SET_OPS:
+                k = kw.replace(" ", r"\s+")
+                m = re.match(rf"{k}(?![A-Za-z0-9_])", up[i:])
+                if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "._")):
+                    hits.append((kw, i, i + m.end()))
+                    i += m.end()
+                    break
+            else:
+                i += 1
+                continue
+            continue
+        i += 1
+    return hits
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on `sep` outside quotes/brackets/parens."""
     parts, buf = [], []
@@ -179,16 +226,62 @@ class Parser:
         self._date_fmt = _java_to_strptime(engine.date_format)
 
     # ------------------------------------------------------------------ API
-    def parse(self, sql: str) -> Query:
+    def parse(self, sql: str) -> Query | SetQuery:
         sql = sql.strip().rstrip(";").strip()
         if not sql:
             raise UnexpectedEndOfStatement("empty statement")
         up = sql.upper()
         if up.startswith("SELECT"):
+            setops = _scan_setops(sql)
+            if setops:
+                return self._parse_set_chain(sql, setops)
             return self._parse_select(sql, kind="SELECT")
         if up.startswith("PROCESS"):
             return self._parse_select(sql, kind="PROCESS")
         raise InvalidSQLStatement(sql[:80])
+
+    def _parse_set_chain(self, sql: str, hits: list[tuple[str, int, int]]) -> SetQuery:
+        """UNION [ALL] / INTERSECT / EXCEPT over SELECT bodies (extension;
+        SURVEY §2.7). Operands are plain batch SELECTs — STREAM, ORDER BY,
+        WINDOW BY and LIMIT are rejected inside a set chain (order the
+        combined result downstream instead). ANSI precedence: INTERSECT
+        binds tighter than UNION/EXCEPT; same-level ops associate left."""
+        bounds = [(None, 0, 0)] + hits + [(None, len(sql), len(sql))]
+        segments, ops = [], []
+        for idx in range(len(bounds) - 1):
+            seg = sql[bounds[idx][2]: bounds[idx + 1][1]].strip()
+            if not seg or not seg.upper().startswith("SELECT"):
+                raise InvalidSQLStatement(
+                    f"set operation operand must be a SELECT: {seg[:40]!r}"
+                )
+            segments.append(seg)
+            if idx < len(hits):
+                ops.append(hits[idx][0])
+        parts = []
+        for seg in segments:
+            q = self._parse_select(seg, kind="SELECT")
+            if q.stream:
+                raise InvalidSQLStatement("STREAM not allowed in set operations")
+            if q.order_by or q.window_by is not None or q.limit is not None:
+                raise InvalidSQLStatement(
+                    "ORDER BY / WINDOW BY / LIMIT not allowed inside a set "
+                    "operation operand"
+                )
+            parts.append(q)
+        # INTERSECT first (tighter binding), pairwise left-assoc collapse;
+        # what remains is a UNION/EXCEPT chain (also left-assoc, in compiler)
+        i = 0
+        while i < len(ops):
+            if ops[i] == "INTERSECT":
+                parts[i] = SetQuery(
+                    parts=[parts[i], parts.pop(i + 1)], ops=["INTERSECT"]
+                )
+                ops.pop(i)
+            else:
+                i += 1
+        if not ops:
+            return parts[0]
+        return SetQuery(parts=parts, ops=ops)
 
     # ------------------------------------------------------------- clauses
     def _parse_select(self, sql: str, kind: str) -> Query:
@@ -274,6 +367,13 @@ class Parser:
                 q.order_by.append(self._resolve_ref(c, InvalidOrderByPart))
         if "WINDOW BY" in spans:
             q.window_by = self._parse_window_by(spans["WINDOW BY"])
+        if "LIMIT" in spans:
+            lim = spans["LIMIT"].strip()
+            if not re.fullmatch(r"\d+", lim) or int(lim) <= 0:
+                raise InvalidSQLStatement(f"LIMIT requires a positive integer: {lim!r}")
+            if q.stream:
+                raise InvalidSQLStatement("LIMIT not supported on SELECT STREAM")
+            q.limit = int(lim)
 
         self._validate_group(q)
         return q

@@ -316,6 +316,58 @@ def dialect_or_conditions(spark, sf_dir):
     )
 
 
+@query(
+    "dialect_limit_topk",
+    """SELECT o_orderkey AS oo_orderkey, o_totalprice AS oo_totalprice
+       FROM orders WHERE o_orderstatus = 'O'
+       ORDER BY oo_orderkey LIMIT 10""",
+)
+def dialect_limit_topk(spark, sf_dir):
+    """LIMIT — dialect extension (the reference has no LIMIT/TOP-K token,
+    SURVEY §2.6). With the dialect's ascending ORDER BY, Catalyst executes
+    TakeOrderedAndProject: per-partition top-k + driver merge, no global
+    sort — the plan that survives 100 TB."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select o.o_orderkey, o.o_totalprice from orders o "
+        "where o.o_orderstatus = 'O' order by o.o_orderkey limit 10"
+    )
+
+
+@query(
+    "dialect_set_ops",
+    """SELECT n_name AS nn_name FROM nation WHERE n_regionkey = 0
+       UNION
+       SELECT n_name AS nn_name FROM nation WHERE n_regionkey = 1
+       INTERSECT
+       SELECT n_name AS nn_name FROM nation WHERE n_nationkey >= 10
+       EXCEPT
+       SELECT n_name AS nn_name FROM nation WHERE n_nationkey = 1""",
+)
+def dialect_set_ops(spark, sf_dir):
+    """UNION/INTERSECT/EXCEPT — dialect extension (the reference has no set
+    operations, SURVEY §2.7). ANSI semantics incl. precedence: INTERSECT
+    binds tighter, so this is (r0 ∪ (r1 ∩ key≥10)) − {key=1} in both
+    engines."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select n.n_name from nation n where n.n_regionkey = 0 "
+        "union select n.n_name from nation n where n.n_regionkey = 1 "
+        "intersect select n.n_name from nation n where n.n_nationkey >= 10 "
+        "except select n.n_name from nation n where n.n_nationkey = 1"
+    )
+
+
+@query(
+    "dialect_union_all",
+    """SELECT r_name AS rr_name FROM region
+       UNION ALL SELECT r_name AS rr_name FROM region""",
+)
+def dialect_union_all(spark, sf_dir):
+    """UNION ALL bag semantics (duplicates preserved — no dedup shuffle)."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select r.r_name from region r union all select r.r_name from region r"
+    )
+
+
 # =====================================================================
 # DataFrame-level OLAP — TPC-H-shaped plans at scale
 # =====================================================================

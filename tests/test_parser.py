@@ -212,3 +212,61 @@ def test_date_literal(engine):
     import datetime
 
     assert q.where.values == [datetime.datetime(2020, 1, 3)]
+
+
+# ------------------------- extensions: LIMIT + set operations (no reference
+# equivalent — SURVEY §2.6/§2.7; implemented for real with typed validation)
+
+def test_limit_parse(engine):
+    q = parse(engine, "select e.empName from Emp e order by e.empName limit 7")
+    assert q.limit == 7
+
+
+def test_limit_validation(engine):
+    for bad in (
+        "select e.empName from Emp e limit 0",
+        "select e.empName from Emp e limit -3",
+        "select e.empName from Emp e limit x",
+        "select stream e.empName from Emp e limit 3",
+    ):
+        with pytest.raises(errors.InvalidSQLStatement):
+            parse(engine, bad)
+
+
+def test_setop_parse_shapes(engine):
+    from interference_spark.dialect.ast import SetQuery
+
+    q = parse(
+        engine,
+        "select e.empName from Emp e union select d.deptName from Dept d",
+    )
+    assert isinstance(q, SetQuery) and q.ops == ["UNION"]
+    # INTERSECT binds tighter: a UNION b INTERSECT c → a ∪ (b ∩ c)
+    q2 = parse(
+        engine,
+        "select e.empName from Emp e union select d.deptName from Dept d "
+        "intersect select d.deptName from Dept d",
+    )
+    assert q2.ops == ["UNION"]
+    assert isinstance(q2.parts[1], SetQuery)
+    assert q2.parts[1].ops == ["INTERSECT"]
+
+
+def test_setop_validation(engine):
+    for bad in (
+        # ORDER BY inside an operand
+        "select e.empName from Emp e order by e.empName "
+        "union select d.deptName from Dept d",
+        # STREAM operand
+        "select stream e.empName from Emp e union select d.deptName from Dept d",
+        # non-SELECT operand
+        "select e.empName from Emp e union process Emp within P",
+    ):
+        with pytest.raises(errors.InvalidSQLStatement):
+            parse(engine, bad)
+
+
+def test_setop_in_bracket_list_not_split(engine):
+    # IN [ ... ] brackets shield keywords from the set-op scan
+    q = parse(engine, "select e.empName from Emp e where e.empName in ['UNION', 'x']")
+    assert not hasattr(q, "ops")
