@@ -1637,6 +1637,77 @@ def process_within_consume(spark, sf_dir):
 
 
 @query(
+    "text_repetition",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         FROM documents
+       ), wc AS (
+         SELECT doc_id, w, count(*) AS c
+         FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY doc_id, w
+       ), words AS (
+         SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+                max(c) AS top_c
+         FROM wc GROUP BY doc_id
+       ), bc AS (
+         SELECT doc_id, g, count(*) AS c
+         FROM (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+               FROM (SELECT doc_id, tk,
+                            unnest(generate_series(1, len(tk) - 1)) AS i
+                     FROM t) s) GROUP BY doc_id, g
+       ), bigrams AS (
+         SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct_bigrams
+         FROM bc GROUP BY doc_id
+       )
+       SELECT w.doc_id AS doc_id, CAST(w.n_words AS BIGINT) AS n_words,
+              (CAST(w.n_words AS DOUBLE) - CAST(w.n_distinct AS DOUBLE))
+                / CAST(w.n_words AS DOUBLE) AS dup_word_ratio,
+              CAST(w.top_c AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+                AS top_word_ratio,
+              (CAST(coalesce(b.n_bigrams, 0) AS DOUBLE)
+                 - CAST(coalesce(b.n_distinct_bigrams, 0) AS DOUBLE))
+                / CAST(CASE WHEN coalesce(b.n_bigrams, 0) = 0 THEN 1
+                            ELSE b.n_bigrams END AS DOUBLE) AS dup_bigram_ratio
+       FROM words w LEFT JOIN bigrams b USING (doc_id)""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition quality signals: duplicate-
+    word / top-word / duplicate-bigram ratios. Explode → (doc, token) →
+    doc two-level aggregate; both shuffles combiner-friendly."""
+    from .pipeline.text import repetition_features
+
+    e = engine_for(spark, sf_dir)
+    return repetition_features(e.table("documents"))
+
+
+@query(
+    "decontaminate_ngrams",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         FROM documents
+       ), g AS (
+         SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+         FROM (SELECT doc_id, tk,
+                      unnest(generate_series(1, len(tk) - 7)) AS i FROM t) s
+       )
+       SELECT DISTINCT doc_id FROM g
+       WHERE doc_id % 97 <> 0
+         AND g IN (SELECT g FROM g WHERE doc_id % 97 = 0)""",
+)
+def decontaminate_ngrams(spark, sf_dir):
+    """Test-set decontamination: candidate docs sharing any word 8-gram with
+    a held-out eval slice (here: doc_id % 97 = 0). Eval n-grams broadcast;
+    the corpus side joins map-only (left-semi) — the 100 TB side never
+    shuffles its text."""
+    from .pipeline.text import contaminated_doc_ids
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_doc_ids(cand, ev, n=8)
+
+
+@query(
     "process_stream_consume",
     """SELECT event_id, event_type FROM events WHERE event_type <> 'error'""",
 )

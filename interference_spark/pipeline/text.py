@@ -141,3 +141,93 @@ def hash_sample(
         10,
     ).cast("long")
     return df.filter(h < F.lit(int(rate * 4503599627370496.0)))
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """All word n-grams of a document as space-joined strings (empty array
+    when the document has fewer than n words — guarded explicitly because
+    Spark's ``sequence(1, 0)`` counts DOWN, not empty). Pure array
+    expressions — whole-stage codegen, no UDF."""
+    t = _tokens(text)
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    )
+
+
+def repetition_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    quality rules): duplicate-word ratio, most-frequent-word ratio, and
+    duplicate-bigram ratio.
+
+    Shape at scale: explode → two-level aggregate keyed by (doc, token) then
+    doc — both shuffles are combiner-friendly and keyed by doc_id, so a
+    100 TB corpus distributes evenly regardless of document sizes. All
+    ratios are exact-integer counts divided once at the end (deterministic
+    doubles, oracle-safe).
+    """
+    toks = df.select(id_col, F.explode(_tokens(F.col(text_col))).alias("w"))
+    wc = toks.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    words = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_count"),
+    )
+    bi = df.select(
+        id_col, F.explode(word_ngrams(F.col(text_col), 2)).alias("g")
+    )
+    bc = bi.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    bigrams = bc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+    )
+    nw = F.col("n_words").cast("double")
+    nb = F.when(F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0), F.lit(1)) \
+          .otherwise(F.col("n_bigrams")).cast("double")
+    return (
+        words.join(bigrams, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            ((nw - F.col("n_distinct_words").cast("double")) / nw)
+            .alias("dup_word_ratio"),
+            (F.col("top_word_count").cast("double") / nw).alias("top_word_ratio"),
+            (
+                (F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("double")
+                 - F.coalesce(F.col("n_distinct_bigrams"), F.lit(0)).cast("double"))
+                / nb
+            ).alias("dup_bigram_ratio"),
+        )
+    )
+
+
+def contaminated_doc_ids(
+    df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 8,
+) -> DataFrame:
+    """Test-set decontamination: ids of candidate documents sharing any word
+    n-gram with the held-out ``eval_df`` (the n-gram-overlap rule used to
+    scrub benchmarks from training corpora).
+
+    Shape at scale: the eval side is small by construction — its distinct
+    n-grams broadcast, so the corpus-side grams flow map-only into a
+    broadcast left-semi join and only matching doc_ids reach the final
+    distinct. The 100 TB side never shuffles its text.
+    """
+    grams = lambda d: d.select(  # noqa: E731
+        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    eval_grams = grams(eval_df).select("g").distinct()
+    return (
+        grams(df)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

@@ -270,3 +270,48 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_buck_a")
         spark.sql("DROP TABLE IF EXISTS t_buck_b")
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    # sequence(1, 0) counts DOWN in Spark — the explicit guard must yield
+    # an EMPTY gram list for docs shorter than n, not bogus slices
+    from interference_spark.pipeline.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a"), (4, "")], "id long, text string"
+    )
+    out = {r["id"]: r["g"] for r in
+           df.select("id", word_ngrams(F.col("text"), 3).alias("g")).collect()}
+    assert out[1] == ["a b c"]
+    assert out[2] == [] and out[3] == []
+
+
+def test_repetition_features_hand_case(spark):
+    from interference_spark.pipeline.text import repetition_features
+
+    # "x x y": words 3, distinct 2, top 2; bigrams: "x x","x y" → no dups
+    df = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    r = repetition_features(df).collect()[0]
+    assert r["n_words"] == 3
+    assert r["dup_word_ratio"] == pytest.approx(1 / 3)
+    assert r["top_word_ratio"] == pytest.approx(2 / 3)
+    assert r["dup_bigram_ratio"] == 0.0
+
+
+def test_contaminated_doc_ids(spark):
+    from interference_spark.pipeline.text import contaminated_doc_ids
+
+    ev = spark.createDataFrame(
+        [(100, "one two three four shared tail here ok")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "one two three four shared tail here ok plus extra"),  # hit
+            (2, "totally different words with no overlap at all hmm"),  # miss
+            (3, "short doc"),  # shorter than n → no grams → miss
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in contaminated_doc_ids(cand, ev, n=8).collect()}
+    assert got == {1}
