@@ -91,6 +91,18 @@ Condition = Union[ValueCondition, JoinCondition, SubqueryCondition, ConditionGro
 
 
 @dataclass
+class HavingCondition:
+    """One HAVING leaf: ``FUNC(col) op literal`` — an EXTENSION: the
+    reference defines an (unused) HAVING constant but no grammar or
+    execution (``sql/SQLSelect.java:52``; SURVEY §2.4 'Absent')."""
+
+    func: str                  # COUNT | SUM | AVG | MIN | MAX | LAST
+    ref: "ColumnRef" = None
+    op: str = "="              # = <> < > <= >=
+    values: list = field(default_factory=list)
+
+
+@dataclass
 class WindowBy:
     """WINDOW BY col INTERVAL = n — count-based sliding window
     (reference sql/SQLGroupContainer.java:120-158)."""
@@ -114,6 +126,9 @@ class Query:
     within: Optional[str] = None       # PROCESS ... WITHIN <processor>
     limit: Optional[int] = None        # EXTENSION: the reference has no
     #                                    LIMIT token (SURVEY §2.6)
+    having: Optional[object] = None    # EXTENSION: HavingCondition tree
+    #                                    (reference's HAVING is a dead
+    #                                    constant — SURVEY §2.4)
 
 
 @dataclass

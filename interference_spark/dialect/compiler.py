@@ -24,6 +24,7 @@ from ..errors import InvalidColumnDescription, InvalidCondition
 from .ast import (
     ColumnRef,
     ConditionGroup,
+    HavingCondition,
     JoinCondition,
     Query,
     SelectItem,
@@ -261,10 +262,17 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
             _agg_expr(i, _dtype_of(dfs, i.ref), engine).alias(i.out_name)
             for i in agg_items
         ]
+        extra, hfilter = ([], None)
+        if q.having is not None:
+            extra, hfilter = _having_exprs(q, dfs, engine)
         if q.group_by:
             gcols = [_col(g) for g in q.group_by]
-            out = out.groupBy(*gcols).agg(*aggs)
-            # project to select-list order / names
+            out = out.groupBy(*gcols).agg(*aggs, *extra)
+            if hfilter is not None:
+                # post-aggregate filter: runs AFTER partial+final agg, so
+                # only one group row per key is ever tested (never raw rows)
+                out = out.filter(hfilter)
+            # project to select-list order / names (drops __h* helper aggs)
             sel = []
             for i in q.items:
                 if i.is_agg:
@@ -273,7 +281,11 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
                     sel.append(F.col(i.ref.name).alias(i.out_name))
             out = out.select(*sel)
         else:
-            out = out.agg(*aggs)
+            out = out.agg(*aggs, *extra)
+            if hfilter is not None:
+                out = out.filter(hfilter)
+            if extra:
+                out = out.select(*[F.col(i.out_name) for i in agg_items])
     else:
         out = out.select(*[
             (
@@ -304,6 +316,55 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
         # a per-partition top-k + driver merge, never a global sort
         out = out.limit(q.limit)
     return out
+
+
+def _having_exprs(q: Query, dfs, engine):
+    """HAVING support (extension; ast.HavingCondition): each leaf maps to a
+    select-list aggregate when one matches (same func + column), else to a
+    hidden ``__h<k>`` aggregate computed in the same single agg pass —
+    HAVING never adds a second shuffle. Returns (extra_agg_cols, filter)."""
+    leaves: list[HavingCondition] = []
+
+    def walk(c):
+        if isinstance(c, ConditionGroup):
+            for ch in c.children:
+                walk(ch)
+        else:
+            leaves.append(c)
+
+    walk(q.having)
+    names: dict[int, str] = {}
+    extra = []
+    for k, leaf in enumerate(leaves):
+        match = next(
+            (
+                i for i in q.items
+                if i.is_agg and i.func == leaf.func
+                and i.ref.alias == leaf.ref.alias and i.ref.name == leaf.ref.name
+            ),
+            None,
+        )
+        if match is not None:
+            names[id(leaf)] = match.out_name
+        else:
+            name = f"__h{k}"
+            item = SelectItem(ref=leaf.ref, func=leaf.func, out_name=name)
+            extra.append(_agg_expr(item, _dtype_of(dfs, leaf.ref), engine).alias(name))
+            names[id(leaf)] = name
+
+    def expr(c) -> Column:
+        if isinstance(c, ConditionGroup):
+            parts = [expr(ch) for ch in c.children]
+            op = (lambda a, b: a & b) if c.connective != "OR" else (lambda a, b: a | b)
+            return functools.reduce(op, parts)
+        col = F.col(names[id(c)])
+        v = F.lit(c.values[0])
+        return {
+            "=": col == v, "<>": col != v, "<": col < v,
+            ">": col > v, "<=": col <= v, ">=": col >= v,
+        }[c.op]
+
+    return extra, expr(q.having)
 
 
 def _compile_window_by(q: Query, joined: DataFrame) -> DataFrame:

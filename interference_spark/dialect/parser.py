@@ -51,6 +51,7 @@ from .ast import (
     SCALAR_FUNCS,
     ColumnRef,
     ConditionGroup,
+    HavingCondition,
     JoinCondition,
     Query,
     SelectItem,
@@ -65,8 +66,10 @@ MAX_NESTING = 64  # reference: TooManyNestedConditions
 
 # scan order is irrelevant; _CLAUSE_ORDER defines valid statement order:
 # PROCESS tbl WITHIN p WHERE …; SELECT … FROM … WHERE … GROUP/ORDER/WINDOW BY
-# (LIMIT is an extension — the reference has no LIMIT token, SURVEY §2.6)
-_CLAUSES = ["FROM", "WITHIN", "WHERE", "GROUP BY", "ORDER BY", "WINDOW BY", "LIMIT"]
+# (HAVING and LIMIT are extensions — the reference has neither: HAVING is a
+# dead constant, LIMIT has no token at all; SURVEY §2.4/§2.6)
+_CLAUSES = ["FROM", "WITHIN", "WHERE", "GROUP BY", "HAVING",
+            "ORDER BY", "WINDOW BY", "LIMIT"]
 _CLAUSE_ORDER = {c: i for i, c in enumerate(_CLAUSES)}
 
 # set-operation keywords (extension — SURVEY §2.7: the reference has none);
@@ -307,7 +310,7 @@ class Parser:
                 raise InvalidSQLStatement(f"duplicate clause {kw}")
             seen.append(kw)
         kw_set = set(seen)
-        if "WINDOW BY" in kw_set and ({"GROUP BY", "ORDER BY"} & kw_set):
+        if "WINDOW BY" in kw_set and ({"GROUP BY", "ORDER BY", "HAVING"} & kw_set):
             raise InvalidWindowByPart("WINDOW BY is mutually exclusive with GROUP/ORDER BY")
         if kind == "SELECT" and "FROM" not in kw_set:
             raise MissingFromClause(sql[:80])
@@ -357,6 +360,17 @@ class Parser:
         if "GROUP BY" in spans:
             q.group_by = [self._resolve_ref(c.strip(), InvalidGroupColumnSet)
                           for c in _split_top(spans["GROUP BY"])]
+        if "HAVING" in spans:
+            if q.stream:
+                raise InvalidSQLStatement("HAVING not supported on SELECT STREAM")
+            if not any(i.is_agg for i in q.items):
+                raise InvalidSQLStatement(
+                    "HAVING requires group functions in the select list"
+                )
+            h = spans["HAVING"].strip()
+            if not h:
+                raise UnexpectedEndOfStatement("empty HAVING")
+            q.having = self._parse_having_group(h, depth=0)
         if "ORDER BY" in spans:
             q.order_by = []
             for c in _split_top(spans["ORDER BY"]):
@@ -665,6 +679,60 @@ class Parser:
         if interval <= 0:
             raise InvalidWindowByPart(src)
         return WindowBy(ref=ref, interval=interval)
+
+    # -------------------------------------------------------------- HAVING
+    _HAVING_RE = re.compile(
+        r"^\s*(?P<func>[A-Za-z_]+)\s*\((?P<inner>[^()]*)\)\s*"
+        r"(?P<op>>=|<=|<>|!=|=|<|>)\s*(?P<rhs>.+)$",
+        re.S,
+    )
+
+    def _parse_having_group(self, src: str, depth: int):
+        """HAVING condition tree (extension; see ast.HavingCondition): the
+        WHERE grammar's nesting rules, with leaves ``FUNC(col) op literal``."""
+        if depth > MAX_NESTING:
+            raise TooManyNestedConditions(str(depth))
+        terms, connective = self._split_terms(src)
+        children = []
+        for t in terms:
+            t = t.strip()
+            if not t:
+                raise InvalidCondition("empty HAVING term")
+            if t.startswith("("):
+                if not t.endswith(")"):
+                    raise MissingRightParenthesis(t)
+                children.append(self._parse_having_group(t[1:-1], depth + 1))
+            else:
+                children.append(self._parse_having_simple(t))
+        if len(children) == 1 and connective is None:
+            return children[0]
+        return ConditionGroup(connective=connective, children=children)
+
+    def _parse_having_simple(self, src: str) -> HavingCondition:
+        m = self._HAVING_RE.match(src)
+        if not m:
+            raise InvalidCondition(f"HAVING expects FUNC(col) op literal: {src!r}")
+        func = m.group("func").upper()
+        if func not in FUNCS:
+            raise InvalidCondition(f"unknown group function in HAVING: {src!r}")
+        ref = self._resolve_ref(m.group("inner"), InvalidCondition)
+        op = m.group("op")
+        if op == "!=":
+            op = "<>"
+        # literal typed by the aggregate's RESULT type, not the column's
+        ctype = self._ref_type(ref)
+        if func == "COUNT":
+            ltype: T.DataType = T.LongType()
+        elif func == "SUM":
+            ltype = T.LongType() if isinstance(ctype, _INT_TYPES) else T.DoubleType()
+        elif func in ("AVG", "LAST"):
+            ltype = T.DoubleType()
+        else:  # MIN / MAX keep the column type
+            ltype = ctype
+        v = self._parse_literal(m.group("rhs").strip(), ltype, src)
+        if op in ("<", ">", "<=", ">=") and isinstance(ltype, T.StringType):
+            raise InvalidCondition(f"ordering comparison on string aggregate: {src!r}")
+        return HavingCondition(func=func, ref=ref, op=op, values=[v])
 
     # ------------------------------------------------------ group validate
     def _validate_group(self, q: Query) -> None:

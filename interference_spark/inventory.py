@@ -317,6 +317,26 @@ def dialect_or_conditions(spark, sf_dir):
 
 
 @query(
+    "dialect_having",
+    """SELECT count(l_orderkey) AS cnt, sum(l_quantity) AS sum_qty,
+              l_returnflag AS ll_returnflag
+       FROM lineitem GROUP BY l_returnflag
+       HAVING count(l_orderkey) > 100 AND max(l_extendedprice) >= 900.0""",
+)
+def dialect_having(spark, sf_dir):
+    """HAVING — dialect extension (the reference's HAVING is a dead
+    constant, SURVEY §2.4). The max() predicate references a NON-selected
+    aggregate: it compiles into a hidden aggregate in the same single agg
+    pass (one shuffle), filtered post-aggregate and dropped from the
+    projection."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select count(l.l_orderkey) cnt, sum(l.l_quantity) sum_qty, "
+        "l.l_returnflag from lineitem l group by l.l_returnflag "
+        "having count(l.l_orderkey) > 100 and max(l.l_extendedprice) >= 900.0"
+    )
+
+
+@query(
     "dialect_limit_topk",
     """SELECT o_orderkey AS oo_orderkey, o_totalprice AS oo_totalprice
        FROM orders WHERE o_orderstatus = 'O'

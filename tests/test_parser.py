@@ -270,3 +270,35 @@ def test_setop_in_bracket_list_not_split(engine):
     # IN [ ... ] brackets shield keywords from the set-op scan
     q = parse(engine, "select e.empName from Emp e where e.empName in ['UNION', 'x']")
     assert not hasattr(q, "ops")
+
+
+def test_having_parse(engine):
+    from interference_spark.dialect.ast import HavingCondition
+
+    q = parse(
+        engine,
+        "select count(e.empId) c, e.deptId from Emp e group by e.deptId "
+        "having sum(e.salary) >= 100 and count(e.empId) <> 2",
+    )
+    assert q.having.connective == "AND"
+    leaves = q.having.children
+    assert all(isinstance(h, HavingCondition) for h in leaves)
+    assert leaves[0].func == "SUM" and leaves[0].op == ">="
+    assert leaves[1].func == "COUNT" and leaves[1].values == [2]
+
+
+def test_having_validation(engine):
+    for bad, err in (
+        # no aggregates in select list
+        ("select e.empName from Emp e having count(e.empId) > 1",
+         errors.InvalidSQLStatement),
+        # bare column leaf
+        ("select count(e.empId) c from Emp e having e.empId > 1",
+         errors.InvalidCondition),
+        # HAVING before GROUP BY violates clause order
+        ("select count(e.empId) c, e.deptId from Emp e "
+         "having count(e.empId) > 1 group by e.deptId",
+         errors.InvalidSQLStatement),
+    ):
+        with pytest.raises(err):
+            parse(engine, bad)
