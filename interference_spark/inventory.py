@@ -1728,6 +1728,37 @@ def decontaminate_ngrams(spark, sf_dir):
 
 
 @query(
+    "corpus_token_stats",
+    """WITH tc AS (
+         SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc
+         FROM documents
+       ), h AS (
+         SELECT tc, count(*) AS c FROM tc GROUP BY tc
+       ), cum AS (
+         SELECT tc, sum(c) OVER (ORDER BY tc) AS cum FROM h
+       ), n AS (
+         SELECT count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS total_tokens
+         FROM tc
+       )
+       SELECT n.n_docs AS n_docs, n.total_tokens AS total_tokens,
+              (SELECT min(tc) FROM cum WHERE cum >= ceil(0.5 * n.n_docs)) AS p50,
+              (SELECT min(tc) FROM cum WHERE cum >= ceil(0.9 * n.n_docs)) AS p90,
+              (SELECT min(tc) FROM cum WHERE cum >= ceil(0.99 * n.n_docs)) AS p99
+       FROM n""",
+)
+def corpus_token_stats(spark, sf_dir):
+    """Token-budget accounting: doc count, total tokens, EXACT discrete
+    token-count percentiles. Histogram-cumulation two-pass — the windowed
+    stage runs over the (token_count → doc_count) histogram, bounded by
+    distinct counts, never the corpus: no 100 TB single-task sort."""
+    from .pipeline.text import token_count_stats
+
+    e = engine_for(spark, sf_dir)
+    return token_count_stats(e.table("documents"))
+
+
+@query(
     "process_stream_consume",
     """SELECT event_id, event_type FROM events WHERE event_type <> 'error'""",
 )

@@ -231,3 +231,41 @@ def contaminated_doc_ids(
         .select(id_col)
         .distinct()
     )
+
+
+def token_count_stats(
+    df: DataFrame, text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Corpus token-budget statistics: doc count, total tokens, and EXACT
+    token-count percentiles (discrete: smallest value whose cumulative count
+    reaches ceil(p·n)) as one row.
+
+    Scalable exact percentiles without sorting the corpus: aggregate to a
+    (token_count, doc_count) histogram first — its size is bounded by the
+    number of DISTINCT per-doc token counts, not by corpus size — then take
+    a running sum over the tiny histogram. The only windowed stage runs over
+    the histogram, never the raw rows, so there is no corpus-wide
+    single-task sort at 100 TB. Integer counts end-to-end → deterministic,
+    oracle-safe (the ceil(p·n) rank is the same IEEE double in any engine).
+    """
+    from pyspark.sql import Window
+
+    tc = df.select(token_count(F.col(text_col)).alias("tc"))
+    hist = tc.groupBy("tc").agg(F.count("*").alias("c"))
+    totals = tc.agg(
+        F.count("*").alias("n_docs"), F.sum("tc").alias("total_tokens")
+    )
+    # histogram-sized window: fine as a single task BY CONSTRUCTION
+    w = Window.orderBy("tc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    joined = cum.crossJoin(F.broadcast(totals))
+    aggs = [F.first("n_docs").alias("n_docs"),
+            F.first("total_tokens").alias("total_tokens")]
+    for p in percentiles:
+        name = f"p{round(p * 100)}"
+        rank = F.ceil(F.lit(p) * F.col("n_docs"))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("tc"))).alias(name)
+        )
+    return joined.agg(*aggs)
