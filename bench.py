@@ -39,6 +39,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
+    "text_repetition",
+    "decontaminate_ngrams",
+    "corpus_token_stats",
     "sim_cosine_topk",
     "mm_feature_extract",
 ]

@@ -147,18 +147,29 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """All word n-grams of a document as space-joined strings (empty array
-    when the document has fewer than n words — guarded explicitly because
-    Spark's ``sequence(1, 0)`` counts DOWN, not empty). Pure array
-    expressions — whole-stage codegen, no UDF."""
-    t = _tokens(text)
+def ngrams_from_tokens(t: Column, n: int) -> Column:
+    """All n-grams of a token ARRAY as space-joined strings (empty array
+    when fewer than n tokens — guarded explicitly because Spark's
+    ``sequence(1, 0)`` counts DOWN, not empty). Pure array expressions —
+    whole-stage codegen, no UDF.
+
+    PERF: ``t`` must be a bound column (pre-projected), not an inline
+    ``split(...)`` expression — expressions are NOT common-subexpression-
+    eliminated inside higher-order-function lambdas, so an inline split
+    re-tokenizes the document for every slice: O(words²) per row, measured
+    9× slower at sf0.1."""
     return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (n - 1)),
             lambda i: F.array_join(F.slice(t, i, n), " "),
         )
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Convenience wrapper over raw text; hot paths should project the
+    token array once and call :func:`ngrams_from_tokens` (see PERF note)."""
+    return ngrams_from_tokens(_tokens(text), n)
 
 
 def repetition_features(df: DataFrame, id_col: str = "doc_id",
@@ -173,15 +184,16 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
     ratios are exact-integer counts divided once at the end (deterministic
     doubles, oracle-safe).
     """
-    toks = df.select(id_col, F.explode(_tokens(F.col(text_col))).alias("w"))
+    base = df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
+    toks = base.select(id_col, F.explode("__t").alias("w"))
     wc = toks.groupBy(id_col, "w").agg(F.count("*").alias("c"))
     words = wc.groupBy(id_col).agg(
         F.sum("c").alias("n_words"),
         F.count("*").alias("n_distinct_words"),
         F.max("c").alias("top_word_count"),
     )
-    bi = df.select(
-        id_col, F.explode(word_ngrams(F.col(text_col), 2)).alias("g")
+    bi = base.select(
+        id_col, F.explode(ngrams_from_tokens(F.col("__t"), 2)).alias("g")
     )
     bc = bi.groupBy(id_col, "g").agg(F.count("*").alias("c"))
     bigrams = bc.groupBy(id_col).agg(
@@ -222,8 +234,8 @@ def contaminated_doc_ids(
     distinct. The 100 TB side never shuffles its text.
     """
     grams = lambda d: d.select(  # noqa: E731
-        id_col, F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-    )
+        id_col, _tokens(F.col(text_col)).alias("__t")
+    ).select(id_col, F.explode(ngrams_from_tokens(F.col("__t"), n)).alias("g"))
     eval_grams = grams(eval_df).select("g").distinct()
     return (
         grams(df)
