@@ -361,14 +361,18 @@ def embedding_neardup_pairs(
     planes_lit = F.array(*[
         F.array(*[F.lit(v) for v in row]) for row in hyper_rows
     ])
+    # pre-project the cast vector: expressions are not CSE'd inside
+    # higher-order-function lambdas, so an inline cast-transform would be
+    # re-evaluated once per plane (see text.ngrams_from_tokens PERF note)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pre = df.select(F.col(id_col), vec_d.alias("__e"))
     # bucket = concatenated sign bits of the hyperplane projections
     bucket = F.array_join(
         F.transform(
             planes_lit,
             lambda plane: F.when(
                 F.aggregate(
-                    F.zip_with(plane, vec_d, lambda p, v: p * v),
+                    F.zip_with(plane, F.col("__e"), lambda p, v: p * v),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
@@ -378,9 +382,7 @@ def embedding_neardup_pairs(
         ),
         "",
     )
-    bucketed = df.select(
-        F.col(id_col), vec_d.alias("__e"), bucket.alias("bucket")
-    )
+    bucketed = pre.select(F.col(id_col), F.col("__e"), bucket.alias("bucket"))
 
     l = bucketed.select(
         F.col(id_col).alias("id_a"), F.col("__e").alias("ea"), "bucket"
