@@ -1563,6 +1563,34 @@ def stream_snapshot_filter(spark, sf_dir):
 
 
 @query(
+    "stream_enrich_join",
+    """SELECT e.event_id AS eevent_id, e.user_id AS euser_id,
+              c.c_name AS cc_name
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       WHERE e.event_type = 'purchase'""",
+)
+def stream_enrich_join(spark, sf_dir):
+    """Stream-static dimension join (EXTENSION over the reference's
+    single-table streams, SURVEY §2.10): the customer dim is the static
+    broadcast side, the event stream flows through the equi-join per
+    micro-batch — the standard enrich-the-stream pattern."""
+    e, name = _copy_events_managed(spark, sf_dir, "EvJoin")
+    s = e.session()
+    sq = s.execute(
+        f"select stream e.event_id, e.user_id, c.c_name from {name} e, customer c "
+        f"where e.user_id = c.c_custkey and e.event_type = 'purchase'"
+    )
+    try:
+        rows = sq.drain_available()
+    finally:
+        sq.stop()
+    return spark.createDataFrame(
+        [(r["eevent_id"], r["euser_id"], r["cc_name"]) for r in rows],
+        "eevent_id long, euser_id long, cc_name string",
+    )
+
+
+@query(
     "stream_tumbling_keychange",
     """WITH o AS (
          SELECT event_id, event_type, user_id,

@@ -35,8 +35,13 @@ def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
     same id RESUMES after already-delivered rows instead of replaying the
     snapshot — the analogue of the reference's per-session resume position
     (``Session.streamFramePtr``, ``persistent/Session.java:694-700``)."""
-    if len(q.tables) != 1:
-        raise InvalidParameter("SELECT STREAM works on a single table")
+    # EXTENSION over the reference (single-table streams only, SURVEY
+    # §2.10 C1): additional FROM tables become STATIC dimension sides of a
+    # stream-static join — the batch side is re-read per micro-batch and
+    # broadcast by Catalyst when small, the standard enrich-the-stream
+    # pattern. Streaming aggregation stays single-table.
+    if len(q.tables) != 1 and (q.group_by or q.window_by is not None):
+        raise InvalidParameter("stream aggregation works on a single table")
     engine = session.engine
     td = engine.catalog.get(q.tables[0].name)
     if not td.managed:
@@ -111,7 +116,10 @@ def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
                 out = out.select(*sel)
             order_col = None
     else:
-        out = compile_on(engine, q, {alias: source.alias(alias)})
+        dfs = {alias: source.alias(alias)}
+        for t in q.tables[1:]:
+            dfs[t.alias] = engine.table(t.name).alias(t.alias)
+        out = compile_on(engine, q, dfs)
         order_col = td.id_col
         # keep the id visible for ordering if projected away? No: order
         # within foreachBatch needs the column — re-attach when absent.

@@ -157,3 +157,33 @@ def test_stream_resume_by_stream_id(session, engine, stream_table):
         assert [r["eeventId"] for r in sq2.drain_available()] == [6, 7, 8, 9]
     finally:
         sq2.stop()
+
+
+def test_stream_static_join_enriches_tail(engine, session, stream_table):
+    """EXTENSION (SURVEY §2.10): stream-static dimension join — both the
+    snapshot and later commits get enriched against the static side."""
+    import uuid
+
+    dim = f"Dim{uuid.uuid4().hex[:8]}"
+    engine.register_table(
+        dim, "typeId long, typeName string", id_col="typeId", nocheck=True
+    )
+    session.persist(dim, [{"typeId": i, "typeName": f"t{i}"} for i in range(3)])
+    session.commit()
+    session.persist(stream_table, _rows(3))
+    session.commit()
+    sq = session.execute(
+        f"select stream e.eventId, t.typeName from {stream_table} e, {dim} t "
+        f"where e.eventType = t.typeId"
+    )
+    try:
+        rows = sq.drain_available()
+        assert len(rows) == 3
+        assert {r["ttypeName"] for r in rows} == {"t0", "t1", "t2"}
+        session.persist(stream_table, _rows(3, start=3))
+        session.commit()
+        rows2 = sq.drain_available()
+        assert len(rows2) == 3
+    finally:
+        sq.stop()
+    engine.drop_table(dim)
