@@ -1756,6 +1756,42 @@ def decontaminate_ngrams(spark, sf_dir):
 
 
 @query(
+    "source_csv_agg",
+    """SELECT count(event_id) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid,
+              event_type AS eevent_type
+       FROM events GROUP BY event_type""",
+)
+def source_csv_agg(spark, sf_dir):
+    """S11 connector breadth, end-to-end: events round-trip through a CSV
+    copy registered via ``Engine.register_external`` (explicit schema — no
+    inference pass), then a dialect GROUP BY runs over the CSV source. The
+    reference reads only its own frame files; Spark gives csv/json/orc/text
+    for free."""
+    import os
+    import uuid
+
+    e = engine_for(spark, sf_dir)
+    name = f"EvCsv_{uuid.uuid4().hex[:8]}"
+    path = os.path.join(e.warehouse, f"csv_{uuid.uuid4().hex[:8]}")
+    (
+        e.table("events")
+        .select("event_id", "event_type", "user_id")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    e.register_external(
+        name, path, format="csv",
+        schema="event_id long, event_type string, user_id long",
+        header="true",
+    )
+    return e.session().execute(
+        f"select count(e.event_id) cnt, sum(e.user_id) sum_uid, e.event_type "
+        f"from {name} e group by e.event_type"
+    )
+
+
+@query(
     "corpus_token_stats",
     """WITH tc AS (
          SELECT CASE WHEN length(trim(text)) = 0 THEN 0
