@@ -336,22 +336,18 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------------ embedding cosine
-def embedding_neardup_pairs(
+def hyperplane_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.9,
     planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate vector pairs: random-hyperplane LSH bucket (one
-    shuffle on an 8-char sign string), then exact cosine verification of
-    same-bucket candidates with an order-free decimal accumulation chain —
-    bit-identical on any partitioning AND reproducible by the DuckDB oracle
-    (a numpy-matmul verify would differ in low float bits per BLAS
-    summation order). Candidate volume is bounded by bucket sizes, never
-    O(n^2)."""
+    """(id, __e double-vector, bucket sign-string) via random-hyperplane
+    LSH — the shared bucketing step of near-dup pairing and bucketed ANN.
+    Plane constants are seeded numpy normals inlined as literals, so the
+    DuckDB oracle reproduces buckets bit for bit."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
@@ -382,7 +378,45 @@ def embedding_neardup_pairs(
         ),
         "",
     )
-    bucketed = pre.select(F.col(id_col), F.col("__e"), bucket.alias("bucket"))
+    return pre.select(F.col(id_col), F.col("__e"), bucket.alias("bucket"))
+
+
+def quantized_cosine_sums(x: F.Column, y: F.Column) -> list[F.Column]:
+    """The three aggregate halves of the engine-reproducible cosine:
+    per-position products quantized with floor(p·1e14) into BIGINT sums
+    (floor has no tie-breaking, integer sums are exact on any
+    partitioning). Combine with :func:`quantized_cosine_value`."""
+    q = F.lit(1e14)
+    return [
+        F.sum(F.floor((x * y) * q)).alias("dot_d"),
+        F.sum(F.floor((x * x) * q)).alias("na"),
+        F.sum(F.floor((y * y) * q)).alias("nb"),
+    ]
+
+
+def quantized_cosine_value() -> F.Column:
+    return F.col("dot_d").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs: random-hyperplane LSH bucket (one
+    shuffle on an 8-char sign string), then exact cosine verification of
+    same-bucket candidates with an order-free decimal accumulation chain —
+    bit-identical on any partitioning AND reproducible by the DuckDB oracle
+    (a numpy-matmul verify would differ in low float bits per BLAS
+    summation order). Candidate volume is bounded by bucket sizes, never
+    O(n^2)."""
+    bucketed = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim)
 
     l = bucketed.select(
         F.col(id_col).alias("id_a"), F.col("__e").alias("ea"), "bucket"

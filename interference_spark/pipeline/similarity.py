@@ -208,3 +208,58 @@ def ivf_search(
     probe_ids = [cid for cid, _ in ranked[:nprobe]]
     cand = assigned.filter(F.col("centroid").isin(probe_ids))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_filter,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Bucketed ANN: top-k by cosine among vectors sharing each query's
+    random-hyperplane bucket (the scale path next to brute-force cosine —
+    candidates per query are bounded by bucket size, never O(n)).
+
+    ``query_filter(col(id_col))`` splits queries from candidates. One
+    shuffle on the sign-string bucket; scoring uses the quantized-BIGINT
+    cosine (engine-reproducible); ranking is a window PARTITIONED BY query
+    id — parallel across queries, no global sort.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import (
+        hyperplane_buckets,
+        quantized_cosine_sums,
+        quantized_cosine_value,
+    )
+
+    b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim)
+    qs = b.filter(query_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), F.col("__e").alias("eq"), "bucket"
+    )
+    cs = b.filter(~query_filter(F.col(id_col))).select(
+        F.col(id_col).alias("cand_id"), F.col("__e").alias("ec"), "bucket"
+    )
+    zipped = F.zip_with(
+        F.col("eq"), F.col("ec"),
+        lambda x, y: F.named_struct(F.lit("x"), x, F.lit("y"), y),
+    )
+    expl = qs.join(cs, "bucket").select(
+        "query_id", "cand_id", F.explode(zipped).alias("v")
+    )
+    sums = expl.groupBy("query_id", "cand_id").agg(
+        *quantized_cosine_sums(F.col("v.x"), F.col("v.y"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        sums.withColumn("cosine", quantized_cosine_value())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine")
+    )
