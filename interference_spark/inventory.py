@@ -576,6 +576,25 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "rollup_pricing_subtotals",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+              sum(l_quantity) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def rollup_pricing_subtotals(spark, sf_dir):
+    """GROUP BY ROLLUP — absent in the reference (SURVEY §2.4 'Absent:
+    grouping sets / cube / rollup'), free on Spark: hierarchical subtotals
+    (flag+status, per-flag, grand total) in ONE partial+final aggregate
+    pass — Expand feeds the same hash aggregate, no extra scan per level."""
+    e = engine_for(spark, sf_dir)
+    return (
+        e.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
     "asof_join_events",
     """WITH p AS (
          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -1655,6 +1674,31 @@ def stream_enrich_join(spark, sf_dir):
     return spark.createDataFrame(
         [(r["eevent_id"], r["euser_id"], r["cc_name"]) for r in rows],
         "eevent_id long, euser_id long, cc_name string",
+    )
+
+
+@query(
+    "stream_distinct",
+    """SELECT DISTINCT user_id AS euser_id, event_type AS eevent_type
+       FROM events""",
+)
+def stream_distinct(spark, sf_dir):
+    """SELECT STREAM DISTINCT: stateful dropDuplicates — each (user, type)
+    combination emitted on first occurrence, deduped across micro-batches
+    via the state store (the reference parses DISTINCT but never executes
+    it; we implement it on streams too)."""
+    e, name = _copy_events_managed(spark, sf_dir, "EvDist")
+    s = e.session()
+    sq = s.execute(
+        f"select stream distinct e.user_id, e.event_type from {name} e"
+    )
+    try:
+        rows = sq.drain_available()
+    finally:
+        sq.stop()
+    return spark.createDataFrame(
+        [(r["euser_id"], r["eevent_type"]) for r in rows],
+        "euser_id long, eevent_type string",
     )
 
 

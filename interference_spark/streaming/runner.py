@@ -119,7 +119,19 @@ def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
         dfs = {alias: source.alias(alias)}
         for t in q.tables[1:]:
             dfs[t.alias] = engine.table(t.name).alias(t.alias)
+        # SELECT STREAM DISTINCT: batch distinct() is an aggregate —
+        # unsupported on append-mode streams — so compile without the flag
+        # and apply stateful dropDuplicates instead: each projected row
+        # combination is emitted on FIRST occurrence, deduped across
+        # micro-batches via the state store. (The reference parses DISTINCT
+        # but never executes it — sql/SQLSelect.java:169-171; we implement
+        # it for streams too.)
+        distinct_stream = q.distinct
+        if distinct_stream:
+            q.distinct = False
         out = compile_on(engine, q, dfs)
+        if distinct_stream:
+            out = out.dropDuplicates()
         order_col = td.id_col
         # keep the id visible for ordering if projected away? No: order
         # within foreachBatch needs the column — re-attach when absent.

@@ -187,3 +187,21 @@ def test_stream_static_join_enriches_tail(engine, session, stream_table):
     finally:
         sq.stop()
     engine.drop_table(dim)
+
+
+def test_stream_distinct_dedups_across_commits(engine, session, stream_table):
+    """SELECT STREAM DISTINCT keeps dedup STATE across micro-batches: a
+    later commit with already-seen combinations emits nothing."""
+    session.persist(stream_table, _rows(3))  # eventTypes 0,1,2
+    session.commit()
+    sq = session.execute(
+        f"select stream distinct e.eventType from {stream_table} e"
+    )
+    try:
+        rows = sq.drain_available()
+        assert {r["eeventType"] for r in rows} == {0, 1, 2}
+        session.persist(stream_table, _rows(3, start=3))  # same types again
+        session.commit()
+        assert sq.drain_available() == []
+    finally:
+        sq.stop()
