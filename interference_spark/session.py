@@ -186,6 +186,21 @@ class Session:
         sys_result = self._execute_system(sql)
         if sys_result is not None:
             return sys_result
+        stripped = sql.strip()
+        if stripped[:8].upper() == "EXPLAIN ":
+            # EXTENSION: the reference has no EXPLAIN; we expose Catalyst's
+            # formatted physical plan for any batch statement — the tool
+            # this repo's own scale audits are built on (SCALE.md).
+            inner = stripped[8:]
+            q = parse(self.engine, inner)
+            if getattr(q, "stream", False) or getattr(q, "kind", "") == "PROCESS":
+                raise InvalidParameter("EXPLAIN supports batch SELECT only")
+            df = compile_query(self.engine, q)
+            return df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
         q = parse(self.engine, sql)
         if q.kind == "PROCESS":
             from .dml.process import run_process

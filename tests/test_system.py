@@ -65,3 +65,19 @@ def test_content_queue_drains_in_id_order(session):
     session.commit()
     ids = [r.id for r in session.content_queue("t")]
     assert ids == [1, 2, 3]
+
+
+def test_explain_statement(session):
+    """EXPLAIN (extension): formatted Catalyst physical plan for batch SQL;
+    streams/PROCESS rejected."""
+    import pytest
+
+    from interference_spark import errors
+
+    session.persist("t", {"id": 1, "v": "a"})
+    session.commit()
+    plan = session.execute("explain select t.id, t.v from t t where t.id = 1")
+    assert isinstance(plan, str)
+    assert "Physical Plan" in plan and "Scan parquet" in plan
+    with pytest.raises(errors.InvalidParameter):
+        session.execute("explain select stream t.v from t t")
