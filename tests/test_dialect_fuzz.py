@@ -220,3 +220,102 @@ def test_random_grouped_aggregate_matches_duckdb(data, duck, engine):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_having_matches_duckdb(data, duck, engine):
+    """Random HAVING trees over integral aggregates (extension) must keep
+    exactly the groups DuckDB keeps."""
+    gcol = data.draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    n_leaves = data.draw(st.integers(min_value=1, max_value=2))
+    conn = data.draw(st.sampled_from([" and ", " or "]))
+    leaves = []
+    for _ in range(n_leaves):
+        f = data.draw(st.sampled_from(["COUNT", "SUM", "MIN", "MAX"]))
+        c = data.draw(st.sampled_from(["o_orderkey", "o_custkey"]))
+        op = data.draw(st.sampled_from(["=", "<>", "<", ">", "<=", ">="]))
+        v = data.draw(st.integers(min_value=0, max_value=10_000_000))
+        leaves.append((f, c, op, v))
+    h_d = conn.join(f"{f.lower()}(o.{c}) {op} {v}" for f, c, op, v in leaves)
+    h_s = conn.upper().join(f"{f}({c}) {op} {v}" for f, c, op, v in leaves)
+    got = {
+        tuple(r)
+        for r in engine.session().execute(
+            f"select count(o.o_orderkey) a0, o.{gcol} from orders o "
+            f"group by o.{gcol} having {h_d}"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT COUNT(o_orderkey) AS a0, {gcol} FROM orders "
+            f"GROUP BY {gcol} HAVING {h_s}"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_setop_matches_duckdb(data, duck, engine):
+    """Random two-operand set operations (extension) must match DuckDB as
+    MULTISETS (UNION ALL keeps duplicates; the rest deduplicate)."""
+    from collections import Counter
+
+    op = data.draw(st.sampled_from(["union", "union all", "intersect", "except"]))
+    ca = data.draw(st.sampled_from(STR_COLS))
+    cb = data.draw(st.sampled_from(STR_COLS))
+    ta = data.draw(st.integers(min_value=0, max_value=600_000))
+    tb = data.draw(st.integers(min_value=0, max_value=600_000))
+    got = Counter(
+        r[0]
+        for r in engine.session().execute(
+            f"select o.{ca} from orders o where o.o_totalprice >= {ta}.0 "
+            f"{op} select o.{cb} from orders o where o.o_totalprice < {tb}.0"
+        ).collect()
+    )
+    want = Counter(
+        r[0]
+        for r in duck.execute(
+            f"SELECT {ca} AS x FROM orders WHERE o_totalprice >= {ta} "
+            f"{op.upper()} SELECT {cb} AS x FROM orders WHERE o_totalprice < {tb}"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_limit_matches_duckdb(data, duck, engine):
+    """ORDER BY unique-key LIMIT k (extension) is a deterministic top-k —
+    identical row set in both engines."""
+    k = data.draw(st.integers(min_value=1, max_value=50))
+    t = data.draw(st.integers(min_value=0, max_value=400_000))
+    got = [
+        r[0]
+        for r in engine.session().execute(
+            f"select o.o_orderkey from orders o where o.o_totalprice >= {t}.0 "
+            f"order by o.o_orderkey limit {k}"
+        ).collect()
+    ]
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT o_orderkey FROM orders WHERE o_totalprice >= {t} "
+            f"ORDER BY o_orderkey LIMIT {k}"
+        ).fetchall()
+    ]
+    assert got == want
