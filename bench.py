@@ -43,6 +43,7 @@ HEADLINE = [
     "decontaminate_ngrams",
     "corpus_token_stats",
     "sim_cosine_topk",
+    "sim_lsh_topk",
     "mm_feature_extract",
 ]
 

@@ -1425,6 +1425,50 @@ def dedup_clusters_q(spark, sf_dir):
 
 
 @query(
+    "dedup_canonical_corpus",
+    """WITH RECURSIVE grams AS (
+         SELECT doc_id,
+                list_distinct([substring(text, i, 3)
+                               for i in generate_series(1, greatest(length(text)-2, 1))]) AS gs
+         FROM documents
+       ), sized AS (
+         SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sized a JOIN sized b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         HAVING CAST(count(*) AS DOUBLE)
+                / CAST(a.n + b.n - count(*) AS DOUBLE) >= 0.8
+       ), edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+       ), reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+       ), labels AS (
+         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       )
+       SELECT d.doc_id, d.n_chars
+       FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+       WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id""",
+)
+def dedup_canonical_corpus(spark, sf_dir):
+    """The end-product of the dedup stack: the DEDUPLICATED corpus — one
+    canonical representative (min doc_id) per duplicate cluster, singletons
+    kept. Labels from min-label propagation; the keep-set semi-joins back
+    into the corpus, so the full-width rows only flow for survivors."""
+    from .pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    labels = dedup_clusters(docs, pairs)
+    keep = labels.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "n_chars")
+
+
+@query(
     "mm_feature_extract",
     """SELECT doc_id AS media_id,
               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
