@@ -909,6 +909,307 @@ def point_lookup(spark, sf_dir):
     return e.table("customer").filter(F.col("c_custkey") == 42)
 
 
+@query(
+    "q4_order_priority",
+    """SELECT o.o_orderpriority AS o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o.o_orderpriority""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery executed as a LEFT SEMI
+    join (equi key + non-equi residual). The reference has no semi joins at
+    all (SURVEY §2.3 'Absent'); Catalyst plans the equi part as the shuffle
+    key and evaluates the date comparison as a join residual, so no
+    cartesian anything at 100 TB."""
+    e = engine_for(spark, sf_dir)
+    o = e.table("orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = e.table("lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_lines",
+    """SELECT l.l_returnflag AS l_returnflag,
+              CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders o, lineitem l
+       WHERE o.o_orderkey = l.l_orderkey
+         AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l.l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY l.l_returnflag""",
+)
+def q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: conditional CASE counters inside one aggregation
+    pass (no per-branch re-scan). Both counters ride the same shuffle."""
+    e = engine_for(spark, sf_dir)
+    o = e.table("orders").select("o_orderkey", "o_orderpriority")
+    l = e.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             FROM customer c LEFT OUTER JOIN orders o
+               ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '4-NOT SPECIFIED'
+             GROUP BY c.c_custkey)
+       GROUP BY c_count""",
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join (absent in the reference — all its
+    joins are inner, SURVEY §2.3) with an ON-clause filter on the null-side,
+    then a two-level aggregation (orders-per-customer → distribution).
+    The second groupBy keys on the tiny c_count domain; partial aggregation
+    collapses it map-side."""
+    e = engine_for(spark, sf_dir)
+    c = e.table("customer").select("c_custkey")
+    o = e.table("orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q16_supplier_counts",
+    """SELECT p.p_brand AS p_brand, p.p_size AS p_size,
+              count(DISTINCT l.l_suppkey) AS supplier_cnt
+       FROM part p, lineitem l
+       WHERE p.p_partkey = l.l_partkey
+         AND p.p_brand <> 'Brand#13'
+         AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 3000.0)
+       GROUP BY p.p_brand, p.p_size""",
+)
+def q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp adapted to lineitem): NOT IN subquery as a
+    LEFT ANTI join (s_suppkey is non-null so anti-join == NOT IN), dimension
+    filters, COUNT(DISTINCT). The excluded-supplier set is tiny → broadcast
+    anti join; distinct aggregation is two-phase (partial distinct map-side)."""
+    e = engine_for(spark, sf_dir)
+    p = e.table("part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    l = e.table("lineitem").select("l_partkey", "l_suppkey")
+    bad = e.table("supplier").filter(F.col("s_acctbal") < 3000.0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    f"""SELECT {_qsum_sql_expr("l.l_extendedprice")} / 7.0 AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN (SELECT l_partkey, sum(l_quantity) / count(*) AS aq
+             FROM lineitem GROUP BY l_partkey) a
+         ON a.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#12' AND l.l_quantity < 0.2 * a.aq""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + self-join — the standard
+    unnesting Catalyst would do for a real correlated subquery. Quantities
+    are integral-valued doubles so sum/count is bit-deterministic; the
+    money sum goes through the quantized split-sum."""
+    e = engine_for(spark, sf_dir)
+    l = e.table("lineitem")
+    p = e.table("part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    avg_q = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum("l_quantity") / F.count("*")).alias("aq")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(*_qsum_parts(F.col("l_extendedprice"), "s"))
+        .select((_qsum_val_expr("s") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    f"""SELECT {_qsum_sql("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+       FROM lineitem l, part p
+       WHERE p.p_partkey = l.l_partkey
+         AND ((p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity >= 1.0 AND l.l_quantity <= 11.0)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity >= 10.0 AND l.l_quantity <= 20.0)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 20.0 AND l.l_quantity <= 30.0))""",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive bands across BOTH join
+    sides. The reference bails out of every optimized path on OR (SURVEY
+    §2.3 J5); Catalyst instead keeps the equi-join and evaluates the OR as
+    a residual, and infers single-side implied filters. Part side is
+    broadcast."""
+    e = engine_for(spark, sf_dir)
+    l = e.table("lineitem")
+    p = e.table("part")
+    band = (
+        (
+            (p.p_brand == "Brand#12")
+            & p.p_size.between(1, 5)
+            & (l.l_quantity >= 1.0)
+            & (l.l_quantity <= 11.0)
+        )
+        | (
+            (p.p_brand == "Brand#23")
+            & p.p_size.between(1, 10)
+            & (l.l_quantity >= 10.0)
+            & (l.l_quantity <= 20.0)
+        )
+        | (
+            (p.p_brand == "Brand#34")
+            & p.p_size.between(1, 15)
+            & (l.l_quantity >= 20.0)
+            & (l.l_quantity <= 30.0)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), (l.l_partkey == p.p_partkey) & band)
+        .agg(*_qsum_parts(rev, "revenue"))
+        .select(_qsum_value("revenue"))
+    )
+
+
+@query(
+    "q22_idle_customers",
+    f"""SELECT c.c_nationkey AS c_nationkey, count(*) AS numcust,
+              {_qsum_sql("c.c_acctbal", "totacctbal")}
+       FROM customer c
+       WHERE c.c_acctbal > (SELECT {_qsum_sql_expr("c2.c_acctbal")}
+                                   / count(*)
+                            FROM customer c2 WHERE c2.c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey)
+       GROUP BY c.c_nationkey""",
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar aggregate subquery as the filter threshold
+    (1-row broadcast cross join — no shuffle) + NOT EXISTS as LEFT ANTI
+    join. The average is computed as split-sum/count so the threshold double
+    is bit-identical across engines."""
+    e = engine_for(spark, sf_dir)
+    c = e.table("customer")
+    o = e.table("orders").select("o_custkey")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(*_qsum_parts(F.col("c_acctbal"), "t"), F.count("*").alias("n"))
+        .select((_qsum_val_expr("t") / F.col("n")).alias("__thr"))
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            *_qsum_parts(F.col("c_acctbal"), "totacctbal"),
+        )
+        .select("c_nationkey", "numcust", _qsum_value("totacctbal"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    f"""SELECT supp_nation, cust_nation, l_year,
+               {_qsum_sql("volume", "revenue")}
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(l.l_shipdate) AS l_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS volume
+             FROM supplier s, lineitem l, orders o, customer c,
+                  nation n1, nation n2
+             WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+               AND c.c_custkey = o.o_custkey
+               AND s.s_nationkey = n1.n_nationkey
+               AND c.c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: 6-way join with the nation dimension joined TWICE
+    under different roles, a cross-side OR pairing filter, and a derived
+    year grouping. Dims broadcast; only the orders⋈lineitem equi-join
+    shuffles. The reference caps out at left-deep inner equi-joins — the
+    dual-role dimension is exactly where its alias-free planner would
+    break."""
+    e = engine_for(spark, sf_dir)
+    l = e.table("lineitem")
+    o = e.table("orders").select("o_orderkey", "o_custkey")
+    c = e.table("customer").select("c_custkey", "c_nationkey")
+    s = e.table("supplier").select("s_suppkey", "s_nationkey")
+    n1 = e.table("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = e.table("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(*_qsum_parts(vol, "revenue"))
+        .select("supp_nation", "cust_nation", "l_year", _qsum_value("revenue"))
+    )
+
+
 # =====================================================================
 # Training-data pipeline operators (north-star extensions)
 # =====================================================================
