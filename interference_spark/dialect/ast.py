@@ -13,8 +13,17 @@ from typing import Optional, Union
 FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "LAST")
 # scalar conversions recognized by the reference tokenizer but never
 # evaluated there (sql/SQLColumn.java:81-84,177-186 — dead F_TO_* constants);
-# we implement them for real.
-SCALAR_FUNCS = ("TO_NUMBER", "TO_CHAR", "TO_DATE")
+# we implement them for real. Everything after TO_DATE is an EXTENSION —
+# the reference has no other scalar functions at all (SURVEY §2.8).
+SCALAR_FUNCS = (
+    "TO_NUMBER", "TO_CHAR", "TO_DATE",
+    # string
+    "UPPER", "LOWER", "LENGTH", "TRIM",
+    # numeric
+    "ABS", "ROUND", "FLOOR", "CEIL",
+    # date parts
+    "YEAR", "MONTH", "DAY",
+)
 
 
 @dataclass(frozen=True)
@@ -41,6 +50,24 @@ class SelectItem:
     @property
     def is_agg(self) -> bool:
         return self.func is not None
+
+
+@dataclass(frozen=True)
+class GroupExpr:
+    """``SCALAR_FUNC(col)`` as a GROUP BY key (EXTENSION — the reference
+    groups only on plain columns). Exposes ``alias``/``name`` so code that
+    treats group keys as ColumnRefs keeps working."""
+
+    scalar: str
+    ref: ColumnRef
+
+    @property
+    def alias(self) -> str:
+        return self.ref.alias
+
+    @property
+    def name(self) -> str:
+        return self.ref.name
 
 
 @dataclass

@@ -156,17 +156,62 @@ def _build_join(dfs: dict[str, DataFrame], order: list[str], joins: list[JoinCon
     return out
 
 
-def _scalar_expr(item: SelectItem, dtype: T.DataType, engine) -> Column:
-    c = _col(item.ref)
-    if item.scalar == "TO_NUMBER":
+_STRING_FN = {
+    "UPPER": F.upper,
+    "LOWER": F.lower,
+    "LENGTH": F.length,
+    "TRIM": F.trim,
+}
+_NUMERIC_FN = {
+    "ABS": F.abs,
+    "ROUND": lambda c: F.round(c, 0),
+    "FLOOR": F.floor,
+    "CEIL": F.ceil,
+}
+_DATEPART_FN = {
+    "YEAR": F.year,
+    "MONTH": F.month,
+    "DAY": F.dayofmonth,
+}
+
+
+def _scalar_fn(name: str, c: Column, dtype: T.DataType, engine) -> Column:
+    """Apply one scalar function to an already-resolved column. Shared by
+    the plain-select path and the grouped path (scalar over a GROUP BY
+    column runs post-aggregate — one evaluation per group, not per row).
+    All JVM-side built-ins: the whole select list stays inside
+    whole-stage codegen."""
+    if name == "TO_NUMBER":
         return c.cast("double")
-    if item.scalar == "TO_CHAR":
+    if name == "TO_CHAR":
         if isinstance(dtype, (T.TimestampType, T.DateType)):
             return F.date_format(c, engine.date_format)
         return c.cast("string")
-    if item.scalar == "TO_DATE":
+    if name == "TO_DATE":
         return F.to_timestamp(c, engine.date_format)
+    if name in _STRING_FN:
+        if not isinstance(dtype, T.StringType):
+            raise InvalidColumnDescription(
+                f"{name} requires a string column, got {dtype.simpleString()}"
+            )
+        return _STRING_FN[name](c)
+    if name in _NUMERIC_FN:
+        if not isinstance(dtype, T.NumericType):
+            raise InvalidColumnDescription(
+                f"{name} requires a numeric column, got {dtype.simpleString()}"
+            )
+        return _NUMERIC_FN[name](c)
+    if name in _DATEPART_FN:
+        if not isinstance(dtype, (T.TimestampType, T.DateType)):
+            raise InvalidColumnDescription(
+                f"{name} requires a date/timestamp column, got {dtype.simpleString()}"
+            )
+        return _DATEPART_FN[name](c)
     return c
+
+
+def _scalar_expr(item: SelectItem, dtype: T.DataType, engine) -> Column:
+    return _scalar_fn(item.scalar, _col(item.ref), dtype, engine)
 
 
 def _agg_expr(item: SelectItem, dtype: T.DataType, engine) -> Column:
@@ -266,7 +311,29 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
         if q.having is not None:
             extra, hfilter = _having_exprs(q, dfs, engine)
         if q.group_by:
-            gcols = [_col(g) for g in q.group_by]
+            # scalar group keys (GROUP BY year(e.ts)) are computed AS the
+            # grouping expression, aliased to the matching select item's
+            # output name — derived keys cost no pre-projection pass
+            gset = {
+                (getattr(g, "scalar", None), g.alias, g.name) for g in q.group_by
+            }
+            out_names = {
+                (i.scalar, i.ref.alias, i.ref.name): i.out_name
+                for i in q.items
+                if not i.is_agg
+            }
+            gcols = []
+            for g in q.group_by:
+                sc = getattr(g, "scalar", None)
+                if sc:
+                    name = out_names[(sc, g.alias, g.name)]
+                    gcols.append(
+                        _scalar_fn(
+                            sc, _col(g.ref), _dtype_of(dfs, g.ref), engine
+                        ).alias(name)
+                    )
+                else:
+                    gcols.append(_col(g))
             out = out.groupBy(*gcols).agg(*aggs, *extra)
             if hfilter is not None:
                 # post-aggregate filter: runs AFTER partial+final agg, so
@@ -277,6 +344,17 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
             for i in q.items:
                 if i.is_agg:
                     sel.append(F.col(i.out_name))
+                elif i.scalar and (i.scalar, i.ref.alias, i.ref.name) in gset:
+                    # already computed as the grouping expression
+                    sel.append(F.col(i.out_name))
+                elif i.scalar:
+                    # scalar over a PLAIN group key: apply post-aggregate
+                    # (one evaluation per group, not per row)
+                    sel.append(
+                        _scalar_fn(
+                            i.scalar, F.col(i.ref.name), _dtype_of(dfs, i.ref), engine
+                        ).alias(i.out_name)
+                    )
                 else:
                     sel.append(F.col(i.ref.name).alias(i.out_name))
             out = out.select(*sel)

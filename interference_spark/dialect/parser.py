@@ -35,6 +35,7 @@ from ..errors import (
     InvalidColumnDescription,
     InvalidCondition,
     InvalidConditionValue,
+    InvalidGroupByPart,
     InvalidGroupColumnSet,
     InvalidOrderByPart,
     InvalidSQLStatement,
@@ -51,6 +52,7 @@ from .ast import (
     SCALAR_FUNCS,
     ColumnRef,
     ConditionGroup,
+    GroupExpr,
     HavingCondition,
     JoinCondition,
     Query,
@@ -358,7 +360,7 @@ class Parser:
                 raise UnexpectedEndOfStatement("empty WHERE")
             q.where = self._parse_condition_group(w, depth=0)
         if "GROUP BY" in spans:
-            q.group_by = [self._resolve_ref(c.strip(), InvalidGroupColumnSet)
+            q.group_by = [self._parse_group_key(c.strip())
                           for c in _split_top(spans["GROUP BY"])]
         if "HAVING" in spans:
             if q.stream:
@@ -734,11 +736,28 @@ class Parser:
             raise InvalidCondition(f"ordering comparison on string aggregate: {src!r}")
         return HavingCondition(func=func, ref=ref, op=op, values=[v])
 
+    def _parse_group_key(self, token: str):
+        """One GROUP BY key: a plain column ref, or (EXTENSION)
+        ``SCALAR_FUNC(col)`` — e.g. ``GROUP BY year(e.ts)``. Group
+        functions are rejected (the reference's grammar has neither)."""
+        fm = re.match(r"^([A-Za-z_]+)\s*\((.*)\)$", token, re.S)
+        if fm:
+            fname = fm.group(1).upper()
+            if fname in FUNCS:
+                raise InvalidGroupByPart(f"group function in GROUP BY: {token!r}")
+            if fname not in SCALAR_FUNCS:
+                raise InvalidGroupByPart(f"unknown function in GROUP BY: {token!r}")
+            ref = self._resolve_ref(fm.group(2).strip(), InvalidGroupColumnSet)
+            return GroupExpr(scalar=fname, ref=ref)
+        return self._resolve_ref(token, InvalidGroupColumnSet)
+
     # ------------------------------------------------------ group validate
     def _validate_group(self, q: Query) -> None:
         """Reference sql/SQLSelect.java:347-376: with group functions
         present, every bare select column must be listed in GROUP BY and
-        every GROUP BY column must appear in the select list."""
+        every GROUP BY column must appear in the select list. A scalar
+        select item may match either the identical scalar group key or a
+        plain group key on its column (scalar-over-group-col)."""
         if q.kind != "SELECT":
             return
         funcs = [i for i in q.items if i.is_agg]
@@ -750,9 +769,22 @@ class Parser:
         if q.group_by:
             if not funcs:
                 raise InvalidGroupColumnSet("GROUP BY without group functions")
-            gset = {(g.alias, g.name) for g in q.group_by}
-            bset = {(b.ref.alias, b.ref.name) for b in bare}
-            if bset != gset:
+            gset = {
+                (getattr(g, "scalar", None), g.alias, g.name) for g in q.group_by
+            }
+            consumed = set()
+            for b in bare:
+                exact = (b.scalar, b.ref.alias, b.ref.name)
+                plain = (None, b.ref.alias, b.ref.name)
+                if exact in gset:
+                    consumed.add(exact)
+                elif plain in gset:
+                    consumed.add(plain)
+                else:
+                    raise InvalidGroupColumnSet(
+                        "GROUP BY columns must match bare select columns"
+                    )
+            if consumed != gset:
                 raise InvalidGroupColumnSet(
                     "GROUP BY columns must match bare select columns"
                 )

@@ -388,6 +388,46 @@ def dialect_union_all(spark, sf_dir):
     )
 
 
+@query(
+    "dialect_scalar_funcs",
+    """SELECT upper(c.c_mktsegment) AS seg,
+              lower(c.c_name) AS lname,
+              length(c.c_name) AS name_len,
+              abs(c.c_acctbal) AS abal,
+              CAST(floor(c.c_acctbal) AS BIGINT) AS bal_floor,
+              CAST(ceil(c.c_acctbal) AS BIGINT) AS bal_ceil
+       FROM customer c
+       WHERE c.c_custkey <= 200""",
+)
+def dialect_scalar_funcs(spark, sf_dir):
+    """Scalar-function breadth (EXTENSION — the reference tokenizer knows
+    only the dead TO_NUMBER/TO_CHAR/TO_DATE trio, SURVEY §2.8): string and
+    numeric scalar functions through the dialect, all JVM built-ins inside
+    whole-stage codegen."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select upper(c.c_mktsegment) seg, lower(c.c_name) lname, "
+        "length(c.c_name) name_len, abs(c.c_acctbal) abal, "
+        "floor(c.c_acctbal) bal_floor, ceil(c.c_acctbal) bal_ceil "
+        "from customer c where c.c_custkey <= 200"
+    )
+
+
+@query(
+    "dialect_date_parts",
+    """SELECT CAST(year(e.ts) AS INT) AS yr, CAST(month(e.ts) AS INT) AS mo,
+              count(*) AS cnt, CAST(sum(e.user_id) AS BIGINT) AS sum_uid
+       FROM events e
+       GROUP BY CAST(year(e.ts) AS INT), CAST(month(e.ts) AS INT)""",
+)
+def dialect_date_parts(spark, sf_dir):
+    """Date-part extraction (YEAR/MONTH) as GROUP BY keys through the
+    dialect — derived grouping columns without a pre-projection pass."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select year(e.ts) yr, month(e.ts) mo, count(e.event_id) cnt, "
+        "sum(e.user_id) sum_uid from events e group by year(e.ts), month(e.ts)"
+    )
+
+
 # =====================================================================
 # DataFrame-level OLAP — TPC-H-shaped plans at scale
 # =====================================================================
@@ -2245,6 +2285,70 @@ def source_csv_agg(spark, sf_dir):
     return e.session().execute(
         f"select count(e.event_id) cnt, sum(e.user_id) sum_uid, e.event_type "
         f"from {name} e group by e.event_type"
+    )
+
+
+@query(
+    "source_json_agg",
+    """SELECT d.source AS dsource, count(*) AS cnt,
+              CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+       FROM documents d GROUP BY d.source""",
+)
+def source_json_agg(spark, sf_dir):
+    """S11 connector breadth: documents round-trip through JSON-lines
+    registered via ``Engine.register_external`` with an explicit schema (no
+    inference pass — that's a full extra scan at 100 TB), then a dialect
+    GROUP BY runs over the JSON source."""
+    import os
+    import uuid
+
+    e = engine_for(spark, sf_dir)
+    name = f"DocJson_{uuid.uuid4().hex[:8]}"
+    path = os.path.join(e.warehouse, f"json_{uuid.uuid4().hex[:8]}")
+    (
+        e.table("documents")
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    e.register_external(
+        name, path, format="json",
+        schema="doc_id long, source string, n_chars long",
+    )
+    return e.session().execute(
+        f"select d.source, count(d.doc_id) cnt, sum(d.n_chars) sum_chars "
+        f"from {name} d group by d.source"
+    )
+
+
+@query(
+    "json_extract_props",
+    """SELECT e.event_type AS event_type,
+              CAST(sum(CAST(e.props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(max(CAST(e.props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+              count(*) AS cnt
+       FROM events e
+       WHERE CAST(e.props->>'k' AS BIGINT) >= 50
+       GROUP BY e.event_type""",
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured JSON column processing: parse the ``props`` JSON
+    string with a typed ``from_json`` (JVM-side Jackson — no Python UDF),
+    filter and aggregate on the extracted field. At scale the schema-typed
+    parse beats ``get_json_object`` string probing (one parse, N fields),
+    and stays inside whole-stage codegen."""
+    e = engine_for(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        e.table("events")
+        .select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("cnt"),
+        )
     )
 
 

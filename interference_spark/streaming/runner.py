@@ -102,6 +102,10 @@ def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
                 raise InvalidParameter(
                     "stream tumbling supports a single GROUP BY column"
                 )
+            if getattr(q.group_by[0], "scalar", None):
+                raise InvalidParameter(
+                    "scalar GROUP BY keys are not supported on SELECT STREAM"
+                )
             gcol = q.group_by[0].name
             out = tumbling_keychange(sdf, td.id_col, gcol, aggs, types)
             # restore select-list order / names

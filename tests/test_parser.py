@@ -302,3 +302,72 @@ def test_having_validation(engine):
     ):
         with pytest.raises(err):
             parse(engine, bad)
+
+
+def test_scalar_funcs_parse(engine):
+    q = parse(
+        engine,
+        "select upper(e.empName) u, length(e.empName) n, abs(e.salary) a "
+        "from Emp e",
+    )
+    assert [i.scalar for i in q.items] == ["UPPER", "LENGTH", "ABS"]
+    assert [i.out_name for i in q.items] == ["u", "n", "a"]
+    # default out name: funcname + alias + col (reference sql/CList.java:93-95)
+    q2 = parse(engine, "select upper(e.empName) from Emp e")
+    assert q2.items[0].out_name == "uppereempName"
+
+
+def test_scalar_funcs_type_errors(engine, session):
+    # type mismatches surface as the reference's typed error at compile
+    for bad in (
+        "select upper(e.salary) u from Emp e",      # UPPER on double
+        "select abs(e.empName) a from Emp e",       # ABS on string
+        "select year(e.empName) y from Emp e",      # YEAR on string
+    ):
+        with pytest.raises(errors.InvalidColumnDescription):
+            session.execute(bad).collect()
+
+
+def test_scalar_group_keys(engine, session):
+    from interference_spark.dialect.ast import GroupExpr
+
+    q = parse(
+        engine,
+        "select year(e.hireDate) y, count(e.empId) c from Emp e "
+        "group by year(e.hireDate)",
+    )
+    assert isinstance(q.group_by[0], GroupExpr)
+    assert q.group_by[0].scalar == "YEAR"
+    # executes: one row per distinct year
+    rows = session.execute(
+        "select year(e.hireDate) y, count(e.empId) c from Emp e "
+        "group by year(e.hireDate)"
+    ).collect()
+    assert rows and all(r["y"] is None or r["y"] >= 1900 for r in rows)
+    # scalar select over a PLAIN group key is allowed (post-agg evaluation)
+    rows2 = session.execute(
+        "select upper(e.empName) u, count(e.empId) c from Emp e "
+        "group by e.empName"
+    ).collect()
+    assert rows2 and all(r["u"] is None or r["u"] == r["u"].upper() for r in rows2)
+
+
+def test_scalar_group_key_validation(engine):
+    for bad, err in (
+        # group function as a group key
+        ("select count(e.empId) c, e.deptId from Emp e group by sum(e.deptId)",
+         errors.InvalidGroupByPart),
+        # unknown function as a group key
+        ("select count(e.empId) c from Emp e group by frobnicate(e.deptId)",
+         errors.InvalidGroupByPart),
+        # select bare col != scalar group key
+        ("select e.hireDate, count(e.empId) c from Emp e "
+         "group by year(e.hireDate)",
+         errors.InvalidGroupColumnSet),
+        # scalar select item whose column is not grouped at all
+        ("select year(e.hireDate) y, count(e.empId) c from Emp e "
+         "group by e.deptId",
+         errors.InvalidGroupColumnSet),
+    ):
+        with pytest.raises(err):
+            parse(engine, bad)
