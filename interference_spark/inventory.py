@@ -1449,14 +1449,22 @@ def sim_cosine_topk(spark, sf_dir):
 
 @query("sim_ivf_search", None)
 def sim_ivf_search(spark, sf_dir):
-    """IVF approximate NN: deterministic coarse quantizer + nprobe search."""
-    from .pipeline.similarity import ivf_build, ivf_search
+    """IVF approximate NN: deterministic coarse quantizer, assignment
+    persisted PARTITIONED BY centroid, then an nprobe search whose
+    centroid IN-list is a partition filter — directory-level pruning reads
+    ~nprobe/n_centroids of the bytes (the 100 TB probe path)."""
+    import os
+    import uuid
+
+    from .pipeline.similarity import ivf_build, ivf_search_stored, ivf_write
 
     e = engine_for(spark, sf_dir)
     emb = e.table("embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     assigned, cents = ivf_build(emb.filter(F.col("vec_id") != 0), n_centroids=16)
-    return ivf_search(assigned, cents, qvec, k=10, nprobe=4)
+    path = os.path.join(e.warehouse, f"ivf_{uuid.uuid4().hex[:8]}")
+    ivf_write(assigned, path)
+    return ivf_search_stored(spark, path, cents, qvec, k=10, nprobe=4)
 
 
 def _minhash_oracle(num_perm: int = 128, bands: int = 32, threshold: float = 0.4) -> str:

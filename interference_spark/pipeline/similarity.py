@@ -186,16 +186,11 @@ def _argmax_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Colum
     return assign(vec)
 
 
-def ivf_search(
-    assigned: DataFrame,
-    cents: list[tuple[int, list[float]]],
-    query_vec: list[float],
-    k: int = 10,
-    nprobe: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Probe the nprobe centroids nearest to the query, brute-force inside."""
+def probe_centroids(
+    cents: list[tuple[int, list[float]]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest (cosine) to the query; ties break to
+    the lower centroid id. Driver-side: k × d floats, negligible."""
     qa = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(qa) or 1.0
 
@@ -205,8 +200,50 @@ def ivf_search(
         return float(ca @ qa / (cn * qn))
 
     ranked = sorted(cents, key=lambda cv: (-cos_to(cv[1]), cv[0]))
-    probe_ids = [cid for cid, _ in ranked[:nprobe]]
+    return [cid for cid, _ in ranked[:nprobe]]
+
+
+def ivf_search(
+    assigned: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the nprobe centroids nearest to the query, brute-force inside.
+    Over an in-memory assignment this still scans every row (the filter
+    discards ~(1 - nprobe/k) of them after reading); use
+    ``ivf_write`` + ``ivf_search_stored`` for the pruned scale path."""
+    probe_ids = probe_centroids(cents, query_vec, nprobe)
     cand = assigned.filter(F.col("centroid").isin(probe_ids))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_write(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF assignment PARTITIONED BY centroid — the layout that
+    makes probing read ~nprobe/n_centroids of the bytes instead of all of
+    them: ``centroid IN (...)`` becomes a partition filter (directory-level
+    pruning, zero data files opened for unprobed centroids)."""
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+
+def ivf_search_stored(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pruned IVF probe over an ``ivf_write`` layout: the centroid IN-list
+    is a partition filter, so only the nprobe probed directories are listed
+    and read — this is what caps probe cost at 100 TB."""
+    probe_ids = probe_centroids(cents, query_vec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("centroid").isin(probe_ids))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 

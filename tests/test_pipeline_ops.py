@@ -315,3 +315,34 @@ def test_contaminated_doc_ids(spark):
     )
     got = {r["doc_id"] for r in contaminated_doc_ids(cand, ev, n=8).collect()}
     assert got == {1}
+
+def test_ivf_stored_probe_prunes_partitions(spark, tmp_path):
+    """ivf_write + ivf_search_stored: the centroid IN-list becomes a
+    partition filter (directory pruning — the 100 TB probe path), and the
+    pruned probe returns exactly the in-memory ivf_search results."""
+    from interference_spark.pipeline.similarity import (
+        ivf_build,
+        ivf_search,
+        ivf_search_stored,
+        ivf_write,
+        probe_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id <> 0")
+    assigned, cents = ivf_build(base, n_centroids=8, train_iters=1)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, path)
+
+    got = ivf_search_stored(spark, path, cents, qvec, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    probe_ids = probe_centroids(cents, qvec, 2)
+    # the IN-list is a PARTITION filter (directory pruning), not a
+    # post-scan data filter
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid" in m.group(1), plan
+    assert all(str(pid) in m.group(1) for pid in probe_ids), plan
+    want = ivf_search(assigned, cents, qvec, k=5, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
