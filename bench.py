@@ -50,6 +50,8 @@ HEADLINE = [
     "text_repetition",
     "decontaminate_ngrams",
     "corpus_token_stats",
+    "pii_redact",
+    "boilerplate_ngrams",
     "json_extract_props",
     "sim_cosine_topk",
     "sim_lsh_topk",

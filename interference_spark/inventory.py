@@ -2261,6 +2261,87 @@ def decontaminate_ngrams(spark, sf_dir):
 
 
 @query(
+    "pii_redact",
+    """WITH inj AS (
+         SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com or call 555-867-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  AS text
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+                AS clean_text,
+              CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                  '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phones,
+              CAST(len(regexp_extract_all(text,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT)
+                AS n_ips
+       FROM inj""",
+)
+def pii_redact(spark, sf_dir):
+    """PII scrubbing over the corpus. The synthetic documents carry no PII,
+    so each doc gets DETERMINISTIC injected PII (derived from doc_id, same
+    expression in the oracle) — the redaction itself is then verified
+    non-vacuously. Patterns live in the Java-regex ∩ RE2 subset so both
+    engines match identical spans."""
+    from .pipeline.text import pii_redact as _redact
+
+    e = engine_for(spark, sf_dir)
+    injected = e.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return _redact(injected)
+
+
+@query(
+    "boilerplate_ngrams",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         FROM documents
+       ), g AS (
+         SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+         FROM (SELECT doc_id, tk,
+                      unnest(generate_series(1, len(tk) - 2)) AS i FROM t) s
+       ), boiler AS (
+         SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                        FROM g GROUP BY g) WHERE nd >= 4
+       )
+       SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_boiler,
+              CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS boiler_ratio
+       FROM g LEFT JOIN boiler b ON g.g = b.g
+       GROUP BY g.doc_id""",
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate: word 3-grams occurring in ≥4 distinct docs
+    are flagged; each doc reports total grams, boilerplate occurrences, and
+    the ratio (the C4-style common-content signal, n-grams standing in for
+    lines in this line-less corpus)."""
+    from .pipeline.text import boilerplate_ngram_stats
+
+    e = engine_for(spark, sf_dir)
+    return boilerplate_ngram_stats(e.table("documents"), n=3, min_docs=4)
+
+
+@query(
     "source_csv_agg",
     """SELECT count(event_id) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid,
               event_type AS eevent_type

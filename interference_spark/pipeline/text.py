@@ -245,6 +245,85 @@ def contaminated_doc_ids(
     )
 
 
+# PII patterns in the Java-regex ∩ RE2 common subset (no lookaround, no
+# backrefs) so the DuckDB oracle matches byte for byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / phone numbers /
+    IPv4 addresses with typed placeholder tokens and count the redactions
+    per document. Pure ``regexp_replace``/``regexp_count`` column
+    expressions — an embarrassingly parallel scan at 100 TB, no shuffle, no
+    Python in the hot path. Emails are redacted before phones so digit runs
+    inside an address never double-match."""
+    t = F.col(text_col)
+    counts = {
+        "n_emails": F.regexp_count(t, F.lit(PII_EMAIL)),
+        "n_phones": F.regexp_count(t, F.lit(PII_PHONE)),
+        "n_ips": F.regexp_count(t, F.lit(PII_IPV4)),
+    }
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col), clean.alias("clean_text"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate measurement (the C4/"common substring"
+    family, over word n-grams because this corpus has no line breaks): an
+    n-gram is *boilerplate* when it occurs in ≥ ``min_docs`` distinct
+    documents; each document reports its total grams, boilerplate-gram
+    occurrences, and the ratio.
+
+    Shape at scale: explode → (doc, gram) distinct → per-gram doc counts —
+    both shuffles combiner-friendly; the boilerplate set semi-joins back on
+    the gram key (AQE picks broadcast when the set is small). Documents
+    shorter than n tokens produce no grams and are absent from the output —
+    same as the oracle's empty generate_series."""
+    base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+    grams = base.select(
+        F.col(id_col), F.explode(ngrams_from_tokens(F.col("__t"), n)).alias("g")
+    )
+    boiler = (
+        grams.distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    per_doc = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        grams.join(boiler, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    nb = F.coalesce(F.col("n_boiler"), F.lit(0))
+    return per_doc.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        nb.alias("n_boiler"),
+        (nb.cast("double") / F.col("n_grams").cast("double")).alias("boiler_ratio"),
+    )
+
+
 def token_count_stats(
     df: DataFrame, text_col: str = "text",
     percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
