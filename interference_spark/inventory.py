@@ -493,7 +493,9 @@ def q1_pricing_summary(spark, sf_dir):
 )
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
-    Customer side is broadcast; top-k runs as TakeOrderedAndProject."""
+    No forced broadcast on customer (it scales with the data — AQE
+    broadcasts when the filtered side fits); top-k runs as
+    TakeOrderedAndProject."""
     e = engine_for(spark, sf_dir)
     c = e.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = e.table("orders").filter(F.col("o_orderdate") < "1998-06-01")
@@ -501,7 +503,7 @@ def q3_shipping_priority(spark, sf_dir):
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(*_qsum_parts(revenue, "revenue"))
         .select(
@@ -541,7 +543,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -827,8 +829,9 @@ def range_join_value_bands(spark, sf_dir):
 )
 def q14_promo_effect(spark, sf_dir):
     """TPC-H Q14 shape: fact-dim join + conditional aggregation (CASE
-    inside SUM). Part is broadcast; quantized split-sums keep the ratio
-    bit-identical to the oracle with no decimal in the plan."""
+    inside SUM). Part scales with the data, so no forced broadcast (AQE
+    decides); quantized split-sums keep the ratio bit-identical to the
+    oracle with no decimal in the plan."""
     e = engine_for(spark, sf_dir)
     l = e.table("lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
@@ -837,7 +840,7 @@ def q14_promo_effect(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(*_qsum_parts(promo, "promo"), *_qsum_parts(rev, "rev"))
         .select(
             (F.lit(100.00) * _qsum_val_expr("promo") / _qsum_val_expr("rev"))
@@ -1061,8 +1064,10 @@ def q13_customer_distribution(spark, sf_dir):
 def q16_supplier_counts(spark, sf_dir):
     """TPC-H Q16 shape (partsupp adapted to lineitem): NOT IN subquery as a
     LEFT ANTI join (s_suppkey is non-null so anti-join == NOT IN), dimension
-    filters, COUNT(DISTINCT). The excluded-supplier set is tiny → broadcast
-    anti join; distinct aggregation is two-phase (partial distinct map-side)."""
+    filters, COUNT(DISTINCT). The excluded-supplier set is a small filtered
+    fraction (AQE broadcasts the anti join when it fits — no forced hint,
+    supplier scales with the data); distinct aggregation is two-phase
+    (partial distinct map-side)."""
     e = engine_for(spark, sf_dir)
     p = e.table("part").filter(
         (F.col("p_brand") != "Brand#13")
@@ -1071,8 +1076,8 @@ def q16_supplier_counts(spark, sf_dir):
     l = e.table("lineitem").select("l_partkey", "l_suppkey")
     bad = e.table("supplier").filter(F.col("s_acctbal") < 3000.0).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1097,12 +1102,17 @@ def q17_small_quantity_revenue(spark, sf_dir):
     e = engine_for(spark, sf_dir)
     l = e.table("lineitem")
     p = e.table("part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
-    avg_q = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    # brand filter FIRST: per-part averages are unaffected by which parts
+    # survive, so only the filtered parts' lineitems (~1/25) ever reach the
+    # partkey shuffle — the oracle's subquery over all parts is equivalent
+    lp = l.join(p, l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = lp.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.sum("l_quantity") / F.count("*")).alias("aq")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(avg_q, F.col("l_partkey") == F.col("a_partkey"))
+        lp.join(avg_q, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(*_qsum_parts(F.col("l_extendedprice"), "s"))
         .select((_qsum_val_expr("s") / 7.0).alias("avg_yearly"))
@@ -1125,8 +1135,8 @@ def q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19 shape: disjunction of conjunctive bands across BOTH join
     sides. The reference bails out of every optimized path on OR (SURVEY
     §2.3 J5); Catalyst instead keeps the equi-join and evaluates the OR as
-    a residual, and infers single-side implied filters. Part side is
-    broadcast."""
+    a residual, and infers single-side implied filters. No forced
+    broadcast: part scales with the data, AQE decides."""
     e = engine_for(spark, sf_dir)
     l = e.table("lineitem")
     p = e.table("part")
@@ -1152,7 +1162,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), (l.l_partkey == p.p_partkey) & band)
+        l.join(p, (l.l_partkey == p.p_partkey) & band)
         .agg(*_qsum_parts(rev, "revenue"))
         .select(_qsum_value("revenue"))
     )
@@ -1221,26 +1231,43 @@ def q7_volume_shipping(spark, sf_dir):
     dual-role dimension is exactly where its alias-free planner would
     break."""
     e = engine_for(spark, sf_dir)
-    l = e.table("lineitem")
-    o = e.table("orders").select("o_orderkey", "o_custkey")
-    c = e.table("customer").select("c_custkey", "c_nationkey")
-    s = e.table("supplier").select("s_suppkey", "s_nationkey")
-    n1 = e.table("nation").select(
+    names = ("NATION_3", "NATION_7")
+    # the OR pairing filter references BOTH fact sides, so it cannot push
+    # below the lineitem⋈orders shuffle — but its IMPLIED single-side
+    # constraints (each nation ∈ the pair) can: pre-reduce both fact inputs
+    # via their nation-filtered dimensions BEFORE the fact-fact shuffle.
+    # Catalyst does not factor disjunctions of conjunctions across sides,
+    # so we plant the residual-implied filters by construction.
+    n1 = e.table("nation").filter(F.col("n_name").isin(*names)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = e.table("nation").select(
+    n2 = e.table("nation").filter(F.col("n_name").isin(*names)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    s2 = (
+        e.table("supplier").select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    c2 = (
+        e.table("customer").select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    # no forced broadcast on s2/c2: supplier and customer SCALE WITH the
+    # data (unlike nation), so a hint that is safe at sf0.1 would OOM a
+    # 1000-executor cluster — AQE picks broadcast when the filtered dim
+    # actually fits, shuffle join otherwise
+    l2 = e.table("lineitem").join(s2, F.col("l_suppkey") == F.col("s_suppkey"))
+    o2 = e.table("orders").select("o_orderkey", "o_custkey").join(
+        c2, F.col("o_custkey") == F.col("c_custkey")
+    )
     pair = (
-        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
-    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        (F.col("supp_nation") == names[0]) & (F.col("cust_nation") == names[1])
+    ) | ((F.col("supp_nation") == names[1]) & (F.col("cust_nation") == names[0]))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        l2.join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
