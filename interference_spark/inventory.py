@@ -1965,6 +1965,68 @@ def sessionize_users(spark, sf_dir):
 
 
 @query(
+    "stream_stream_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purch_id,
+              c.user_id AS user_id,
+              CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+              CAST(floor(epoch(p.ts)) AS BIGINT) AS purch_epoch
+       FROM events c JOIN events p ON c.user_id = p.user_id
+       WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (click→purchase attribution within 1 h,
+    per user): two readStream sources joined with watermarks bounding both
+    state buffers. Run to completion with availableNow; the oracle is the
+    equivalent batch interval self-join."""
+    import uuid
+
+    from .streaming.windows import stream_stream_interval_join
+
+    e, name = _copy_events_managed(spark, sf_dir, "EvSSJ")
+    td = e.catalog.get(name)
+
+    def src():
+        return spark.readStream.schema(td.require_schema()).parquet(td.path)
+
+    clicks = src().filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = src().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purch_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purch_ts"),
+    )
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        right_key="p_user_id",
+        left_ts="click_ts",
+        right_ts="purch_ts",
+        max_delay="1 hour",
+        watermark="2 hours",
+    )
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname).select(
+        "click_id", "purch_id", "user_id",
+        _epoch("click_ts").alias("click_epoch"),
+        _epoch("purch_ts").alias("purch_epoch"),
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
     "stream_event_time_hourly",
     """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
               event_type, count(*) AS n_events,

@@ -207,6 +207,39 @@ def event_time_rollup(
     return w.groupBy(win, *keys).agg(*aggs)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    right_key: str | None = None,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition — a
+    beyond-reference extension (the reference joins only in batch; its
+    streams are single-table — SURVEY §2.10). The classic attribution
+    shape: right-side events within ``max_delay`` after the left-side
+    event, per key.
+
+    State design at scale: BOTH sides buffer in the state store keyed by
+    the equi key; the watermarks plus the interval bound let Spark evict a
+    buffered row once no future match can arrive (left rows age out after
+    watermark, right rows after watermark + max_delay) — without the time
+    bound the state would grow forever. Matches emit as soon as both sides
+    arrive (inner join, append mode)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rkey = right_key or key
+    cond = (
+        (lw[key] == rw[rkey])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

@@ -205,3 +205,68 @@ def test_stream_distinct_dedups_across_commits(engine, session, stream_table):
         assert sq.drain_available() == []
     finally:
         sq.stop()
+
+
+def test_stream_stream_join_matches_across_batches(spark, tmp_path):
+    """A click buffered in micro-batch 1 must join a purchase arriving in
+    micro-batch 2 — the state store holds the unmatched side across
+    batches (watermark + interval bound its eviction)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from interference_spark.streaming.windows import stream_stream_interval_join
+
+    src = str(tmp_path / "ssj_src")
+    schema = "event_id long, user_id long, kind string, ts timestamp"
+    base = _time.mktime((2025, 1, 1, 12, 0, 0, 0, 0, 0))
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def ts(minute):
+        import datetime as dt
+
+        return dt.datetime.fromtimestamp(base + 60 * minute)
+
+    # batch 1: one click, one purchase for another user
+    write_batch([(1, 100, "click", ts(0)), (2, 200, "purchase", ts(1))])
+
+    sdf = spark.readStream.schema(schema).parquet(src)
+    clicks = sdf.filter(F.col("kind") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = sdf.filter(F.col("kind") == "purchase").select(
+        F.col("event_id").alias("purch_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purch_ts"),
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", right_key="p_user_id",
+        left_ts="click_ts", right_ts="purch_ts",
+        max_delay="1 hour", watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_unit")
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("ssj_unit").count() == 0  # no same-user match yet
+        # batch 2: the matching purchase (in-window) + one out-of-window
+        write_batch([(3, 100, "purchase", ts(30)), (4, 100, "purchase", ts(90))])
+        q.processAllAvailable()
+        got = [
+            (r["click_id"], r["purch_id"])
+            for r in spark.table("ssj_unit").collect()
+        ]
+        assert got == [(1, 3)]  # cross-batch match; 90-min purchase excluded
+    finally:
+        q.stop()
