@@ -34,6 +34,7 @@ from .ast import (
 )
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_DATELIKE = (T.TimestampType, T.TimestampNTZType, T.DateType)
 _FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
 
 
@@ -184,7 +185,7 @@ def _scalar_fn(name: str, c: Column, dtype: T.DataType, engine) -> Column:
     if name == "TO_NUMBER":
         return c.cast("double")
     if name == "TO_CHAR":
-        if isinstance(dtype, (T.TimestampType, T.DateType)):
+        if isinstance(dtype, _DATELIKE):
             return F.date_format(c, engine.date_format)
         return c.cast("string")
     if name == "TO_DATE":
@@ -202,7 +203,7 @@ def _scalar_fn(name: str, c: Column, dtype: T.DataType, engine) -> Column:
             )
         return _NUMERIC_FN[name](c)
     if name in _DATEPART_FN:
-        if not isinstance(dtype, (T.TimestampType, T.DateType)):
+        if not isinstance(dtype, _DATELIKE):
             raise InvalidColumnDescription(
                 f"{name} requires a date/timestamp column, got {dtype.simpleString()}"
             )

@@ -626,7 +626,7 @@ class Parser:
         ta, tb = self._ref_type(a), self._ref_type(b)
         for fam in (
             (T.StringType,),
-            (T.TimestampType, T.DateType),
+            (T.TimestampType, T.TimestampNTZType, T.DateType),
             _INT_TYPES,
             _FLT_TYPES,
             (T.BooleanType,),
@@ -645,7 +645,7 @@ class Parser:
             if not quoted:
                 raise InvalidConditionValue(f"string literal must be quoted: {ctx!r}")
             return text
-        if isinstance(ltype, (T.TimestampType, T.DateType)):
+        if isinstance(ltype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             for fmt in (self._date_fmt, "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
                 try:
                     dt = datetime.strptime(text, fmt)

@@ -319,3 +319,79 @@ def test_random_limit_matches_duckdb(data, duck, engine):
         ).fetchall()
     ]
     assert got == want
+
+
+# dialect scalar fn → (applicable cols, duckdb rendering). ROUND excluded:
+# Spark HALF_UP vs DuckDB half-even differ on ties. TO_CHAR excluded:
+# engine-specific double formatting.
+SCALAR_FNS = {
+    "upper": (STR_COLS, "upper({c})"),
+    "lower": (STR_COLS, "lower({c})"),
+    "trim": (STR_COLS, "trim({c})"),
+    "length": (STR_COLS, "length({c})"),
+    "abs": (NUM_COLS, "abs({c})"),
+    "floor": (["o_totalprice"], "floor({c})"),
+    "ceil": (["o_totalprice"], "ceil({c})"),
+    "year": (["o_orderdate"], "year({c})"),
+    "month": (["o_orderdate"], "month({c})"),
+    "day": (["o_orderdate"], "day({c})"),
+}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_scalar_funcs_match_duckdb(data, duck, engine):
+    """Random scalar-function select lists (extension) — including scalar
+    GROUP BY keys — must match DuckDB as multisets. int/float equality is
+    Python-numeric (5 == 5.0), which absorbs BIGINT-vs-INT width diffs."""
+    from collections import Counter
+
+    fns = data.draw(
+        st.lists(st.sampled_from(sorted(SCALAR_FNS)), min_size=1, max_size=3)
+    )
+    items_d, items_s = [], []
+    for i, fn in enumerate(fns):
+        cols, duck_tpl = SCALAR_FNS[fn]
+        c = data.draw(st.sampled_from(cols))
+        items_d.append(f"{fn}(o.{c}) a{i}")
+        items_s.append(duck_tpl.format(c=c) + f" AS a{i}")
+    t = data.draw(st.integers(min_value=0, max_value=400_000))
+    grouped = data.draw(st.booleans())
+    if grouped:
+        # one scalar group key + count, dialect vs ANSI
+        fn = data.draw(st.sampled_from(["year", "month"]))
+        got = Counter(
+            tuple(r)
+            for r in engine.session().execute(
+                f"select {fn}(o.o_orderdate) g0, count(o.o_orderkey) c0 "
+                f"from orders o where o.o_totalprice >= {t}.0 "
+                f"group by {fn}(o.o_orderdate)"
+            ).collect()
+        )
+        want = Counter(
+            tuple(r)
+            for r in duck.execute(
+                f"SELECT {fn}(o_orderdate) AS g0, COUNT(o_orderkey) AS c0 "
+                f"FROM orders WHERE o_totalprice >= {t} "
+                f"GROUP BY {fn}(o_orderdate)"
+            ).fetchall()
+        )
+    else:
+        got = Counter(
+            tuple(r)
+            for r in engine.session().execute(
+                f"select {', '.join(items_d)} from orders o "
+                f"where o.o_totalprice >= {t}.0"
+            ).collect()
+        )
+        want = Counter(
+            tuple(r)
+            for r in duck.execute(
+                f"SELECT {', '.join(items_s)} FROM orders WHERE o_totalprice >= {t}"
+            ).fetchall()
+        )
+    assert got == want
