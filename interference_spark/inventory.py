@@ -2350,6 +2350,40 @@ def decontaminate_ngrams(spark, sf_dir):
 
 
 @query(
+    "exact_value_percentiles",
+    """WITH h AS (
+         SELECT event_type, value, count(*) AS c
+         FROM events GROUP BY event_type, value
+       ), cum AS (
+         SELECT event_type, value, c,
+                sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum
+         FROM h
+       ), t AS (
+         SELECT event_type, sum(c) AS n_rows FROM h GROUP BY event_type
+       )
+       SELECT cum.event_type AS event_type,
+              CAST(min(t.n_rows) AS BIGINT) AS n_rows,
+              min(CASE WHEN cum >= ceil(0.5 * t.n_rows) THEN value END) AS p50,
+              min(CASE WHEN cum >= ceil(0.9 * t.n_rows) THEN value END) AS p90,
+              min(CASE WHEN cum >= ceil(0.99 * t.n_rows) THEN value END) AS p99
+       FROM cum JOIN t ON cum.event_type = t.event_type
+       GROUP BY cum.event_type""",
+)
+def exact_value_percentiles(spark, sf_dir):
+    """EXACT per-group percentiles (p50/p90/p99 of event value per type)
+    without sorting the data: per-group (value → count) histogram, then a
+    running sum windowed over histogram rows only (partitioned by group —
+    parallel across groups). percentile_approx is neither exact nor
+    engine-reproducible; this is both."""
+    from .pipeline.stats import exact_group_percentiles
+
+    e = engine_for(spark, sf_dir)
+    return exact_group_percentiles(
+        e.table("events"), ("event_type",), "value", (0.5, 0.9, 0.99)
+    )
+
+
+@query(
     "pii_redact",
     """WITH inj AS (
          SELECT doc_id,

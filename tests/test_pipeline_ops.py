@@ -346,3 +346,29 @@ def test_ivf_stored_probe_prunes_partitions(spark, tmp_path):
     assert all(str(pid) in m.group(1) for pid in probe_ids), plan
     want = ivf_search(assigned, cents, qvec, k=5, nprobe=2)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+def test_exact_group_percentiles_property(spark):
+    """Histogram-cumulation percentiles == brute-force sorted-rank picks."""
+    import math
+    import random
+
+    from interference_spark.pipeline.stats import exact_group_percentiles
+
+    rnd = random.Random(7)
+    rows = [
+        (f"g{rnd.randrange(3)}", float(rnd.randrange(40)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: (r["n_rows"], r["p50"], r["p90"], r["p99"])
+        for r in exact_group_percentiles(df, ("k",), "v").collect()
+    }
+    by_k: dict[str, list[float]] = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vals in by_k.items():
+        vals.sort()
+        n = len(vals)
+        want = tuple(vals[max(0, math.ceil(p * n) - 1)] for p in (0.5, 0.9, 0.99))
+        assert got[k] == (n, *want), k
