@@ -270,3 +270,56 @@ def test_stream_stream_join_matches_across_batches(spark, tmp_path):
         assert got == [(1, 3)]  # cross-batch match; 90-min purchase excluded
     finally:
         q.stop()
+
+
+def test_event_time_watermark_drops_late_rows(spark, tmp_path):
+    """With a watermark, an event arriving far behind the advanced watermark
+    is dropped from append-mode aggregation state — bounded state is the
+    100 TB requirement for unbounded streams."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from interference_spark.streaming.windows import event_time_rollup
+
+    src = str(tmp_path / "wm_src")
+    schema = "event_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # batch 1: events in hour 10 and hour 13 (advances watermark to 13:00-1h)
+    write_batch([(1, ts(5), 1.0), (2, ts(180), 1.0)])
+    sdf = spark.readStream.schema(schema).parquet(src)
+    agg = event_time_rollup(sdf, "ts", "1 hour", value_col="value", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_unit")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a late event for hour 10 — behind watermark (12:00) → dropped;
+        # then advance far enough (hour 16) to finalize every earlier window
+        write_batch([(3, ts(10), 100.0)])
+        q.processAllAvailable()
+        write_batch([(4, ts(360), 1.0)])
+        q.processAllAvailable()
+        rows = {
+            (r["window"].start, r["n_events"]): r["sum_value"]
+            for r in spark.table("wm_unit").collect()
+        }
+        hour10 = [v for (start, _), v in rows.items() if start == t0]
+        # the late row (value 100) must NOT be in hour-10's finalized sum
+        assert hour10 == [1.0]
+    finally:
+        q.stop()
