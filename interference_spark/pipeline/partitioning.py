@@ -36,6 +36,35 @@ def co_partitioned_join(
     return l.join(r, keys, how)
 
 
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    granularity: str = "day",
+) -> None:
+    """Persist an event table PARTITIONED BY a derived time bucket — the
+    hypertable layout: a time-range predicate becomes a partition filter, so
+    a "last 7 days" query over a 100 TB/years-deep table lists and reads
+    only the matching day directories (directory-level pruning, like the
+    IVF centroid probe). Readers get the bucket back as the ``__bucket``
+    partition column; the raw ``ts_col`` is preserved for row-level
+    filtering inside partitions."""
+    from pyspark.sql import functions as F
+
+    if granularity == "day":
+        bucket = F.to_date(F.col(ts_col))
+    elif granularity == "hour":
+        bucket = F.date_trunc("hour", F.col(ts_col))
+    else:
+        raise ValueError(f"unsupported granularity {granularity!r}")
+    (
+        df.withColumn("__bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

@@ -372,3 +372,29 @@ def test_exact_group_percentiles_property(spark):
         n = len(vals)
         want = tuple(vals[max(0, math.ceil(p * n) - 1)] for p in (0.5, 0.9, 0.99))
         assert got[k] == (n, *want), k
+
+def test_time_partitioned_scan_prunes_days(spark, tmp_path):
+    """write_time_partitioned + a date predicate on the partition column:
+    the range becomes a PartitionFilter (directory pruning), and results
+    match the unpartitioned filter exactly."""
+    import re
+
+    from interference_spark.inventory import engine_for
+    from interference_spark.pipeline.partitioning import write_time_partitioned
+
+    ev = engine_for(spark, "/root/testdata/sf0.001").table("events")
+    path = str(tmp_path / "ev_by_day")
+    write_time_partitioned(ev, path, "ts", granularity="day")
+
+    part = spark.read.parquet(path)
+    lo, hi = "2024-01-10", "2024-01-12"
+    got = part.filter(
+        (F.col("__bucket") >= lo) & (F.col("__bucket") < hi)
+    ).select("event_id")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__bucket" in m.group(1), plan
+    want = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).select("event_id")
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
