@@ -2384,6 +2384,47 @@ def exact_value_percentiles(spark, sf_dir):
 
 
 @query(
+    "exact_variance_by_type",
+    f"""SELECT event_type,
+              count(*) AS n_rows,
+              ({_qsum_sql_expr("value * value")}
+               - {_qsum_sql_expr("value")} * {_qsum_sql_expr("value")}
+                 / CAST(count(*) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) - 1.0) AS var_value,
+              sqrt(({_qsum_sql_expr("value * value")}
+               - {_qsum_sql_expr("value")} * {_qsum_sql_expr("value")}
+                 / CAST(count(*) AS DOUBLE))
+              / (CAST(count(*) AS DOUBLE) - 1.0)) AS std_value
+       FROM events GROUP BY event_type""",
+)
+def exact_variance_by_type(spark, sf_dir):
+    """Sample variance / stddev per group with reproducible accumulation:
+    float var_samp is order-dependent (different results under different
+    partitionings); decimal sums are exact but the decimal→double cast
+    rounds DIFFERENTLY in Spark (Java correctly-rounded) vs DuckDB
+    (1-ulp divergence at >17 sig digits, measured). The quantized
+    split-sum sidesteps both: per-row floor(x·1e6) quantization is
+    deterministic, the BIGINT sums are exact integers convertible to
+    double identically everywhere, and the variance arithmetic is one
+    fixed double chain. Still one partial+final aggregation pass."""
+    e = engine_for(spark, sf_dir)
+    v = F.col("value")
+    base = e.table("events").groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        *_qsum_parts(v, "sx"),
+        *_qsum_parts(v * v, "sxx"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx = _qsum_val_expr("sx")
+    sxx = _qsum_val_expr("sxx")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    return base.select(
+        "event_type", "n_rows", var.alias("var_value"),
+        F.sqrt(var).alias("std_value"),
+    )
+
+
+@query(
     "pii_redact",
     """WITH inj AS (
          SELECT doc_id,
