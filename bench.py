@@ -29,10 +29,12 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "q10_returned_items",
     "q12_priority_lines",
     "q13_customer_distribution",
     "q14_promo_effect",
+    "q15_top_supplier",
     "q16_supplier_counts",
     "q17_small_quantity_revenue",
     "q18_large_orders",

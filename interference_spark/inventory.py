@@ -1277,6 +1277,104 @@ def q7_volume_shipping(spark, sf_dir):
     )
 
 
+@query(
+    "q15_top_supplier",
+    f"""WITH rev AS (
+         SELECT l.l_suppkey AS s_key,
+                {_qsum_sql("l.l_extendedprice * (1 - l.l_discount)",
+                           "total_revenue")}
+         FROM lineitem l
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l.l_suppkey)
+       SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
+              rev.total_revenue AS total_revenue
+       FROM supplier s JOIN rev ON s.s_suppkey = rev.s_key
+       WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax-by-aggregate — revenue per supplier, then
+    keep the supplier(s) hitting the maximum (scalar subquery over the SAME
+    aggregate). The per-supplier aggregate is computed once and reused for
+    both the max and the equality filter; the 1-row max broadcasts. The
+    equality on doubles is safe because both sides recombine the identical
+    quantized split-sum."""
+    e = engine_for(spark, sf_dir)
+    l = e.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("s_key"))
+        .agg(*_qsum_parts(F.col("l_extendedprice") * (1 - F.col("l_discount")), "r"))
+        .select("s_key", _qsum_value("r").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(e.table("supplier"), F.col("s_key") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""SELECT o_year,
+              {_qsum_sql_expr("nation_volume")} / {_qsum_sql_expr("volume")}
+                AS mkt_share
+       FROM (SELECT year(o.o_orderdate) AS o_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS volume,
+                    CASE WHEN n2.n_name = 'NATION_5'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END AS nation_volume
+             FROM part p, supplier s, lineitem l, orders o, customer c,
+                  nation n1, nation n2, region r
+             WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+               AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+               AND c.c_nationkey = n1.n_nationkey
+               AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+               AND s.s_nationkey = n2.n_nationkey
+               AND p.p_type = 'PROMO')
+       GROUP BY o_year""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — an 8-way join (nation twice,
+    region restricting the customer side) feeding a conditional-ratio
+    aggregate (target-nation volume / total volume per year). Both sums
+    ride one aggregation pass as quantized split-sums; nation/region
+    broadcast (constant-size), scaling dims rely on AQE."""
+    e = engine_for(spark, sf_dir)
+    l = e.table("lineitem")
+    p = e.table("part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = e.table("supplier").select("s_suppkey", "s_nationkey")
+    o = e.table("orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = e.table("customer").select("c_custkey", "c_nationkey")
+    r = e.table("region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n1 = e.table("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = e.table("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        l.join(p, F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(*_qsum_parts(nat, "nv"), *_qsum_parts(vol, "v"))
+        .select(
+            "o_year",
+            (_qsum_val_expr("nv") / _qsum_val_expr("v")).alias("mkt_share"),
+        )
+    )
+
+
 # =====================================================================
 # Training-data pipeline operators (north-star extensions)
 # =====================================================================
