@@ -1375,6 +1375,85 @@ def q8_market_share(spark, sf_dir):
     )
 
 
+@query(
+    "q20_excess_shippers",
+    """SELECT s.s_name AS s_name, s.s_acctbal AS s_acctbal
+       FROM supplier s
+       WHERE s.s_suppkey IN (
+           SELECT l.l_suppkey FROM lineitem l
+           WHERE l.l_partkey IN (
+               SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+             AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l.l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l.l_suppkey, l.l_partkey
+           HAVING sum(l.l_quantity) > 60.0)""",
+)
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (partsupp adapted to lineitem): a nested semi-join
+    chain — parts of one type → per-(supplier, part) shipped quantity over
+    a year → threshold → DISTINCT suppliers → semi-join into supplier.
+    Each level reduces the next level's input; the final semi join carries
+    only qualifying supplier keys."""
+    e = engine_for(spark, sf_dir)
+    p = e.table("part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    l = e.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        l.join(p, F.col("l_partkey") == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 60.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = e.table("supplier")
+    return s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_name", "s_acctbal"
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """WITH pm AS (
+         SELECT l.l_partkey AS pk, min(l.l_extendedprice / l.l_quantity) AS mn
+         FROM lineitem l GROUP BY l.l_partkey
+       )
+       SELECT p.p_partkey AS p_partkey, p.p_name AS p_name,
+              min(s.s_name) AS s_name, pm.mn AS unit_price
+       FROM lineitem l
+       JOIN pm ON l.l_partkey = pm.pk
+               AND l.l_extendedprice / l.l_quantity = pm.mn
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       WHERE p.p_size = 15
+       GROUP BY p.p_partkey, p.p_name, pm.mn""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (partsupp adapted to lineitem unit prices): per-part
+    ARGMIN — the supplier offering each part's minimum unit price. The
+    min is computed once per part (one combiner-friendly shuffle), the
+    argmin rows come back via an equality self-join on (part, min), and
+    ties break deterministically (min supplier name). The per-row unit
+    price double is deterministic, so the equality is engine-safe."""
+    e = engine_for(spark, sf_dir)
+    l = e.table("lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+    )
+    pm = l.groupBy(F.col("l_partkey").alias("pk")).agg(F.min("unit").alias("mn"))
+    p = e.table("part").filter(F.col("p_size") == 15).select("p_partkey", "p_name")
+    s = e.table("supplier").select("s_suppkey", "s_name")
+    return (
+        l.join(pm, (l.l_partkey == F.col("pk")) & (F.col("unit") == F.col("mn")))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("p_partkey", "p_name", "mn")
+        .agg(F.min("s_name").alias("s_name"))
+        .select("p_partkey", "p_name", "s_name", F.col("mn").alias("unit_price"))
+    )
+
+
 # =====================================================================
 # Training-data pipeline operators (north-star extensions)
 # =====================================================================
