@@ -24,6 +24,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 # keeps the heavy hitters + one representative per operator family.
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -39,6 +40,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "q20_excess_shippers",
     "q22_idle_customers",
     "dialect_group_agg",
     "dialect_multiway_join",
@@ -46,6 +48,8 @@ HEADLINE = [
     "topk_per_group",
     "point_lookup",
     "events_agg_by_type",
+    "exact_value_percentiles",
+    "exact_variance_by_type",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
