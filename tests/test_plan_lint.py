@@ -1,0 +1,51 @@
+"""Plan-regression lint: structural invariants every TPC-H-shaped headline
+query's physical plan must keep. Catches silent planner regressions (a
+dropped join condition → cartesian; a filter that stopped reaching the
+scan) that row-level oracles can miss at tiny scale but that dominate at
+100 TB.
+"""
+
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from interference_spark import inventory
+
+SF_DIR = os.environ.get("IFS_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TPCH = [n for n in inventory.QUERIES if re.match(r"^q\d+_", n)]
+
+# queries whose WHERE is only a join/derived condition (no scan-pushable
+# literal predicate on a base column)
+NO_PUSHDOWN = {"q13_customer_distribution", "q2_min_cost_supplier"}
+
+
+@pytest.mark.parametrize("name", sorted(TPCH))
+def test_tpch_plan_invariants(name, spark):
+    # plan strings truncate metadata (PushedFilters/ReadSchema) at 100
+    # chars by default — raise the cap so the lint sees full entries
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = inventory.QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no unconditioned cross joins anywhere (the 1-row scalar subqueries in
+    # q15/q22 plan as broadcast loops over a single row — those are the
+    # only BNLJ allowed, and only against a 1-row side)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian\n{plan[:2000]}"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in ("q15_top_supplier", "q22_idle_customers"), (
+            f"{name}: unexpected BNLJ\n{plan[:2000]}"
+        )
+    # literal predicates must reach the parquet scan
+    if name not in NO_PUSHDOWN:
+        pushed = re.findall(r"PushedFilters: \[([^\]\n]*)\]", plan)
+        assert any(p.strip() for p in pushed), f"{name}: no pushed filters\n{plan[:2000]}"
+    # scans must prune columns: never read all lineitem columns when the
+    # query touches a handful (ReadSchema listed per scan, single line)
+    schemas = re.findall(r"ReadSchema: struct<([^>\n]*)>", plan)
+    assert schemas, f"{name}: no ReadSchema\n{plan[:1500]}"
+    widest = max(len(s.split(",")) for s in schemas)
+    assert widest <= 8, f"{name}: scan reads {widest} columns\n{plan[:1500]}"
