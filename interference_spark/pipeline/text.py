@@ -293,34 +293,41 @@ def boilerplate_ngram_stats(
     documents; each document reports its total grams, boilerplate-gram
     occurrences, and the ratio.
 
-    Shape at scale: explode → (doc, gram) distinct → per-gram doc counts —
-    both shuffles combiner-friendly; the boilerplate set semi-joins back on
-    the gram key (AQE picks broadcast when the set is small). Documents
-    shorter than n tokens produce no grams and are absent from the output —
-    same as the oracle's empty generate_series."""
+    Shape at scale: ONE explode, ONE linear pipeline — (doc, gram) counts,
+    then a count-only window over the gram key annotates each (doc, gram)
+    row with how many documents carry that gram, then one per-doc
+    aggregate folds totals and boilerplate hits together. Three sequential
+    combiner-friendly shuffles, the corpus is tokenized exactly once, and
+    there are no diamond branches (a branched formulation re-explodes the
+    corpus per branch: column pruning specializes each branch's subplan,
+    so ReusedExchange never fires — measured). The window needs no sort
+    (no orderBy ⇒ full-partition frame) and its partitions are bounded by
+    docs-per-gram. Documents shorter than n tokens produce no grams and
+    are absent from the output — same as the oracle's empty
+    generate_series."""
+    from pyspark.sql import Window
+
     base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
     grams = base.select(
         F.col(id_col), F.explode(ngrams_from_tokens(F.col("__t"), n)).alias("g")
     )
-    boiler = (
-        grams.distinct()
-        .groupBy("g")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("g")
-    )
-    per_doc = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = (
-        grams.join(boiler, "g", "left_semi")
+    gc = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    nd = F.count("*").over(Window.partitionBy("g"))
+    hit = F.when(F.col("__nd") >= min_docs, F.col("c")).otherwise(F.lit(0))
+    return (
+        gc.withColumn("__nd", nd)
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_boiler"))
-    )
-    nb = F.coalesce(F.col("n_boiler"), F.lit(0))
-    return per_doc.join(hits, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_grams"),
-        nb.alias("n_boiler"),
-        (nb.cast("double") / F.col("n_grams").cast("double")).alias("boiler_ratio"),
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(hit).alias("n_boiler"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("n_boiler"),
+            (F.col("n_boiler").cast("double") / F.col("n_grams").cast("double"))
+            .alias("boiler_ratio"),
+        )
     )
 
 
