@@ -2022,6 +2022,117 @@ def dedup_canonical_corpus(spark, sf_dir):
 
 
 @query(
+    "corpus_curation_funnel",
+    """WITH RECURSIVE grams AS (
+         SELECT doc_id,
+                list_distinct([substring(text, i, 3)
+                               for i in generate_series(1, greatest(length(text)-2, 1))]) AS gs
+         FROM documents
+       ), sized AS (
+         SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sized a JOIN sized b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         HAVING CAST(count(*) AS DOUBLE)
+                / CAST(a.n + b.n - count(*) AS DOUBLE) >= 0.8
+       ), edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+       ), reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+       ), labels AS (
+         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       ), toks AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         FROM documents
+       ), q AS (
+         SELECT t.doc_id, len(tk) AS nt,
+                CAST(len(list_filter(tk,
+                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], lower(x)))) AS DOUBLE)
+                  / len(tk) AS sw
+         FROM toks t
+       ), g5 AS (
+         SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+         FROM (SELECT doc_id, tk,
+                      unnest(generate_series(1, len(tk) - 4)) AS i FROM toks) s
+       ), cont AS (
+         SELECT DISTINCT doc_id FROM g5
+         WHERE doc_id % 97 <> 0
+           AND g IN (SELECT g FROM g5 WHERE doc_id % 97 = 0)
+       )
+       SELECT CASE
+                WHEN d.doc_id % 97 = 0 THEN 'eval'
+                WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN COALESCE(l.cluster_id, d.doc_id) <> d.doc_id
+                  THEN 'near_duplicate'
+                WHEN q.nt < 15 THEN 'length'
+                WHEN q.sw < 0.02 THEN 'quality'
+                WHEN ('0x' || substring(md5('s0' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+                     >= CAST(0.8 * 4503599627370496 AS BIGINT)
+                  THEN 'sampled_out'
+                ELSE 'keep' END AS verdict,
+              count(*) AS n_docs
+       FROM documents d
+       LEFT JOIN labels l ON l.id = d.doc_id
+       LEFT JOIN q ON q.doc_id = d.doc_id
+       LEFT JOIN cont c ON c.doc_id = d.doc_id
+       GROUP BY 1""",
+)
+def corpus_curation_funnel(spark, sf_dir):
+    """The end-to-end training-data curation story in ONE query: every
+    document gets its first-failing-stage verdict —
+    eval holdout → test-set contamination (5-gram overlap; checked BEFORE
+    dedup so a contaminated doc can never become a cluster representative)
+    → near-duplicate (char-3-gram Jaccard ≥ 0.8, min-label clustering,
+    non-representatives dropped) → length gate → stopword-quality gate →
+    deterministic 80% hash sample — and the funnel reports documents per
+    verdict. Composes five pipeline operators; the oracle recomputes all
+    five stages in SQL (recursive CTE for the clustering)."""
+    from .pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
+    from .pipeline.text import contaminated_doc_ids, quality_features
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    cont = contaminated_doc_ids(cand, ev, n=5).withColumnRenamed("doc_id", "c_id")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    labels = dedup_clusters(docs, pairs).select(
+        F.col("doc_id").alias("l_id"), "cluster_id"
+    )
+    q = quality_features(docs).select("doc_id", "n_tokens", "stopword_ratio")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("s0"), F.col("doc_id").cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    verdict = (
+        F.when(F.col("doc_id") % 97 == 0, "eval")
+        .when(F.col("c_id").isNotNull(), "contaminated")
+        .when(
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")) != F.col("doc_id"),
+            "near_duplicate",
+        )
+        .when(F.col("n_tokens") < 15, "length")
+        .when(F.col("stopword_ratio") < 0.02, "quality")
+        .when(h >= int(0.8 * 4503599627370496), "sampled_out")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("l_id"), "left")
+        .join(q, "doc_id", "left")
+        .join(cont, F.col("doc_id") == F.col("c_id"), "left")
+        .select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
     "mm_feature_extract",
     """SELECT doc_id AS media_id,
               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
