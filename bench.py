@@ -32,6 +32,7 @@ HEADLINE = [
     "q7_volume_shipping",
     "q8_market_share",
     "q10_returned_items",
+    "q11_important_parts",
     "q12_priority_lines",
     "q13_customer_distribution",
     "q14_promo_effect",

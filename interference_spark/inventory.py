@@ -1376,6 +1376,52 @@ def q8_market_share(spark, sf_dir):
 
 
 @query(
+    "q11_important_parts",
+    f"""WITH lv AS (
+         SELECT l.l_partkey AS pk,
+                {_qsum_sql("l.l_extendedprice", "value")}
+         FROM lineitem l
+         WHERE l.l_suppkey IN (
+             SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+         GROUP BY l.l_partkey)
+       SELECT pk AS l_partkey, value
+       FROM lv
+       WHERE value > (SELECT {_qsum_sql_expr("l2.l_extendedprice")} * 0.001
+                      FROM lineitem l2
+                      WHERE l2.l_suppkey IN (
+                          SELECT s_suppkey FROM supplier
+                          WHERE s_nationkey = 3))""",
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (partsupp adapted to lineitem): per-part value
+    restricted to one nation's suppliers, kept only where it exceeds a
+    FRACTION OF THE GLOBAL TOTAL (scalar aggregate subquery). The global
+    total is one extra pass over the same filtered fact; its 1-row result
+    broadcasts into the filter. Threshold comparison is engine-safe:
+    both sides recombine quantized split-sums."""
+    e = engine_for(spark, sf_dir)
+    sup = (
+        e.table("supplier").filter(F.col("s_nationkey") == 3).select("s_suppkey")
+    )
+    lf = e.table("lineitem").join(
+        sup, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    lv = (
+        lf.groupBy(F.col("l_partkey"))
+        .agg(*_qsum_parts(F.col("l_extendedprice"), "v"))
+        .select("l_partkey", _qsum_value("v").alias("value"))
+    )
+    total = lf.agg(*_qsum_parts(F.col("l_extendedprice"), "t")).select(
+        (_qsum_val_expr("t") * 0.001).alias("__thr")
+    )
+    return (
+        lv.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("__thr"))
+        .select("l_partkey", "value")
+    )
+
+
+@query(
     "q20_excess_shippers",
     """SELECT s.s_name AS s_name, s.s_acctbal AS s_acctbal
        FROM supplier s

@@ -36,9 +36,9 @@ def test_tpch_plan_invariants(name, spark):
     # only BNLJ allowed, and only against a 1-row side)
     assert "CartesianProduct" not in plan, f"{name}: cartesian\n{plan[:2000]}"
     if "BroadcastNestedLoopJoin" in plan:
-        assert name in ("q15_top_supplier", "q22_idle_customers"), (
-            f"{name}: unexpected BNLJ\n{plan[:2000]}"
-        )
+        assert name in (
+            "q11_important_parts", "q15_top_supplier", "q22_idle_customers",
+        ), f"{name}: unexpected BNLJ\n{plan[:2000]}"
     # literal predicates must reach the parquet scan
     if name not in NO_PUSHDOWN:
         pushed = re.findall(r"PushedFilters: \[([^\]\n]*)\]", plan)
