@@ -240,6 +240,25 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner")
 
 
+def stream_dedup_within_watermark(
+    sdf: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """State-BOUNDED streaming dedup: first occurrence per key combination
+    is emitted; duplicates arriving within the watermark delay are dropped;
+    state for a key is EVICTED once the watermark passes it, so memory is
+    bounded by keys-per-watermark-window — the scale-correct alternative to
+    plain ``dropDuplicates`` on an unbounded stream (which remembers every
+    key forever). Consequence of eviction: a duplicate arriving much later
+    than the original (beyond the watermark) is treated as new and
+    re-emitted — the deliberate bounded-state trade-off."""
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

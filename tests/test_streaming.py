@@ -323,3 +323,49 @@ def test_event_time_watermark_drops_late_rows(spark, tmp_path):
         assert hour10 == [1.0]
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark delay
+    are dropped; once the watermark passes a key its state is evicted, so a
+    much-later duplicate re-emits — bounded state, by design."""
+    import datetime as dt
+
+    from interference_spark.streaming.windows import stream_dedup_within_watermark
+
+    src = str(tmp_path / "ddw_src")
+    schema = "k long, ts timestamp"
+    t0 = dt.datetime(2025, 1, 1, 10, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    write_batch([(1, ts(0))])
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = stream_dedup_within_watermark(sdf, ("k",), "ts", watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddw_unit")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch([(1, ts(5))])   # duplicate within the watermark → dropped
+        q.processAllAvailable()
+        assert spark.table("ddw_unit").count() == 1
+        # advance the watermark far past k=1's state, then repeat the key
+        write_batch([(2, ts(600))])
+        q.processAllAvailable()
+        write_batch([(1, ts(605))])  # state evicted → treated as new
+        q.processAllAvailable()
+        ks = sorted(r.k for r in spark.table("ddw_unit").collect())
+        assert ks == [1, 1, 2]
+    finally:
+        q.stop()
