@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .dml import store
 from .engine import Engine
-from .errors import InvalidParameter, InvalidSQLStatement
+from .errors import InvalidParameter, InvalidSQLStatement, NotNullViolation
 
 
 class SystemResult:
@@ -83,11 +83,20 @@ class Session:
 
     # ---------------------------------------------------------------- DML
     def persist(self, table: str, row: dict | list[dict]) -> None:
-        """Stage row(s) for insert/upsert; visible after :meth:`commit`."""
+        """Stage row(s) for insert/upsert; visible after :meth:`commit`.
+        The @Id column is mandatory and non-null (manual 'Persistent
+        operations': every entity declares @Id) — a null id could never be
+        found or updated again, so it is rejected up front."""
         td = self.engine.catalog.get(table)
         if not td.managed:
             raise InvalidParameter(f"table {td.name} is read-only (external)")
         rows = row if isinstance(row, list) else [row]
+        if td.id_col is not None:
+            for r in rows:
+                if r.get(td.id_col) is None:
+                    raise NotNullViolation(
+                        f"{td.name}.{td.id_col} (@Id) must be non-null"
+                    )
         self._staged_rows.setdefault(td.name, []).extend(rows)
 
     def persist_df(self, table: str, df: DataFrame) -> None:

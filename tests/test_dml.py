@@ -193,3 +193,23 @@ def test_targeted_upsert_rewrites_only_affected_parts(spark, tmp_path):
     rows = {(r.id, r.val) for r in eng.table("kv").collect()}
     assert (250, -1) in rows and (300, -2) in rows and (250, 250) not in rows
     assert len(rows) == 301
+
+
+def test_persist_null_id_rejected(engine):
+    """@Id is mandatory and non-null (manual 'Persistent operations'): a
+    null id could never be found or updated again."""
+    from interference_spark import errors
+
+    engine.register_table("nn_t", "id long, v string", id_col="id")
+    s = engine.session()
+    try:
+        with pytest.raises(errors.NotNullViolation):
+            s.persist("nn_t", {"v": "no-id"})
+        with pytest.raises(errors.NotNullViolation):
+            s.persist("nn_t", [{"id": 1, "v": "ok"}, {"id": None, "v": "bad"}])
+        # nothing staged from the failed batches
+        s.persist("nn_t", {"id": 7, "v": "good"})
+        s.commit()
+        assert [r.id for r in engine.table("nn_t").collect()] == [7]
+    finally:
+        s.close()
