@@ -103,11 +103,17 @@ class Session:
         """Distributed bulk persist. @NoCheck tables blind-append
         immediately (the reference's fast path skips all checks too);
         upsert tables MERGE immediately — large DataFrames are not staged
-        driver-side."""
+        driver-side. Null @Id rows are rejected BEFORE the merge (one
+        column-pruned isEmpty probe over the new side — the small side of
+        the merge): a null id would silently append and never match again."""
         td = self.engine.catalog.get(table)
         if td.nocheck or td.id_col is None:
             store.append_df(td, df)
         else:
+            if not df.filter(F.col(td.id_col).isNull()).isEmpty():
+                raise NotNullViolation(
+                    f"{td.name}.{td.id_col} (@Id) must be non-null"
+                )
             store.upsert(self.spark, td, df)
         store.apply_threshold(self.spark, td)
 

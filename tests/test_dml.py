@@ -213,3 +213,19 @@ def test_persist_null_id_rejected(engine):
         assert [r.id for r in engine.table("nn_t").collect()] == [7]
     finally:
         s.close()
+
+
+def test_persist_df_null_id_rejected(engine, spark):
+    from interference_spark import errors
+
+    engine.register_table("nn_df_t", "id long, v long", id_col="id")
+    s = engine.session()
+    try:
+        bad = spark.createDataFrame([(1, 10), (None, 20)], "id long, v long")
+        with pytest.raises(errors.NotNullViolation):
+            s.persist_df("nn_df_t", bad)
+        assert engine.table("nn_df_t").count() == 0
+        s.persist_df("nn_df_t", spark.createDataFrame([(1, 10)], "id long, v long"))
+        assert engine.table("nn_df_t").count() == 1
+    finally:
+        s.close()
