@@ -637,6 +637,25 @@ def rollup_pricing_subtotals(spark, sf_dir):
 
 
 @query(
+    "cube_event_totals",
+    """SELECT event_type, CAST(year(ts) AS INT) AS yr, count(*) AS cnt,
+              CAST(sum(user_id) AS BIGINT) AS sum_uid
+       FROM events GROUP BY CUBE (event_type, year(ts))""",
+)
+def cube_event_totals(spark, sf_dir):
+    """GROUP BY CUBE — all 2^k grouping combinations (type×year, per-type,
+    per-year, grand total) in ONE partial+final aggregate pass (same
+    Expand-fed hash aggregate as ROLLUP; absent in the reference,
+    SURVEY §2.4)."""
+    e = engine_for(spark, sf_dir)
+    return (
+        e.table("events")
+        .cube("event_type", F.year("ts").cast("int").alias("yr"))
+        .agg(F.count("*").alias("cnt"), F.sum("user_id").alias("sum_uid"))
+    )
+
+
+@query(
     "asof_join_events",
     """WITH p AS (
          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
