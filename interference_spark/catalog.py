@@ -64,17 +64,85 @@ class TableDef:
 
 class Catalog:
     """Name → :class:`TableDef`. Case-sensitive, like the reference
-    ("All class and field names are case sensitive" — manual)."""
+    ("All class and field names are case sensitive" — manual).
+
+    MANAGED table definitions are durable: they persist to
+    ``_catalog.json`` in the warehouse on every registration change, and a
+    new Engine over the same warehouse reloads them — the analogue of the
+    reference's persistent system catalog (its table registry survives
+    instance restart; ``persistent/Session.java:181-277`` registration is
+    once-per-storage, not once-per-process)."""
+
+    _FILE = "_catalog.json"
 
     def __init__(self) -> None:
         self._tables: dict[str, TableDef] = {}
+        self._warehouse: str | None = None
+
+    def attach_warehouse(self, warehouse: str) -> None:
+        """Bind the durable store and reload previously registered managed
+        tables (skipping any whose data directory has vanished)."""
+        import json
+
+        self._warehouse = warehouse
+        fp = os.path.join(warehouse, self._FILE)
+        if not os.path.exists(fp):
+            return
+        with open(fp) as f:
+            entries = json.load(f)
+        for e in entries:
+            if e["name"] in self._tables or not os.path.isdir(e["path"]):
+                continue
+            schema = (
+                T.StructType.fromJson(e["schema"]) if e.get("schema") else None
+            )
+            self._tables[e["name"]] = TableDef(
+                name=e["name"],
+                path=e["path"],
+                schema=schema,
+                managed=True,
+                id_col=e.get("id_col"),
+                nocheck=bool(e.get("nocheck")),
+                threshold=e.get("threshold"),
+                indexes=tuple(e.get("indexes", ())),
+                partition_cols=tuple(e.get("partition_cols", ())),
+            )
+
+    def _save(self) -> None:
+        import json
+
+        if self._warehouse is None:
+            return
+        entries = [
+            {
+                "name": td.name,
+                "path": td.path,
+                "schema": td.schema.jsonValue() if td.schema else None,
+                "id_col": td.id_col,
+                "nocheck": td.nocheck,
+                "threshold": td.threshold,
+                "indexes": list(td.indexes),
+                "partition_cols": list(td.partition_cols),
+            }
+            for td in self._tables.values()
+            if td.managed
+        ]
+        fp = os.path.join(self._warehouse, self._FILE)
+        tmp = fp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, fp)  # atomic: readers never see a torn catalog
 
     def register(self, td: TableDef) -> TableDef:
         self._tables[td.name] = td
+        if td.managed:
+            self._save()
         return td
 
     def unregister(self, name: str) -> None:
-        self._tables.pop(name, None)
+        td = self._tables.pop(name, None)
+        if td is not None and td.managed:
+            self._save()
 
     def get(self, name: str) -> TableDef:
         # Accept fully-qualified reference-style names

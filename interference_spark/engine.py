@@ -91,6 +91,9 @@ class Engine:
         self.date_format = date_format
         self.warehouse = warehouse or tempfile.mkdtemp(prefix="ifs_warehouse_")
         os.makedirs(self.warehouse, exist_ok=True)
+        # durable managed-table registry: reopening the same warehouse
+        # restores every registered table (reference: persistent catalog)
+        self.catalog.attach_warehouse(self.warehouse)
         # EventProcessor registry for PROCESS ... WITHIN (name → class/instance)
         self.processors: dict[str, object] = {}
 

@@ -81,3 +81,33 @@ def test_explain_statement(session):
     assert "Physical Plan" in plan and "Scan parquet" in plan
     with pytest.raises(errors.InvalidParameter):
         session.execute("explain select stream t.v from t t")
+
+
+def test_catalog_survives_engine_restart(spark, tmp_path):
+    """Managed table definitions (schema, @Id, @NoCheck, @Threshold) are
+    durable: a NEW Engine over the same warehouse sees every registered
+    table and its data — the reference's persistent system catalog."""
+    from interference_spark import Engine
+
+    wh = str(tmp_path / "wh")
+    e1 = Engine(spark=spark, warehouse=wh)
+    e1.register_table(
+        "durable_t", "id long, v string", id_col="id", threshold=1000
+    )
+    s = e1.session()
+    s.persist("durable_t", [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    s.commit()
+
+    e2 = Engine(spark=spark, warehouse=wh)  # fresh engine, same warehouse
+    td = e2.catalog.get("durable_t")
+    assert td.managed and td.id_col == "id" and td.threshold == 1000
+    assert {(r.id, r.v) for r in e2.table("durable_t").collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    # upsert through the restarted engine still works by @Id
+    s2 = e2.session()
+    s2.persist("durable_t", {"id": 2, "v": "B"})
+    s2.commit()
+    assert {(r.id, r.v) for r in e2.table("durable_t").collect()} == {
+        (1, "a"), (2, "B"),
+    }
