@@ -148,10 +148,25 @@ class Engine:
         partition_cols: tuple[str, ...] = (),
     ) -> TableDef:
         """DDL: create a managed (writable) table — analogue of
-        ``session.registerTable`` (reference ``persistent/Session.java:181``)."""
+        ``session.registerTable`` (reference ``persistent/Session.java:181``).
+        Re-registering an existing managed table with the SAME schema is an
+        idempotent no-op (registration is once-per-storage); with a
+        DIFFERENT schema it raises — altering requires drop + re-register
+        (manual 'Entity class registration')."""
         from .catalog import _as_struct
         from .dml.store import init_table_dir
+        from .errors import InvalidTableDescription
 
+        if name in self.catalog:
+            existing = self.catalog.get(name)
+            if existing.managed:
+                if existing.schema == _as_struct(schema) and existing.id_col == id_col:
+                    return existing
+                raise InvalidTableDescription(
+                    f"table {name!r} already registered with a different "
+                    f"definition; drop_table first (altering requires "
+                    f"drop + re-register)"
+                )
         path = os.path.join(self.warehouse, name)
         td = TableDef(
             name=name,

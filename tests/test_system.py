@@ -111,3 +111,17 @@ def test_catalog_survives_engine_restart(spark, tmp_path):
     assert {(r.id, r.v) for r in e2.table("durable_t").collect()} == {
         (1, "a"), (2, "B"),
     }
+
+
+def test_reregister_same_schema_idempotent_different_raises(spark, tmp_path):
+    from interference_spark import Engine, errors
+
+    e = Engine(spark=spark, warehouse=str(tmp_path / "wh2"))
+    td1 = e.register_table("rr_t", "id long, v string", id_col="id")
+    td2 = e.register_table("rr_t", "id long, v string", id_col="id")  # no-op
+    assert td2 is td1
+    with pytest.raises(errors.InvalidTableDescription):
+        e.register_table("rr_t", "id long, v string, extra long", id_col="id")
+    e.drop_table("rr_t")
+    e.register_table("rr_t", "id long, v string, extra long", id_col="id")
+    assert len(e.catalog.get("rr_t").require_schema().fields) == 3
