@@ -44,6 +44,10 @@ def _col(ref: ColumnRef) -> Column:
 
 def _value_expr(vc: ValueCondition) -> Column:
     c = _col(vc.ref)
+    if vc.op == "ISNULL":
+        # IS [NOT] NULL extension — negation handled here directly (the
+        # generic `~` path below would give three-valued-logic surprises)
+        return c.isNotNull() if vc.negated else c.isNull()
     if vc.op == "IN":
         e = c.isin(*vc.values)
     elif vc.op == "LIKE":

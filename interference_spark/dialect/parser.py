@@ -564,7 +564,23 @@ class Parser:
         re.S | re.I,
     )
 
+    _NULL_RE = re.compile(
+        r"^\s*(?P<lhs>[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)?)\s+IS\s+"
+        r"(?P<neg>NOT\s+)?NULL\s*$",
+        re.S | re.I,
+    )
+
     def _parse_simple(self, src: str):
+        # IS [NOT] NULL — EXTENSION: the reference grammar has no NULL
+        # token at all (sql/ValueCondition.java parses only typed
+        # literals), yet nullable boxed columns exist in its type system —
+        # null rows were simply unreachable by predicate there.
+        nm = self._NULL_RE.match(src)
+        if nm:
+            ref = self._resolve_ref(nm.group("lhs"), InvalidCondition)
+            return ValueCondition(
+                ref=ref, op="ISNULL", values=[], negated=bool(nm.group("neg"))
+            )
         m = self._SIMPLE_RE.match(src)
         if not m:
             raise InvalidCondition(src)

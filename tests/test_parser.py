@@ -371,3 +371,28 @@ def test_scalar_group_key_validation(engine):
     ):
         with pytest.raises(err):
             parse(engine, bad)
+
+
+def test_is_null_extension(engine, session):
+    from interference_spark.dialect.ast import ValueCondition
+
+    q = parse(engine, "select e.empId from Emp e where e.empName is null")
+    leaf = q.where
+    while hasattr(leaf, "children"):
+        leaf = leaf.children[0]
+    assert isinstance(leaf, ValueCondition) and leaf.op == "ISNULL"
+    null_ids = {r["eempId"] for r in session.execute(
+        "select e.empId from Emp e where e.empName is null").collect()}
+    not_null_ids = {r["eempId"] for r in session.execute(
+        "select e.empId from Emp e where e.empName is not null").collect()}
+    all_ids = {r["eempId"] for r in session.execute(
+        "select e.empId from Emp e").collect()}
+    # the two partitions are disjoint and cover the table (no 3VL holes)
+    assert null_ids and not_null_ids
+    assert null_ids | not_null_ids == all_ids
+    assert not (null_ids & not_null_ids)
+    # composes with other conditions
+    rows = session.execute(
+        "select e.empId from Emp e "
+        "where e.empName is not null and e.empId > 0").collect()
+    assert {r["eempId"] for r in rows} <= not_null_ids
