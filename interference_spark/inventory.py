@@ -2859,6 +2859,52 @@ def boilerplate_ngrams(spark, sf_dir):
 
 
 @query(
+    "dialect_is_null",
+    """WITH d AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS src
+         FROM documents)
+       SELECT CAST(sum(CASE WHEN src IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_null,
+              CAST(sum(CASE WHEN src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_not_null,
+              count(*) AS n_total
+       FROM d""",
+)
+def dialect_is_null(spark, sf_dir):
+    """IS [NOT] NULL through the dialect, end-to-end: a managed copy of
+    documents with deterministically injected nulls (doc_id % 3), then two
+    dialect filters whose counts must partition the table — verified
+    against the same CASE injection in the oracle."""
+    import uuid
+
+    e = engine_for(spark, sf_dir)
+    name = f"NullSrc_{uuid.uuid4().hex[:8]}"
+    src = e.table("documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ).alias("src"),
+    )
+    td = e.register_table(name, "doc_id long, src string", id_col="doc_id")
+    from .dml import store
+
+    store.append_df(td, src)
+    s = e.session()
+    n_null = s.execute(
+        f"select count(d.doc_id) c from {name} d where d.src is null"
+    ).collect()[0]["c"]
+    n_not_null = s.execute(
+        f"select count(d.doc_id) c from {name} d where d.src is not null"
+    ).collect()[0]["c"]
+    n_total = e.table(name).count()
+    return spark.createDataFrame(
+        [(n_null, n_not_null, n_total)],
+        "n_null long, n_not_null long, n_total long",
+    )
+
+
+@query(
     "source_csv_agg",
     """SELECT count(event_id) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid,
               event_type AS eevent_type
