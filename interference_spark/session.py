@@ -227,6 +227,23 @@ class Session:
             return run_stream(self, q, stream_id=stream_id)
         return compile_query(self.engine, q)
 
+    def stream_into(
+        self, sql: str, target: str, stream_id: str | None = None
+    ):
+        """Continuously materialize a SELECT STREAM into a managed table
+        (chained CEP): each micro-batch appends committed part files to
+        ``target``, which any downstream SELECT STREAM picks up — the
+        reference's table-is-a-queue duality, composed."""
+        from .dialect import parse
+        from .streaming.runner import run_stream_into
+
+        q = parse(self.engine, sql)
+        if not getattr(q, "stream", False) or q.kind != "SELECT":
+            raise InvalidSQLStatement(
+                "stream_into requires a SELECT STREAM statement"
+            )
+        return run_stream_into(self, q, target, stream_id=stream_id)
+
     def _execute_system(self, sql: str) -> SystemResult | None:
         """System statements (reference ``sql/SQLSystem.java:45-170``,
         dispatched by ``sql/SQLStatementFactory.java:55-72``). Returns None

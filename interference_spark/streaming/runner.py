@@ -145,3 +145,95 @@ def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
     sq = StreamQueue(out, order_col, f"ifs_stream_{uuid.uuid4().hex[:8]}", checkpoint)
     session._streams.append(sq)
     return sq
+
+
+class StreamIntoHandle:
+    """Handle for a continuous SELECT STREAM materialized into a managed
+    table (chained CEP — the reference's table-is-a-queue duality
+    composed: each appended micro-batch lands as committed part files that
+    any downstream SELECT STREAM on the target picks up)."""
+
+    def __init__(self, query, target: str) -> None:
+        self._query = query
+        self.target = target
+
+    def process_all_available(self) -> None:
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        try:
+            self._query.stop()
+        except Exception:
+            pass
+
+    @property
+    def is_active(self) -> bool:
+        return self._query.isActive
+
+
+def run_stream_into(
+    session, q: Query, target: str, stream_id: str | None = None
+) -> StreamIntoHandle:
+    """Continuously materialize a (non-aggregating) SELECT STREAM into a
+    managed target table: foreachBatch appends each micro-batch as new part
+    files — committed appends, so downstream streams chain off the target.
+    The target's schema field names must equal the stream's output columns
+    (order-insensitive)."""
+    from ..dml import store
+
+    if q.group_by or q.window_by is not None:
+        raise InvalidParameter(
+            "stream_into supports projection/filter streams "
+            "(materialize aggregates via their StreamQueue)"
+        )
+    engine = session.engine
+    td_t = engine.catalog.get(target)
+    if not td_t.managed:
+        raise InvalidParameter(f"target {target!r} must be a managed table")
+    td = engine.catalog.get(q.tables[0].name)
+    if td.path == td_t.path:
+        raise InvalidParameter("stream_into target must differ from the source")
+    if not td.managed:
+        raise InvalidParameter(
+            f"table {td.name} is not a managed stream table; streams require "
+            "append-fed managed storage"
+        )
+    if td.id_col is None:
+        raise InvalidParameter(
+            f"table {td.name} needs an @Id column: stream order is defined "
+            "by monotonically increasing ids"
+        )
+    schema = td.require_schema()
+    alias = q.tables[0].alias
+    source = (
+        engine.spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(td.path)
+    )
+    dfs = {alias: source.alias(alias)}
+    for t in q.tables[1:]:
+        dfs[t.alias] = engine.table(t.name).alias(t.alias)
+    out = compile_on(engine, q, dfs)
+    want = {f.name for f in td_t.require_schema().fields}
+    have = set(out.columns)
+    if want != have:
+        raise InvalidParameter(
+            f"target schema columns {sorted(want)} != stream output {sorted(have)}"
+        )
+    checkpoint = os.path.join(
+        engine.warehouse, "_checkpoints", stream_id or uuid.uuid4().hex
+    )
+
+    def sink(batch_df, epoch_id: int) -> None:
+        store.append_df(td_t, batch_df)
+
+    query = (
+        out.writeStream.outputMode("append")
+        .queryName(f"ifs_stream_into_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+    h = StreamIntoHandle(query, target)
+    session._streams.append(h)
+    return h

@@ -369,3 +369,56 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
         assert ks == [1, 1, 2]
     finally:
         q.stop()
+
+
+def test_stream_into_chained_cep(engine, session, stream_table):
+    """stream_into materializes a filtered stream into a managed table;
+    a SECOND stream reading that table sees the rows — chained CEP via the
+    table-is-a-queue duality."""
+    import uuid
+
+    target = f"EvOut{uuid.uuid4().hex[:8]}"
+    engine.register_table(
+        target, "eeventId long, eeventValue long", id_col="eeventId"
+    )
+    session.persist(stream_table, _rows(8))
+    session.commit()
+    h = session.stream_into(
+        f"select stream e.eventId, e.eventValue from {stream_table} e "
+        f"where e.eventType = 1",
+        target,
+    )
+    sq = session.execute(
+        f"select stream t.eeventId, t.eeventValue from {target} t"
+    )
+    try:
+        h.process_all_available()
+        rows = sq.drain_available()
+        assert [(r["teeventId"], r["teeventValue"]) for r in rows] == [
+            (1, 10), (4, 40), (7, 70),
+        ]
+        # tail: new commits flow source → target → downstream stream
+        session.persist(stream_table, _rows(6, start=8))
+        session.commit()
+        h.process_all_available()
+        tail = sq.drain_available()
+        assert [r["teeventId"] for r in tail] == [10, 13]
+    finally:
+        sq.stop()
+        h.stop()
+        engine.drop_table(target)
+
+
+def test_stream_into_validation(engine, session, stream_table):
+    from interference_spark import errors
+
+    with pytest.raises(errors.InvalidParameter):
+        session.stream_into(
+            f"select stream sum(e.eventValue) s, e.groupValue "
+            f"from {stream_table} e group by e.groupValue",
+            "whatever",
+        )
+    with pytest.raises(errors.InvalidSQLStatement):
+        session.stream_into(
+            f"select e.eventId from {stream_table} e", "whatever"
+        )
