@@ -121,7 +121,13 @@ def append_rows(td: TableDef, rows: list[dict]) -> str:
     cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
     table = pa.Table.from_pydict(cols, schema=arrow_schema)
     path = _new_part(td)
-    pq.write_table(table, path, compression="zstd")
+    # write-then-rename: a crash mid-write must never leave a torn parquet
+    # at a live part path (one torn file breaks every later scan). The tmp
+    # name is dot-prefixed so Spark's FileIndex ignores a crash leftover
+    # too; rename within one fs is atomic.
+    tmp = os.path.join(td.path, "." + os.path.basename(path) + ".tmp")
+    pq.write_table(table, tmp, compression="zstd")
+    os.rename(tmp, path)
     return path
 
 
