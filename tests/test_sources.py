@@ -72,3 +72,38 @@ def test_json_source(eng):
 
 def test_orc_source_infers_schema(eng):
     assert eng.table("region_notes").count() == 2
+
+
+def test_external_partitioned_dir_prunes_in_dialect(spark, engine, tmp_path):
+    """register_external over a write_time_partitioned layout: the dialect
+    query's WHERE on the partition column becomes a PartitionFilter."""
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from interference_spark.inventory import engine_for
+    from interference_spark.pipeline.partitioning import write_time_partitioned
+
+    ev = engine_for(spark, "/root/testdata/sf0.001").table("events")
+    path = str(tmp_path / "ev_days")
+    write_time_partitioned(ev, path, "ts", granularity="day")
+
+    name = f"EvDays{uuid.uuid4().hex[:8]}"
+    engine.register_external(
+        name, path, format="parquet",
+        schema="event_id long, ts timestamp, user_id long, event_type string, "
+               "value double, props string, __bucket date",
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = engine.session().execute(
+        f"select e.event_id, e.user_id from {name} e "
+        f"where e.__bucket = '10.01.2024'"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]\n]*)\]", plan)
+    assert m and "__bucket" in m.group(1), plan
+    want = ev.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-11")
+    ).count()
+    assert df.count() == want
