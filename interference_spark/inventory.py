@@ -637,6 +637,30 @@ def rollup_pricing_subtotals(spark, sf_dir):
 
 
 @query(
+    "grouping_sets_pricing",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+              sum(l_quantity) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+)
+def grouping_sets_pricing(spark, sf_dir):
+    """Explicit GROUPING SETS — arbitrary grouping combinations (here the
+    two single-column totals, neither the full cross nor the grand total)
+    in one Expand-fed aggregate pass; the generalization ROLLUP/CUBE are
+    sugar for (absent in the reference, SURVEY §2.4)."""
+    e = engine_for(spark, sf_dir)
+    return (
+        e.table("lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
     "cube_event_totals",
     """SELECT event_type, CAST(year(ts) AS INT) AS yr, count(*) AS cnt,
               CAST(sum(user_id) AS BIGINT) AS sum_uid
