@@ -2404,6 +2404,37 @@ def stream_stream_join(spark, sf_dir):
 
 
 @query(
+    "stream_into_materialize",
+    """SELECT event_id AS eevent_id, user_id AS euser_id, value AS evalue
+       FROM events WHERE event_type = 'click'""",
+)
+def stream_into_materialize(spark, sf_dir):
+    """Chained CEP, driver-gated: a SELECT STREAM filter materialized into
+    a second managed table via ``Session.stream_into`` (committed appends
+    per micro-batch), then the TARGET TABLE's contents are the result —
+    the oracle is the equivalent batch filter over the source."""
+    import uuid
+
+    e, name = _copy_events_managed(spark, sf_dir, "EvInto")
+    target = f"EvIntoT_{uuid.uuid4().hex[:8]}"
+    e.register_table(
+        target, "eevent_id long, euser_id long, evalue double",
+        id_col="eevent_id",
+    )
+    s = e.session()
+    h = s.stream_into(
+        f"select stream e.event_id, e.user_id, e.value from {name} e "
+        f"where e.event_type = 'click'",
+        target,
+    )
+    try:
+        h.process_all_available()
+    finally:
+        h.stop()
+    return e.table(target).select("eevent_id", "euser_id", "evalue")
+
+
+@query(
     "stream_event_time_hourly",
     """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_epoch,
               event_type, count(*) AS n_events,

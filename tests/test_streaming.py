@@ -422,3 +422,15 @@ def test_stream_into_validation(engine, session, stream_table):
         session.stream_into(
             f"select e.eventId from {stream_table} e", "whatever"
         )
+    # target schema columns must equal the stream's output columns
+    import uuid
+
+    bad_target = f"EvBad{uuid.uuid4().hex[:8]}"
+    engine.register_table(bad_target, "wrong_col long", id_col="wrong_col")
+    try:
+        with pytest.raises(errors.InvalidParameter):
+            session.stream_into(
+                f"select stream e.eventId from {stream_table} e", bad_target
+            )
+    finally:
+        engine.drop_table(bad_target)
