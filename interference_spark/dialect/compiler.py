@@ -48,6 +48,9 @@ def _value_expr(vc: ValueCondition) -> Column:
         # IS [NOT] NULL extension — negation handled here directly (the
         # generic `~` path below would give three-valued-logic surprises)
         return c.isNotNull() if vc.negated else c.isNull()
+    if vc.op == "BETWEEN":
+        e = c.between(F.lit(vc.values[0]), F.lit(vc.values[1]))
+        return ~e if vc.negated else e
     if vc.op == "IN":
         e = c.isin(*vc.values)
     elif vc.op == "LIKE":

@@ -502,13 +502,29 @@ class Parser:
 
     def _split_terms(self, src: str) -> tuple[list[str], str | None]:
         """Split top level on AND/OR; mixed kinds at one level →
-        InvalidCondition (reference sql/NestedCondition.java:50-54)."""
+        InvalidCondition (reference sql/NestedCondition.java:50-54).
+        BETWEEN-aware: the AND that closes a ``x BETWEEN a AND b`` leaf is
+        part of the leaf, not a connective (a BETWEEN inside parentheses is
+        handled by the recursive parse of that group — the keyword scan
+        only runs at depth 0 of each invocation)."""
         terms, buf = [], []
         connective: str | None = None
+        between_pending = False
         depth_p = depth_b = 0
         q: str | None = None
         i, n = 0, len(src)
         up = src.upper()
+
+        def _kw_at(kw: str, i: int) -> bool:
+            return (
+                up.startswith(kw, i)
+                and (i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_"))
+                and (
+                    i + len(kw) >= n
+                    or not (up[i + len(kw)].isalnum() or up[i + len(kw)] == "_")
+                )
+            )
+
         while i < n:
             ch = src[i]
             if q:
@@ -530,12 +546,19 @@ class Parser:
             elif ch == "]":
                 depth_b -= 1
             if depth_p == 0 and depth_b == 0 and q is None:
+                if _kw_at("BETWEEN", i):
+                    between_pending = True
+                    buf.append(src[i : i + 7])
+                    i += 7
+                    continue
+                if between_pending and _kw_at("AND", i):
+                    # the BETWEEN's own AND — keep it inside the leaf
+                    between_pending = False
+                    buf.append(src[i : i + 3])
+                    i += 3
+                    continue
                 for kw in ("AND", "OR"):
-                    if (
-                        up.startswith(kw, i)
-                        and (i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_"))
-                        and (i + len(kw) >= n or not (up[i + len(kw)].isalnum() or up[i + len(kw)] == "_"))
-                    ):
+                    if _kw_at(kw, i):
                         # NOT IN / NOT LIKE contain no AND/OR; safe
                         if connective is None:
                             connective = kw
@@ -570,6 +593,12 @@ class Parser:
         re.S | re.I,
     )
 
+    _BETWEEN_RE = re.compile(
+        r"^\s*(?P<lhs>[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)?)\s+"
+        r"(?P<neg>NOT\s+)?BETWEEN\s+(?P<lo>.+?)\s+AND\s+(?P<hi>.+?)\s*$",
+        re.S | re.I,
+    )
+
     def _parse_simple(self, src: str):
         # IS [NOT] NULL — EXTENSION: the reference grammar has no NULL
         # token at all (sql/ValueCondition.java parses only typed
@@ -580,6 +609,23 @@ class Parser:
             ref = self._resolve_ref(nm.group("lhs"), InvalidCondition)
             return ValueCondition(
                 ref=ref, op="ISNULL", values=[], negated=bool(nm.group("neg"))
+            )
+        # [NOT] BETWEEN lo AND hi — EXTENSION (pure sugar over >= AND <=;
+        # the reference has no BETWEEN token). Ordering semantics → same
+        # string-column rejection as < / >.
+        bm = self._BETWEEN_RE.match(src)
+        if bm:
+            ref = self._resolve_ref(bm.group("lhs"), InvalidCondition)
+            btype = self._ref_type(ref)
+            if isinstance(btype, T.StringType):
+                raise InvalidCondition(
+                    f"ordering comparison on string column: {src!r}"
+                )
+            lo = self._parse_literal(bm.group("lo").strip(), btype, src)
+            hi = self._parse_literal(bm.group("hi").strip(), btype, src)
+            return ValueCondition(
+                ref=ref, op="BETWEEN", values=[lo, hi],
+                negated=bool(bm.group("neg")),
             )
         m = self._SIMPLE_RE.match(src)
         if not m:

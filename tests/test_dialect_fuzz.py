@@ -64,7 +64,7 @@ def _fmt_num(v):
 
 @st.composite
 def leaf(draw):
-    kind = draw(st.sampled_from(["num", "str", "in", "like"]))
+    kind = draw(st.sampled_from(["num", "str", "in", "like", "between"]))
     if kind == "num":
         col = draw(st.sampled_from(NUM_COLS))
         op = draw(st.sampled_from(NUM_OPS))
@@ -77,6 +77,9 @@ def leaf(draw):
         col = draw(st.sampled_from(NUM_COLS[:2] + STR_COLS))
         k = draw(st.integers(min_value=1, max_value=3))
         return ("in", col, k)
+    if kind == "between":
+        col = draw(st.sampled_from(NUM_COLS))
+        return ("between", col, None)
     col = draw(st.sampled_from(STR_COLS))
     return ("like", col, None)
 
@@ -113,6 +116,12 @@ def _render(node, duck, draw_val):
             return f"o.{col} in [{dial}]", f"{col} IN ({dial})"
         dial = ", ".join(_fmt_num(v) for v in vs)
         return f"o.{col} in [{dial}]", f"{col} IN ({dial})"
+    if kind == "between":
+        a, b = sorted([draw_val(vals), draw_val(vals)])
+        return (
+            f"o.{col} between {_fmt_num(a)} and {_fmt_num(b)}",
+            f"{col} BETWEEN {_fmt_num(a)} AND {_fmt_num(b)}",
+        )
     # contains-LIKE: substring of a real value
     v = str(draw_val(vals))
     sub = v[: max(1, len(v) // 2)]

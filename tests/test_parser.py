@@ -396,3 +396,36 @@ def test_is_null_extension(engine, session):
         "select e.empId from Emp e "
         "where e.empName is not null and e.empId > 0").collect()
     assert {r["eempId"] for r in rows} <= not_null_ids
+
+
+def test_between_extension(engine, session):
+    from interference_spark.dialect.ast import ValueCondition
+
+    q = parse(
+        engine,
+        "select e.empId from Emp e where e.salary between 1000.0 and 3000.0",
+    )
+    assert isinstance(q.where, ValueCondition)
+    assert q.where.op == "BETWEEN" and q.where.values == [1000.0, 3000.0]
+    # the BETWEEN's own AND does not split; surrounding ANDs still do
+    q2 = parse(
+        engine,
+        "select e.empId from Emp e where e.deptId = 1 "
+        "and e.salary between 1000.0 and 3000.0 and e.empId > 0",
+    )
+    assert len(q2.where.children) == 3
+    # NOT BETWEEN + equivalence with the expanded form
+    rows_b = {r["eempId"] for r in session.execute(
+        "select e.empId from Emp e where e.salary between 1000.0 and 3000.0"
+    ).collect()}
+    rows_x = {r["eempId"] for r in session.execute(
+        "select e.empId from Emp e where e.salary >= 1000.0 and e.salary <= 3000.0"
+    ).collect()}
+    assert rows_b == rows_x
+    rows_nb = {r["eempId"] for r in session.execute(
+        "select e.empId from Emp e where e.salary not between 1000.0 and 3000.0"
+    ).collect()}
+    assert rows_b & rows_nb == set()
+    # string columns: ordering comparison rejected (same rule as < / >)
+    with pytest.raises(errors.InvalidCondition):
+        parse(engine, "select e.empId from Emp e where e.empName between 'a' and 'b'")
