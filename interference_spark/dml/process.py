@@ -50,11 +50,14 @@ def resolve_processor(engine, name: str):
     )
 
 
-def _visit(df, ep, id_col: str):
-    """Distributed visit: returns (id, processed, delete) per row."""
+def _visit(df, ep, id_col: str, id_type: T.DataType):
+    """Distributed visit: returns (id, processed, delete) per row. __id
+    carries the table's own @Id DataType — string/decimal ids are as legal
+    here as in find/persist (a hardcoded LongType broke them in Arrow
+    conversion)."""
     out_schema = T.StructType(
         [
-            T.StructField("__id", T.LongType()),
+            T.StructField("__id", id_type),
             T.StructField("__processed", T.BooleanType()),
             T.StructField("__delete", T.BooleanType()),
         ]
@@ -86,7 +89,9 @@ def run_process(session, q: Query) -> ProcessResult:
     if q.where is not None:
         df = df.filter(_cond_expr(q.where))
 
-    visited = _visit(df, ep, td.id_col).cache()
+    visited = _visit(
+        df, ep, td.id_col, td.require_schema()[td.id_col].dataType
+    ).cache()
     try:
         processed = visited.filter("__processed").count()
         to_delete = visited.filter("__delete").select(
@@ -150,7 +155,9 @@ def _run_process_stream(session, q: Query, td, ep) -> ProcessStreamHandle:
     handle = ProcessStreamHandle(None)
 
     def per_batch(batch_df, epoch_id: int) -> None:
-        visited = _visit(batch_df, ep, td.id_col).cache()
+        visited = _visit(
+            batch_df, ep, td.id_col, schema[td.id_col].dataType
+        ).cache()
         try:
             handle.processed += visited.filter("__processed").count()
             to_delete = visited.filter("__delete").select(

@@ -72,9 +72,12 @@ class Session:
     def __init__(self, engine: Engine) -> None:
         self.engine = engine
         self.spark = engine.spark
-        # staged (uncommitted) work: table -> list of pending ops
-        self._staged_rows: dict[str, list[dict]] = {}
-        self._staged_deletes: dict[str, list] = {}
+        # staged (uncommitted) work: table -> ordered op log of
+        # ("row", dict) / ("delete", id). Order is preserved so that
+        # persist(x) then delete(x.id) deletes, and delete(id) then
+        # persist(x) keeps the row — the reference applies transactional
+        # ops in order (persistent/Transaction.java undo-chunk ordering).
+        self._staged_ops: dict[str, list[tuple[str, Any]]] = {}
         self._streams: list = []
 
     # ---------------------------------------------------------------- DDL
@@ -97,7 +100,9 @@ class Session:
                     raise NotNullViolation(
                         f"{td.name}.{td.id_col} (@Id) must be non-null"
                     )
-        self._staged_rows.setdefault(td.name, []).extend(rows)
+        self._staged_ops.setdefault(td.name, []).extend(
+            ("row", r) for r in rows
+        )
 
     def persist_df(self, table: str, df: DataFrame) -> None:
         """Distributed bulk persist. @NoCheck tables blind-append
@@ -136,7 +141,7 @@ class Session:
         td = self.engine.catalog.get(table)
         if td.id_col is None:
             raise InvalidParameter(f"table {td.name} has no @Id column")
-        self._staged_deletes.setdefault(td.name, []).append(id_value)
+        self._staged_ops.setdefault(td.name, []).append(("delete", id_value))
 
     def purge(self, table: str, id_value: Any) -> None:
         """Immediate delete ignoring staging (reference CEP consumption,
@@ -156,34 +161,50 @@ class Session:
         return df.toLocalIterator(prefetchPartitions=prefetch)
 
     def commit(self) -> None:
-        """Flush staged work. Appends become new part files → feed streams."""
-        for name, ids in self._staged_deletes.items():
+        """Flush staged work in staging order: consecutive same-kind ops are
+        applied as one batch (one MERGE / one isin-delete), so the common
+        all-persists-then-commit path stays a single storage operation, while
+        interleaved persist/delete sequences keep their transactional order
+        (persist(x); delete(x.id) → row gone; delete(id); persist(x) → row
+        present — reference applies ops in order). Appends become new part
+        files → feed streams."""
+        for name, ops in self._staged_ops.items():
             td = self.engine.catalog.get(name)
-            store.delete_where(self.spark, td, F.col(td.id_col).isin(ids))
-        self._staged_deletes.clear()
-        for name, rows in self._staged_rows.items():
-            td = self.engine.catalog.get(name)
-            if td.nocheck or td.id_col is None:
-                store.append_rows(td, rows)
-            else:
-                # upsert path: last staged row per id wins
-                by_id = {}
-                for r in rows:
-                    by_id[r.get(td.id_col)] = r
-                schema = td.require_schema()
-                new_df = self.spark.createDataFrame(
-                    [tuple(r.get(f.name) for f in schema.fields) for r in by_id.values()],
-                    schema,
-                )
-                store.upsert(self.spark, td, new_df)
+            i = 0
+            while i < len(ops):
+                kind = ops[i][0]
+                j = i
+                while j < len(ops) and ops[j][0] == kind:
+                    j += 1
+                chunk = [payload for _, payload in ops[i:j]]
+                if kind == "delete":
+                    store.delete_where(
+                        self.spark, td, F.col(td.id_col).isin(chunk)
+                    )
+                elif td.nocheck or td.id_col is None:
+                    store.append_rows(td, chunk)
+                else:
+                    # upsert path: last staged row per id wins within chunk
+                    by_id = {}
+                    for r in chunk:
+                        by_id[r.get(td.id_col)] = r
+                    schema = td.require_schema()
+                    new_df = self.spark.createDataFrame(
+                        [
+                            tuple(r.get(f.name) for f in schema.fields)
+                            for r in by_id.values()
+                        ],
+                        schema,
+                    )
+                    store.upsert(self.spark, td, new_df)
+                i = j
             store.apply_threshold(self.spark, td)
-        self._staged_rows.clear()
+        self._staged_ops.clear()
 
     def rollback(self) -> None:
         """Discard staged work (reference rollback physically removes
         inserted rows — ours never wrote them)."""
-        self._staged_rows.clear()
-        self._staged_deletes.clear()
+        self._staged_ops.clear()
 
     # ---------------------------------------------------------------- SQL
     def execute(self, sql: str, stream_id: str | None = None):

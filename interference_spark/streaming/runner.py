@@ -68,6 +68,7 @@ def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
         engine.warehouse, "_checkpoints", stream_id or uuid.uuid4().hex
     )
     types = {f.name: _simple_type(f.dataType) for f in schema.fields}
+    drop_order = False
 
     if q.group_by or q.window_by is not None:
         import functools
@@ -134,15 +135,38 @@ def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
         if distinct_stream:
             q.distinct = False
         out = compile_on(engine, q, dfs)
-        if distinct_stream:
-            out = out.dropDuplicates()
         order_col = td.id_col
-        # keep the id visible for ordering if projected away? No: order
-        # within foreachBatch needs the column — re-attach when absent.
+        drop_order = False
         if td.id_col not in out.columns:
-            order_col = None
+            # @Id projected away: re-attach it under a hidden name so each
+            # micro-batch still orders by id (the documented guarantee),
+            # then StreamQueue drops it before enqueueing rows.
+            from ..dialect.ast import ColumnRef, SelectItem
 
-    sq = StreamQueue(out, order_col, f"ifs_stream_{uuid.uuid4().hex[:8]}", checkpoint)
+            q.items.append(
+                SelectItem(
+                    ref=ColumnRef(alias, td.id_col), out_name="__ifs_order"
+                )
+            )
+            try:
+                out = compile_on(engine, q, dfs)
+            finally:
+                q.items.pop()
+            order_col = "__ifs_order"
+            drop_order = True
+        if distinct_stream:
+            # dedup on the visible projection only — the hidden order id
+            # would otherwise make every row distinct
+            payload = [c for c in out.columns if c != order_col or not drop_order]
+            out = out.dropDuplicates(payload)
+
+    sq = StreamQueue(
+        out,
+        order_col,
+        f"ifs_stream_{uuid.uuid4().hex[:8]}",
+        checkpoint,
+        drop_order=drop_order,
+    )
     session._streams.append(sq)
     return sq
 

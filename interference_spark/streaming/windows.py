@@ -106,7 +106,9 @@ def tumbling_keychange(
                 if st["open"] and k != st["key"]:
                     close_group()
                     st["vals"] = {c: [] for _, c, _ in aggs}
-                st["key"] = k if not isinstance(k, (pd.Timestamp,)) else str(k)
+                # numeric group keys arrive as numpy scalars — convert to
+                # native python or json.dumps(state) raises on int64
+                st["key"] = str(k) if isinstance(k, pd.Timestamp) else _py(k)
                 st["open"] = True
                 for _, c, _ in aggs:
                     v = r[c]
