@@ -160,7 +160,15 @@ class Engine:
         if name in self.catalog:
             existing = self.catalog.get(name)
             if existing.managed:
-                if existing.schema == _as_struct(schema) and existing.id_col == id_col:
+                same = (
+                    existing.schema == _as_struct(schema)
+                    and existing.id_col == id_col
+                    and existing.nocheck == nocheck
+                    and existing.threshold == threshold
+                    and existing.indexes == tuple(indexes)
+                    and existing.partition_cols == tuple(partition_cols)
+                )
+                if same:
                     return existing
                 raise InvalidTableDescription(
                     f"table {name!r} already registered with a different "

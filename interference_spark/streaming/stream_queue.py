@@ -31,17 +31,25 @@ class StreamQueue:
         order_col: str | None,
         query_name: str,
         checkpoint_dir: str | None = None,
+        drop_order: bool = False,
     ) -> None:
         self._q: queue.Queue[Row] = queue.Queue(maxsize=CAPACITY)
         self._stopped = threading.Event()
-        self.columns = df.columns
+        # when the @Id was re-attached under a hidden name purely for
+        # ordering, it is dropped before rows reach the consumer
+        self.columns = [
+            c for c in df.columns if not (drop_order and c == order_col)
+        ]
 
         def feed(batch_df: DataFrame, epoch_id: int) -> None:
-            rows = (
-                batch_df.orderBy(order_col).collect()
+            ordered = (
+                batch_df.orderBy(order_col)
                 if order_col and order_col in batch_df.columns
-                else batch_df.collect()
+                else batch_df
             )
+            if drop_order and order_col in ordered.columns:
+                ordered = ordered.drop(order_col)
+            rows = ordered.collect()
             for r in rows:
                 if self._stopped.is_set():
                     return

@@ -229,3 +229,78 @@ def test_persist_df_null_id_rejected(engine, spark):
         assert engine.table("nn_df_t").count() == 1
     finally:
         s.close()
+
+
+# ---- ADVICE r01 regressions -------------------------------------------------
+
+
+def test_persist_then_delete_same_txn(session, engine, fresh):
+    """Staged ops replay in staging order (reference applies transactional
+    ops in order): persist(x); delete(x.id); commit → row gone."""
+    session.persist(fresh, {"id": 1, "val": 10, "tag": "a"})
+    session.delete(fresh, 1)
+    session.commit()
+    assert engine.table(fresh).count() == 0
+
+
+def test_delete_then_persist_same_txn(session, engine, fresh):
+    session.persist(fresh, {"id": 1, "val": 10, "tag": "old"})
+    session.commit()
+    session.delete(fresh, 1)
+    session.persist(fresh, {"id": 1, "val": 99, "tag": "new"})
+    session.commit()
+    rows = engine.table(fresh).collect()
+    assert len(rows) == 1 and rows[0]["tag"] == "new"
+
+
+def test_process_string_id(session, engine):
+    """PROCESS on a table whose @Id is a string — the __id output field must
+    carry the table's own id DataType, not a hardcoded LongType."""
+
+    def make():
+        class DropB:
+            def process(self, row) -> bool:
+                return True
+
+            def delete(self) -> bool:
+                return True
+
+        return DropB
+
+    engine.register_table("strid_t", "id string, v long", id_col="id")
+    try:
+        session.persist(
+            "strid_t",
+            [{"id": f"k{i}", "v": i} for i in range(6)],
+        )
+        session.commit()
+        engine.register_processor("DropVOdd", make())
+        res = session.execute(
+            "process strid_t t within DropVOdd where t.v > 3"
+        )
+        assert res.processed == 2 and res.deleted == 2
+        left = sorted(r["id"] for r in engine.table("strid_t").collect())
+        assert left == ["k0", "k1", "k2", "k3"]
+    finally:
+        engine.drop_table("strid_t")
+
+
+def test_reregister_different_options_raises(engine):
+    """Re-registration is a no-op only when the FULL definition matches —
+    nocheck/threshold/indexes/partition_cols included."""
+    from interference_spark.errors import InvalidTableDescription
+
+    engine.register_table("rr_t", "id long, v long", id_col="id")
+    try:
+        # identical definition → idempotent no-op
+        engine.register_table("rr_t", "id long, v long", id_col="id")
+        with pytest.raises(InvalidTableDescription):
+            engine.register_table("rr_t", "id long, v long", id_col="id", nocheck=True)
+        with pytest.raises(InvalidTableDescription):
+            engine.register_table("rr_t", "id long, v long", id_col="id", threshold=100)
+        with pytest.raises(InvalidTableDescription):
+            engine.register_table(
+                "rr_t", "id long, v long", id_col="id", partition_cols=("v",)
+            )
+    finally:
+        engine.drop_table("rr_t")

@@ -434,3 +434,46 @@ def test_stream_into_validation(engine, session, stream_table):
             )
     finally:
         engine.drop_table(bad_target)
+
+
+# ---- ADVICE r01 regressions -------------------------------------------------
+
+
+def test_tumbling_numeric_group_key(session, engine, stream_table):
+    """GROUP BY a long column in SELECT STREAM: numeric keys arrive in the
+    stateful op as numpy scalars and must survive JSON state round-trips."""
+    rows = [
+        {"eventId": i, "eventType": t, "eventValue": i, "groupValue": "x"}
+        for i, t in enumerate([7, 7, 8, 8, 8, 9])
+    ]
+    session.persist(stream_table, rows)
+    session.commit()
+    sq = session.execute(
+        f"select stream count(e.eventId) c, e.eventType "
+        f"from {stream_table} e group by e.eventType"
+    )
+    try:
+        got = [(r["eeventType"], r["c"]) for r in sq.drain_available()]
+        assert got == [(7, 2), (8, 3)]  # 9 stays open
+    finally:
+        sq.stop()
+
+
+def test_stream_without_id_in_projection_is_ordered(session, engine, stream_table):
+    """@Id projected away: rows must still arrive in @Id order (the hidden
+    re-attached order column must not leak to the consumer)."""
+    rows = [
+        {"eventId": i, "eventType": 0, "eventValue": 100 - i, "groupValue": "g"}
+        for i in range(20)
+    ]
+    session.persist(stream_table, rows)
+    session.commit()
+    sq = session.execute(
+        f"select stream e.eventValue from {stream_table} e"
+    )
+    try:
+        got = sq.drain_available()
+        assert [r["eeventValue"] for r in got] == [100 - i for i in range(20)]
+        assert got and set(got[0].asDict().keys()) == {"eeventValue"}
+    finally:
+        sq.stop()
