@@ -78,17 +78,23 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     # ingest benches run FIRST, on the fresh JVM: measured after the 30+
     # query loop they read 3-5x higher purely from heap aging / deferred
     # cleanup that System.gc() does not fully reclaim (measured: upsert
     # 1.8-2.5 s standalone vs 7-9 s when benched last)
     # ingest bench: @NoCheck blind-append path (reference: 100k obj/s)
-    timings["ingest_append_100k"] = round(_bench_ingest(spark), 4)
+    try:
+        timings["ingest_append_100k"] = round(_bench_ingest(spark), 4)
+    except Exception as exc:  # noqa: BLE001
+        errors["ingest_append_100k"] = f"{type(exc).__name__}: {exc}"[:500]
     # upsert bench: persist-by-@Id MERGE path (10k upserts onto 100k rows)
     spark.sparkContext._jvm.System.gc()
-    timings["ingest_upsert_10k"] = round(_bench_upsert(spark), 4)
-
+    try:
+        timings["ingest_upsert_10k"] = round(_bench_upsert(spark), 4)
+    except Exception as exc:  # noqa: BLE001
+        errors["ingest_upsert_10k"] = f"{type(exc).__name__}: {exc}"[:500]
     for name in HEADLINE:
         fn = inventory.QUERIES[name]
         # collect garbage left by PRIOR queries (broadcasts, shuffle state)
@@ -96,13 +102,19 @@ def main() -> None:
         # rarely-collected heap, deferred cleanup otherwise lands on
         # whichever query runs last and inflates it ~3x
         spark.sparkContext._jvm.System.gc()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm (JIT, code cache)
-        best = float("inf")
-        for _ in range(2):  # best-of-2: robust to transient host noise
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        # per-query fault isolation: one broken query must never zero the
+        # whole bench run — record the error and keep measuring the rest
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm (JIT, code cache)
+            best = float("inf")
+            for _ in range(2):  # best-of-2: robust to transient host noise
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -112,6 +124,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "cpus": int(CPUS),
             }

@@ -977,8 +977,8 @@ def events_agg_by_type(spark, sf_dir):
         .agg(
             F.count("*").alias("cnt"),
             F.sum("user_id").alias("sum_uid"),
-            F.min("ts").cast("long").alias("min_ts_epoch"),
-            F.max("ts").cast("long").alias("max_ts_epoch"),
+            _epoch(F.min("ts")).alias("min_ts_epoch"),
+            _epoch(F.max("ts")).alias("max_ts_epoch"),
         )
     )
 
@@ -3126,9 +3126,88 @@ def process_stream_consume(spark, sf_dir):
     return e.table(name).select("event_id", "event_type")
 
 
+# ---------------------------------------------------------------------
+# Driver presentation order.  The correctness driver oracles the FIRST 50
+# entries of queries() (insertion order), so the window below interleaves
+# one-or-more representatives of EVERY operator family — dialect, TPC-H,
+# dedup, similarity, text, stats, multimodal, source formats, streaming,
+# PROCESS — rather than the file's thematic definition order.  Entries not
+# listed follow in registration order (they keep local pytest + fuzz
+# coverage and rotate into the window in later rounds).
+# ---------------------------------------------------------------------
+
+_DRIVER_WINDOW = [
+    # dialect / TPC-H sentinels (kept: broad plan shapes + two never-checked)
+    "dialect_multiway_join",
+    "dialect_group_agg",
+    "dialect_in_subquery",
+    "dialect_window_count_sliding",
+    "dialect_set_ops",
+    "dialect_scalar_funcs",
+    "dialect_is_null",
+    "point_lookup",
+    "q1_pricing_summary",
+    "q7_volume_shipping",
+    "q2_min_cost_supplier",
+    "events_agg_by_type",
+    "topk_per_group",
+    "rollup_pricing_subtotals",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_neardup",
+    "dedup_clusters",
+    "dedup_canonical_corpus",
+    "corpus_curation_funnel",
+    # similarity family
+    "sim_cosine_topk_exact",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_search",
+    # text-analysis family
+    "text_quality",
+    "text_repetition",
+    "text_token_count",
+    "text_fingerprint",
+    "lang_id",
+    "corpus_token_stats",
+    "decontaminate_ngrams",
+    "pii_redact",
+    "boilerplate_ngrams",
+    # exact stats
+    "exact_value_percentiles",
+    "exact_variance_by_type",
+    # multimodal plumbing
+    "mm_feature_extract",
+    "mm_resize",
+    "mm_frame_sample",
+    # source formats + semi-structured
+    "source_csv_agg",
+    "source_json_agg",
+    "json_extract_props",
+    # sessionization + streaming + PROCESS
+    "sessionize_users",
+    "stream_snapshot_filter",
+    "stream_tumbling_keychange",
+    "stream_sliding_count_window",
+    "stream_into_materialize",
+    "stream_stream_join",
+    "process_within_consume",
+]
+
+
+def _presentation_order() -> list[str]:
+    rest = [n for n in QUERIES if n not in _DRIVER_WINDOW]
+    missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+    assert not missing, f"_DRIVER_WINDOW names unknown queries: {missing}"
+    return list(_DRIVER_WINDOW) + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _presentation_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _presentation_order() if n in ORACLES}

@@ -52,22 +52,52 @@ def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 # ------------------------------------------------------------- minhash
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-word shingles → stable 32-bit hashes (md5-based;
-    independent of PYTHONHASHSEED)."""
+def _doc_shingles(text: str, k: int) -> set[str]:
+    """Distinct k-word shingles of a document (whitespace tokens)."""
     toks = text.split()
     if len(toks) < k:
-        shingles = {" ".join(toks)} if toks else {""}
-    else:
-        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        return {" ".join(toks)} if toks else {""}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _md5_32(s: str) -> int:
+    """Stable 32-bit shingle/token hash (md5 low 4 bytes, little-endian;
+    independent of PYTHONHASHSEED — DuckDB oracles recompute it in SQL)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "little")
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-word shingles → stable 32-bit hashes (kept for tests /
+    oracle generation; the hot path batches via ``_batch_codes``)."""
+    shingles = _doc_shingles(text, k)
     return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "little")
-            for s in shingles
-        ),
-        dtype=np.uint64,
-        count=len(shingles),
+        (_md5_32(s) for s in shingles), dtype=np.uint64, count=len(shingles)
     )
+
+
+def _batch_codes(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Factorize an Arrow batch's shingles: md5 runs once per UNIQUE shingle
+    in the batch (real corpora repeat shingles ~10x), occurrences become int
+    codes into the unique-hash table.  Returns (h_uniq, codes, starts) where
+    ``codes[starts[i]:starts[i+1]]`` are doc i's shingle ids."""
+    codes: list[int] = []
+    starts = np.empty(len(texts) + 1, dtype=np.int64)
+    starts[0] = 0
+    uniq_index: dict[str, int] = {}
+    uniq: list[str] = []
+    for i, t in enumerate(texts):
+        for s in _doc_shingles(t or "", k):
+            j = uniq_index.get(s)
+            if j is None:
+                j = len(uniq)
+                uniq_index[s] = j
+                uniq.append(s)
+            codes.append(j)
+        starts[i + 1] = len(codes)
+    h_uniq = np.fromiter(
+        (_md5_32(s) for s in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    return h_uniq, np.asarray(codes, dtype=np.int64), starts
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -94,13 +124,23 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            h = _shingle_hashes(t or "", shingle_k)
-            # (num_perm, n_shingles) without materializing when empty
-            vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE % _MAXH
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        # batch-vectorized: md5 once per unique shingle, the (a*h+b) mod p
+        # permutation matrix once per unique shingle (uint64 wraparound is
+        # part of the contract — the oracle replicates it), then per-doc
+        # minima as a contiguous segmented reduction over gathered rows.
+        h_uniq, codes, starts = _batch_codes(texts, shingle_k)
+        vals_uniq = (
+            h_uniq[:, None] * a[None, :] + b[None, :]
+        ) % _MERSENNE % _MAXH  # (U, num_perm)
+        sigs = np.empty((len(texts), num_perm), dtype=np.int64)
+        chunk = 1024  # keep the gathered (rows, num_perm) block cache-sized
+        for c0 in range(0, len(texts), chunk):
+            c1 = min(c0 + chunk, len(texts))
+            g = vals_uniq[codes[starts[c0] : starts[c1]]]
+            sigs[c0:c1] = np.minimum.reduceat(g, starts[c0:c1] - starts[c0], axis=0)
+        return pd.Series(list(sigs))
 
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
 
@@ -177,22 +217,53 @@ def simhash(
 
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
+        n = len(texts)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        # batch-vectorized: md5 once per UNIQUE token in the batch, the
+        # 64-bit ±1 vote rows once per unique token, then per-doc vote
+        # totals as one segmented reduction — no per-token/per-bit loops.
+        codes: list[int] = []
+        starts = np.empty(n + 1, dtype=np.int64)
+        starts[0] = 0
+        uniq_index: dict[str, int] = {}
+        uniq: list[str] = []
         for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                continue
-            votes = np.zeros(bits, dtype=np.int64)
-            for tok in set(toks):
-                h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
-                for bit in range(bits):
-                    votes[bit] += 1 if (h >> bit) & 1 else -1
-            v = 0
-            for bit in range(bits):
-                if votes[bit] > 0:
-                    v |= 1 << bit
-            out[i] = np.int64(np.uint64(v).astype(np.int64))
-        return pd.Series(out)
+            for tok in set((t or "").split()):
+                j = uniq_index.get(tok)
+                if j is None:
+                    j = len(uniq)
+                    uniq_index[tok] = j
+                    uniq.append(tok)
+                codes.append(j)
+            starts[i + 1] = len(codes)
+        if not codes:  # all-empty batch → all-zero fingerprints
+            return pd.Series(out)
+        h_uniq = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+                for s in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        shifts = np.arange(bits, dtype=np.uint64)
+        contrib = (
+            ((h_uniq[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        )  # (U, bits) — +1/-1 vote per bit
+        counts = np.diff(starts)
+        # reduceat quirk guards: a start index == len(codes) (trailing empty
+        # docs) raises, and an empty segment returns a[start] instead of 0 —
+        # pad one all-zero row so every index is valid without shifting any
+        # real segment boundary, then zero empty docs via the counts mask.
+        g = np.vstack([contrib[np.asarray(codes)], np.zeros((1, bits), dtype=np.int64)])
+        votes = np.add.reduceat(g, starts[:-1], axis=0)  # (n, bits)
+        packed = (
+            ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        ).view(np.int64)
+        packed[counts == 0] = 0
+        return pd.Series(packed)
 
     return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
 
