@@ -97,6 +97,54 @@ def add_tombstones(spark: SparkSession, td: TableDef, ids_df: DataFrame) -> None
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def add_tombstone_ids(td: TableDef, ids: list) -> None:
+    """Driver-side tombstone append for small id batches (the commit-time
+    delete path): one pyarrow file write, no Spark job — mirrors
+    ``append_rows``. At 100 TB a 10-row delete costs one ~1 KB file, never
+    a table rewrite; readers anti-join, ``maybe_compact`` amortizes."""
+    if td.id_col is None:
+        raise InvalidParameter(f"table {td.name} has no @Id column")
+    if not ids:
+        return
+    id_field = next(f for f in td.require_schema().fields if f.name == td.id_col)
+    table = pa.Table.from_pydict(
+        {td.id_col: list(ids)},
+        schema=pa.schema([pa.field(td.id_col, _to_arrow(id_field.dataType))]),
+    )
+    os.makedirs(_tombstone_dir(td), exist_ok=True)
+    path = os.path.join(_tombstone_dir(td), f"ts-{uuid.uuid4().hex}.parquet")
+    tmp = os.path.join(_tombstone_dir(td), "." + os.path.basename(path) + ".tmp")
+    pq.write_table(table, tmp, compression="zstd")
+    os.rename(tmp, path)
+
+
+# compaction triggers: tombstones are pure win until the anti-join's build
+# side stops being trivially broadcastable or the file listing gets long.
+# The byte-fraction trigger has an absolute floor: a lone ~1 KB id file on a
+# small table must not force a rewrite (that would re-create the very
+# full-table-rewrite path tombstones exist to avoid).
+MAX_TOMBSTONE_FILES = 32
+MAX_TOMBSTONE_FRACTION = 0.05
+MIN_TOMBSTONE_BYTES = 16 << 20
+
+
+def maybe_compact(spark: SparkSession, td: TableDef) -> bool:
+    """Apply tombstones physically once they exceed thresholds (count of
+    tombstone files, or tombstone bytes vs table bytes). Returns True if a
+    compaction ran. Cheap when it doesn't fire: two directory stats."""
+    tombs = _tombstone_parts(td)
+    if not tombs:
+        return False
+    t_bytes = sum(os.path.getsize(f) for f in tombs)
+    if len(tombs) >= MAX_TOMBSTONE_FILES or (
+        t_bytes > MIN_TOMBSTONE_BYTES
+        and t_bytes > _table_bytes(td) * MAX_TOMBSTONE_FRACTION
+    ):
+        compact(spark, td)
+        return True
+    return False
+
+
 def compact(spark: SparkSession, td: TableDef) -> None:
     """Physically apply tombstones and merge small part files."""
     if not _tombstone_parts(td):

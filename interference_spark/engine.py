@@ -149,10 +149,11 @@ class Engine:
     ) -> TableDef:
         """DDL: create a managed (writable) table — analogue of
         ``session.registerTable`` (reference ``persistent/Session.java:181``).
-        Re-registering an existing managed table with the SAME schema is an
-        idempotent no-op (registration is once-per-storage); with a
-        DIFFERENT schema it raises — altering requires drop + re-register
-        (manual 'Entity class registration')."""
+        Re-registering an existing managed table with the IDENTICAL full
+        definition (schema, id_col, nocheck, threshold, indexes,
+        partition_cols) is an idempotent no-op (registration is
+        once-per-storage); any difference raises — altering requires
+        drop + re-register (manual 'Entity class registration')."""
         from .catalog import _as_struct
         from .dml.store import init_table_dir
         from .errors import InvalidTableDescription

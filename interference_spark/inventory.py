@@ -2299,6 +2299,14 @@ def _copy_events_managed(spark, sf_dir: str, prefix: str):
     e = engine_for(spark, sf_dir)
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     src = e.table("events")
+    # normalize TIMESTAMP_NTZ (how some SFs' parquet reads) to TIMESTAMP:
+    # event-time ops (withWatermark, windows) require TIMESTAMP, and with
+    # the session timezone pinned to UTC the cast is a pure reinterpretation
+    from pyspark.sql import types as _T
+
+    for f in src.schema.fields:
+        if isinstance(f.dataType, _T.TimestampNTZType):
+            src = src.withColumn(f.name, F.col(f.name).cast("timestamp"))
     td = e.register_table(name, src.schema, id_col="event_id", nocheck=True)
     store.append_df(td, src.coalesce(1).sortWithinPartitions("event_id"))
     return e, name

@@ -145,9 +145,13 @@ class Session:
 
     def purge(self, table: str, id_value: Any) -> None:
         """Immediate delete ignoring staging (reference CEP consumption,
-        ``persistent/Session.java:478-488``)."""
+        ``persistent/Session.java:478-488``). Tombstone-routed like commit
+        deletes — no table rewrite."""
         td = self.engine.catalog.get(table)
-        store.delete_where(self.spark, td, F.col(td.id_col) == id_value)
+        if td.id_col is None:
+            raise InvalidParameter(f"table {td.name} has no @Id column")
+        store.add_tombstone_ids(td, [id_value])
+        store.maybe_compact(self.spark, td)
 
     def content_queue(self, table: str, prefetch: bool = True):
         """Drain a table's full content as a row iterator — the analogue of
@@ -178,9 +182,12 @@ class Session:
                     j += 1
                 chunk = [payload for _, payload in ops[i:j]]
                 if kind == "delete":
-                    store.delete_where(
-                        self.spark, td, F.col(td.id_col).isin(chunk)
-                    )
+                    # logical delete: tombstone file + threshold-triggered
+                    # compaction — a 10-row delete must never rewrite the
+                    # table (the reference frees frames in place; parquet
+                    # parts are immutable, so deletion vectors instead)
+                    store.add_tombstone_ids(td, chunk)
+                    store.maybe_compact(self.spark, td)
                 elif td.nocheck or td.id_col is None:
                     store.append_rows(td, chunk)
                 else:

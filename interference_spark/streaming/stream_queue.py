@@ -42,12 +42,19 @@ class StreamQueue:
         ]
 
         def feed(batch_df: DataFrame, epoch_id: int) -> None:
+            if drop_order:
+                # runner.py guarantees the hidden order column is present;
+                # a silent skip here would let it leak to consumers
+                assert order_col and order_col in batch_df.columns, (
+                    f"hidden order column {order_col!r} missing from "
+                    f"micro-batch columns {batch_df.columns}"
+                )
             ordered = (
                 batch_df.orderBy(order_col)
                 if order_col and order_col in batch_df.columns
                 else batch_df
             )
-            if drop_order and order_col in ordered.columns:
+            if drop_order:
                 ordered = ordered.drop(order_col)
             rows = ordered.collect()
             for r in rows:

@@ -231,6 +231,10 @@ def stream_stream_interval_join(
     watermark, right rows after watermark + max_delay) — without the time
     bound the state would grow forever. Matches emit as soon as both sides
     arrive (inner join, append mode)."""
+    # withWatermark requires TIMESTAMP; tolerate TIMESTAMP_NTZ sources
+    # (UTC session timezone makes the cast a pure reinterpretation)
+    left = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    right = right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     rkey = right_key or key

@@ -253,6 +253,64 @@ def test_delete_then_persist_same_txn(session, engine, fresh):
     assert len(rows) == 1 and rows[0]["tag"] == "new"
 
 
+def test_delete_leaves_other_parts_untouched(session, engine, fresh):
+    """Commit-time deletes are tombstone-routed: a small delete on a
+    multi-part table must not rewrite ANY existing part file (at 100 TB a
+    10-row delete must never rewrite the table)."""
+    import hashlib
+    import os
+
+    td = engine.catalog.get(fresh)
+    # three separate commits → three id-clustered part files
+    for start in (0, 10, 20):
+        session.persist(
+            fresh,
+            [{"id": start + i, "val": start + i, "tag": "x"} for i in range(10)],
+        )
+        session.commit()
+    parts_before = {
+        p: hashlib.md5(open(p, "rb").read()).hexdigest() for p in store._parts(td)
+    }
+    assert len(parts_before) >= 2
+    session.delete(fresh, 5)
+    session.delete(fresh, 15)
+    session.commit()
+    parts_after = {
+        p: hashlib.md5(open(p, "rb").read()).hexdigest() for p in store._parts(td)
+    }
+    assert parts_after == parts_before  # byte-identical, nothing rewritten
+    assert os.path.isdir(store._tombstone_dir(td))
+    assert sorted(r["id"] for r in engine.table(fresh).collect()) == sorted(
+        set(range(30)) - {5, 15}
+    )
+    # re-inserting a tombstoned id must resurrect the row (upsert compacts)
+    session.persist(fresh, {"id": 5, "val": 555, "tag": "back"})
+    session.commit()
+    rows = {r["id"]: r["val"] for r in engine.table(fresh).collect()}
+    assert rows[5] == 555 and 15 not in rows
+
+
+def test_tombstone_compaction_trigger(session, engine, fresh):
+    """Tombstone files past MAX_TOMBSTONE_FILES trigger a physical compact:
+    the anti-join build side stays bounded."""
+    td = engine.catalog.get(fresh)
+    n = store.MAX_TOMBSTONE_FILES + 2
+    session.persist(
+        fresh, [{"id": i, "val": i, "tag": "x"} for i in range(n + 5)]
+    )
+    session.commit()
+    for i in range(n):  # one tombstone file per commit
+        session.delete(fresh, i)
+        session.commit()
+    # compaction fired at the MAX_TOMBSTONE_FILES-th delete and cleared the
+    # backlog; only the post-compaction deletes' files may remain
+    remaining = store._tombstone_parts(td)
+    assert len(remaining) == n - store.MAX_TOMBSTONE_FILES
+    assert sorted(r["id"] for r in engine.table(fresh).collect()) == list(
+        range(n, n + 5)
+    )
+
+
 def test_process_string_id(session, engine):
     """PROCESS on a table whose @Id is a string — the __id output field must
     carry the table's own id DataType, not a hardcoded LongType."""
