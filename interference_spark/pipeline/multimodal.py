@@ -2,12 +2,16 @@
 with typed metadata.
 
 The Spark-side design is real and tested: schema, Arrow batch shape,
-``mapInPandas`` operator signatures, partition sizing. The actual
-codec work (image decode, audio resample, frame extraction) is stubbed —
-the decode libraries aren't in this container — behind
-``decoder="fake"`` (deterministic bytes-derived features, used in tests)
-vs ``decoder="real"`` (raises NotImplementedError with the intended
-implementation documented).
+``mapInPandas`` operator signatures, partition sizing. Two decoder modes:
+
+* ``decoder="fake"`` — deterministic bytes-derived features; exercises the
+  full distributed plumbing on arbitrary payloads (the driver testdata has
+  no real media).
+* ``decoder="real"`` — genuine image decode via the bundled pure-Python
+  PNG codec (:mod:`.png`; Pillow is not in this container). PNG payloads
+  are actually decoded/resized; other formats (JPEG, audio, video) raise
+  ``NotImplementedError`` — they need PIL/soundfile/pyav, which a real
+  deployment installs, swapping the codec call inside the same operator.
 
 At 100 TB: binary payloads dominate partition size, so operators here take a
 ``target_batch_bytes`` hint — ``mapInPandas`` yields multiple small pandas
@@ -76,25 +80,34 @@ def feature_extract(
     ``fake`` decoder: deterministic features derived from the raw bytes
     (length, first-8-bytes hex, synthetic frame count) — lets every piece of
     the distributed plumbing run and be oracle-checked without codecs.
-    ``real`` decoder: stub — would use PIL/libsndfile/pyav per batch.
+    ``real`` decoder: PNG payloads are genuinely parsed (dimensions from
+    IHDR; a still image is 1 frame); other formats raise.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media decode requires PIL/soundfile/av (not in this "
-            "container); the fake decoder exercises identical Spark plumbing"
-        )
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     from . import ensure_parallelism
 
     df = ensure_parallelism(df)
 
+    def _real_decode(payload: bytes | None) -> tuple[int, str, int]:
+        from .png import png_dims
+
+        if payload is None:
+            return 0, "", 0
+        w, h = png_dims(bytes(payload))  # raises UnsupportedMedia if not PNG
+        return len(payload), f"{w}x{h}", 1
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), target_batch_rows):
                 chunk = pdf.iloc[start : start + target_batch_rows]
-                feats = [
-                    _fake_decode(c, frame_bytes) for c in chunk["content"]
-                ]
+                if decoder == "real":
+                    feats = [_real_decode(c) for c in chunk["content"]]
+                else:
+                    feats = [
+                        _fake_decode(c, frame_bytes) for c in chunk["content"]
+                    ]
                 yield pd.DataFrame(
                     {
                         "media_id": chunk["media_id"].to_numpy(),
@@ -137,27 +150,42 @@ def resize(
     ``fake``: keeps every ``scale_div``-th byte — deterministic, size-
     proportional, exercises the binary-in/binary-out Arrow path whose batch
     sizing is the actual scale risk (payloads dominate partition bytes).
-    ``real``: stub — PIL ``Image.resize`` / soxr resample per batch.
-    Records the transform in ``meta['resized']``.
+    ``real``: PNG payloads are decoded, nearest-neighbor downscaled by
+    ``scale_div``, and re-encoded as PNG (pure-Python codec; a deployment
+    with Pillow swaps the codec call, same operator). Non-PNG raises.
+    Records the transform (and real output dims) in ``meta``.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "real resize requires PIL/soxr (not in this container); the "
-            "fake decoder exercises identical Spark plumbing"
-        )
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _real_resize(payload: bytes | None) -> tuple[bytes | None, str]:
+        from .png import decode_png, encode_png, resize_nearest
+
+        if payload is None:
+            return None, ""
+        arr = resize_nearest(decode_png(bytes(payload)), scale_div)
+        return encode_png(arr), f"{arr.shape[1]}x{arr.shape[0]}"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), target_batch_rows):
                 chunk = pdf.iloc[start : start + target_batch_rows].copy()
-                chunk["content"] = [
-                    None if c is None else bytes(c[::scale_div])
-                    for c in chunk["content"]
-                ]
-                chunk["meta"] = [
-                    {**(m or {}), "resized": f"1/{scale_div}"}
-                    for m in chunk["meta"]
-                ]
+                if decoder == "real":
+                    resized = [_real_resize(c) for c in chunk["content"]]
+                    chunk["content"] = [r[0] for r in resized]
+                    chunk["meta"] = [
+                        {**(m or {}), "resized": f"1/{scale_div}", "dims": r[1]}
+                        for m, r in zip(chunk["meta"], resized)
+                    ]
+                else:
+                    chunk["content"] = [
+                        None if c is None else bytes(c[::scale_div])
+                        for c in chunk["content"]
+                    ]
+                    chunk["meta"] = [
+                        {**(m or {}), "resized": f"1/{scale_div}"}
+                        for m in chunk["meta"]
+                    ]
                 yield chunk
 
     return df.select(
@@ -182,8 +210,9 @@ def frame_sample(
     """
     if decoder == "real":
         raise NotImplementedError(
-            "real frame sampling requires pyav (not in this container); "
-            "the fake decoder exercises identical Spark plumbing"
+            "real frame sampling requires a video codec (pyav), which is "
+            "not in this container and has no pure-Python fallback; the "
+            "fake decoder exercises identical Spark plumbing"
         )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
