@@ -280,7 +280,10 @@ def simhash_pairs(
     a cross join; verify with bit_count(a^b) JVM-side."""
     nbands = max_hamming + 1
     width = 64 // nbands
-    sh = simhash(df, text_col, id_col)
+    # fingerprints feed both join sides — persist the narrow (id, long)
+    # rows so the Pandas-UDF stage runs once, not once per side (at 100 TB
+    # you'd materialize fingerprints to a table instead — same idea)
+    sh = simhash(df, text_col, id_col).persist()
     bands = sh.select(
         id_col,
         "simhash",
@@ -320,19 +323,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     prefix_filter: bool = True,
+    bitmap_vocab_cap: int = 4096,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs at or above ``threshold``.
 
-    ``prefix_filter=True`` (default) runs the distributed prefix-filtered
-    set-similarity join (the PPJoin/Vernica-style plan; cf. PAPERS.md
-    "Distributed Streaming Set Similarity Join", ICDE 2020): candidates are
-    generated only from each doc's |g| - ceil(t·|g|) + 1 *globally rarest*
-    grams — any pair with Jaccard ≥ t provably shares one — then verified
-    exactly with ``array_intersect``. This is LOSSLESS pruning: identical
-    output to the naive plan, but the inverted-index shuffle carries prefix
-    postings instead of all postings, collapsing the Σ(posting-list²) blowup
-    on common grams that dominates at corpus scale. A length filter
-    (t·|a| ≤ |b| ≤ |a|/t) prunes candidates further before verification.
+    Adaptive between two exact plans (identical output):
+
+    * **prefix-filtered set-similarity join** (default for real corpora —
+      the PPJoin/Vernica-style plan; cf. PAPERS.md "Distributed Streaming
+      Set Similarity Join", ICDE 2020): candidates are generated only from
+      each doc's |g| - ceil(t·|g|) + 1 *globally rarest* grams — any pair
+      with Jaccard ≥ t provably shares one — plus a length filter
+      (t·|a| ≤ |b| ≤ |a|/t) and the PPJoin positional filter, then exact
+      ``array_intersect`` verification. LOSSLESS pruning that collapses
+      the Σ(posting-list²) blowup on common grams.
+    * **bit-packed all-pairs** when the corpus' distinct-gram vocabulary is
+      small (≤ ``bitmap_vocab_cap``): tiny vocabularies are exactly where
+      prefix filtering provably cannot prune (every posting list is huge —
+      measured: a 377-gram corpus makes 82% of ALL pairs candidates, and
+      the true ≥t output is itself Θ(N²)), so the optimal plan is to make
+      per-pair verification nearly free: each gram set packs into
+      ⌈V/64⌉ int64 words, the broadcast nested-loop self-join evaluates
+      popcount(a AND b) per pair in whole-stage codegen — exact set
+      intersection, no hashing, no arrays of strings.
+
+    The one-row vocabulary count that picks the plan is a cheap first pass
+    (and the degenerate case it detects is data-dependent, not SF-dependent:
+    the switch holds at any corpus size).
 
     ``prefix_filter=False`` keeps the naive full-posting join (cheaper at
     tiny scale — no frequency pass)."""
@@ -363,8 +380,16 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
+    # plan selection: one cheap vocabulary-count pass (see docstring)
+    n_vocab = grams.select(F.explode("grams").alias("g")).distinct().count()
+    if n_vocab <= bitmap_vocab_cap:
+        return _bitmap_allpairs_jaccard(grams, id_col, threshold)
+
     from pyspark.sql import Window as W
 
+    # gram arrays feed the index build AND both verify sides — compute the
+    # (expensive) ngram transform once
+    grams = grams.persist()
     exploded = grams.select(id_col, "n_grams", F.explode("grams").alias("g"))
     freq = exploded.groupBy("g").agg(F.count("*").alias("df_g"))
     ranked = exploded.join(freq, "g").withColumn(
@@ -375,14 +400,30 @@ def ngram_jaccard_pairs(
         F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
     )
     pref = ranked.filter(F.col("__rk") <= prefix_len)
-    l = pref.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g")
-    r = pref.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "g")
+    l = pref.select(
+        F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g",
+        F.col("__rk").alias("pa"),
+    )
+    r = pref.select(
+        F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"), "g",
+        F.col("__rk").alias("pb"),
+    )
+    # PPJoin positional filter (lossless): a prefix match at ranks (pa, pb)
+    # caps the possible overlap at 1 + min(na-pa, nb-pb); J ≥ t needs
+    # overlap ≥ ceil(t/(1+t)·(na+nb))
+    overlap_cap = F.lit(1) + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+    )
+    overlap_need = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+    )
     cand = (
         l.join(r, "g")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
             & (F.col("nb") <= F.floor(F.col("na") / F.lit(threshold)))
+            & (overlap_cap >= overlap_need)
         )
         .select("id_a", "id_b")
         .distinct()
@@ -400,6 +441,75 @@ def ngram_jaccard_pairs(
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _bitmap_allpairs_jaccard(
+    grams: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs Jaccard for small-vocabulary corpora: pack each gram
+    set into ⌈V/64⌉ int64 words (one vectorized Arrow batch pass), then a
+    broadcast nested-loop self-join evaluates Σ bit_count(a AND b) per pair
+    inside whole-stage codegen. Exact set semantics — the bit index IS the
+    gram identity, no hashing. Used only when V ≤ ``bitmap_vocab_cap``, so
+    the broadcast side is ≤ N × (8·⌈V/64⌉) bytes of narrow rows; the output
+    at thresholds where this plan wins is itself Θ(N²), so pair evaluation
+    — not candidate generation — is the optimal place to spend."""
+    from . import ensure_parallelism
+
+    spark = grams.sparkSession
+    vocab = sorted(
+        r["g"] for r in grams.select(F.explode("grams").alias("g")).distinct().collect()
+    )
+    index = {g: i for i, g in enumerate(vocab)}
+    n_words = (len(vocab) + 63) // 64
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def pack(gram_lists: pd.Series) -> pd.Series:
+        out = []
+        for lst in gram_lists:
+            words = np.zeros(n_words, dtype=np.uint64)
+            idx = np.fromiter(
+                (index[g] for g in lst), dtype=np.int64, count=len(lst)
+            )
+            np.bitwise_or.at(
+                words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64)
+            )
+            out.append(words.view(np.int64))
+        return pd.Series(out)
+
+    bm = grams.select(
+        F.col(id_col), F.col("n_grams"), pack(F.col("grams")).alias("bm")
+    )
+    # left side repartitioned so the nested-loop parallelizes; right side
+    # broadcast (narrow bit-words, bounded by the vocab cap)
+    a = ensure_parallelism(
+        bm.select(
+            F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"),
+            F.col("bm").alias("bm_a"),
+        )
+    )
+    b = bm.select(
+        F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"),
+        F.col("bm").alias("bm_b"),
+    ).hint("broadcast")
+    inter = F.aggregate(
+        F.zip_with(
+            F.col("bm_a"), F.col("bm_b"),
+            lambda x, y: F.bit_count(x.bitwiseAND(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("inter", inter)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
