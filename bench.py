@@ -53,6 +53,8 @@ HEADLINE = [
     "exact_variance_by_type",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sessionize_users",
     "text_quality",
     "text_repetition",
     "decontaminate_ngrams",

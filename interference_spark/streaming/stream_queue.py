@@ -58,9 +58,20 @@ class StreamQueue:
                 ordered = ordered.drop(order_col)
             rows = ordered.collect()
             for r in rows:
+                # bounded put that stays interruptible: a plain blocking
+                # put() deadlocks once a batch exceeds CAPACITY and the
+                # consumer is itself blocked in processAllAvailable()
+                # (drain_available), and makes stop() unable to unblock the
+                # micro-batch thread. Backpressure semantics unchanged —
+                # the producer still waits for queue space.
+                while not self._stopped.is_set():
+                    try:
+                        self._q.put(r, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
                 if self._stopped.is_set():
                     return
-                self._q.put(r)
 
         writer = (
             df.writeStream.outputMode("append")
@@ -84,14 +95,24 @@ class StreamQueue:
 
     def drain_available(self) -> list[Row]:
         """Process everything currently in the source, then drain the queue
-        (synchronous snapshot semantics for tests/batch analyses)."""
-        self._query.processAllAvailable()
-        out = []
-        while True:
+        (synchronous snapshot semantics for tests/batch analyses).
+
+        Drains CONCURRENTLY with processing: ``processAllAvailable`` blocks
+        until the micro-batch completes, but a batch larger than CAPACITY
+        can only complete if someone is consuming — so the wait runs in a
+        helper thread while this thread drains."""
+        waiter = threading.Thread(
+            target=self._query.processAllAvailable, daemon=True
+        )
+        waiter.start()
+        out: list[Row] = []
+        while waiter.is_alive() or not self._q.empty():
             try:
-                out.append(self._q.get_nowait())
+                out.append(self._q.get(timeout=0.1))
             except queue.Empty:
-                return out
+                pass
+        waiter.join()
+        return out
 
     def stop(self) -> None:
         """Terminate the continuous query (reference StreamQueue.stop)."""

@@ -477,3 +477,23 @@ def test_stream_without_id_in_projection_is_ordered(session, engine, stream_tabl
         assert got and set(got[0].asDict().keys()) == {"eeventValue"}
     finally:
         sq.stop()
+
+
+def test_drain_larger_than_queue_capacity(session, engine, stream_table):
+    """A snapshot larger than the bounded queue's CAPACITY must drain fully:
+    drain_available consumes concurrently with processAllAvailable (a naive
+    wait-then-drain deadlocks — the producer blocks on the full queue, the
+    consumer blocks on the producer's completion)."""
+    from interference_spark.streaming import stream_queue as sqmod
+
+    n = sqmod.CAPACITY + 2_500
+    session.persist(stream_table, _rows(n))
+    session.commit()
+    sq = session.execute(f"select stream e.eventId from {stream_table} e")
+    try:
+        got = sq.drain_available()
+        assert len(got) == n
+        assert [r["eeventId"] for r in got[:3]] == [0, 1, 2]
+        assert got[-1]["eeventId"] == n - 1
+    finally:
+        sq.stop()
