@@ -507,8 +507,16 @@ def _bitmap_allpairs_jaccard(
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
+    # length filter folded into the join condition (lossless: J ≥ t forces
+    # t·|a| ≤ |b| ≤ |a|/t) — pairs fail on two integer compares before any
+    # popcount work
+    cond = (
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("na")))
+        & (F.col("nb") <= F.floor(F.col("na") / F.lit(threshold)))
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, cond)
         .withColumn("inter", inter)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)

@@ -49,3 +49,17 @@ def test_tpch_plan_invariants(name, spark):
     assert schemas, f"{name}: no ReadSchema\n{plan[:1500]}"
     widest = max(len(s.split(",")) for s in schemas)
     assert widest <= 8, f"{name}: scan reads {widest} columns\n{plan[:1500]}"
+
+
+def test_bitmap_jaccard_plan_shape(spark):
+    """The small-vocabulary all-pairs plan must broadcast the bit-packed
+    side (BroadcastNestedLoopJoin, never CartesianProduct) and parallelize
+    the probe side across >1 partition."""
+    from interference_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert out.rdd.getNumPartitions() > 1
