@@ -481,29 +481,35 @@ def _bitmap_allpairs_jaccard(
             out.append(words.view(np.int64))
         return pd.Series(out)
 
+    # bit-words unrolled into FLAT LONG COLUMNS (w0..wN), not an array:
+    # the per-pair popcount then compiles to scalar codegen with no
+    # per-row array allocation — measured 3x faster than
+    # aggregate(zip_with(...)) over array<long> at 12.5M pairs
     bm = grams.select(
         F.col(id_col), F.col("n_grams"), pack(F.col("grams")).alias("bm")
+    ).select(
+        id_col, "n_grams",
+        *[F.col("bm")[i].alias(f"w{i}") for i in range(n_words)],
     )
     # left side repartitioned so the nested-loop parallelizes; right side
     # broadcast (narrow bit-words, bounded by the vocab cap)
     a = ensure_parallelism(
         bm.select(
             F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"),
-            F.col("bm").alias("bm_a"),
+            *[F.col(f"w{i}").alias(f"a{i}") for i in range(n_words)],
         )
     )
     b = bm.select(
         F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"),
-        F.col("bm").alias("bm_b"),
+        *[F.col(f"w{i}").alias(f"b{i}") for i in range(n_words)],
     ).hint("broadcast")
-    inter = F.aggregate(
-        F.zip_with(
-            F.col("bm_a"), F.col("bm_b"),
-            lambda x, y: F.bit_count(x.bitwiseAND(y)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    counts = [
+        F.bit_count(F.col(f"a{i}").bitwiseAND(F.col(f"b{i}")))
+        for i in range(n_words)
+    ]
+    inter = counts[0]
+    for c in counts[1:]:
+        inter = inter + c
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
