@@ -3134,6 +3134,157 @@ def process_stream_consume(spark, sf_dir):
     return e.table(name).select("event_id", "event_type")
 
 
+# =====================================================================
+# Analytic window functions, pivot, and time-series gap-fill — extensions
+# past reference parity (SURVEY §2.5 notes the reference has NO analytic
+# window functions; §2.4/§2.10 rollups motivate the hypertable-style
+# gap-fill).  All exact-integer outputs so the driver value-hash is
+# bit-stable across engines.
+# =====================================================================
+
+
+@query(
+    "window_analytics_orders",
+    """SELECT o_custkey, o_orderkey,
+              row_number() OVER w AS seq,
+              CAST(floor(epoch(lag(o_orderdate) OVER w)) AS BIGINT)
+                AS prev_odate_epoch,
+              CAST(floor(epoch(lead(o_orderdate) OVER w)) AS BIGINT)
+                AS next_odate_epoch,
+              sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS run_micros,
+              dense_rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC) AS spend_rank,
+              ntile(4) OVER w AS quartile
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+)
+def window_analytics_orders(spark, sf_dir):
+    """Analytic window-function suite (extension; reference has none —
+    SURVEY §2.5): per-customer order sequence (row_number), prev/next order
+    date (lag/lead), exact running spend (BIGINT-quantized cumulative sum —
+    order-dependent double addition never enters the plan), spend dense_rank
+    and ntile quartiles.  One hash-partition exchange on o_custkey feeds all
+    specs (two sort orders, zero extra shuffles); partitions are bounded by
+    per-customer order counts, so the Window never sees a single-task global
+    sort at 100 TB."""
+    from pyspark.sql import Window
+
+    e = engine_for(spark, sf_dir)
+    orders = e.table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wdesc = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        _epoch(F.lag("o_orderdate").over(w)).alias("prev_odate_epoch"),
+        _epoch(F.lead("o_orderdate").over(w)).alias("next_odate_epoch"),
+        F.sum(F.floor(F.col("o_totalprice") * 1000000.0).cast("long"))
+        .over(wrun)
+        .alias("run_micros"),
+        F.dense_rank().over(wdesc).alias("spend_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_user_event_matrix",
+    """SELECT user_id,
+              count(*) FILTER (WHERE event_type = 'click')    AS click,
+              count(*) FILTER (WHERE event_type = 'error')    AS error,
+              count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+              count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+              count(*) FILTER (WHERE event_type = 'view')     AS view,
+              count(*) AS n_total
+       FROM events GROUP BY user_id""",
+)
+def pivot_user_event_matrix(spark, sf_dir):
+    """PIVOT: per-user event-type count matrix (wide feature table — the
+    standard long→wide step before training-data featurization).  Explicit
+    pivot value list keeps the schema static (no extra distinct-values scan
+    pass, deterministic columns at 100 TB); plans as ONE partial+final
+    pivot-aggregate on user_id — never one shuffle per event type."""
+    e = engine_for(spark, sf_dir)
+    ev = e.table("events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+    total = sum((F.col(c) for c in _EVENT_TYPES), F.lit(0))
+    return wide.withColumn("n_total", total.cast("long"))
+
+
+@query(
+    "gapfill_hourly_events",
+    """WITH hourly AS (
+         SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt,
+                CAST(floor(max(value) * 1000000.0) AS BIGINT) AS max_v_micros
+         FROM events GROUP BY event_type, date_trunc('hour', ts)
+       ), bounds AS (
+         SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY event_type
+       ), grid AS (
+         SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+         FROM bounds
+       )
+       SELECT g.event_type AS event_type,
+              CAST(floor(epoch(g.h)) AS BIGINT) AS h_epoch,
+              COALESCE(hourly.cnt, 0) AS cnt,
+              last_value(hourly.max_v_micros IGNORE NULLS)
+                OVER (PARTITION BY g.event_type ORDER BY g.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS locf_max_v_micros
+       FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type
+                                   AND hourly.h = g.h""",
+)
+def gapfill_hourly_events(spark, sf_dir):
+    """Hypertable-style time-series gap-fill + LOCF: hourly per-type counts
+    with MISSING hours materialized as zero rows (dense grid from each
+    type's min..max hour) and last-observation-carried-forward of the hourly
+    max value.  The grid is generated from the AGGREGATED table (per-type
+    bounds → sequence/explode), so grid size = hours × types — never a row
+    per source event; the LOCF window partitions by type over grid rows,
+    bounded by the time range, not the data volume."""
+    from pyspark.sql import Window
+
+    e = engine_for(spark, sf_dir)
+    ev = e.table("events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.floor(F.max("value") * 1000000.0).cast("long").alias("max_v_micros"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    wlocf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        _epoch(F.col("h")).alias("h_epoch"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.last("max_v_micros", ignorenulls=True).over(wlocf).alias("locf_max_v_micros"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves
@@ -3150,8 +3301,6 @@ _DRIVER_WINDOW = [
     "dialect_group_agg",
     "dialect_in_subquery",
     "dialect_window_count_sliding",
-    "dialect_set_ops",
-    "dialect_scalar_funcs",
     "dialect_is_null",
     "point_lookup",
     "q1_pricing_summary",
@@ -3159,7 +3308,11 @@ _DRIVER_WINDOW = [
     "q2_min_cost_supplier",
     "events_agg_by_type",
     "topk_per_group",
-    "rollup_pricing_subtotals",
+    # analytic extensions (r3: rotated in for dialect_set_ops /
+    # dialect_scalar_funcs / rollup_pricing_subtotals, all green in r2)
+    "window_analytics_orders",
+    "pivot_user_event_matrix",
+    "gapfill_hourly_events",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
