@@ -1,0 +1,197 @@
+"""Incremental materialized rollups: aggregate views over managed tables
+maintained by reading ONLY part files added since the last refresh.
+
+The reference has no materialized-view machinery (its G$ group sinks are
+per-query scratch tables — ``sql/SQLCursor.java`` group path); this module
+is a scale extension for the training-data-pipeline mandate: corpus-level
+statistics (per-source doc counts, token budgets, per-type event rollups)
+recomputed over an append-mostly 100 TB table must cost O(new data), not
+O(table).
+
+Design (the classic partial-aggregate view-maintenance trick):
+
+* state = the FINAL aggregate table keyed by ``keys`` — for the supported
+  aggregate set {count, sum, min, max} the final values are themselves
+  mergeable partials (count merges by sum), so no separate accumulator
+  schema is needed.  avg = sum/count derived at read time by the caller.
+* refresh lists the source's part files, reads only the unseen ones,
+  partial-aggregates them, unions with the stored state, and re-aggregates
+  — one shuffle over (state ∪ delta), both sides already key-collapsed.
+* deletes/rewrites break the append-only premise, so refresh detects them
+  (tombstone set changed, or a previously-applied part file vanished via
+  upsert/compaction/threshold) and falls back to a full rebuild from
+  ``read_managed``.  min/max are not delete-decrementable in general, so
+  the fallback is the only correct answer — refresh reports which mode ran.
+* commit protocol: new state dir ``state-<uuid>`` is written first, then
+  ``meta.json`` is swapped atomically (tmp + rename) to point at it, then
+  the old state dir is removed.  A crash between steps leaves either the
+  old consistent view or an orphan directory — never a half-applied state,
+  and never double-counts a delta file.
+
+Overflow note: sums accumulate in the expression's own type. BIGINT sums
+are exact to ~9.2e18 — pass a ``CAST(... AS DECIMAL(38,0))`` expression
+when a 100 TB sum can exceed that.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..errors import InvalidParameter
+from . import store
+
+_AGG_FNS = ("count", "sum", "min", "max")
+# merge function for already-aggregated state rows
+_MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def _rollup_dir(engine, name: str) -> str:
+    # underscore prefix: invisible to any directory-level Spark FileIndex
+    return os.path.join(engine.warehouse, f"_rollup_{name}")
+
+
+def _meta_path(engine, name: str) -> str:
+    return os.path.join(_rollup_dir(engine, name), "meta.json")
+
+
+def _load_meta(engine, name: str) -> dict:
+    try:
+        with open(_meta_path(engine, name)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise InvalidParameter(f"no rollup named {name!r}") from None
+
+
+def _agg_exprs(aggs: dict, partial: bool) -> list:
+    """Aggregate expressions: over raw rows (partial=True) or over
+    already-aggregated state rows (partial=False → count merges by sum)."""
+    out = []
+    for col, (fn, expr) in aggs.items():
+        if partial:
+            if fn == "count":
+                out.append(F.count(F.lit(1)).alias(col))
+            else:
+                out.append(getattr(F, fn)(F.expr(expr)).alias(col))
+        else:
+            out.append(getattr(F, _MERGE_FN[fn])(F.col(col)).alias(col))
+    return out
+
+
+def _partial(df: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
+    return df.groupBy(*keys).agg(*_agg_exprs(aggs, partial=True))
+
+
+def _commit_state(engine, name: str, df: DataFrame, meta: dict) -> None:
+    rdir = _rollup_dir(engine, name)
+    os.makedirs(rdir, exist_ok=True)
+    state_dir = os.path.join(rdir, f"state-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(state_dir)
+    old = None
+    if os.path.exists(_meta_path(engine, name)):
+        with open(_meta_path(engine, name)) as fh:
+            old = json.load(fh).get("state_dir")
+    meta["state_dir"] = os.path.basename(state_dir)
+    tmp = _meta_path(engine, name) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, _meta_path(engine, name))  # atomic commit point
+    if old and old != meta["state_dir"]:
+        shutil.rmtree(os.path.join(rdir, old), ignore_errors=True)
+    # drop orphans from crashed refreshes (any state-* not the committed one)
+    for d in glob.glob(os.path.join(rdir, "state-*")):
+        if os.path.basename(d) != meta["state_dir"]:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def create(engine, name: str, source: str, keys: list[str], aggs: dict) -> dict:
+    """Define a rollup and run the initial build.
+
+    ``aggs`` maps output column → ``(fn, expr)`` with fn in
+    {count, sum, min, max}; ``expr`` is a SQL expression over source
+    columns (ignored for count).
+    """
+    for col, (fn, _expr) in aggs.items():
+        if fn not in _AGG_FNS:
+            raise InvalidParameter(
+                f"rollup agg {col!r}: fn must be one of {_AGG_FNS}, got {fn!r}"
+            )
+    td = engine.catalog.get(source)
+    if not td.managed:
+        raise InvalidParameter(
+            f"rollup source {source!r} must be a managed table (part-file "
+            f"listing drives incremental refresh)"
+        )
+    if os.path.exists(_meta_path(engine, name)):
+        raise InvalidParameter(f"rollup {name!r} already exists")
+    meta = {"source": source, "keys": list(keys), "aggs": {k: list(v) for k, v in aggs.items()}}
+    os.makedirs(_rollup_dir(engine, name), exist_ok=True)
+    return _refresh(engine, name, meta, initial=True)
+
+
+def refresh(engine, name: str) -> dict:
+    return _refresh(engine, name, _load_meta(engine, name), initial=False)
+
+
+def _refresh(engine, name: str, meta: dict, initial: bool) -> dict:
+    td = engine.catalog.get(meta["source"])
+    keys = meta["keys"]
+    aggs = {k: tuple(v) for k, v in meta["aggs"].items()}
+    parts_now = [os.path.basename(p) for p in store._parts(td)]
+    tombs_now = [os.path.basename(p) for p in store._tombstone_parts(td)]
+    applied = set(meta.get("applied_parts", ()))
+    new = [p for p in parts_now if p not in applied]
+
+    needs_rebuild = (
+        initial
+        or meta.get("applied_tombstones", []) != tombs_now  # deletes landed
+        or any(p not in set(parts_now) for p in applied)  # rewrite/compaction
+    )
+    if needs_rebuild:
+        full = _partial(store.read_managed(engine.spark, td), keys, aggs)
+        meta["applied_parts"] = parts_now
+        meta["applied_tombstones"] = tombs_now
+        _commit_state(engine, name, full, meta)
+        return {"mode": "initial" if initial else "rebuild", "files_read": len(parts_now)}
+    if not new:
+        return {"mode": "noop", "files_read": 0}
+
+    delta = engine.spark.read.schema(td.require_schema()).parquet(
+        *[os.path.join(td.path, p) for p in new]
+    )
+    if tombs_now and td.id_col:
+        # tombstones unchanged since last refresh, but a delta row could
+        # carry an already-dead id (re-append after delete): filter like
+        # read_managed does, over the delta only
+        dead = (
+            engine.spark.read.parquet(*store._tombstone_parts(td))
+            .select(td.id_col)
+            .distinct()
+        )
+        delta = delta.join(dead, td.id_col, "left_anti")
+    merged = (
+        read(engine, name)
+        .unionByName(_partial(delta, keys, aggs))
+        .groupBy(*keys)
+        .agg(*_agg_exprs(aggs, partial=False))
+    )
+    meta["applied_parts"] = parts_now
+    meta["applied_tombstones"] = tombs_now
+    _commit_state(engine, name, merged, meta)
+    return {"mode": "incremental", "files_read": len(new)}
+
+
+def read(engine, name: str) -> DataFrame:
+    meta = _load_meta(engine, name)
+    return engine.spark.read.parquet(
+        os.path.join(_rollup_dir(engine, name), meta["state_dir"])
+    )
+
+
+def drop(engine, name: str) -> None:
+    shutil.rmtree(_rollup_dir(engine, name), ignore_errors=True)

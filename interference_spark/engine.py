@@ -199,6 +199,37 @@ class Engine:
         if td.managed and os.path.isdir(td.path):
             shutil.rmtree(td.path)
 
+    # -- incremental materialized rollups ---------------------------------
+    def create_rollup(
+        self, name: str, source: str, keys: list[str], aggs: dict
+    ) -> dict:
+        """Define + initially build an incremental aggregate view over a
+        managed table (see ``dml/rollup.py``). ``aggs`` maps output column
+        → ``(fn, sql_expr)`` with fn in {count, sum, min, max}."""
+        from .dml import rollup
+
+        return rollup.create(self, name, source, keys, aggs)
+
+    def refresh_rollup(self, name: str) -> dict:
+        """Fold part files appended since the last refresh into the rollup
+        (cost O(new data)); falls back to a full rebuild when deletes or
+        part rewrites broke the append-only premise. Returns
+        ``{"mode": initial|incremental|rebuild|noop, "files_read": n}``."""
+        from .dml import rollup
+
+        return rollup.refresh(self, name)
+
+    def rollup(self, name: str) -> DataFrame:
+        """Read the rollup's current (last-refreshed) contents."""
+        from .dml import rollup
+
+        return rollup.read(self, name)
+
+    def drop_rollup(self, name: str) -> None:
+        from .dml import rollup
+
+        rollup.drop(self, name)
+
     # -- reading -----------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         td = self.catalog.get(name)

@@ -3285,6 +3285,59 @@ def gapfill_hourly_events(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_rollup_events",
+    """SELECT event_type,
+              count(*) AS cnt,
+              sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS v_micros,
+              min(CAST(floor(value * 1000000.0) AS BIGINT)) AS v_min_micros,
+              max(CAST(floor(value * 1000000.0) AS BIGINT)) AS v_max_micros
+       FROM events GROUP BY event_type""",
+)
+def incremental_rollup_events(spark, sf_dir):
+    """Incremental materialized rollup (`dml/rollup.py`): per-type event
+    stats built from an initial half of the data, then REFRESHED by folding
+    in only the part file carrying the second half — the refresh reads
+    O(new data), never rescans applied parts (asserted in
+    `tests/test_rollup.py` by corrupting applied files).  Returned contents
+    must equal the direct full aggregate, which is exactly what the oracle
+    computes.  Exact BIGINT-quantized sums keep the merge order-free."""
+    import uuid as _uuid
+
+    from .dml import store
+
+    e = engine_for(spark, sf_dir)
+    name = f"EvRoll_{_uuid.uuid4().hex[:8]}"
+    ev = e.table("events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("v_micros"),
+    )
+    td = e.register_table(
+        name, "event_id long, event_type string, v_micros long",
+        id_col="event_id", nocheck=True,
+    )
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    store.append_df(td, half_a)
+    rollup_name = f"{name}_by_type"
+    e.create_rollup(
+        rollup_name,
+        name,
+        ["event_type"],
+        {
+            "cnt": ("count", None),
+            "v_micros": ("sum", "v_micros"),
+            "v_min_micros": ("min", "v_micros"),
+            "v_max_micros": ("max", "v_micros"),
+        },
+    )
+    store.append_df(td, half_b)
+    st = e.refresh_rollup(rollup_name)
+    assert st["mode"] == "incremental", st
+    return e.rollup(rollup_name)
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves
@@ -3298,7 +3351,6 @@ def gapfill_hourly_events(spark, sf_dir):
 _DRIVER_WINDOW = [
     # dialect / TPC-H sentinels (kept: broad plan shapes + two never-checked)
     "dialect_multiway_join",
-    "dialect_group_agg",
     "dialect_in_subquery",
     "dialect_window_count_sliding",
     "dialect_is_null",
@@ -3308,11 +3360,13 @@ _DRIVER_WINDOW = [
     "q2_min_cost_supplier",
     "events_agg_by_type",
     "topk_per_group",
-    # analytic extensions (r3: rotated in for dialect_set_ops /
-    # dialect_scalar_funcs / rollup_pricing_subtotals, all green in r2)
+    # analytic + incremental-view extensions (r3: rotated in for
+    # dialect_group_agg / dialect_set_ops / dialect_scalar_funcs /
+    # rollup_pricing_subtotals, all green in r2)
     "window_analytics_orders",
     "pivot_user_event_matrix",
     "gapfill_hourly_events",
+    "incremental_rollup_events",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1,0 +1,166 @@
+"""Incremental materialized rollups (dml/rollup.py): correctness of the
+partial-aggregate merge, the O(new files) incremental path, the rebuild
+fallback on deletes/rewrites, the commit protocol, and warehouse restart.
+"""
+
+import os
+
+import pytest
+
+from interference_spark import Engine
+from interference_spark.dml import store
+from interference_spark.errors import InvalidParameter
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark=spark, warehouse=str(tmp_path / "wh"))
+
+
+def _mk_table(eng, name="meas"):
+    td = eng.register_table(
+        name, "id long, grp string, v long", id_col="id", nocheck=True
+    )
+    return td
+
+
+AGGS = {
+    "cnt": ("count", None),
+    "v_sum": ("sum", "v"),
+    "v_min": ("min", "v"),
+    "v_max": ("max", "v"),
+}
+
+
+def _as_dict(df):
+    return {
+        r["grp"]: (r["cnt"], r["v_sum"], r["v_min"], r["v_max"])
+        for r in df.collect()
+    }
+
+
+def _full_agg(eng, table):
+    from pyspark.sql import functions as F
+
+    return _as_dict(
+        eng.table(table)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("v_sum"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+    )
+
+
+def test_create_and_incremental_refresh(eng):
+    td = _mk_table(eng)
+    store.append_rows(td, [{"id": i, "grp": "ab"[i % 2], "v": i} for i in range(100)])
+    st = eng.create_rollup("r1", "meas", ["grp"], AGGS)
+    assert st["mode"] == "initial"
+    assert _as_dict(eng.rollup("r1")) == _full_agg(eng, "meas")
+
+    # two more appended part files → refresh reads ONLY those two
+    store.append_rows(td, [{"id": 100 + i, "grp": "b", "v": -5} for i in range(10)])
+    store.append_rows(td, [{"id": 200 + i, "grp": "c", "v": 7} for i in range(3)])
+    st = eng.refresh_rollup("r1")
+    assert st == {"mode": "incremental", "files_read": 2}
+    assert _as_dict(eng.rollup("r1")) == _full_agg(eng, "meas")
+
+    # nothing new → noop, state unchanged
+    assert eng.refresh_rollup("r1") == {"mode": "noop", "files_read": 0}
+    assert _as_dict(eng.rollup("r1")) == _full_agg(eng, "meas")
+
+
+def test_untouched_parts_not_read_on_refresh(eng, spark):
+    """The incremental path must not even OPEN already-applied part files:
+    corrupt them on disk and refresh must still succeed."""
+    td = _mk_table(eng)
+    store.append_rows(td, [{"id": i, "grp": "a", "v": i} for i in range(10)])
+    eng.create_rollup("r1", "meas", ["grp"], AGGS)
+    for p in store._parts(td):
+        with open(p, "wb") as fh:
+            fh.write(b"not parquet anymore")
+    store.append_rows(td, [{"id": 100, "grp": "a", "v": 5}])
+    st = eng.refresh_rollup("r1")
+    assert st == {"mode": "incremental", "files_read": 1}
+    got = _as_dict(eng.rollup("r1"))
+    assert got == {"a": (11, 50, 0, 9)}
+
+
+def test_delete_triggers_rebuild(eng):
+    td = _mk_table(eng)
+    store.append_rows(td, [{"id": i, "grp": "a", "v": i} for i in range(10)])
+    eng.create_rollup("r1", "meas", ["grp"], AGGS)
+    # tombstone the max row: min/max cannot be decremented → full rebuild
+    store.add_tombstone_ids(td, [9])
+    st = eng.refresh_rollup("r1")
+    assert st["mode"] == "rebuild"
+    assert _as_dict(eng.rollup("r1")) == {"a": (9, 36, 0, 8)} == _full_agg(eng, "meas")
+
+
+def test_upsert_rewrite_triggers_rebuild(eng, spark):
+    td = eng.register_table("meas", "id long, grp string, v long", id_col="id")
+    store.append_rows(td, [{"id": i, "grp": "a", "v": i} for i in range(10)])
+    eng.create_rollup("r1", "meas", ["grp"], AGGS)
+    # upsert rewrites the part containing id 3 → applied file vanishes
+    s = eng.session()
+    s.persist("meas", {"id": 3, "grp": "a", "v": 1000})
+    s.commit()
+    st = eng.refresh_rollup("r1")
+    assert st["mode"] == "rebuild"
+    assert _as_dict(eng.rollup("r1")) == _full_agg(eng, "meas")
+
+
+def test_reappended_dead_id_filtered_from_delta(eng):
+    """Delta rows carrying an id that is already tombstoned must not be
+    double-counted (read_managed would hide them; so must the delta)."""
+    td = _mk_table(eng)
+    store.append_rows(td, [{"id": i, "grp": "a", "v": i} for i in range(5)])
+    store.add_tombstone_ids(td, [4])
+    eng.create_rollup("r1", "meas", ["grp"], AGGS)
+    assert _as_dict(eng.rollup("r1")) == {"a": (4, 6, 0, 3)}
+    # tombstone set unchanged; new part re-appends the dead id
+    store.append_rows(td, [{"id": 4, "grp": "a", "v": 100}, {"id": 10, "grp": "a", "v": 2}])
+    st = eng.refresh_rollup("r1")
+    assert st["mode"] == "incremental"
+    assert _as_dict(eng.rollup("r1")) == _full_agg(eng, "meas") == {"a": (5, 8, 0, 3)}
+
+
+def test_sql_expression_aggs(eng):
+    td = _mk_table(eng)
+    store.append_rows(td, [{"id": i, "grp": "a", "v": i} for i in range(4)])
+    eng.create_rollup(
+        "rx", "meas", ["grp"], {"v2_sum": ("sum", "v * 2"), "cnt": ("count", None)}
+    )
+    rows = {r["grp"]: (r["v2_sum"], r["cnt"]) for r in eng.rollup("rx").collect()}
+    assert rows == {"a": (12, 4)}
+
+
+def test_survives_engine_restart(eng, spark, tmp_path):
+    td = _mk_table(eng)
+    store.append_rows(td, [{"id": 1, "grp": "a", "v": 3}])
+    eng.create_rollup("r1", "meas", ["grp"], AGGS)
+    eng2 = Engine(spark=spark, warehouse=eng.warehouse)
+    store.append_rows(eng2.catalog.get("meas"), [{"id": 2, "grp": "a", "v": 5}])
+    assert eng2.refresh_rollup("r1")["mode"] == "incremental"
+    assert _as_dict(eng2.rollup("r1")) == {"a": (2, 8, 3, 5)}
+    # exactly one state dir remains after the commit protocol
+    rdir = os.path.join(eng.warehouse, "_rollup_r1")
+    states = [d for d in os.listdir(rdir) if d.startswith("state-")]
+    assert len(states) == 1
+
+
+def test_validation_errors(eng, spark):
+    _mk_table(eng)
+    with pytest.raises(InvalidParameter):
+        eng.create_rollup("bad", "meas", ["grp"], {"x": ("median", "v")})
+    eng.register_parquet("ext", "/root/testdata/sf0.001/nation.parquet")
+    with pytest.raises(InvalidParameter):
+        eng.create_rollup("bad2", "ext", ["n_name"], AGGS)
+    with pytest.raises(InvalidParameter):
+        eng.refresh_rollup("never_created")
+    eng.create_rollup("dup", "meas", ["grp"], AGGS)
+    with pytest.raises(InvalidParameter):
+        eng.create_rollup("dup", "meas", ["grp"], AGGS)
