@@ -3338,6 +3338,107 @@ def incremental_rollup_events(spark, sf_dir):
     return e.rollup(rollup_name)
 
 
+@query(
+    "mm_audio_features",
+    """SELECT doc_id AS media_id,
+              CAST(16000 AS BIGINT) AS sample_rate,
+              CAST(1 AS BIGINT) AS n_channels,
+              CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+              CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT)
+                AS duration_ms,
+              CAST(NULL AS BIGINT) AS rms_amp
+       FROM documents""",
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio feature extraction plumbing: payload treated as 16 kHz mono
+    PCM16 by the fake decoder (header-free arithmetic → SQL-oracle-able);
+    ``decoder="real"`` parses genuine RIFF/PCM WAV via the bundled
+    pure-Python codec incl. RMS (`tests/test_pipeline_ops.py` drives it on
+    generated fixtures)."""
+    from .pipeline.multimodal import audio_features, with_binary_payload
+
+    e = engine_for(spark, sf_dir)
+    media = with_binary_payload(e.table("documents"), "text", "doc_id")
+    return audio_features(media, decoder="fake")
+
+
+# =====================================================================
+# Training-export operators (pipeline/export.py): leakage-safe splits +
+# deterministic shuffle-to-shards — the last mile of a training-data
+# pipeline (driver mandate; no reference analogue).
+# =====================================================================
+
+
+def _split_oracle() -> str:
+    from .pipeline.export import assign_split_sql
+
+    case = assign_split_sql("user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""WITH s AS (SELECT user_id, {case} AS split FROM events)
+       SELECT split, count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+       FROM s GROUP BY split"""
+
+
+@query("train_split_leakage_safe", _split_oracle())
+def train_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe 80/10/10 train/val/test split: the split hash is
+    computed on the LEAKAGE UNIT (user_id), so every event of a user lands
+    in one split — the guarantee rand()-per-row violates and the one that
+    matters for eval integrity.  Deterministic integer mix (not seeded
+    rand(), which is partitioning-dependent): same assignment on any
+    cluster size, any engine — which is exactly how the DuckDB oracle can
+    agree bit-for-bit.  The assignment itself is a pure projection (zero
+    shuffle); only this summary aggregates."""
+    from .pipeline.export import assign_split
+
+    e = engine_for(spark, sf_dir)
+    ev = assign_split(
+        e.table("events"), "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _shards_oracle(n_shards: int = 8) -> str:
+    from .pipeline.export import knuth_mix_sql
+
+    hh = knuth_mix_sql("doc_id")
+    return f"""WITH h AS (SELECT doc_id, {hh} AS hh FROM documents),
+       s AS (SELECT doc_id, hh % {n_shards} AS shard,
+                    row_number() OVER (PARTITION BY hh % {n_shards}
+                                       ORDER BY hh, doc_id) - 1 AS pos
+             FROM h)
+       SELECT shard, count(*) AS n_docs,
+              max(pos) AS max_pos,
+              CAST(sum((pos + 1) * doc_id) AS BIGINT) AS perm_checksum
+       FROM s GROUP BY shard"""
+
+
+@query("export_shuffled_shards", _shards_oracle())
+def export_shuffled_shards(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training export
+    (`pipeline/export.shuffled_shards`): shard = mix(doc_id) % 8, in-shard
+    order = (mix, id) — a reproducible pseudorandom permutation (identical
+    shards from any cluster size; rand() ordering cannot promise that).
+    Verified via per-shard count, max position (= count-1 proves the
+    positions are dense 0..n-1) and a POSITION-WEIGHTED checksum — any
+    reordering of the permutation changes it.  Plan: one hash exchange on
+    shard + per-shard window sort (no global single-task sort); at 100 TB
+    pick shards ≫ executors so each in-shard sort fits an executor."""
+    from .pipeline.export import shuffled_shards
+
+    e = engine_for(spark, sf_dir)
+    s = shuffled_shards(e.table("documents"), "doc_id", 8)
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("shuffle_pos").alias("max_pos"),
+        F.sum((F.col("shuffle_pos") + 1) * F.col("doc_id"))
+        .cast("long")
+        .alias("perm_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves
@@ -3351,7 +3452,6 @@ def incremental_rollup_events(spark, sf_dir):
 _DRIVER_WINDOW = [
     # dialect / TPC-H sentinels (kept: broad plan shapes + two never-checked)
     "dialect_multiway_join",
-    "dialect_in_subquery",
     "dialect_window_count_sliding",
     "dialect_is_null",
     "point_lookup",
@@ -3359,14 +3459,16 @@ _DRIVER_WINDOW = [
     "q7_volume_shipping",
     "q2_min_cost_supplier",
     "events_agg_by_type",
-    "topk_per_group",
-    # analytic + incremental-view extensions (r3: rotated in for
-    # dialect_group_agg / dialect_set_ops / dialect_scalar_funcs /
-    # rollup_pricing_subtotals, all green in r2)
+    # analytic / incremental-view / training-export extensions (r3:
+    # rotated in for dialect_group_agg, dialect_in_subquery,
+    # dialect_set_ops, dialect_scalar_funcs, rollup_pricing_subtotals,
+    # topk_per_group — all green in r2)
     "window_analytics_orders",
     "pivot_user_event_matrix",
     "gapfill_hourly_events",
     "incremental_rollup_events",
+    "train_split_leakage_safe",
+    "export_shuffled_shards",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",

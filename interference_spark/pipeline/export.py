@@ -1,0 +1,139 @@
+"""Training-export operators: leakage-safe dataset splits and
+deterministic shuffle-to-shards — the last mile of a training-data
+pipeline (no reference analogue; driver mandate).
+
+Split/shuffle keys use a deterministic integer mix rather than rand():
+reproducible across runs, engines (a plain-SQL oracle computes the same
+assignment), and cluster topologies — rand() with a seed is NOT stable
+across partitionings, which silently changes the split when the cluster
+size changes.  Two mixers:
+
+* ``mix64`` — xxhash64 (JVM-side, codegen) for production keys of any
+  type; fast, well-distributed.
+* ``knuth_mix`` — multiplicative hashing ``(key * 2654435761) mod 2^32``
+  (Knuth §6.4) for integer keys; exact in BIGINT arithmetic in ANY SQL
+  engine, which is what makes the driver's DuckDB value-hash comparison
+  possible.  Distribution is adequate for splitting; use mix64 when
+  adversarial keys matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative constant
+_M32 = 1 << 32
+
+
+def knuth_mix(col: Column) -> Column:
+    """(key * 2654435761) mod 2^32 — portable integer mix (exact in int64
+    for keys < ~3.5e9; larger ids should pre-fold with ``% 2^31``)."""
+    return F.pmod(col.cast("long") * F.lit(_KNUTH), F.lit(_M32))
+
+
+def knuth_mix_sql(expr: str) -> str:
+    """DuckDB/ANSI rendering of :func:`knuth_mix` (same int64 arithmetic)."""
+    return f"((CAST({expr} AS BIGINT) * {_KNUTH}) % {_M32} + {_M32}) % {_M32}"
+
+
+def mix64(col: Column) -> Column:
+    """Production mixer: xxhash64 (any column type, JVM codegen)."""
+    return F.xxhash64(col)
+
+
+def assign_split(
+    df: DataFrame,
+    unit_col: str,
+    fractions: dict[str, float],
+    mixer=knuth_mix,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the hash is computed on the
+    LEAKAGE UNIT (user, document group, url-domain...), so every row of a
+    unit lands in the same split — the property rand()-per-row splits
+    violate.  Adds a ``split`` column; no shuffle (pure projection).
+
+    ``fractions``: ordered {name: fraction}, summing to 1.0 (validated).
+    Assignment: unit buckets h∈[0,10000) carved into cumulative ranges —
+    e.g. {train: .8, val: .1, test: .1} → [0,8000) [8000,9000) [9000,10000).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    bucket = F.pmod(mixer(F.col(unit_col)), F.lit(10_000))
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def assign_split_sql(unit_expr: str, fractions: dict[str, float]) -> str:
+    """Oracle-side CASE expression mirroring :func:`assign_split` with the
+    knuth mixer (use in a SELECT: ``... AS split``)."""
+    bucket = f"({knuth_mix_sql(unit_expr)}) % 10000"
+    parts, cum = [], 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        parts.append(f"WHEN {bucket} < {int(round(cum * 10_000))} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def shuffled_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    mixer=knuth_mix,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export: shard =
+    mix(id) % n_shards, within-shard order = (mix(id), id).  The
+    "shuffle" is a pseudorandom but reproducible permutation — exporting
+    twice (or from a differently-sized cluster) yields byte-identical
+    shards, which rand() ordering cannot promise.
+
+    Adds ``shard`` and ``shuffle_pos`` (0-based dense position within the
+    shard).  Plan: one hash exchange on ``shard`` + per-shard sort — the
+    row_number window partitions by shard, so no global single-task sort;
+    shard count should be chosen ≫ executor count at 100 TB (e.g. 10k
+    shards) so each sort fits in memory."""
+    from pyspark.sql import Window
+
+    h = mixer(F.col(id_col))
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)))
+        .withColumn("shuffle_pos", F.row_number().over(w) - F.lit(1))
+        .drop("__h")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    path: str,
+    mixer=knuth_mix,
+) -> None:
+    """Materialize shuffled shards as ``shard=N/`` parquet directories:
+    repartition on the shard column (ONE exchange, co-locating each shard
+    in one task) + in-task sort by shuffle position, so files are written
+    in shuffle order — a trainer streams each shard sequentially with no
+    further sort."""
+    sharded = shuffled_shards(df, id_col, n_shards, mixer)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -7,11 +7,12 @@ The Spark-side design is real and tested: schema, Arrow batch shape,
 * ``decoder="fake"`` — deterministic bytes-derived features; exercises the
   full distributed plumbing on arbitrary payloads (the driver testdata has
   no real media).
-* ``decoder="real"`` — genuine image decode via the bundled pure-Python
-  PNG codec (:mod:`.png`; Pillow is not in this container). PNG payloads
-  are actually decoded/resized; other formats (JPEG, audio, video) raise
-  ``NotImplementedError`` — they need PIL/soundfile/pyav, which a real
-  deployment installs, swapping the codec call inside the same operator.
+* ``decoder="real"`` — genuine decode via the bundled pure-Python codecs:
+  PNG images (:mod:`.png`) are decoded/resized, RIFF/PCM WAV audio
+  (:mod:`.wav`) is parsed for rate/channels/duration/RMS. Other formats
+  (JPEG, MP3, video) raise ``NotImplementedError``/``UnsupportedMedia`` —
+  they need PIL/soundfile/pyav, which a real deployment installs, swapping
+  the per-batch codec call inside the same operator.
 
 At 100 TB: binary payloads dominate partition size, so operators here take a
 ``target_batch_bytes`` hint — ``mapInPandas`` yields multiple small pandas
@@ -118,6 +119,78 @@ def feature_extract(
                 )
 
     return df.select("media_id", "content").mapInPandas(op, FEATURE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms_amp", T.LongType(), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    decoder: str = "fake",
+    target_batch_rows: int = 1024,
+) -> DataFrame:
+    """Audio decode / feature extraction over binary payloads.
+
+    ``real``: payloads are parsed as RIFF/PCM WAV by the bundled pure-Python
+    codec (:mod:`.wav`) — true sample rate / channels / frame count /
+    duration and the rounded RMS amplitude in sample units (non-WAV raises
+    ``UnsupportedMedia``; deployments with soundfile swap the per-batch
+    codec call). ``fake``: the payload is TREATED as 16 kHz mono PCM16 —
+    header-free arithmetic features (n_samples = bytes//2), so the
+    distributed plumbing runs on arbitrary payloads and stays
+    SQL-oracle-able; RMS is null (computing it belongs to real decode).
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    from . import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    def _one(payload, real: bool):
+        if payload is None:
+            return (None, None, None, None, None)
+        if real:
+            import numpy as np
+
+            from .wav import parse_wav
+
+            w = parse_wav(bytes(payload))
+            s = w["samples"].astype("float64")
+            rms = int(round(float(np.sqrt((s * s).mean())))) if s.size else 0
+            return (
+                w["sample_rate"], w["n_channels"], w["n_frames"],
+                w["n_frames"] * 1000 // w["sample_rate"], rms,
+            )
+        n = len(payload) // 2
+        return (16_000, 1, n, n * 1000 // 16_000, None)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_batch_rows):
+                chunk = pdf.iloc[start : start + target_batch_rows]
+                feats = [_one(c, decoder == "real") for c in chunk["content"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].to_numpy(),
+                        "sample_rate": [f[0] for f in feats],
+                        "n_channels": [f[1] for f in feats],
+                        "n_samples": [f[2] for f in feats],
+                        "duration_ms": [f[3] for f in feats],
+                        "rms_amp": [f[4] for f in feats],
+                    }
+                )
+
+    return df.select("media_id", "content").mapInPandas(op, AUDIO_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(

@@ -1,0 +1,106 @@
+"""Training-export operators (pipeline/export.py): leakage-safety of the
+split, determinism/density of the shuffle permutation, and on-disk shard
+order from write_shards."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from interference_spark.pipeline import export
+
+SF_DIR_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet")
+
+
+def test_split_is_leakage_safe_and_complete(events):
+    s = export.assign_split(
+        events, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_user.filter("n_splits <> 1").count() == 0  # no unit straddles
+    assert s.filter("split IS NULL").count() == 0
+    # rough proportions (hash buckets, not exact): train should dominate
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["train"] > counts.get("val", 0) + counts.get("test", 0)
+
+
+def test_split_fraction_validation(events):
+    with pytest.raises(ValueError):
+        export.assign_split(events, "user_id", {"train": 0.8, "val": 0.1})
+
+
+def test_split_stable_under_repartition(events):
+    a = export.assign_split(events, "user_id", {"a": 0.5, "b": 0.5})
+    b = export.assign_split(
+        events.repartition(7), "user_id", {"a": 0.5, "b": 0.5}
+    )
+    assert sorted(
+        (r["event_id"], r["split"]) for r in a.select("event_id", "split").collect()
+    ) == sorted(
+        (r["event_id"], r["split"]) for r in b.select("event_id", "split").collect()
+    )
+
+
+def test_shards_dense_and_deterministic(docs):
+    s = export.shuffled_shards(docs, "doc_id", 4)
+    stats = s.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.min("shuffle_pos").alias("mn"),
+        F.max("shuffle_pos").alias("mx"),
+        F.countDistinct("shuffle_pos").alias("d"),
+    )
+    for r in stats.collect():
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1 and r["d"] == r["n"]
+    assert stats.count() == 4
+    # deterministic: same permutation twice
+    s2 = export.shuffled_shards(docs.repartition(5), "doc_id", 4)
+    key = lambda df: sorted(
+        (r["doc_id"], r["shard"], r["shuffle_pos"])
+        for r in df.select("doc_id", "shard", "shuffle_pos").collect()
+    )
+    assert key(s) == key(s2)
+
+
+def test_mix64_mixer_works(docs):
+    s = export.shuffled_shards(docs, "doc_id", 4, mixer=export.mix64)
+    assert s.filter("shard < 0 OR shard >= 4").count() == 0
+
+
+def test_write_shards_files_are_in_shuffle_order(docs, spark, tmp_path):
+    out = str(tmp_path / "shards")
+    export.write_shards(docs, "doc_id", 4, out)
+    expected = {
+        (r["shard"], r["shuffle_pos"]): r["doc_id"]
+        for r in export.shuffled_shards(docs, "doc_id", 4)
+        .select("shard", "shuffle_pos", "doc_id")
+        .collect()
+    }
+    seen = 0
+    for shard in range(4):
+        files = sorted(glob.glob(f"{out}/shard={shard}/*.parquet"))
+        assert files, f"no files for shard {shard}"
+        pos_stream = []
+        for f in files:
+            t = pq.read_table(f, columns=["shuffle_pos", "doc_id"])
+            pos_stream += list(
+                zip(t["shuffle_pos"].to_pylist(), t["doc_id"].to_pylist())
+            )
+        # physical row order within the shard == shuffle order
+        assert pos_stream == sorted(pos_stream)
+        for pos, did in pos_stream:
+            assert expected[(shard, pos)] == did
+            seen += 1
+    assert seen == docs.count()

@@ -487,3 +487,74 @@ def test_mm_real_decoder_rejects_non_png(spark):
     media = with_binary_payload(docs, "text", "doc_id")
     with pytest.raises(Exception, match="(?i)png|unsupported"):
         resize(media, scale_div=2, decoder="real").collect()
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from interference_spark.pipeline.png import UnsupportedMedia
+    from interference_spark.pipeline.wav import encode_wav, is_wav, parse_wav
+
+    rng = np.random.RandomState(7)
+    mono = rng.randint(-3000, 3000, size=1600, dtype=np.int16)
+    data = encode_wav(mono, 16_000)
+    assert is_wav(data)
+    w = parse_wav(data)
+    assert (w["sample_rate"], w["n_channels"], w["bits"], w["n_frames"]) == (
+        16_000, 1, 16, 1600,
+    )
+    assert (w["samples"][:, 0] == mono.astype(np.int32)).all()
+    stereo = rng.randint(-500, 500, size=(800, 2), dtype=np.int16)
+    w2 = parse_wav(encode_wav(stereo, 44_100))
+    assert (w2["sample_rate"], w2["n_channels"], w2["n_frames"]) == (44_100, 2, 800)
+    assert (w2["samples"] == stereo.astype(np.int32)).all()
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedMedia):
+        parse_wav(b"ID3\x04not a wav at all........")
+
+
+def test_mm_audio_features_real_decoder(spark):
+    """decoder="real" parses genuine WAVs: true rate/channels/duration and
+    exact RMS (square wave amplitude A has RMS exactly A)."""
+    import numpy as np
+
+    from interference_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+    from interference_spark.pipeline.wav import encode_wav
+
+    sq = np.full(8000, 1000, dtype=np.int16)
+    sq[::2] = -1000  # square wave, |s| = 1000 everywhere -> RMS = 1000
+    stereo = np.zeros((2205, 2), dtype=np.int16)  # silence -> RMS 0
+    rows = [
+        (0, "audio", bytearray(encode_wav(sq, 16_000)), "audio/wav", {}),
+        (1, "audio", bytearray(encode_wav(stereo, 44_100)), "audio/wav", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in audio_features(media, decoder="real").collect()}
+    assert got[0]["sample_rate"] == 16_000
+    assert got[0]["n_channels"] == 1
+    assert got[0]["n_samples"] == 8000
+    assert got[0]["duration_ms"] == 500
+    assert got[0]["rms_amp"] == 1000
+    assert got[1]["sample_rate"] == 44_100
+    assert got[1]["n_channels"] == 2
+    assert got[1]["n_samples"] == 2205
+    assert got[1]["duration_ms"] == 50
+    assert got[1]["rms_amp"] == 0
+
+
+def test_mm_audio_features_fake_decoder_arithmetic(spark):
+    from interference_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    rows = [(0, "audio", bytearray(b"x" * 3210), "application/octet-stream", {})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    r = audio_features(media, decoder="fake").collect()[0]
+    assert r["n_samples"] == 1605
+    assert r["duration_ms"] == 1605 * 1000 // 16000
+    assert r["rms_amp"] is None
