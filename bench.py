@@ -65,6 +65,14 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_topk",
     "mm_feature_extract",
+    # r3 additions: analytic + incremental-view + training-export families
+    "window_analytics_orders",
+    "pivot_user_event_matrix",
+    "gapfill_hourly_events",
+    "incremental_rollup_events",
+    "train_split_leakage_safe",
+    "export_shuffled_shards",
+    "mm_audio_features",
 ]
 
 

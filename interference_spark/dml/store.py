@@ -208,6 +208,30 @@ def overwrite(td: TableDef, df: DataFrame) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def cluster_table(
+    spark: SparkSession,
+    td: TableDef,
+    cluster_by: tuple[str, ...],
+    n_parts: int | None = None,
+) -> None:
+    """OPTIMIZE … CLUSTER BY: rewrite the table's parts range-partitioned
+    and sorted on ``cluster_by``, so each part's parquet min/max statistics
+    become tight and pairwise disjoint — point and range predicates on the
+    cluster key then skip whole files/row-groups at scan time instead of
+    reading the table (the single-dimension form of Delta's OPTIMIZE
+    ZORDER).  Applies tombstones as a side effect (content is physical
+    after the rewrite).  Cost: one distributed range-shuffle + sort over
+    the table — an offline maintenance op; at 100 TB run it per partition
+    directory (e.g. per day of a time-partitioned table), never the whole
+    table at once."""
+    df = read_managed(spark, td)
+    cols = list(cluster_by)
+    if n_parts is None:
+        n_parts = max(1, len(_parts(td)))
+    out = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
+    overwrite(td, out)
+
+
 # below this table size a one-pass full-rewrite MERGE beats the targeted
 # plan's three jobs (locate, rewrite-affected, append); above it, rewriting
 # the whole table per upsert is the thing that cannot scale

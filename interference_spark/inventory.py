@@ -3339,6 +3339,60 @@ def incremental_rollup_events(spark, sf_dir):
 
 
 @query(
+    "stream_session_windows",
+    """WITH o AS (
+         SELECT user_id, ts, value,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM events
+       ), marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN prev IS NULL
+                          OR epoch(ts) - epoch(prev) >= 1800 THEN 1 ELSE 0 END AS new_s
+         FROM o
+       ), runs AS (
+         SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marked
+       )
+       SELECT user_id, count(*) AS n_events,
+              CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       FROM runs GROUP BY user_id, sid""",
+)
+def stream_session_windows(spark, sf_dir):
+    """Gap-based session windows over the STREAMING path (beyond-reference:
+    the reference CEP has count/key-change windows only): the SAME
+    `streaming/windows.sessionize` operator as the batch entry, run on a
+    readStream in complete-mode run-to-completion.  Streaming state is one
+    OPEN session per user (closed sessions emit and evict under a
+    watermark in production append mode); the oracle rebuilds sessions with
+    the lag + cumulative-sum island trick."""
+    import uuid as _uuid
+
+    from .streaming.windows import sessionize
+
+    e, name = _copy_events_managed(spark, sf_dir, "EvSess")
+    td = e.catalog.get(name)
+    sdf = spark.readStream.schema(td.require_schema()).parquet(td.path)
+    agg = sessionize(sdf, "ts", ("user_id",), gap="30 minutes", value_col="value")
+    qname = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname).select(
+        "user_id", "n_events",
+        _epoch(F.col("__start")).alias("start_epoch"), "sum_value",
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
     "mm_audio_features",
     """SELECT doc_id AS media_id,
               CAST(16000 AS BIGINT) AS sample_rate,

@@ -362,3 +362,56 @@ def test_reregister_different_options_raises(engine):
             )
     finally:
         engine.drop_table("rr_t")
+
+
+def test_cluster_table_disjoint_file_stats(engine, spark):
+    """OPTIMIZE...CLUSTER BY: after clustering on id, per-file [min,max] id
+    ranges are pairwise disjoint (=> parquet stats skip whole files for
+    point/range predicates) and content is unchanged."""
+    import pyarrow.parquet as pq
+
+    from interference_spark.dml import store
+
+    td = engine.register_table(
+        "clus", "id long, v long", id_col="id", nocheck=True
+    )
+    try:
+        # four appends, each spanning the whole id domain -> every file
+        # overlaps every other before clustering
+        for k in range(4):
+            store.append_rows(
+                td, [{"id": i * 4 + k, "v": i} for i in range(500)]
+            )
+        before = sorted(r["id"] for r in engine.table("clus").collect())
+
+        def ranges():
+            out = []
+            for f in store._parts(td):
+                md = pq.read_metadata(f)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)
+                    assert col.path_in_schema == "id"
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+                out.append((min(mins), max(maxs)))
+            return sorted(out)
+
+        pre = ranges()
+        overlaps = sum(
+            1
+            for i in range(len(pre))
+            for j in range(i + 1, len(pre))
+            if pre[i][1] >= pre[j][0] and pre[j][1] >= pre[i][0]
+        )
+        assert overlaps > 0  # the un-clustered layout really does overlap
+
+        store.cluster_table(spark, td, ("id",), n_parts=4)
+        post = ranges()
+        assert len(post) >= 2
+        for (lo1, hi1), (lo2, hi2) in zip(post, post[1:]):
+            assert hi1 < lo2  # pairwise disjoint, strictly ordered
+        after = sorted(r["id"] for r in engine.table("clus").collect())
+        assert after == before
+    finally:
+        engine.drop_table("clus")
