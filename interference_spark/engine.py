@@ -199,6 +199,52 @@ class Engine:
         if td.managed and os.path.isdir(td.path):
             shutil.rmtree(td.path)
 
+    def add_column(self, name: str, column: str) -> "TableDef":
+        """ALTER TABLE … ADD COLUMN (extension; the reference requires drop
+        + re-register to change an entity class — manual 'Entity class
+        registration'): append a nullable column to a managed table.
+
+        Pure metadata operation — NO data rewrite: existing part files
+        simply lack the column and the explicit-schema parquet read returns
+        null for it (schema evolution by name); new appends/upserts carry
+        it. At 100 TB this is the only acceptable ALTER implementation — a
+        backfill is a separate, explicit UPDATE."""
+        from pyspark.sql import types as T
+
+        from .catalog import TableDef, _as_struct
+        from .errors import InvalidTableDescription
+
+        td = self.catalog.get(name)
+        if not td.managed:
+            raise InvalidTableDescription(
+                f"table {td.name!r} is external; ALTER applies to managed tables"
+            )
+        new_fields = _as_struct(column).fields
+        schema = td.require_schema()
+        existing = {f.name for f in schema.fields}
+        for f in new_fields:
+            if f.name in existing:
+                raise InvalidTableDescription(
+                    f"column {f.name!r} already exists on {td.name!r}"
+                )
+        merged = T.StructType(
+            schema.fields
+            + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+        )
+        new_td = TableDef(
+            name=td.name,
+            path=td.path,
+            schema=merged,
+            managed=True,
+            id_col=td.id_col,
+            nocheck=td.nocheck,
+            threshold=td.threshold,
+            indexes=td.indexes,
+            partition_cols=td.partition_cols,
+            meta=td.meta,
+        )
+        return self.catalog.register(new_td)
+
     # -- incremental materialized rollups ---------------------------------
     def create_rollup(
         self, name: str, source: str, keys: list[str], aggs: dict

@@ -3339,6 +3339,40 @@ def incremental_rollup_events(spark, sf_dir):
 
 
 @query(
+    "schema_evolution_add_column",
+    """SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS bonus FROM region
+       UNION ALL
+       SELECT r_regionkey, r_name, CAST(r_regionkey * 10 AS BIGINT) AS bonus
+       FROM region""",
+)
+def schema_evolution_add_column(spark, sf_dir):
+    """ALTER TABLE ADD COLUMN (extension; the reference requires drop +
+    re-register): rows appended BEFORE the ALTER read the new column as
+    null — metadata-only widening, zero data rewrite (byte-identical old
+    parts asserted in `tests/test_dml.py`) — and rows appended after carry
+    values."""
+    import uuid as _uuid
+
+    from .dml import store
+
+    e = engine_for(spark, sf_dir)
+    name = f"Evo_{_uuid.uuid4().hex[:8]}"
+    region = e.table("region").select(
+        F.col("r_regionkey").cast("long"), "r_name"
+    )
+    td = e.register_table(
+        name, "r_regionkey long, r_name string", id_col=None, nocheck=True
+    )
+    store.append_df(td, region)
+    td = e.add_column(name, "bonus long")
+    store.append_df(
+        td,
+        region.withColumn("bonus", (F.col("r_regionkey") * 10).cast("long")),
+    )
+    return e.table(name)
+
+
+@query(
     "stream_session_windows",
     """WITH o AS (
          SELECT user_id, ts, value,

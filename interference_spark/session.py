@@ -306,6 +306,15 @@ class Session:
                 if td.managed:
                     self.engine.drop_table(name)
             return SystemResult(stmt, "managed tables dropped")
+        if up.startswith("ALTER TABLE "):
+            # extension: ALTER TABLE <t> ADD COLUMN <name> <type>
+            toks = stmt.split()
+            if len(toks) == 7 and (toks[3] + " " + toks[4]).upper() == "ADD COLUMN":
+                self.engine.add_column(toks[2], f"{toks[5]} {toks[6]}")
+                return SystemResult(stmt, f"column {toks[5]} added to {toks[2]}")
+            raise InvalidSQLStatement(
+                "ALTER TABLE supports: ALTER TABLE <t> ADD COLUMN <name> <type>"
+            )
         if up in _SYSTEM_NOOPS:
             return SystemResult(stmt, "no-op on Spark (documented divergence)")
         return None

@@ -415,3 +415,65 @@ def test_cluster_table_disjoint_file_stats(engine, spark):
         assert after == before
     finally:
         engine.drop_table("clus")
+
+
+def test_add_column_schema_evolution(engine, spark):
+    """ALTER TABLE ADD COLUMN is metadata-only: old part files are not
+    rewritten (byte-identical), old rows read the new column as null, new
+    rows carry it, and the widened schema survives an engine restart."""
+    from interference_spark import Engine
+    from interference_spark.dml import store
+    from interference_spark.errors import InvalidTableDescription
+
+    td = engine.register_table(
+        "evo", "id long, v long", id_col="id", nocheck=True
+    )
+    try:
+        store.append_rows(td, [{"id": 1, "v": 10}, {"id": 2, "v": 20}])
+        old_parts = {
+            p: open(p, "rb").read() for p in store._parts(td)
+        }
+        td2 = engine.add_column("evo", "tag string")
+        assert [f.name for f in td2.require_schema().fields] == ["id", "v", "tag"]
+        # no rewrite
+        assert {p: open(p, "rb").read() for p in store._parts(td2)} == old_parts
+        # old rows: null tag; new rows carry it
+        store.append_rows(td2, [{"id": 3, "v": 30, "tag": "x"}])
+        got = {r["id"]: (r["v"], r["tag"]) for r in engine.table("evo").collect()}
+        assert got == {1: (10, None), 2: (20, None), 3: (30, "x")}
+        # durable across engine restart on the same warehouse
+        eng2 = Engine(spark=spark, warehouse=engine.warehouse)
+        assert [
+            f.name for f in eng2.catalog.get("evo").require_schema().fields
+        ] == ["id", "v", "tag"]
+        # validations
+        import pytest as _pytest
+
+        with _pytest.raises(InvalidTableDescription):
+            engine.add_column("evo", "v long")  # duplicate
+        with _pytest.raises(InvalidTableDescription):
+            engine.add_column("nation", "x long")  # external
+    finally:
+        engine.drop_table("evo")
+
+
+def test_alter_table_system_statement(engine, session):
+    from interference_spark.dml import store
+    from interference_spark.errors import InvalidSQLStatement
+
+    td = engine.register_table(
+        "evo2", "id long, v long", id_col="id", nocheck=True
+    )
+    try:
+        store.append_rows(td, [{"id": 1, "v": 10}])
+        res = session.execute("ALTER TABLE evo2 ADD COLUMN note string")
+        assert "note" in res.message
+        assert [f.name for f in engine.catalog.get("evo2").require_schema().fields] == [
+            "id", "v", "note",
+        ]
+        import pytest as _pytest
+
+        with _pytest.raises(InvalidSQLStatement):
+            session.execute("ALTER TABLE evo2 DROP COLUMN v")
+    finally:
+        engine.drop_table("evo2")
