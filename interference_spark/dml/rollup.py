@@ -11,9 +11,11 @@ O(table).
 Design (the classic partial-aggregate view-maintenance trick):
 
 * state = the FINAL aggregate table keyed by ``keys`` — for the supported
-  aggregate set {count, sum, min, max} the final values are themselves
-  mergeable partials (count merges by sum), so no separate accumulator
-  schema is needed.  avg = sum/count derived at read time by the caller.
+  aggregate set {count, sum, min, max, kmv} the final values are themselves
+  mergeable partials (count merges by sum; a KMV distinct sketch merges as
+  the k smallest of the distinct union of two sorted hash arrays — the
+  classic mergeable-summary property), so no separate accumulator schema
+  is needed.  avg = sum/count and :func:`kmv_estimate` derived at read.
 * refresh lists the source's part files, reads only the unseen ones,
   partial-aggregates them, unions with the stored state, and re-aggregates
   — one shuffle over (state ∪ delta), both sides already key-collapsed.
@@ -46,9 +48,11 @@ from pyspark.sql import DataFrame, functions as F
 from ..errors import InvalidParameter
 from . import store
 
-_AGG_FNS = ("count", "sum", "min", "max")
+_AGG_FNS = ("count", "sum", "min", "max", "kmv")
 # merge function for already-aggregated state rows
 _MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+_KMV_DEFAULT_K = 64
+_TWO_52 = 4503599627370496.0
 
 
 def _rollup_dir(engine, name: str) -> str:
@@ -68,23 +72,64 @@ def _load_meta(engine, name: str) -> dict:
         raise InvalidParameter(f"no rollup named {name!r}") from None
 
 
+def _kmv_k(spec: tuple) -> int:
+    return int(spec[2]) if len(spec) > 2 else _KMV_DEFAULT_K
+
+
 def _agg_exprs(aggs: dict, partial: bool) -> list:
     """Aggregate expressions: over raw rows (partial=True) or over
-    already-aggregated state rows (partial=False → count merges by sum)."""
+    already-aggregated state rows (partial=False → count merges by sum,
+    kmv arrays merge by k-smallest of the distinct union — both bounded)."""
     out = []
-    for col, (fn, expr) in aggs.items():
+    for col, spec in aggs.items():
+        fn = spec[0]
         if partial:
             if fn == "count":
                 out.append(F.count(F.lit(1)).alias(col))
             else:
-                out.append(getattr(F, fn)(F.expr(expr)).alias(col))
+                out.append(getattr(F, fn)(F.expr(spec[1])).alias(col))
+        elif fn == "kmv":
+            merged = F.array_sort(F.array_distinct(F.flatten(F.collect_list(col))))
+            out.append(F.slice(merged, 1, _kmv_k(spec)).alias(col))
         else:
             out.append(getattr(F, _MERGE_FN[fn])(F.col(col)).alias(col))
     return out
 
 
 def _partial(df: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
-    return df.groupBy(*keys).agg(*_agg_exprs(aggs, partial=True))
+    """Raw rows → one state row per key.  KMV sketch columns need their own
+    pre-pass (distinct → per-key k smallest hashes, every stage bounded by
+    k — never a per-key collect of all values); plain aggregates stay one
+    groupBy.  The pieces join back on the keys (same source → same key
+    set; outer join + count-backfill guards the no-plain-aggs case)."""
+    from pyspark.sql import Window
+
+    from ..pipeline.sketch import kmv_hash
+
+    simple = {c: s for c, s in aggs.items() if s[0] != "kmv"}
+    kmvs = {c: s for c, s in aggs.items() if s[0] == "kmv"}
+    parts = []
+    if simple or not kmvs:
+        parts.append(df.groupBy(*keys).agg(*_agg_exprs(simple, partial=True)))
+    for col, spec in kmvs.items():
+        k = _kmv_k(spec)
+        d = df.select(*keys, kmv_hash(F.expr(spec[1])).alias("__hv")).distinct()
+        if keys:
+            w = Window.partitionBy(*keys).orderBy("__hv")
+            topk = d.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") <= k
+            )
+        else:
+            topk = d.orderBy("__hv").limit(k)
+        parts.append(
+            topk.groupBy(*keys).agg(
+                F.sort_array(F.collect_list("__hv")).alias(col)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, keys, "outer") if keys else out.crossJoin(p)
+    return out.select(*keys, *aggs)
 
 
 def _commit_state(engine, name: str, df: DataFrame, meta: dict) -> None:
@@ -116,10 +161,10 @@ def create(engine, name: str, source: str, keys: list[str], aggs: dict) -> dict:
     {count, sum, min, max}; ``expr`` is a SQL expression over source
     columns (ignored for count).
     """
-    for col, (fn, _expr) in aggs.items():
-        if fn not in _AGG_FNS:
+    for col, spec in aggs.items():
+        if spec[0] not in _AGG_FNS:
             raise InvalidParameter(
-                f"rollup agg {col!r}: fn must be one of {_AGG_FNS}, got {fn!r}"
+                f"rollup agg {col!r}: fn must be one of {_AGG_FNS}, got {spec[0]!r}"
             )
     td = engine.catalog.get(source)
     if not td.managed:
@@ -190,6 +235,16 @@ def read(engine, name: str) -> DataFrame:
     meta = _load_meta(engine, name)
     return engine.spark.read.parquet(
         os.path.join(_rollup_dir(engine, name), meta["state_dir"])
+    )
+
+
+def kmv_estimate(col, k: int = _KMV_DEFAULT_K):
+    """Distinct-count estimate from a stored KMV sketch column: exact when
+    fewer than k hashes were seen, else the classic (k−1)/(h_k/2^52) —
+    the same double op chain a SQL oracle reproduces."""
+    arr = F.col(col) if isinstance(col, str) else col
+    return F.when(F.size(arr) < k, F.size(arr).cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.element_at(arr, -1).cast("double") / F.lit(_TWO_52))
     )
 
 

@@ -3339,6 +3339,62 @@ def incremental_rollup_events(spark, sf_dir):
 
 
 @query(
+    "incremental_rollup_distinct_users",
+    """WITH h AS (
+         SELECT DISTINCT event_type,
+                ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS hv
+         FROM events
+       ), r AS (
+         SELECT event_type, hv,
+                row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         FROM h
+       ), t AS (
+         SELECT event_type, count(*) AS k_cnt, max(hv) AS mx
+         FROM r WHERE rn <= 64 GROUP BY event_type
+       ), c AS (
+         SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+       )
+       SELECT c.event_type AS event_type, c.cnt AS cnt,
+              CASE WHEN t.k_cnt < 64 THEN CAST(t.k_cnt AS DOUBLE)
+                   ELSE 63.0 / (CAST(t.mx AS DOUBLE) / 4503599627370496.0)
+              END AS est_users
+       FROM c JOIN t ON c.event_type = t.event_type""",
+)
+def incremental_rollup_distinct_users(spark, sf_dir):
+    """Incrementally maintained DISTINCT-COUNT rollup: the per-type KMV
+    sketch (k smallest deterministic 52-bit hashes) is a mergeable summary
+    — refresh folds the second half's sketch into the stored one (k-min of
+    the distinct union), reading only the new part file; the estimate then
+    equals a from-scratch KMV over the full data, which is what the oracle
+    recomputes. The one rollup family (distinct counts) that plain
+    sum/min/max maintenance cannot express."""
+    import uuid as _uuid
+
+    from .dml import store
+    from .dml.rollup import kmv_estimate
+
+    e = engine_for(spark, sf_dir)
+    name = f"EvKmv_{_uuid.uuid4().hex[:8]}"
+    ev = e.table("events").select("event_id", "event_type", "user_id")
+    td = e.register_table(
+        name, "event_id long, event_type string, user_id long",
+        id_col="event_id", nocheck=True,
+    )
+    store.append_df(td, ev.filter(F.col("event_id") % 2 == 0))
+    rname = f"{name}_users"
+    e.create_rollup(
+        rname, name, ["event_type"],
+        {"cnt": ("count", None), "uk": ("kmv", "user_id", 64)},
+    )
+    store.append_df(td, ev.filter(F.col("event_id") % 2 == 1))
+    st = e.refresh_rollup(rname)
+    assert st["mode"] == "incremental", st
+    return e.rollup(rname).select(
+        "event_type", "cnt", kmv_estimate("uk", 64).alias("est_users")
+    )
+
+
+@query(
     "schema_evolution_add_column",
     """SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS bonus FROM region
        UNION ALL

@@ -164,3 +164,62 @@ def test_validation_errors(eng, spark):
     eng.create_rollup("dup", "meas", ["grp"], AGGS)
     with pytest.raises(InvalidParameter):
         eng.create_rollup("dup", "meas", ["grp"], AGGS)
+
+
+def test_kmv_distinct_sketch_merges_exactly(eng, spark):
+    """KMV mergeability: min-k(distinct(A ∪ B)) == merge(min-k(A), min-k(B))
+    — the incrementally maintained sketch must equal the sketch of the full
+    data, and the estimate is exact below k."""
+    from pyspark.sql import functions as F
+
+    from interference_spark.dml import rollup, store
+    from interference_spark.pipeline.sketch import kmv_hash
+
+    td = eng.register_table(
+        "km", "id long, grp string, u long", id_col="id", nocheck=True
+    )
+    # two halves with overlapping users; 'a' has 30 distinct (< k=16? no —
+    # use k=16 so group 'a' (30 users) estimates, 'b' (8 users) is exact
+    store.append_rows(
+        td, [{"id": i, "grp": "a", "u": i % 30} for i in range(60)]
+        + [{"id": 100 + i, "grp": "b", "u": i % 8} for i in range(20)]
+    )
+    eng.create_rollup(
+        "rk", "km", ["grp"],
+        {"cnt": ("count", None), "uk": ("kmv", "u", 16)},
+    )
+    store.append_rows(
+        td, [{"id": 200 + i, "grp": "a", "u": 15 + (i % 30)} for i in range(40)]
+    )
+    assert eng.refresh_rollup("rk")["mode"] == "incremental"
+
+    # reference sketch computed from the FULL table in one shot
+    full = (
+        eng.table("km")
+        .select("grp", kmv_hash(F.col("u")).alias("hv"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("hv")
+    want = {
+        r["grp"]: r["arr"]
+        for r in full.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 16")
+        .groupBy("grp")
+        .agg(F.sort_array(F.collect_list("hv")).alias("arr"))
+        .collect()
+    }
+    got = {r["grp"]: list(r["uk"]) for r in eng.rollup("rk").collect()}
+    assert got == {g: list(a) for g, a in want.items()}
+
+    # estimate: exact below k ('b' has 8 < 16 distinct users)
+    est = {
+        r["grp"]: r["est"]
+        for r in eng.rollup("rk")
+        .select("grp", rollup.kmv_estimate("uk", 16).alias("est"))
+        .collect()
+    }
+    assert est["b"] == 8.0
+    assert est["a"] > 16  # 45 true distinct; KMV estimate is in the ballpark
+    assert 20 < est["a"] < 90
