@@ -46,6 +46,7 @@ class SelectItem:
     func: Optional[str] = None          # COUNT/SUM/MIN/MAX/AVG/LAST
     scalar: Optional[str] = None        # TO_NUMBER/TO_CHAR/TO_DATE
     out_name: str = ""                  # result column name
+    distinct: bool = False              # COUNT(DISTINCT col) extension
 
     @property
     def is_agg(self) -> bool:

@@ -227,7 +227,10 @@ def _agg_expr(item: SelectItem, dtype: T.DataType, engine) -> Column:
     strict = engine.strict_compat
     f = item.func
     if f == "COUNT":
-        return F.count(c)
+        # COUNT(DISTINCT col) extension — plans as Spark's two-phase
+        # distinct aggregate (partial distinct per partition, then final),
+        # never a driver-side distinct
+        return F.countDistinct(c) if item.distinct else F.count(c)
     if f == "SUM":
         if strict and isinstance(dtype, _FRACTIONAL):
             # reference SUM silently contributes 0 for float/double inputs
@@ -425,7 +428,7 @@ def _having_exprs(q: Query, dfs, engine):
         match = next(
             (
                 i for i in q.items
-                if i.is_agg and i.func == leaf.func
+                if i.is_agg and i.func == leaf.func and not i.distinct
                 and i.ref.alias == leaf.ref.alias and i.ref.name == leaf.ref.name
             ),
             None,
@@ -474,6 +477,8 @@ def _compile_window_by(q: Query, joined: DataFrame) -> DataFrame:
     for k, i in enumerate(q.items):
         if not i.is_agg:
             raise InvalidCondition("WINDOW BY select list must be group functions")
+        if i.distinct:
+            raise InvalidCondition("DISTINCT aggregates are not valid in WINDOW BY")
         proj.append(_col(i.ref).alias(f"__a{k}"))
         items.append((i.func, f"__a{k}", i.out_name))
     return sliding_count_window(joined.select(*proj), "__w", items, n)

@@ -445,11 +445,21 @@ class Parser:
         if fm:
             fname = fm.group(1).upper()
             inner = fm.group(2).strip()
+            # COUNT(DISTINCT col) extension (the reference has no DISTINCT
+            # inside aggregates); other aggregates reject the modifier
+            dm = re.match(r"^DISTINCT\s+(.*)$", inner, re.S | re.I)
+            distinct = bool(dm) and fname in FUNCS
+            if distinct:
+                if fname != "COUNT":
+                    raise InvalidColumnDescription(
+                        f"DISTINCT is supported only in COUNT(...), not {fname}"
+                    )
+                inner = dm.group(1).strip()
             ref = self._resolve_ref(inner, InvalidColumnDescription)
             if fname in FUNCS:
                 # default alias: func name + inner with '.' stripped
                 # (reference sql/CList.java:93-95,175-179)
-                return SelectItem(ref=ref, func=fname,
+                return SelectItem(ref=ref, func=fname, distinct=distinct,
                                   out_name=out or f"{fname.lower()}{ref.alias}{ref.name}")
             if fname in SCALAR_FUNCS:
                 return SelectItem(ref=ref, scalar=fname,

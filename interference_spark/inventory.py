@@ -3339,6 +3339,29 @@ def incremental_rollup_events(spark, sf_dir):
 
 
 @query(
+    "dialect_count_distinct",
+    """SELECT o_orderpriority AS oo_orderpriority,
+              count(o_orderkey) AS cnt,
+              count(DISTINCT o_custkey) AS dcust
+       FROM orders GROUP BY o_orderpriority""",
+)
+def dialect_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT col) dialect extension (the reference has no DISTINCT
+    inside aggregates): plans as Spark's two-phase distinct aggregate —
+    partial distinct on (group, value), then final count — never a
+    driver-side distinct. Batch-only by design: the streaming path rejects
+    it (unbounded per-group state has no eviction bound)."""
+    e = engine_for(spark, sf_dir)
+    s = e.session()
+    df = s.execute(
+        "select o.o_orderpriority, count(o.o_orderkey) cnt, "
+        "count(distinct o.o_custkey) dcust "
+        "from orders o group by o.o_orderpriority"
+    )
+    return df
+
+
+@query(
     "incremental_rollup_distinct_users",
     """WITH h AS (
          SELECT DISTINCT event_type,

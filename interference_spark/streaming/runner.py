@@ -42,6 +42,13 @@ def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
     # pattern. Streaming aggregation stays single-table.
     if len(q.tables) != 1 and (q.group_by or q.window_by is not None):
         raise InvalidParameter("stream aggregation works on a single table")
+    if any(getattr(i, "distinct", False) for i in q.items):
+        from ..errors import InvalidCondition
+
+        raise InvalidCondition(
+            "COUNT(DISTINCT ...) is batch-only: unbounded per-group "
+            "distinct state has no eviction bound on a stream"
+        )
     engine = session.engine
     td = engine.catalog.get(q.tables[0].name)
     if not td.managed:

@@ -429,3 +429,33 @@ def test_between_extension(engine, session):
     # string columns: ordering comparison rejected (same rule as < / >)
     with pytest.raises(errors.InvalidCondition):
         parse(engine, "select e.empId from Emp e where e.empName between 'a' and 'b'")
+
+
+def test_count_distinct_extension(engine):
+    from interference_spark.dialect import parse
+    from interference_spark.errors import InvalidColumnDescription
+
+    q = parse(engine, "select count(distinct o.o_custkey) dc from orders o")
+    item = q.items[0]
+    assert item.func == "COUNT" and item.distinct and item.out_name == "dc"
+    # DISTINCT inside any other aggregate is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(InvalidColumnDescription):
+        parse(engine, "select sum(distinct o.o_totalprice) s from orders o")
+
+
+def test_count_distinct_stream_rejected(engine):
+    from interference_spark.errors import InvalidCondition
+
+    td = engine.register_table(
+        "cds", "id long, k string", id_col="id", nocheck=True
+    )
+    try:
+        s = engine.session()
+        import pytest as _pytest
+
+        with _pytest.raises(InvalidCondition):
+            s.execute("select stream count(distinct c.k) dk from cds c")
+    finally:
+        engine.drop_table("cds")
