@@ -3208,20 +3208,24 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 )
 def pivot_user_event_matrix(spark, sf_dir):
     """PIVOT: per-user event-type count matrix (wide feature table — the
-    standard long→wide step before training-data featurization).  Explicit
-    pivot value list keeps the schema static (no extra distinct-values scan
-    pass, deterministic columns at 100 TB); plans as ONE partial+final
-    pivot-aggregate on user_id — never one shuffle per event type."""
+    standard long→wide step before training-data featurization).  Compiled
+    as CONDITIONAL AGGREGATION (one count-if per pivot value) rather than
+    Spark's native ``.pivot()``: with an explicit value list the results
+    are identical, but ``pivotfirst`` plans a pre-aggregate on
+    (user, event_type) plus a second exchange on user — conditional
+    aggregation is ONE partial+final aggregate and ONE exchange, with
+    n_total folded into the same pass (plan-linted in
+    `tests/test_plan_lint.py`).  The explicit value list also avoids the
+    distinct-values scan a dynamic pivot needs at 100 TB."""
     e = engine_for(spark, sf_dir)
     ev = e.table("events")
-    wide = (
-        ev.groupBy("user_id")
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, list(_EVENT_TYPES))
+    per_type = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+        for t in _EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(
+        *per_type, F.count(F.lit(1)).alias("n_total")
     )
-    total = sum((F.col(c) for c in _EVENT_TYPES), F.lit(0))
-    return wide.withColumn("n_total", total.cast("long"))
 
 
 @query(

@@ -63,3 +63,44 @@ def test_bitmap_jaccard_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert out.rdd.getNumPartitions() > 1
+
+
+def test_window_analytics_single_exchange(spark):
+    """All five window specs must share ONE hash exchange on o_custkey —
+    a second exchange means a spec re-partitioned and doubled the shuffle."""
+    df = inventory.QUERIES["window_analytics_orders"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_pivot_single_aggregate_pass(spark):
+    """The pivot must plan as ONE partial+final aggregate pair on user_id —
+    never one aggregate/shuffle per pivot value."""
+    df = inventory.QUERIES["pivot_user_event_matrix"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:2000]
+    n_aggs = plan.count("HashAggregate") + plan.count("ObjectHashAggregate")
+    assert n_aggs == 2, f"expected partial+final, got {n_aggs}\n{plan[:2000]}"
+
+
+def test_split_assignment_is_projection_only(spark):
+    """assign_split adds zero shuffles: the split column is a pure
+    projection over the scan."""
+    from interference_spark.pipeline.export import assign_split
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    df = assign_split(ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_gapfill_grid_from_aggregated_bounds(spark):
+    """The gap-fill grid must be generated from per-type BOUNDS (an
+    aggregate over the hourly rollup), never exploded per source event:
+    the explode feeds from an aggregate, and the whole plan carries no
+    cartesian."""
+    df = inventory.QUERIES["gapfill_hourly_events"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:], plan[:2000]
