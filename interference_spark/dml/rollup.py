@@ -11,11 +11,13 @@ O(table).
 Design (the classic partial-aggregate view-maintenance trick):
 
 * state = the FINAL aggregate table keyed by ``keys`` — for the supported
-  aggregate set {count, sum, min, max, kmv} the final values are themselves
-  mergeable partials (count merges by sum; a KMV distinct sketch merges as
-  the k smallest of the distinct union of two sorted hash arrays — the
-  classic mergeable-summary property), so no separate accumulator schema
-  is needed.  avg = sum/count and :func:`kmv_estimate` derived at read.
+  aggregate set {count, sum, min, max, kmv, cms} the final values are
+  themselves mergeable partials: count merges by sum, a KMV distinct
+  sketch merges as the k smallest of the distinct union of two sorted
+  hash arrays, and a Count-Min counter table merges by cell-wise sum —
+  the classic mergeable-summary properties. avg = sum/count,
+  :func:`kmv_estimate` (distinct count) and :func:`cms_estimate`
+  (value frequency) derive at read time.
 * refresh lists the source's part files, reads only the unseen ones,
   partial-aggregates them, unions with the stored state, and re-aggregates
   — one shuffle over (state ∪ delta), both sides already key-collapsed.
@@ -43,16 +45,24 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..errors import InvalidParameter
 from . import store
 
-_AGG_FNS = ("count", "sum", "min", "max", "kmv")
+_AGG_FNS = ("count", "sum", "min", "max", "kmv", "cms")
 # merge function for already-aggregated state rows
 _MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 _KMV_DEFAULT_K = 64
 _TWO_52 = 4503599627370496.0
+_CMS_DEFAULT_W = 64
+_CMS_DEFAULT_D = 4
+
+
+def _cms_dims(spec: tuple) -> tuple[int, int]:
+    w = int(spec[2]) if len(spec) > 2 else _CMS_DEFAULT_W
+    d = int(spec[3]) if len(spec) > 3 else _CMS_DEFAULT_D
+    return w, d
 
 
 def _rollup_dir(engine, name: str) -> str:
@@ -91,6 +101,15 @@ def _agg_exprs(aggs: dict, partial: bool) -> list:
         elif fn == "kmv":
             merged = F.array_sort(F.array_distinct(F.flatten(F.collect_list(col))))
             out.append(F.slice(merged, 1, _kmv_k(spec)).alias(col))
+        elif fn == "cms":
+            # Count-Min counter tables are ADDITIVE: merge = cell-wise sum
+            w, d = _cms_dims(spec)
+            out.append(
+                F.expr(
+                    f"aggregate(collect_list({col}), array_repeat(0L, {w * d}),"
+                    " (acc, a) -> zip_with(acc, a, (x, y) -> x + y))"
+                ).alias(col)
+            )
         else:
             out.append(getattr(F, _MERGE_FN[fn])(F.col(col)).alias(col))
     return out
@@ -106,10 +125,11 @@ def _partial(df: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
 
     from ..pipeline.sketch import kmv_hash
 
-    simple = {c: s for c, s in aggs.items() if s[0] != "kmv"}
+    simple = {c: s for c, s in aggs.items() if s[0] not in ("kmv", "cms")}
     kmvs = {c: s for c, s in aggs.items() if s[0] == "kmv"}
+    cmss = {c: s for c, s in aggs.items() if s[0] == "cms"}
     parts = []
-    if simple or not kmvs:
+    if simple or not (kmvs or cmss):
         parts.append(df.groupBy(*keys).agg(*_agg_exprs(simple, partial=True)))
     for col, spec in kmvs.items():
         k = _kmv_k(spec)
@@ -124,6 +144,30 @@ def _partial(df: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
         parts.append(
             topk.groupBy(*keys).agg(
                 F.sort_array(F.collect_list("__hv")).alias(col)
+            )
+        )
+    for col, spec in cmss.items():
+        # CMS partial: per-key d×w cell counts scattered into ONE flat
+        # array<long> per key — the explode fans out d rows per input row,
+        # both groupBys are combiner-friendly, and the scatter folds at
+        # most d·w cell rows per key (bounded, like the kmv collect)
+        from ..pipeline.sketch import _cms_probes
+
+        w, d = _cms_dims(spec)
+        probes = df.select(
+            *keys, F.explode(_cms_probes(F.expr(spec[1]), w, d)).alias("p")
+        )
+        cells = probes.groupBy(
+            *keys, (F.col("p.d") * w + F.col("p.b")).alias("__cell")
+        ).agg(F.count(F.lit(1)).alias("__cnt"))
+        parts.append(
+            cells.groupBy(*keys).agg(
+                F.expr(
+                    "aggregate(collect_list(struct(__cell, __cnt)),"
+                    f" array_repeat(0L, {w * d}),"
+                    " (acc, p) -> transform(acc,"
+                    " (x, i) -> IF(i = p.__cell, x + p.__cnt, x)))"
+                ).alias(col)
             )
         )
     out = parts[0]
@@ -246,6 +290,33 @@ def kmv_estimate(col, k: int = _KMV_DEFAULT_K):
     return F.when(F.size(arr) < k, F.size(arr).cast("double")).otherwise(
         F.lit(float(k - 1)) / (F.element_at(arr, -1).cast("double") / F.lit(_TWO_52))
     )
+
+
+def cms_estimate(
+    arr,
+    value,
+    width: int = _CMS_DEFAULT_W,
+    depth: int = _CMS_DEFAULT_D,
+):
+    """Frequency estimate of ``value`` from a stored flat CMS array: min
+    over the value's ``depth`` cells (the classic upper-bound estimate —
+    collisions only over-count). Deterministic md5 bucket family, so a SQL
+    oracle recomputes identical cells."""
+    from ..pipeline.sketch import cms_bucket
+
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    if not isinstance(value, Column):
+        value = F.lit(value)
+    cells = [
+        F.element_at(
+            arr,
+            (F.lit(di * width) + cms_bucket(value, f"cms{di}:", width) + 1).cast(
+                "int"
+            ),
+        )
+        for di in range(depth)
+    ]
+    return F.least(*cells)
 
 
 def drop(engine, name: str) -> None:

@@ -3422,6 +3422,70 @@ def incremental_rollup_distinct_users(spark, sf_dir):
 
 
 @query(
+    "incremental_rollup_user_freq",
+    """WITH ds AS (
+         SELECT unnest(generate_series(0, 3)) AS d
+       ), cells AS (
+         SELECT event_type, ds.d,
+                ('0x' || substring(md5('cms' || CAST(ds.d AS VARCHAR) || ':' ||
+                                        CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+                  % 64 AS b,
+                count(*) AS cnt
+         FROM events CROSS JOIN ds
+         GROUP BY event_type, ds.d, b
+       ), probe AS (
+         SELECT u, ds.d,
+                ('0x' || substring(md5('cms' || CAST(ds.d AS VARCHAR) || ':' ||
+                                        CAST(u AS VARCHAR)), 1, 13))::BIGINT
+                  % 64 AS b
+         FROM (SELECT unnest(generate_series(0, 9)) AS u) CROSS JOIN ds
+       ), types AS (SELECT DISTINCT event_type FROM events)
+       SELECT t.event_type AS event_type, p.u AS user_id,
+              CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt
+       FROM types t CROSS JOIN probe p
+       LEFT JOIN cells c ON c.event_type = t.event_type
+                        AND c.d = p.d AND c.b = p.b
+       GROUP BY t.event_type, p.u""",
+)
+def incremental_rollup_user_freq(spark, sf_dir):
+    """Incrementally maintained FREQUENCY rollup: a per-type Count-Min
+    counter table (flat d×w array) is additive, so refresh merges the new
+    part file's sketch by cell-wise sum — after which probing any user's
+    estimated event count per type equals a from-scratch CMS over the full
+    data (what the oracle recomputes, including the min-over-depth
+    estimate). Completes the mergeable-summary family: sum-like, KMV
+    (distinct), CMS (frequency)."""
+    import uuid as _uuid
+
+    from .dml import store
+    from .dml.rollup import cms_estimate
+
+    e = engine_for(spark, sf_dir)
+    name = f"EvCms_{_uuid.uuid4().hex[:8]}"
+    ev = e.table("events").select("event_id", "event_type", "user_id")
+    td = e.register_table(
+        name, "event_id long, event_type string, user_id long",
+        id_col="event_id", nocheck=True,
+    )
+    store.append_df(td, ev.filter(F.col("event_id") % 2 == 0))
+    rname = f"{name}_freq"
+    e.create_rollup(rname, name, ["event_type"], {"cm": ("cms", "user_id", 64, 4)})
+    store.append_df(td, ev.filter(F.col("event_id") % 2 == 1))
+    st = e.refresh_rollup(rname)
+    assert st["mode"] == "incremental", st
+    probe = spark.range(10).select(F.col("id").alias("user_id"))
+    return (
+        e.rollup(rname)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "event_type",
+            "user_id",
+            cms_estimate("cm", F.col("user_id"), 64, 4).cast("long").alias("est_cnt"),
+        )
+    )
+
+
+@query(
     "schema_evolution_add_column",
     """SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS bonus FROM region
        UNION ALL

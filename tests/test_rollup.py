@@ -223,3 +223,61 @@ def test_kmv_distinct_sketch_merges_exactly(eng, spark):
     assert est["b"] == 8.0
     assert est["a"] > 16  # 45 true distinct; KMV estimate is in the ballpark
     assert 20 < est["a"] < 90
+
+
+def test_cms_sketch_merges_additively(eng, spark):
+    """CMS mergeability: the incrementally maintained counter table equals
+    the from-scratch sketch of the full data (cell-wise), and estimates
+    upper-bound true frequencies."""
+    from pyspark.sql import functions as F
+
+    from interference_spark.dml import rollup, store
+
+    td = eng.register_table(
+        "cm", "id long, grp string, u long", id_col="id", nocheck=True
+    )
+    store.append_rows(
+        td,
+        [{"id": i, "grp": "a", "u": i % 7} for i in range(70)]
+        + [{"id": 100 + i, "grp": "b", "u": 3} for i in range(5)],
+    )
+    eng.create_rollup(
+        "rc", "cm", ["grp"], {"cm_u": ("cms", "u", 32, 4), "cnt": ("count", None)}
+    )
+    store.append_rows(td, [{"id": 200 + i, "grp": "a", "u": 3} for i in range(30)])
+    assert eng.refresh_rollup("rc")["mode"] == "incremental"
+
+    # reference: from-scratch per-key sketch over the full table
+    from interference_spark.pipeline.sketch import _cms_probes
+
+    full = (
+        eng.table("cm")
+        .select("grp", F.explode(_cms_probes(F.col("u"), 32, 4)).alias("p"))
+        .groupBy("grp", (F.col("p.d") * 32 + F.col("p.b")).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {}
+    for r in full.collect():
+        want.setdefault(r["grp"], [0] * 128)[r["cell"]] = r["cnt"]
+    got = {r["grp"]: list(r["cm_u"]) for r in eng.rollup("rc").collect()}
+    assert got == want
+
+    # estimates: u=3 appears 40x in 'a' (10 + 30 incremental), 5x in 'b';
+    # CMS only over-counts, and with 70+30 rows in 32 buckets the exact
+    # value is the common case
+    est = {
+        r["grp"]: r["e"]
+        for r in eng.rollup("rc")
+        .select("grp", rollup.cms_estimate("cm_u", F.lit(3), 32, 4).alias("e"))
+        .collect()
+    }
+    assert est["a"] >= 40 and est["b"] >= 5
+    # sanity: estimate for a never-seen value in 'b' is bounded by its
+    # total row count (5)
+    est99 = {
+        r["grp"]: r["e"]
+        for r in eng.rollup("rc")
+        .select("grp", rollup.cms_estimate("cm_u", F.lit(99), 32, 4).alias("e"))
+        .collect()
+    }
+    assert 0 <= est99["b"] <= 5
