@@ -208,6 +208,28 @@ def overwrite(td: TableDef, df: DataFrame) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def vacuum(td: TableDef) -> int:
+    """Remove crash debris from the table dir: orphaned ``.tmp-*`` write
+    directories and dot-prefixed ``.part-*.tmp`` files left by a writer
+    that died between write and rename.  Safe while readers run — Spark's
+    FileIndex never lists either pattern (tmp dirs live NEXT to the table
+    dir; dot-files are hidden), and a LIVE writer's tmp is never older
+    than the write itself, so only call vacuum when no writer is active
+    (same single-writer rule as every mutation here).  Returns the number
+    of artifacts removed."""
+    import shutil
+
+    n = 0
+    for d in glob.glob(td.path + ".tmp-*"):
+        shutil.rmtree(d, ignore_errors=True)
+        n += 1
+    for pat in (".*.tmp", os.path.join("_tombstones", ".*.tmp")):
+        for f in glob.glob(os.path.join(td.path, pat)):
+            os.remove(f)
+            n += 1
+    return n
+
+
 def cluster_table(
     spark: SparkSession,
     td: TableDef,

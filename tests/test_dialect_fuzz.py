@@ -404,3 +404,34 @@ def test_random_scalar_funcs_match_duckdb(data, duck, engine):
             ).fetchall()
         )
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_count_distinct_matches_duckdb(data, duck, engine):
+    """COUNT(DISTINCT col) extension under random group keys and random
+    WHERE literals must match DuckDB exactly."""
+    gcol = data.draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    dcol = data.draw(st.sampled_from(["o_custkey", "o_orderkey", "o_orderstatus"]))
+    t = data.draw(st.integers(min_value=0, max_value=600_000))
+    got = {
+        tuple(r)
+        for r in engine.session().execute(
+            f"select o.{gcol}, count(distinct o.{dcol}) dc, "
+            f"count(o.o_orderkey) c from orders o "
+            f"where o.o_totalprice >= {t}.0 group by o.{gcol}"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT {gcol} AS g, COUNT(DISTINCT {dcol}) AS dc, "
+            f"COUNT(o_orderkey) AS c FROM orders "
+            f"WHERE o_totalprice >= {t} GROUP BY {gcol}"
+        ).fetchall()
+    }
+    assert got == want

@@ -477,3 +477,29 @@ def test_alter_table_system_statement(engine, session):
             session.execute("ALTER TABLE evo2 DROP COLUMN v")
     finally:
         engine.drop_table("evo2")
+
+
+def test_vacuum_removes_crash_debris(engine, spark):
+    import os
+
+    from interference_spark.dml import store
+
+    td = engine.register_table(
+        "vac", "id long, v long", id_col="id", nocheck=True
+    )
+    try:
+        store.append_rows(td, [{"id": 1, "v": 1}])
+        # simulate a writer that died between write and rename
+        os.makedirs(td.path + ".tmp-deadbeef", exist_ok=True)
+        open(os.path.join(td.path + ".tmp-deadbeef", "part-x.parquet"), "wb").close()
+        open(os.path.join(td.path, ".part-dead.parquet.tmp"), "wb").close()
+        os.makedirs(os.path.join(td.path, "_tombstones"), exist_ok=True)
+        open(os.path.join(td.path, "_tombstones", ".ts-dead.parquet.tmp"), "wb").close()
+        before = engine.table("vac").count()  # debris is invisible to reads
+        assert before == 1
+        assert store.vacuum(td) == 3
+        assert not os.path.exists(td.path + ".tmp-deadbeef")
+        assert engine.table("vac").count() == 1
+        assert store.vacuum(td) == 0  # idempotent
+    finally:
+        engine.drop_table("vac")
