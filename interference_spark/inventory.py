@@ -3422,6 +3422,51 @@ def incremental_rollup_distinct_users(spark, sf_dir):
 
 
 @query(
+    "embedding_int8_quant",
+    """WITH x AS (
+         SELECT vec_id,
+                list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+         FROM embeddings
+       ), s AS (
+         SELECT vec_id, e,
+                list_max(list_transform(e, v -> abs(v))) AS am
+         FROM x
+       ), sc AS (
+         SELECT vec_id, e,
+                CASE WHEN am = 0.0 THEN 0.0 ELSE 127.0 / am END AS scale
+         FROM s
+       ), q AS (
+         SELECT vec_id, scale,
+                list_transform(e, v -> CAST(floor(v * scale + 0.5) AS INTEGER)) AS qv
+         FROM sc
+       )
+       SELECT vec_id, scale,
+              CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+              CAST(list_aggregate(list_transform(qv, v -> CAST(v AS BIGINT) * v),
+                                  'sum') AS BIGINT) AS q_norm2
+       FROM q""",
+)
+def embedding_int8_quant(spark, sf_dir):
+    """Symmetric per-vector int8 embedding quantization
+    (`pipeline/similarity.quantize_int8`): scale = 127/max|x|, exact
+    double op chain end-to-end, so the oracle reproduces the quantized
+    vectors bit for bit (verified via sum and squared-norm checksums of
+    every vector).  Pure JVM transform/aggregate expressions — zero
+    shuffle, zero UDF — the 4× memory/IO shrink step before ANN serving."""
+    from .pipeline.similarity import quantize_int8
+
+    e = engine_for(spark, sf_dir)
+    q = quantize_int8(e.table("embeddings"))
+    qsum = F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, v: a + v)
+    qn2 = F.aggregate(
+        F.col("q"), F.lit(0).cast("long"), lambda a, v: a + v.cast("long") * v
+    )
+    return q.select(
+        "vec_id", "scale", qsum.alias("q_sum"), qn2.alias("q_norm2")
+    )
+
+
+@query(
     "incremental_rollup_user_freq",
     """WITH ds AS (
          SELECT unnest(generate_series(0, 3)) AS d

@@ -98,6 +98,27 @@ def cosine_topk_exact_decimal(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the standard 4× memory/IO
+    shrink before ANN serving): scale = 127/max|x|, q_i = floor(x·scale
+    + 0.5) ∈ [-127, 127].  Entirely JVM expression tree (transform/
+    aggregate — no UDF), zero shuffle; every arithmetic step is an exact
+    double op chain, so a SQL oracle reproduces the quantized vectors bit
+    for bit.  Returns (id, q int8-valued array<int>, scale double) —
+    dot products over q recover cosine to ~1e-2 at d=64."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    absmax = F.array_max(F.transform(x, F.abs))
+    scale = F.when(absmax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / absmax)
+    q = F.transform(x, lambda v: F.floor(v * scale + F.lit(0.5)).cast("int"))
+    return df.select(
+        F.col(id_col), q.alias("q"), scale.alias("scale")
+    )
+
+
 # ---------------------------------------------------------------- IVF
 def ivf_train(
     df: DataFrame,
