@@ -3467,6 +3467,57 @@ def embedding_int8_quant(spark, sf_dir):
 
 
 @query(
+    "sim_quantized_topk",
+    """WITH x AS (
+         SELECT vec_id,
+                list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+         FROM embeddings
+       ), sc AS (
+         SELECT vec_id, e,
+                CASE WHEN list_max(list_transform(e, v -> abs(v))) = 0.0
+                     THEN 0.0
+                     ELSE 127.0 / list_max(list_transform(e, v -> abs(v)))
+                END AS scale
+         FROM x
+       ), q AS (
+         SELECT vec_id,
+                list_transform(e, v -> CAST(floor(v * scale + 0.5) AS BIGINT)) AS qv
+         FROM sc
+       ), qq AS (
+         SELECT qv AS qqv FROM q WHERE vec_id = 0
+       ), d AS (
+         SELECT q.vec_id,
+                list_reduce([q.qv[i] * qq.qqv[i] for i in generate_series(1, 64)],
+                            (a, b) -> a + b) AS dot,
+                list_reduce([q.qv[i] * q.qv[i] for i in generate_series(1, 64)],
+                            (a, b) -> a + b) AS n2,
+                list_reduce([qq.qqv[i] * qq.qqv[i] for i in generate_series(1, 64)],
+                            (a, b) -> a + b) AS qn2
+         FROM q, qq WHERE q.vec_id <> 0
+       )
+       SELECT vec_id,
+              CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))
+                AS qcos
+       FROM d ORDER BY qcos DESC, vec_id LIMIT 10""",
+)
+def sim_quantized_topk(spark, sf_dir):
+    """Serving-path ANN over int8-quantized vectors
+    (`pipeline/similarity.quantized_cosine_topk`): integer dot products
+    (exact BIGINT, order-free) against the quantized query + one double
+    division — the ranking is engine-reproducible, so the oracle replays
+    quantization AND search bit for bit.  Same TakeOrderedAndProject plan
+    as the float path over 4× smaller vectors."""
+    from .pipeline.similarity import quantize_int8, quantized_cosine_topk
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    qrow = quantize_int8(emb.filter(F.col("vec_id") == 0)).first()
+    return quantized_cosine_topk(
+        emb.filter(F.col("vec_id") != 0), [int(v) for v in qrow["q"]], k=10
+    )
+
+
+@query(
     "incremental_rollup_user_freq",
     """WITH ds AS (
          SELECT unnest(generate_series(0, 3)) AS d

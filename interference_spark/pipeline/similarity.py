@@ -119,6 +119,40 @@ def quantize_int8(
     )
 
 
+def quantized_cosine_topk(
+    df: DataFrame,
+    query_q: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serving-path top-k over int8-quantized vectors: quantize the base
+    set (:func:`quantize_int8`), integer dot products against the
+    already-quantized query (exact BIGINT arithmetic — order-free), cosine
+    from the integer dot and norms.  Same TakeOrderedAndProject shape as
+    the float path but over 4× smaller vectors; scores are deterministic
+    ints-then-one-division, so the ranking is engine-reproducible."""
+    qz = quantize_int8(df, vec_col, id_col)
+    qlit = F.array(*[F.lit(int(v)) for v in query_q])
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), qlit, lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n2 = F.aggregate(
+        F.transform(F.col("q"), lambda v: v.cast("long") * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qn2 = float(sum(int(v) * int(v) for v in query_q))
+    score = dot.cast("double") / (F.sqrt(n2.cast("double")) * F.sqrt(F.lit(qn2)))
+    return (
+        qz.select(F.col(id_col), score.alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------- IVF
 def ivf_train(
     df: DataFrame,
