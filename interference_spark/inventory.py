@@ -3781,23 +3781,24 @@ def export_shuffled_shards(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # dialect / TPC-H sentinels (kept: broad plan shapes + two never-checked)
-    "dialect_multiway_join",
-    "dialect_window_count_sliding",
+    # dialect / TPC-H sentinels (kept: broad plan shapes + never-checked)
+    "dialect_count_distinct",
     "dialect_is_null",
     "point_lookup",
     "q1_pricing_summary",
-    "q7_volume_shipping",
     "q2_min_cost_supplier",
     "events_agg_by_type",
-    # analytic / incremental-view / training-export extensions (r3:
-    # rotated in for dialect_group_agg, dialect_in_subquery,
-    # dialect_set_ops, dialect_scalar_funcs, rollup_pricing_subtotals,
-    # topk_per_group — all green in r2)
+    # analytic / incremental-view / training-export / schema extensions
+    # (r3: rotated in for r2-green dialect_group_agg, dialect_in_subquery,
+    # dialect_set_ops, dialect_scalar_funcs, dialect_multiway_join,
+    # dialect_window_count_sliding, rollup_pricing_subtotals,
+    # topk_per_group, q7_volume_shipping)
     "window_analytics_orders",
     "pivot_user_event_matrix",
     "gapfill_hourly_events",
     "incremental_rollup_events",
+    "incremental_rollup_distinct_users",
+    "incremental_rollup_user_freq",
     "train_split_leakage_safe",
     "export_shuffled_shards",
     # dedup family
@@ -3810,8 +3811,8 @@ _DRIVER_WINDOW = [
     "dedup_canonical_corpus",
     "corpus_curation_funnel",
     # similarity family
-    "sim_cosine_topk_exact",
     "sim_cosine_topk",
+    "sim_quantized_topk",
     "sim_lsh_topk",
     "sim_ivf_search",
     # text-analysis family
