@@ -73,6 +73,9 @@ HEADLINE = [
     "train_split_leakage_safe",
     "export_shuffled_shards",
     "mm_audio_features",
+    "dialect_count_distinct",
+    "incremental_rollup_distinct_users",
+    "sim_quantized_topk",
 ]
 
 

@@ -497,3 +497,70 @@ def test_drain_larger_than_queue_capacity(session, engine, stream_table):
         assert got[-1]["eeventId"] == n - 1
     finally:
         sq.stop()
+
+
+def test_stream_into_feeds_incremental_rollup(engine, session, stream_table):
+    """CDC-style continuous aggregation: stream_into materializes
+    micro-batches into a managed table whose part files then feed an
+    incremental rollup — each refresh folds only the newly landed files
+    (mode 'incremental'), giving a continuously maintained aggregate over
+    a live stream with O(new data) refresh cost."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    target = f"EvAgg{uuid.uuid4().hex[:8]}"
+    engine.register_table(
+        target, "eeventId long, egroupValue string, eeventValue long",
+        id_col="eeventId",
+    )
+    session.persist(stream_table, _rows(8))
+    session.commit()
+    h = session.stream_into(
+        f"select stream e.eventId, e.groupValue, e.eventValue "
+        f"from {stream_table} e",
+        target,
+    )
+    rollup = f"{target}_sum"
+    try:
+        h.process_all_available()
+        st = engine.create_rollup(
+            rollup, target, ["egroupValue"],
+            {"n": ("count", None), "total": ("sum", "eeventValue")},
+        )
+        assert st["mode"] == "initial"
+
+        def want():
+            return {
+                r["egroupValue"]: (r["n"], r["total"])
+                for r in engine.table(target)
+                .groupBy("egroupValue")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("eeventValue").alias("total"),
+                )
+                .collect()
+            }
+
+        got0 = {
+            r["egroupValue"]: (r["n"], r["total"])
+            for r in engine.rollup(rollup).collect()
+        }
+        assert got0 == want()
+        # live tail: new commits stream into target; refresh folds ONLY
+        # the new part files
+        session.persist(stream_table, _rows(6, start=8))
+        session.commit()
+        h.process_all_available()
+        st = engine.refresh_rollup(rollup)
+        assert st["mode"] == "incremental"
+        got1 = {
+            r["egroupValue"]: (r["n"], r["total"])
+            for r in engine.rollup(rollup).collect()
+        }
+        assert got1 == want()
+        assert sum(n for n, _ in got1.values()) == 14
+    finally:
+        h.stop()
+        engine.drop_rollup(rollup)
+        engine.drop_table(target)
