@@ -3467,6 +3467,37 @@ def embedding_int8_quant(spark, sf_dir):
 
 
 @query(
+    "text_repeated_passages",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         FROM documents WHERE length(trim(text)) > 0
+       ), c AS (
+         SELECT t.doc_id,
+                array_to_string(w[i.i * 10 + 1 : i.i * 10 + 10], ' ') AS chunk
+         FROM t CROSS JOIN LATERAL (
+           SELECT unnest(generate_series(0,
+                    CAST(floor(len(w) / 10) AS INT) - 1)) AS i
+         ) i
+       )
+       SELECT chunk,
+              count(DISTINCT doc_id) AS n_docs,
+              count(*) AS n_occ
+       FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2""",
+)
+def text_repeated_passages(spark, sf_dir):
+    """Cross-document repeated-passage detection
+    (`pipeline/text.repeated_passages`): non-overlapping 10-word chunks
+    appearing in ≥2 distinct documents (the intra-corpus copied-passage
+    signal behind C4/RefinedWeb-style cleaning) — surfaces the corpus's
+    seeded duplicates at chunk granularity.  Pure JVM chunking, one
+    combiner-friendly shuffle on the chunk key."""
+    from .pipeline.text import repeated_passages
+
+    e = engine_for(spark, sf_dir)
+    return repeated_passages(e.table("documents"))
+
+
+@query(
     "sim_quantized_topk",
     """WITH x AS (
          SELECT vec_id,

@@ -367,3 +367,43 @@ def token_count_stats(
             F.min(F.when(F.col("cum") >= rank, F.col("tc"))).alias(name)
         )
     return joined.agg(*aggs)
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage detection (the C4/RefinedWeb-style
+    intra-corpus dedup signal): split each doc into NON-OVERLAPPING
+    ``chunk_words``-word chunks and report every chunk appearing in ≥
+    ``min_docs`` distinct documents, with doc and occurrence counts.
+
+    Scale shape: chunking is a per-row JVM expression (transform/slice —
+    no UDF, output rows ≈ tokens/chunk_words); the only shuffle is the
+    combiner-friendly groupBy on the chunk string. At 100 TB hash the
+    chunk (xxhash64) instead of carrying the string, and recover texts by
+    joining winners back — same plan, narrower shuffle."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    cw = int(chunk_words)
+    chunks_expr = F.expr(
+        f"CASE WHEN size(__toks) >= {cw} THEN "
+        f"transform(sequence(0, CAST(floor(size(__toks) / {cw}) AS INT) - 1),"
+        f" i -> array_join(slice(__toks, i * {cw} + 1, {cw}), ' ')) "
+        "ELSE array() END"
+    )
+    exploded = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(chunks_expr).alias("chunk"))
+    )
+    return (
+        exploded.groupBy("chunk")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
