@@ -3498,6 +3498,45 @@ def text_repeated_passages(spark, sf_dir):
 
 
 @query(
+    "embedding_dim_stats",
+    """WITH x AS (
+         SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+         FROM embeddings
+       ), d AS (
+         SELECT i.i - 1 AS dim,
+                CAST(floor(e[i.i] * 1000000.0) AS BIGINT) AS m
+         FROM x CROSS JOIN LATERAL (
+           SELECT unnest(generate_series(1, 64)) AS i
+         ) i
+       )
+       SELECT dim, count(*) AS n, sum(m) AS sum_micros,
+              min(m) AS min_micros, max(m) AS max_micros
+       FROM d GROUP BY dim""",
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (feature-drift / data-QA pass
+    over the vector column): exact micro-quantized sum/min/max per
+    dimension.  posexplode fans each vector into 64 narrow rows; the
+    aggregate is combiner-friendly on a 64-value key, so the shuffle
+    carries 64 rows per partition regardless of corpus size."""
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    d = emb.select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("dim", "v")
+    ).select(
+        "dim", F.floor(F.col("v") * 1000000.0).cast("long").alias("m")
+    )
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sum_micros"),
+        F.min("m").alias("min_micros"),
+        F.max("m").alias("max_micros"),
+    )
+
+
+@query(
     "sim_quantized_topk",
     """WITH x AS (
          SELECT vec_id,
