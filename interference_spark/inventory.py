@@ -3536,6 +3536,51 @@ def embedding_dim_stats(spark, sf_dir):
     )
 
 
+def _pack_oracle(budget: int = 2048, n_shards: int = 4) -> str:
+    from .pipeline.export import knuth_mix_sql
+
+    hh = knuth_mix_sql("doc_id")
+    return f"""WITH t AS (
+         SELECT doc_id,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                {hh} AS hh
+         FROM documents WHERE length(trim(text)) > 0
+       ), s AS (
+         SELECT doc_id, tok, hh % {n_shards} AS shard,
+                sum(tok) OVER (PARTITION BY hh % {n_shards}
+                               ORDER BY hh, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - tok AS off
+         FROM t
+       )
+       SELECT shard, CAST(floor(off / {budget}.0) AS BIGINT) AS pack,
+              count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens
+       FROM s GROUP BY shard, pack"""
+
+
+@query("pack_training_sequences", _pack_oracle())
+def pack_training_sequences(spark, sf_dir):
+    """GPT-style sequence packing (`pipeline/export.pack_sequences`):
+    documents concatenated in deterministic shuffle order within each of 4
+    shards and cut every 2048 tokens; a document belongs to the pack its
+    first token falls into.  Summarized per (shard, pack) as doc and token
+    counts — the whole layout is reproducible on any cluster size, so the
+    oracle rebuilds it exactly (budget is a power of two, keeping the
+    offset/budget division FP-exact)."""
+    from .pipeline.export import pack_sequences
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    packed = pack_sequences(
+        docs.withColumn("tok", toks), "doc_id", "tok", budget=2048, n_shards=4
+    )
+    return packed.groupBy("shard", "pack").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("tokens"),
+    )
+
+
 @query(
     "sim_quantized_topk",
     """WITH x AS (

@@ -137,3 +137,46 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col,
+    budget: int,
+    n_shards: int = 4,
+    mixer=knuth_mix,
+) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk): documents are laid
+    out in the deterministic shuffle order within each shard, token counts
+    accumulate, and a document's pack is the budget-chunk its START falls
+    into — the standard "concatenate everything, cut every ``budget``
+    tokens" training layout (a document may straddle a cut; its tokens
+    simply continue into the next pack, exactly like the real
+    concatenated-token stream).
+
+    Adds ``shard``, ``pack`` (0-based within shard), and ``pack_offset``
+    (token offset of the doc inside the concatenated shard stream).  Plan:
+    the same single hash exchange + per-shard window as
+    :func:`shuffled_shards` — cumulative sums partition by shard, so no
+    global single-task stage; shard count is the parallelism lever."""
+    from pyspark.sql import Window
+
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    h = mixer(F.col(id_col))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)))
+        .withColumn("__t", tok.cast("long"))
+        .withColumn("__cum", F.sum("__t").over(w))
+        .withColumn("pack_offset", F.col("__cum") - F.col("__t"))
+        .withColumn(
+            "pack", F.floor(F.col("pack_offset") / F.lit(int(budget))).cast("long")
+        )
+        .drop("__h", "__t", "__cum")
+    )

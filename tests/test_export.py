@@ -104,3 +104,44 @@ def test_write_shards_files_are_in_shuffle_order(docs, spark, tmp_path):
             assert expected[(shard, pos)] == did
             seen += 1
     assert seen == docs.count()
+
+
+def test_pack_sequences_layout_invariants(docs, spark):
+    """Packing invariants: per-shard offsets are contiguous (each doc
+    starts where the previous ended), packs are the budget-chunks of the
+    concatenated stream, and the layout is partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    d = docs.withColumn(
+        "tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).filter(F.length(F.trim(F.col("text"))) > 0)
+    p = export.pack_sequences(d, "doc_id", "tok", budget=512, n_shards=3)
+    rows = sorted(
+        (
+            (r["shard"], r["pack_offset"], r["tok"], r["pack"], r["doc_id"])
+            for r in p.select(
+                "shard", "pack_offset", "tok", "pack", "doc_id"
+            ).collect()
+        )
+    )
+    by_shard = {}
+    for sh, off, tok, pack, did in rows:
+        by_shard.setdefault(sh, []).append((off, tok, pack, did))
+    assert len(by_shard) == 3
+    for sh, seq in by_shard.items():
+        expect_off = 0
+        for off, tok, pack, _ in seq:
+            assert off == expect_off  # contiguous concatenated stream
+            assert pack == off // 512  # budget-chunk of the start token
+            expect_off = off + tok
+    # partitioning-independent: same layout after a repartition
+    p2 = export.pack_sequences(
+        d.repartition(7), "doc_id", "tok", budget=512, n_shards=3
+    )
+    rows2 = sorted(
+        (r["shard"], r["pack_offset"], r["tok"], r["pack"], r["doc_id"])
+        for r in p2.select(
+            "shard", "pack_offset", "tok", "pack", "doc_id"
+        ).collect()
+    )
+    assert rows == rows2
