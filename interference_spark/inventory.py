@@ -3582,6 +3582,46 @@ def pack_training_sequences(spark, sf_dir):
 
 
 @query(
+    "stratified_sample_by_lang",
+    """WITH h AS (
+         SELECT doc_id, lang,
+                ('0x' || substring(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS hv
+         FROM documents
+       )
+       SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
+       FROM h
+       WHERE hv < CASE lang
+                    WHEN 'en' THEN CAST(0.5  * 4503599627370496 AS BIGINT)
+                    WHEN 'de' THEN CAST(0.2  * 4503599627370496 AS BIGINT)
+                    WHEN 'es' THEN CAST(0.1  * 4503599627370496 AS BIGINT)
+                    WHEN 'fr' THEN CAST(0.1  * 4503599627370496 AS BIGINT)
+                    ELSE CAST(0.05 * 4503599627370496 AS BIGINT)
+                  END
+       GROUP BY lang""",
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Corpus mixture construction (`pipeline/export.stratified_sample`):
+    per-language deterministic sampling rates (50% en, 20% de, 10% es/fr,
+    5% default) — the standard upweight/downweight step when composing a
+    training mixture.  Nested-sample property: raising a language's rate
+    only ADDS documents.  Zero shuffle until this summary aggregate."""
+    from .pipeline.export import stratified_sample
+
+    e = engine_for(spark, sf_dir)
+    s = stratified_sample(
+        e.table("documents"),
+        "lang",
+        {"en": 0.5, "de": 0.2, "es": 0.1, "fr": 0.1},
+        "doc_id",
+        default_rate=0.05,
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
     "sim_quantized_topk",
     """WITH x AS (
          SELECT vec_id,

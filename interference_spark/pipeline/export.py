@@ -180,3 +180,42 @@ def pack_sequences(
         )
         .drop("__h", "__t", "__cum")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    unit_col: str,
+    salt: str = "s0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — corpus MIXTURE construction
+    (e.g. keep 50% of English, 10% of each long-tail language): keep a row
+    when md5(salt ∥ unit) falls in the lowest ``rates[stratum]`` fraction
+    of hash space; strata missing from ``rates`` get ``default_rate``.
+    Same hash family as ``text.hash_sample``, so a unit kept at rate r is
+    also kept at every rate ≥ r (nested samples — raising a mixture weight
+    only ADDS documents, never swaps them).  Pure projection+filter, zero
+    shuffle; reproducible across runs, engines, partitionings."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0,1], got {v}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(unit_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = None
+    for k, v in rates.items():
+        t = int(v * 4503599627370496.0)
+        cond = F.col(strata_col) == k
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        F.lit(int(default_rate * 4503599627370496.0))
+        if thr is None
+        else thr.otherwise(int(default_rate * 4503599627370496.0))
+    )
+    return df.filter(h < thr)

@@ -145,3 +145,24 @@ def test_pack_sequences_layout_invariants(docs, spark):
         ).collect()
     )
     assert rows == rows2
+
+
+def test_stratified_sample_nested_property(docs, spark):
+    """Raising a stratum's rate must only ADD units, never swap them."""
+    low = {
+        r["doc_id"]
+        for r in export.stratified_sample(
+            docs, "lang", {"en": 0.2}, "doc_id", default_rate=0.1
+        ).collect()
+    }
+    high = {
+        r["doc_id"]
+        for r in export.stratified_sample(
+            docs, "lang", {"en": 0.6}, "doc_id", default_rate=0.1
+        ).collect()
+    }
+    assert low <= high
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        export.stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
