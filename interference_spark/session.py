@@ -29,6 +29,7 @@ up.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -195,15 +196,16 @@ class Session:
                     by_id = {}
                     for r in chunk:
                         by_id[r.get(td.id_col)] = r
-                    schema = td.require_schema()
-                    new_df = self.spark.createDataFrame(
-                        [
-                            tuple(r.get(f.name) for f in schema.fields)
-                            for r in by_id.values()
-                        ],
-                        schema,
+                    new_df, stage = store.stage_rows(
+                        self.spark, td, list(by_id.values())
                     )
-                    store.upsert(self.spark, td, new_df)
+                    try:
+                        store.upsert(self.spark, td, new_df)
+                    finally:
+                        try:
+                            os.remove(stage)
+                        except OSError:
+                            pass
                 i = j
             store.apply_threshold(self.spark, td)
         self._staged_ops.clear()
