@@ -51,6 +51,30 @@ def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return df.join(keep, id_col, "left_semi")
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    known_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion dedup: keep only new-batch docs whose content
+    digest is absent from the known-corpus registry, deduplicating within
+    the batch itself first (min-id winner).
+
+    Scale shape: the registry a pipeline actually keeps is the 16-byte
+    digest column, not the corpus — ``known_df`` here only ever feeds
+    ``md5(text)``, so column pruning reduces its scan to the text column
+    and the shuffle carries digests alone. Both the in-batch winner
+    resolution and the registry check shuffle on the digest (combiner-
+    friendly groupBy + left-anti join); nothing is ever O(corpus × batch).
+    """
+    reg = known_df.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    batch = new_df.withColumn("__h", F.md5(F.col(text_col)))
+    win = batch.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    kept = batch.join(win, ["__h", id_col], "left_semi")
+    return kept.join(reg, "__h", "left_anti").drop("__h")
+
+
 # ------------------------------------------------------------- minhash
 def _doc_shingles(text: str, k: int) -> set[str]:
     """Distinct k-word shingles of a document (whitespace tokens)."""

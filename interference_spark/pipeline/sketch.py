@@ -23,7 +23,7 @@ shuffles the fact side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TWO_52 = 4503599627370496.0  # 2^52
@@ -90,6 +90,66 @@ def cms_sketch(df: DataFrame, col: str, width: int = 64, depth: int = 4) -> Data
         .groupBy("d", "b")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def hist_bin(col: Column, lo: float, hi: float, bins: int) -> Column:
+    """Fixed-width histogram bin index of ``col`` over [lo, hi): values
+    outside the range clamp to the edge bins. With a power-of-two-friendly
+    width ((hi-lo)/bins exactly representable) the double division is
+    bit-identical in any IEEE-754 engine."""
+    w = (hi - lo) / bins
+    b = F.floor((col - F.lit(lo)) / F.lit(w)).cast("long")
+    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), b))
+
+
+def hist_group_quantiles(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+) -> DataFrame:
+    """Approximate per-group quantiles from a *mergeable* fixed-width
+    histogram sketch: per-group bin counts (≤ ``bins`` rows per group,
+    whatever the data size), a running sum windowed over histogram rows
+    only, then linear interpolation inside the target bin.
+
+    Scale shape: one map-side-combined groupBy produces the sketch — the
+    shuffle carries at most ``groups × bins`` rows, never the data; the
+    window partitions by group so cumulation is parallel across groups.
+    Bin counts are additive, so partial sketches from separate part files /
+    days merge by cell-wise sum (same property the incremental rollups
+    exploit for KMV/CMS). Unlike ``percentile_approx`` (GK sketch,
+    engine-specific) every step here — clamped bin index, integer targets,
+    one double interpolation from integer inputs — is reproducible in any
+    engine, so the DuckDB oracle recomputes the identical estimate.
+
+    Output: ``keys…, n_rows, q_<nn> double per quantile`` (e.g. ``q_50``).
+    """
+    w = (hi - lo) / bins
+    h = (
+        df.groupBy(*keys, hist_bin(F.col(col), lo, hi, bins).alias("bin"))
+        .agg(F.count("*").alias("c"))
+    )
+    win = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin")
+    cum = h.withColumn("cum", F.sum("c").over(win))
+    tot = h.groupBy(*keys).agg(F.sum("c").alias("n_rows"))
+    j = cum.join(tot, list(keys))
+    aggs = [F.min("n_rows").cast("long").alias("n_rows")]
+    for q in qs:
+        # target rank: smallest integer ≥ q·n (≥1); bin found where the
+        # running count first reaches it; interpolate within the bin
+        target = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(q) * F.col("n_rows")))
+        est = F.lit(lo) + F.lit(w) * (
+            F.col("bin").cast("double")
+            + (target - (F.col("cum") - F.col("c"))).cast("double")
+            / F.col("c").cast("double")
+        )
+        name = f"q_{str(q)[2:]}"
+        aggs.append(F.min(F.when(F.col("cum") >= target, est)).alias(name))
+    return j.groupBy(*keys).agg(*aggs)
 
 
 def cms_heavy_hitters(

@@ -245,6 +245,77 @@ def contaminated_doc_ids(
     )
 
 
+def _bloom_probe(g: Column, seed: str, m_bits: int) -> tuple[Column, Column]:
+    """(word index, 32-bit mask) of one bloom probe for gram ``g``:
+    md5-52-bit hash (engine-reproducible, same family as the KMV/CMS
+    sketches) mod ``m_bits``, packed 32 bits per BIGINT word so masks stay
+    positive in every engine's signed 64-bit integer."""
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), g)), 1, 13), 16, 10).cast(
+            "long"
+        )
+        % m_bits
+    )
+    word = F.shiftright(h, 5)
+    # shiftleft() takes only a literal shift count — build 1<<(h%32) as an
+    # exact double power (2^b is exact for b ≤ 31)
+    mask = F.pow(F.lit(2.0), (h % 32).cast("double")).cast("long")
+    return word, mask
+
+
+def bloom_build(
+    eval_df: DataFrame, text_col: str = "text", n: int = 8,
+    m_bits: int = 1 << 18, k: int = 2,
+) -> DataFrame:
+    """Bloom filter over the eval set's distinct word n-grams as a
+    ``(word, bits)`` DataFrame — at most ``m_bits/32`` rows (8192 for the
+    default 2^18 bits) REGARDLESS of how many grams went in. bit_or is an
+    additive aggregate, so the build is map-side-combined like any sketch."""
+    t = eval_df.select(_tokens(F.col(text_col)).alias("__t"))
+    grams = t.select(F.explode(ngrams_from_tokens(F.col("__t"), n)).alias("g")).distinct()
+    probes = []
+    for i in range(k):
+        w, m = _bloom_probe(F.col("g"), f"bl{i}:", m_bits)
+        probes.append(F.struct(w.alias("word"), m.alias("mask")))
+    return (
+        grams.select(F.explode(F.array(*probes)).alias("p"))
+        .select("p.word", "p.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_contaminated_ids(
+    df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 8, m_bits: int = 1 << 18, k: int = 2,
+) -> DataFrame:
+    """Decontamination via a constant-size broadcast bloom filter: candidate
+    ids whose text shares (probably) any word n-gram with the eval set.
+
+    vs :func:`contaminated_doc_ids` (exact semi-join): the broadcast there
+    is the eval set's distinct gram STRINGS — fine when the benchmark suite
+    is small, unboundedly large when it isn't. Here the broadcast is a
+    fixed 2^18-bit bitmap (32 KB) whatever the eval set's size, and the
+    corpus side stays map-only: each gram checks its k bits against the
+    broadcast bloom rows, no gram string ever shuffles. False positives
+    (over-scrubbing) are the classic bloom trade — deterministic md5
+    probes, so the DuckDB oracle reproduces the exact same id set."""
+    bloom = bloom_build(eval_df, text_col, n, m_bits, k)
+    cand = df.select(
+        id_col, _tokens(F.col(text_col)).alias("__t")
+    ).select(id_col, F.explode(ngrams_from_tokens(F.col("__t"), n)).alias("g"))
+    out = cand
+    for i in range(k):
+        w, m = _bloom_probe(F.col("g"), f"bl{i}:", m_bits)
+        b = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = out.join(
+            F.broadcast(b), w == F.col(f"__w{i}"), "inner"
+        ).filter(m.bitwiseAND(F.col(f"__b{i}")) == m)
+    return out.select(id_col).distinct()
+
+
 # PII patterns in the Java-regex ∩ RE2 common subset (no lookaround, no
 # backrefs) so the DuckDB oracle matches byte for byte.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
