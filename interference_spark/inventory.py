@@ -3650,6 +3650,20 @@ def embedding_dim_stats(spark, sf_dir):
     )
 
 
+@query("embedding_top_pc")  # driver-side eigh → rows-only check (IVF exception)
+def embedding_top_pc(spark, sf_dir):
+    """Exact top principal component of the embedding corpus
+    (`pipeline/linalg.top_principal_component`): ONE mapInPandas pass of
+    numpy partial Grams (2 080 quantized-long cells per batch on the
+    shuffle, never data), exact d×d covariance, numpy eigh on the driver.
+    Quantized-long accumulation makes the result bit-identical on any
+    partitioning — which the driver's deterministic re-run check verifies."""
+    from .pipeline.linalg import top_principal_component
+
+    e = engine_for(spark, sf_dir)
+    return top_principal_component(e.table("embeddings"), "embedding", dim=64)
+
+
 def _pack_oracle(budget: int = 2048, n_shards: int = 4) -> str:
     from .pipeline.export import knuth_mix_sql
 

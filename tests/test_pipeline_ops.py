@@ -558,3 +558,30 @@ def test_mm_audio_features_fake_decoder_arithmetic(spark):
     assert r["n_samples"] == 1605
     assert r["duration_ms"] == 1605 * 1000 // 16000
     assert r["rms_amp"] is None
+
+
+def test_top_principal_component_matches_numpy_and_partitioning(spark):
+    """Power iteration must land on numpy's top eigenvector (|cos| ≈ 1) and
+    be bit-identical under a different partitioning (quantized-long sums)."""
+    import numpy as np
+
+    from interference_spark.pipeline.linalg import top_principal_component
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = top_principal_component(emb, "embedding", dim=64).collect()
+    out2 = top_principal_component(
+        emb.repartition(7), "embedding", dim=64
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    X = np.array([list(r["embedding"]) for r in emb.collect()], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(X)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(float(np.dot(v, top))) > 0.99
+    lam = out[0]["eigenvalue"]
+    assert abs(lam - evals[-1]) / evals[-1] < 0.05
+    assert 0.0 < out[0]["explained_frac"] <= 1.0
