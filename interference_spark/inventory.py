@@ -3650,6 +3650,31 @@ def embedding_dim_stats(spark, sf_dir):
     )
 
 
+@query(
+    "mm_image_dedup",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_images
+       FROM documents GROUP BY doc_id % 31""",
+)
+def mm_image_dedup(spark, sf_dir):
+    """Image dedup through the REAL PNG codec end to end: a deterministic
+    PNG per doc (pattern = doc_id % 31 → known duplicate structure), 64-bit
+    average-hash perceptual fingerprints (decode → grayscale → 8×8 → mean
+    threshold), then the same one-shuffle hash-groupBy as exact text dedup.
+    The oracle checks the grouping semantics (variant classes) — if codec
+    or hash broke, the groups change and the hash-compare fails; the aHash
+    bit semantics themselves are unit-tested against fixtures."""
+    from .pipeline.multimodal import image_ahash, synth_png_corpus
+
+    e = engine_for(spark, sf_dir)
+    media = synth_png_corpus(e.table("documents"), variants=31)
+    return (
+        image_ahash(media)
+        .groupBy("ahash")
+        .agg(F.min("media_id").alias("keep_id"), F.count("*").alias("n_images"))
+        .select("keep_id", "n_images")
+    )
+
+
 @query("embedding_top_pc")  # driver-side eigh → rows-only check (IVF exception)
 def embedding_top_pc(spark, sf_dir):
     """Exact top principal component of the embedding corpus

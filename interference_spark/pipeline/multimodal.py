@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -308,3 +309,113 @@ def frame_sample(
                 ).astype({"media_id": "int64", "frame_idx": "int64"})
 
     return df.select("media_id", "content").mapInPandas(op, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+    ]
+)
+
+
+def synth_png_corpus(
+    df: DataFrame, id_col: str = "doc_id", variants: int = 31, size: int = 16
+) -> DataFrame:
+    """Deterministic per-variant PNG payloads as MEDIA_SCHEMA rows: the
+    testdata has no image table, so the image path is driven end-to-end by
+    encoding a real PNG per row whose RGB pattern depends only on
+    ``id % variants`` — rows sharing a variant are bitwise-identical
+    images, which gives the dedup entries known duplicate structure."""
+    from .png import encode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            payloads = []
+            for i in ids:
+                var = int(i) % variants
+                png = cache.get(var)
+                if png is None:
+                    y, x, c = np.meshgrid(
+                        np.arange(size), np.arange(size), np.arange(3),
+                        indexing="ij",
+                    )
+                    # the y·x·(var+1) term makes the pattern spatially
+                    # var-dependent: a pure +29·var offset is (near-)uniform
+                    # brightness, which aHash is invariant to (variants 0
+                    # and 9 collided: 29·9 ≡ 5 mod 256)
+                    arr = (
+                        (y * 7 + x * 13 + c * 5 + var * 29 + y * x * (var + 1))
+                        % 256
+                    ).astype(np.uint8)
+                    png = encode_png(arr)
+                    cache[var] = png
+                payloads.append(png)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "content": payloads,
+                    "mime": "image/png",
+                    "meta": [{"variant": str(int(i) % variants)} for i in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        op, MEDIA_SCHEMA
+    )
+
+
+def ahash_bytes(payload: bytes) -> tuple[int, int, int]:
+    """64-bit average-hash of a PNG payload: decode, channel-mean grayscale,
+    8×8 nearest-neighbor downscale, mean threshold, row-major bit pack.
+    Returns (ahash, width, height). Deterministic — every step is integer
+    or exact small-int float arithmetic."""
+    from .png import decode_png, resize_nearest
+
+    arr = decode_png(bytes(payload))
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    cells = gray[ys][:, xs]
+    bits = (cells > cells.mean()).astype(np.uint64).ravel()
+    ah = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return ah - (1 << 64) if ah >= 1 << 63 else ah, w, h
+
+
+def image_ahash(df: DataFrame, target_batch_rows: int = 1024) -> DataFrame:
+    """Perceptual fingerprints for image dedup: ``(media_id, ahash, width,
+    height)`` via the real PNG codec. Identical images always collide;
+    near-identical ones usually do (aHash is the cheap tier — swap the
+    downscale/transform for pHash/dHash, same operator shape).
+
+    Scale: embarrassingly parallel mapInPandas (no shuffle); the follow-up
+    dedup is a groupBy on the 8-byte hash — the same one-shuffle shape as
+    exact text dedup, never pairwise."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), target_batch_rows):
+                chunk = pdf.iloc[start : start + target_batch_rows]
+                hs, ws, hh = [], [], []
+                for c in chunk["content"]:
+                    if c is None:
+                        hs.append(None); ws.append(None); hh.append(None)
+                    else:
+                        a, w, h = ahash_bytes(c)
+                        hs.append(a); ws.append(w); hh.append(h)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].to_numpy(),
+                        "ahash": pd.array(hs, dtype="Int64"),
+                        "width": pd.array(ws, dtype="Int64"),
+                        "height": pd.array(hh, dtype="Int64"),
+                    }
+                )
+
+    return df.select("media_id", "content").mapInPandas(op, AHASH_SCHEMA)
