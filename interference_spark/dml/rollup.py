@@ -11,13 +11,14 @@ O(table).
 Design (the classic partial-aggregate view-maintenance trick):
 
 * state = the FINAL aggregate table keyed by ``keys`` — for the supported
-  aggregate set {count, sum, min, max, kmv, cms} the final values are
+  aggregate set {count, sum, min, max, kmv, cms, hist} the final values are
   themselves mergeable partials: count merges by sum, a KMV distinct
   sketch merges as the k smallest of the distinct union of two sorted
-  hash arrays, and a Count-Min counter table merges by cell-wise sum —
-  the classic mergeable-summary properties. avg = sum/count,
-  :func:`kmv_estimate` (distinct count) and :func:`cms_estimate`
-  (value frequency) derive at read time.
+  hash arrays, and Count-Min counter tables / fixed-width histograms merge
+  by cell-wise sum — the classic mergeable-summary properties. avg =
+  sum/count, :func:`kmv_estimate` (distinct count), :func:`cms_estimate`
+  (value frequency) and :func:`hist_quantile` (approximate percentiles)
+  derive at read time.
 * refresh lists the source's part files, reads only the unseen ones,
   partial-aggregates them, unions with the stored state, and re-aggregates
   — one shuffle over (state ∪ delta), both sides already key-collapsed.
@@ -50,19 +51,27 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..errors import InvalidParameter
 from . import store
 
-_AGG_FNS = ("count", "sum", "min", "max", "kmv", "cms")
+_AGG_FNS = ("count", "sum", "min", "max", "kmv", "cms", "hist")
 # merge function for already-aggregated state rows
 _MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 _KMV_DEFAULT_K = 64
 _TWO_52 = 4503599627370496.0
 _CMS_DEFAULT_W = 64
 _CMS_DEFAULT_D = 4
+_HIST_DEFAULTS = (0.0, 1000.0, 256)
 
 
 def _cms_dims(spec: tuple) -> tuple[int, int]:
     w = int(spec[2]) if len(spec) > 2 else _CMS_DEFAULT_W
     d = int(spec[3]) if len(spec) > 3 else _CMS_DEFAULT_D
     return w, d
+
+
+def _hist_dims(spec: tuple) -> tuple[float, float, int]:
+    lo = float(spec[2]) if len(spec) > 2 else _HIST_DEFAULTS[0]
+    hi = float(spec[3]) if len(spec) > 3 else _HIST_DEFAULTS[1]
+    bins = int(spec[4]) if len(spec) > 4 else _HIST_DEFAULTS[2]
+    return lo, hi, bins
 
 
 def _rollup_dir(engine, name: str) -> str:
@@ -101,12 +110,17 @@ def _agg_exprs(aggs: dict, partial: bool) -> list:
         elif fn == "kmv":
             merged = F.array_sort(F.array_distinct(F.flatten(F.collect_list(col))))
             out.append(F.slice(merged, 1, _kmv_k(spec)).alias(col))
-        elif fn == "cms":
-            # Count-Min counter tables are ADDITIVE: merge = cell-wise sum
-            w, d = _cms_dims(spec)
+        elif fn in ("cms", "hist"):
+            # Count-Min counter tables and fixed-width histograms are both
+            # ADDITIVE: merge = cell-wise sum of the flat count arrays
+            n_cells = (
+                _cms_dims(spec)[0] * _cms_dims(spec)[1]
+                if fn == "cms"
+                else _hist_dims(spec)[2]
+            )
             out.append(
                 F.expr(
-                    f"aggregate(collect_list({col}), array_repeat(0L, {w * d}),"
+                    f"aggregate(collect_list({col}), array_repeat(0L, {n_cells}),"
                     " (acc, a) -> zip_with(acc, a, (x, y) -> x + y))"
                 ).alias(col)
             )
@@ -125,11 +139,12 @@ def _partial(df: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
 
     from ..pipeline.sketch import kmv_hash
 
-    simple = {c: s for c, s in aggs.items() if s[0] not in ("kmv", "cms")}
+    simple = {c: s for c, s in aggs.items() if s[0] not in ("kmv", "cms", "hist")}
     kmvs = {c: s for c, s in aggs.items() if s[0] == "kmv"}
     cmss = {c: s for c, s in aggs.items() if s[0] == "cms"}
+    hists = {c: s for c, s in aggs.items() if s[0] == "hist"}
     parts = []
-    if simple or not (kmvs or cmss):
+    if simple or not (kmvs or cmss or hists):
         parts.append(df.groupBy(*keys).agg(*_agg_exprs(simple, partial=True)))
     for col, spec in kmvs.items():
         k = _kmv_k(spec)
@@ -165,6 +180,26 @@ def _partial(df: DataFrame, keys: list[str], aggs: dict) -> DataFrame:
                 F.expr(
                     "aggregate(collect_list(struct(__cell, __cnt)),"
                     f" array_repeat(0L, {w * d}),"
+                    " (acc, p) -> transform(acc,"
+                    " (x, i) -> IF(i = p.__cell, x + p.__cnt, x)))"
+                ).alias(col)
+            )
+        )
+    for col, spec in hists.items():
+        # histogram partial: per-key clamped-bin counts scattered into ONE
+        # flat array<long> per key — same additive-cells shape as CMS, at
+        # most ``bins`` cell rows per key on the scatter
+        from ..pipeline.sketch import hist_bin
+
+        lo, hi, bins = _hist_dims(spec)
+        cells = df.groupBy(
+            *keys, hist_bin(F.expr(spec[1]), lo, hi, bins).alias("__cell")
+        ).agg(F.count(F.lit(1)).alias("__cnt"))
+        parts.append(
+            cells.groupBy(*keys).agg(
+                F.expr(
+                    "aggregate(collect_list(struct(__cell, __cnt)),"
+                    f" array_repeat(0L, {bins}),"
                     " (acc, p) -> transform(acc,"
                     " (x, i) -> IF(i = p.__cell, x + p.__cnt, x)))"
                 ).alias(col)
@@ -317,6 +352,48 @@ def cms_estimate(
         for di in range(depth)
     ]
     return F.least(*cells)
+
+
+def hist_quantile(
+    arr,
+    q: float,
+    lo: float = _HIST_DEFAULTS[0],
+    hi: float = _HIST_DEFAULTS[1],
+    bins: int = _HIST_DEFAULTS[2],
+):
+    """Quantile estimate from a stored flat histogram array: running-sum
+    fold to the first bin reaching rank ⌈q·n⌉, linear interpolation inside
+    it — the identical integer-input/one-double-op chain a SQL oracle
+    recomputes (see ``pipeline.sketch.hist_group_quantiles``)."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    w = (hi - lo) / bins
+    total = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.lit(q) * total.cast("double"))
+    )
+    z = F.zip_with(
+        arr,
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(None).cast("double").alias("est")
+    )
+
+    def step(acc, x):
+        crossed = (acc["est"].isNull()) & (acc["cum"] + x["c"] >= target)
+        e = F.lit(lo) + F.lit(w) * (
+            x["i"].cast("double")
+            + (target - acc["cum"]).cast("double") / x["c"].cast("double")
+        )
+        return F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(acc["est"].isNotNull(), acc["est"])
+            .when(crossed, e)
+            .alias("est"),
+        )
+
+    return F.aggregate(z, acc0, step)["est"]
 
 
 def drop(engine, name: str) -> None:

@@ -2889,10 +2889,13 @@ def exact_value_percentiles(spark, sf_dir):
        SELECT cum.event_type AS event_type,
               CAST(min(t.n_rows) AS BIGINT) AS n_rows,
               min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * t.n_rows) AS BIGINT))
+                            AND cum - c < greatest(1, CAST(ceil(0.5 * t.n_rows) AS BIGINT))
                        THEN 3.90625 * (bin + CAST(greatest(1, CAST(ceil(0.5 * t.n_rows) AS BIGINT)) - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)) END) AS q_5,
               min(CASE WHEN cum >= greatest(1, CAST(ceil(0.9 * t.n_rows) AS BIGINT))
+                            AND cum - c < greatest(1, CAST(ceil(0.9 * t.n_rows) AS BIGINT))
                        THEN 3.90625 * (bin + CAST(greatest(1, CAST(ceil(0.9 * t.n_rows) AS BIGINT)) - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)) END) AS q_9,
               min(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * t.n_rows) AS BIGINT))
+                            AND cum - c < greatest(1, CAST(ceil(0.99 * t.n_rows) AS BIGINT))
                        THEN 3.90625 * (bin + CAST(greatest(1, CAST(ceil(0.99 * t.n_rows) AS BIGINT)) - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)) END) AS q_99
        FROM cum JOIN t ON cum.event_type = t.event_type
        GROUP BY cum.event_type""",
@@ -3532,6 +3535,69 @@ def incremental_rollup_distinct_users(spark, sf_dir):
     assert st["mode"] == "incremental", st
     return e.rollup(rname).select(
         "event_type", "cnt", kmv_estimate("uk", 64).alias("est_users")
+    )
+
+
+@query(
+    "incremental_rollup_value_quantiles",
+    """WITH h AS (
+         SELECT event_type,
+                least(255, greatest(0, CAST(floor(value / 3.90625) AS BIGINT))) AS bin,
+                count(*) AS c
+         FROM events GROUP BY 1, 2
+       ), cum AS (
+         SELECT event_type, bin, c,
+                sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+         FROM h
+       ), t AS (
+         SELECT event_type, sum(c) AS n_rows FROM h GROUP BY event_type
+       )
+       SELECT cum.event_type AS event_type,
+              CAST(min(t.n_rows) AS BIGINT) AS cnt,
+              min(CASE WHEN cum >= greatest(1, CAST(ceil(0.5 * t.n_rows) AS BIGINT))
+                            AND cum - c < greatest(1, CAST(ceil(0.5 * t.n_rows) AS BIGINT))
+                       THEN 3.90625 * (bin + CAST(greatest(1, CAST(ceil(0.5 * t.n_rows) AS BIGINT)) - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)) END) AS p50,
+              min(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * t.n_rows) AS BIGINT))
+                            AND cum - c < greatest(1, CAST(ceil(0.99 * t.n_rows) AS BIGINT))
+                       THEN 3.90625 * (bin + CAST(greatest(1, CAST(ceil(0.99 * t.n_rows) AS BIGINT)) - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE)) END) AS p99
+       FROM cum JOIN t ON cum.event_type = t.event_type
+       GROUP BY cum.event_type""",
+)
+def incremental_rollup_value_quantiles(spark, sf_dir):
+    """Incrementally maintained QUANTILE rollup: the per-type fixed-width
+    histogram (256 additive bin counts) is a mergeable summary — refresh
+    folds the second half's bins into the stored ones cell-wise, reading
+    only the new part file; read-time interpolation then equals a
+    from-scratch histogram over the full data, which is what the oracle
+    recomputes. Quantiles join distinct-counts (KMV) and frequencies (CMS)
+    as the non-algebraic rollup families sum/min/max cannot express."""
+    import uuid as _uuid
+
+    from .dml import store
+    from .dml.rollup import hist_quantile
+
+    e = engine_for(spark, sf_dir)
+    name = f"EvHist_{_uuid.uuid4().hex[:8]}"
+    ev = e.table("events").select("event_id", "event_type", "value")
+    e.register_table(
+        name, "event_id long, event_type string, value double",
+        id_col="event_id", nocheck=True,
+    )
+    td = e.catalog.get(name)
+    store.append_df(td, ev.filter(F.col("event_id") % 2 == 0))
+    rname = f"{name}_q"
+    e.create_rollup(
+        rname, name, ["event_type"],
+        {"cnt": ("count", None), "vh": ("hist", "value", 0.0, 1000.0, 256)},
+    )
+    store.append_df(td, ev.filter(F.col("event_id") % 2 == 1))
+    st = e.refresh_rollup(rname)
+    assert st["mode"] == "incremental", st
+    return e.rollup(rname).select(
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        hist_quantile("vh", 0.5).alias("p50"),
+        hist_quantile("vh", 0.99).alias("p99"),
     )
 
 

@@ -139,16 +139,23 @@ def hist_group_quantiles(
     j = cum.join(tot, list(keys))
     aggs = [F.min("n_rows").cast("long").alias("n_rows")]
     for q in qs:
-        # target rank: smallest integer ≥ q·n (≥1); bin found where the
-        # running count first reaches it; interpolate within the bin
+        # target rank: smallest integer ≥ q·n (≥1). Exactly ONE bin has
+        # prev < target ≤ cum — interpolate in that bin only (a bare
+        # min-over-all-qualifying picks later bins whose extrapolated
+        # estimate dips BELOW the crossing bin's: target − prev goes
+        # negative there, so the interpolation is non-monotonic in bin)
         target = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(q) * F.col("n_rows")))
+        prev = F.col("cum") - F.col("c")
         est = F.lit(lo) + F.lit(w) * (
             F.col("bin").cast("double")
-            + (target - (F.col("cum") - F.col("c"))).cast("double")
-            / F.col("c").cast("double")
+            + (target - prev).cast("double") / F.col("c").cast("double")
         )
         name = f"q_{str(q)[2:]}"
-        aggs.append(F.min(F.when(F.col("cum") >= target, est)).alias(name))
+        aggs.append(
+            F.min(
+                F.when((F.col("cum") >= target) & (prev < target), est)
+            ).alias(name)
+        )
     return j.groupBy(*keys).agg(*aggs)
 
 

@@ -281,3 +281,62 @@ def test_cms_sketch_merges_additively(eng, spark):
         .collect()
     }
     assert 0 <= est99["b"] <= 5
+
+
+def test_hist_sketch_merges_additively(eng, spark):
+    """Histogram mergeability: the incrementally maintained bin array must
+    equal the histogram of the full data, and hist_quantile over the state
+    must equal the from-scratch estimate."""
+    from pyspark.sql import functions as F
+
+    from interference_spark.dml import rollup, store
+    from interference_spark.pipeline.sketch import hist_bin, hist_group_quantiles
+
+    td = eng.register_table(
+        "hm", "id long, grp string, v double", id_col="id", nocheck=True
+    )
+    store.append_rows(
+        td,
+        [{"id": i, "grp": "a", "v": float((i * 37) % 100)} for i in range(80)]
+        + [{"id": 200 + i, "grp": "b", "v": float(i)} for i in range(20)],
+    )
+    eng.create_rollup(
+        "rh", "hm", ["grp"],
+        {"cnt": ("count", None), "vh": ("hist", "v", 0.0, 100.0, 32)},
+    )
+    store.append_rows(
+        td, [{"id": 400 + i, "grp": "a", "v": float((i * 11) % 100)} for i in range(40)]
+    )
+    assert eng.refresh_rollup("rh")["mode"] == "incremental"
+
+    # stored bin arrays == from-scratch histogram of the full table
+    full = (
+        eng.table("hm")
+        .groupBy("grp", hist_bin(F.col("v"), 0.0, 100.0, 32).alias("bin"))
+        .count()
+        .collect()
+    )
+    want = {}
+    for r in full:
+        want.setdefault(r["grp"], [0] * 32)[r["bin"]] += r["count"]
+    got = {r["grp"]: list(r["vh"]) for r in eng.rollup("rh").collect()}
+    assert got == want
+
+    # read-time quantiles == from-scratch hist_group_quantiles
+    scratch = {
+        r["grp"]: (r["q_5"], r["q_9"])
+        for r in hist_group_quantiles(
+            eng.table("hm"), ("grp",), "v", (0.5, 0.9), 0.0, 100.0, 32
+        ).collect()
+    }
+    via_state = {
+        r["grp"]: (r["p50"], r["p90"])
+        for r in eng.rollup("rh")
+        .select(
+            "grp",
+            rollup.hist_quantile("vh", 0.5, 0.0, 100.0, 32).alias("p50"),
+            rollup.hist_quantile("vh", 0.9, 0.0, 100.0, 32).alias("p90"),
+        )
+        .collect()
+    }
+    assert via_state == scratch
