@@ -178,45 +178,59 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
     quality rules): duplicate-word ratio, most-frequent-word ratio, and
     duplicate-bigram ratio.
 
-    Shape at scale: explode → two-level aggregate keyed by (doc, token) then
-    doc — both shuffles are combiner-friendly and keyed by doc_id, so a
-    100 TB corpus distributes evenly regardless of document sizes. All
-    ratios are exact-integer counts divided once at the end (deterministic
-    doubles, oracle-safe).
+    Shape at scale: ZERO shuffles — every signal is a per-row fold over the
+    doc's own sorted token/bigram array (``array_sort`` + ``aggregate``
+    counting run lengths: O(W log W) per doc, embarrassingly parallel,
+    robust to any document-length mix). The previous two explode →
+    (doc, token) → doc aggregate chains shuffled every token occurrence of
+    the corpus twice and joined the results; per-doc signals never need to
+    leave the row. All ratios are exact-integer counts divided once at the
+    end (deterministic doubles, oracle-safe).
     """
+
+    def run_stats(arr):
+        """(n_distinct, max_run) of an array via one fold over its sorted
+        form: equal values are adjacent, so run lengths ARE value counts."""
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("nd"),
+        )
+
+        def step(acc, w):
+            same = acc["prev"].isNotNull() & (acc["prev"] == w)
+            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                w.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                F.when(same, acc["nd"]).otherwise(acc["nd"] + 1).alias("nd"),
+            )
+
+        return F.aggregate(F.array_sort(arr), acc0, step)
+
     base = df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
-    toks = base.select(id_col, F.explode("__t").alias("w"))
-    wc = toks.groupBy(id_col, "w").agg(F.count("*").alias("c"))
-    words = wc.groupBy(id_col).agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_distinct_words"),
-        F.max("c").alias("top_word_count"),
-    )
-    bi = base.select(
-        id_col, F.explode(ngrams_from_tokens(F.col("__t"), 2)).alias("g")
-    )
-    bc = bi.groupBy(id_col, "g").agg(F.count("*").alias("c"))
-    bigrams = bc.groupBy(id_col).agg(
-        F.sum("c").alias("n_bigrams"),
-        F.count("*").alias("n_distinct_bigrams"),
+    base = base.select(
+        id_col,
+        F.size("__t").alias("n_words"),
+        run_stats(F.col("__t")).alias("__ws"),
+        F.size(ngrams_from_tokens(F.col("__t"), 2)).alias("n_bigrams"),
+        run_stats(ngrams_from_tokens(F.col("__t"), 2)).alias("__bs"),
     )
     nw = F.col("n_words").cast("double")
-    nb = F.when(F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0), F.lit(1)) \
-          .otherwise(F.col("n_bigrams")).cast("double")
-    return (
-        words.join(bigrams, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            ((nw - F.col("n_distinct_words").cast("double")) / nw)
-            .alias("dup_word_ratio"),
-            (F.col("top_word_count").cast("double") / nw).alias("top_word_ratio"),
-            (
-                (F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("double")
-                 - F.coalesce(F.col("n_distinct_bigrams"), F.lit(0)).cast("double"))
-                / nb
-            ).alias("dup_bigram_ratio"),
-        )
+    nb = F.when(F.col("n_bigrams") == 0, F.lit(1)).otherwise(
+        F.col("n_bigrams")
+    ).cast("double")
+    return base.select(
+        id_col,
+        "n_words",
+        ((nw - F.col("__ws.nd").cast("double")) / nw).alias("dup_word_ratio"),
+        (F.col("__ws.best").cast("double") / nw).alias("top_word_ratio"),
+        (
+            (F.col("n_bigrams").cast("double") - F.col("__bs.nd").cast("double"))
+            / nb
+        ).alias("dup_bigram_ratio"),
     )
 
 
