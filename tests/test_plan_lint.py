@@ -104,3 +104,46 @@ def test_gapfill_grid_from_aggregated_bounds(spark):
     assert "CartesianProduct" not in plan
     gen = plan.index("Generate explode")
     assert "HashAggregate" in plan[gen:], plan[:2000]
+
+
+def test_bloom_decontaminate_broadcasts_bitmap_only(spark):
+    """Both bloom probe joins must broadcast the (bounded, ≤8192-row)
+    bitmap side; the corpus side must never be exchanged before them."""
+    df = inventory.QUERIES["decontaminate_bloom"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_features_no_shuffle(spark):
+    """Per-doc repetition signals are per-row folds: the plan must contain
+    NO Exchange at all."""
+    df = inventory.QUERIES["text_repetition"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_incremental_dedup_prunes_registry_scan(spark):
+    """The known-corpus side must scan only the columns the digest needs
+    (text + the id filter column), not the whole documents schema."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    import re as _re
+
+    df = inventory.QUERIES["dedup_incremental"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schemas = _re.findall(r"ReadSchema: struct<([^>\n]*)>", plan)
+    assert schemas
+    # at least one scan reads ≤2 columns (the registry side)
+    assert min(len(s.split(",")) for s in schemas) <= 2, schemas
+
+
+def test_image_ahash_no_shuffle(spark):
+    """Fingerprinting is embarrassingly parallel — no Exchange before the
+    dedup groupBy's single shuffle."""
+    from interference_spark.pipeline.multimodal import image_ahash, synth_png_corpus
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fp = image_ahash(synth_png_corpus(docs, variants=5))
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
