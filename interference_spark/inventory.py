@@ -2839,6 +2839,42 @@ def decontaminate_bloom(spark, sf_dir):
 
 
 @query(
+    "corpus_divergence_by_lang",
+    """WITH t AS (
+         SELECT lang AS g, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         FROM documents
+       ), gc AS (
+         SELECT g, w, count(*) AS ca FROM t GROUP BY 1, 2
+       ), tot AS (
+         SELECT w, sum(ca) AS ct FROM gc GROUP BY 1
+       ), ng AS (
+         SELECT g, sum(ca) AS na FROM gc GROUP BY 1
+       ), nall AS (
+         SELECT count(*) AS n FROM t
+       ), j AS (
+         SELECT gc.g, CAST(gc.ca AS DOUBLE) / CAST(ng.na AS DOUBLE) AS pa,
+                CAST(tot.ct - gc.ca AS DOUBLE) / CAST(nall.n - ng.na AS DOUBLE) AS pb
+         FROM gc JOIN tot USING (w) JOIN ng USING (g) CROSS JOIN nall
+       )
+       SELECT g AS lang, CAST(count(*) AS BIGINT) AS slice_vocab,
+              (CAST(sum(CAST(floor((pa - pb) * (pa - pb) / (pa + pb) * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+               + (1000000000000.0 - CAST(sum(CAST(floor(pb * 1000000000000.0) AS BIGINT)) AS DOUBLE)))
+              / 1000000000000.0 AS chi2
+       FROM j GROUP BY g""",
+)
+def corpus_divergence_by_lang(spark, sf_dir):
+    """Per-language corpus drift (`pipeline/text.group_divergence`):
+    chi-square divergence of each slice's token distribution vs the rest of
+    the corpus. Chi-square over KL/JS deliberately — only IEEE-exact ops,
+    so the quantized-long statistic is engine-reproducible (log2's last
+    ULP is not)."""
+    from .pipeline.text import group_divergence
+
+    e = engine_for(spark, sf_dir)
+    return group_divergence(e.table("documents"), "lang")
+
+
+@query(
     "exact_value_percentiles",
     """WITH h AS (
          SELECT event_type, value, count(*) AS c

@@ -259,6 +259,61 @@ def contaminated_doc_ids(
     )
 
 
+def group_divergence(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group corpus drift: chi-square divergence between each group's
+    token distribution and the REST of the corpus — the mixture-QA table
+    behind "did this source/language slice shift under the corpus" checks.
+
+    χ²(slice ‖ rest) = Σ_tokens (p_a − p_b)² / (p_a + p_b), built from
+    exact integer counts. Chi-square over KL/JS deliberately: it uses only
+    IEEE-exact ops (+ − × ÷), so with the engine's micro-quantized long
+    summation the statistic is bit-identical in any engine — log2's last
+    ULP is implementation-defined and would break oracle parity.
+
+    Shape at scale: token counts are ONE combiner-friendly shuffle on
+    (group, token); per-token corpus totals derive from those counts (a
+    second small shuffle on token, carrying counts, never occurrences);
+    the final per-group sum is quantized-long (order-free).
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"), _tokens(F.col(text_col)).alias("__t")
+    ).select("g", F.explode("__t").alias("w"))
+    gc = toks.groupBy("g", "w").agg(F.count("*").alias("ca"))
+    tot = gc.groupBy("w").agg(F.sum("ca").alias("ct"))
+    n_g = gc.groupBy("g").agg(F.sum("ca").alias("na"))
+    n_all = toks.count()
+    j = gc.join(tot, "w").join(F.broadcast(n_g), "g")
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = (F.col("ct") - F.col("ca")).cast("double") / (
+        F.lit(n_all) - F.col("na")
+    ).cast("double")
+    term = (pa - pb) * (pa - pb) / (pa + pb)
+    # tokens absent from the slice still contribute (0−p_b)²/p_b = p_b;
+    # their per-group sum is p_b-mass of tokens the slice never uses =
+    # (Σ_present-in-rest-only ct−ca)/nb — fold it in without materializing
+    # the absent pairs: total rest mass is 1, minus rest-mass of tokens the
+    # slice DOES use
+    present_rest_mass = F.sum(
+        F.floor(pb * 1000000000000.0).cast("long")
+    )
+    q_term = F.sum(F.floor(term * 1000000000000.0).cast("long"))
+    out = j.groupBy("g").agg(
+        q_term.alias("__qt"), present_rest_mass.alias("__qm"),
+        F.count("*").alias("slice_vocab"),
+    )
+    chi2 = (
+        F.col("__qt").cast("double")
+        + (F.lit(1000000000000.0) - F.col("__qm").cast("double"))
+    ) / 1000000000000.0
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("slice_vocab").cast("long").alias("slice_vocab"),
+        chi2.alias("chi2"),
+    )
+
+
 def _bloom_probe(g: Column, seed: str, m_bits: int) -> tuple[Column, Column]:
     """(word index, 32-bit mask) of one bloom probe for gram ``g``:
     md5-52-bit hash (engine-reproducible, same family as the KMV/CMS
