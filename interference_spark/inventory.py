@@ -4079,6 +4079,73 @@ def stream_session_windows(spark, sf_dir):
     return spark.createDataFrame(out.collect(), out.schema)
 
 
+_HH_KEY_SQL = (
+    "CASE WHEN event_id % 3 = 0 THEN 'hot' "
+    "ELSE 'u' || CAST(user_id * 97 + event_id % 50 AS VARCHAR) END"
+)
+
+
+@query(
+    "stream_heavy_hitters",
+    f"""WITH t AS (
+         SELECT {_HH_KEY_SQL} AS hkey FROM events
+       ), n AS (SELECT count(*) AS n FROM t)
+       SELECT hkey, count(*) AS cnt FROM t CROSS JOIN n
+       GROUP BY hkey, n.n HAVING count(*) * 8 >= n.n""",
+)
+def stream_heavy_hitters(spark, sf_dir):
+    """Heavy hitters over an unbounded stream with O(k) state: Misra-Gries
+    candidate summary maintained in `applyInPandasWithState`
+    (`streaming/windows.misra_gries` — at most k−1 counters against a
+    ~700-key tail here), then ONE tiny batch pass counts only the
+    candidates exactly. The MG guarantee (every value with true frequency
+    > n/k survives, any arrival order) makes the verified output
+    order-independent — which is why this streaming operator can carry a
+    full SQL oracle."""
+    import uuid as _uuid
+
+    from .streaming.windows import misra_gries
+
+    e, name = _copy_events_managed(spark, sf_dir, "EvHH")
+    td = e.catalog.get(name)
+    hkey = F.when(F.col("event_id") % 3 == 0, F.lit("hot")).otherwise(
+        F.concat(
+            F.lit("u"),
+            (F.col("user_id") * 97 + F.col("event_id") % 50).cast("string"),
+        )
+    )
+    sdf = (
+        spark.readStream.schema(td.require_schema())
+        .parquet(td.path)
+        .select("event_id", hkey.alias("hkey"))
+    )
+    mg = misra_gries(sdf, "event_id", "hkey", k=8)
+    qname = f"hh_{_uuid.uuid4().hex[:8]}"
+    q = (
+        mg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(qname)
+    last = snap.agg(F.max("batch_ord").alias("m"))
+    cands = (
+        snap.join(F.broadcast(last), snap["batch_ord"] == F.col("m"))
+        .select(F.col("value").alias("hkey"))
+    )
+    cands = spark.createDataFrame(cands.collect(), "hkey string")  # pin
+    batch = e.table(name).select(hkey.alias("hkey"))
+    n_total = batch.count()
+    return (
+        batch.join(F.broadcast(cands), "hkey", "left_semi")
+        .groupBy("hkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * 8 >= F.lit(n_total))
+    )
+
+
 @query(
     "mm_audio_features",
     """SELECT doc_id AS media_id,

@@ -174,6 +174,75 @@ def _py(v):
         return v
 
 
+def misra_gries(
+    sdf: DataFrame,
+    order_col: str,
+    value_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Streaming heavy-hitter CANDIDATES with bounded state (Misra-Gries
+    summary): at most k−1 counters regardless of how many distinct values
+    the stream carries. Classic guarantee: every value whose true frequency
+    exceeds n/k is present in the summary (whatever the arrival order), and
+    each stored count is a lower bound within n/k of the truth.
+
+    Emits the full candidate snapshot after each micro-batch, tagged with a
+    monotone ``batch_ord`` — the max-ordinal snapshot summarizes the whole
+    stream so far. The intended two-pass exact pattern: stream pass keeps
+    the k−1 candidates, then ONE tiny batch pass counts only those
+    candidates exactly (semi-join) — heavy hitters over unbounded streams
+    with O(k) memory and an order-independent final answer.
+
+    Single state partition by design (matches the reference CEP's global
+    arrival order); shard with a real key the same way the other stateful
+    operators do for a distributed variant (per-key guarantees).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("batch_ord", T.LongType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("lower", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("payload", T.StringType())])
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        st = json.loads(state.get[0]) if state.exists else {"ord": -1, "c": {}}
+        counters: dict[str, int] = st["c"]
+        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(order_col)
+            for v in batch[value_col]:
+                v = str(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    # decrement-all: drop one occurrence of k distinct values
+                    for key2 in list(counters):
+                        counters[key2] -= 1
+                        if counters[key2] == 0:
+                            del counters[key2]
+        st["ord"] += 1
+        state.update((json.dumps(st),))
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "batch_ord": st["ord"],
+                    "value": list(counters),
+                    "lower": list(counters.values()),
+                }
+            )
+
+    grouped = (
+        sdf.select(order_col, value_col).withColumn("__gk", F.lit(0)).groupBy("__gk")
+    )
+    return grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def event_time_rollup(
     sdf: DataFrame,
     ts_col: str,

@@ -564,3 +564,63 @@ def test_stream_into_feeds_incremental_rollup(engine, session, stream_table):
         h.stop()
         engine.drop_rollup(rollup)
         engine.drop_table(target)
+
+
+def test_misra_gries_bounded_state_multibatch(spark, engine):
+    """MG summary across multiple micro-batches: candidate set stays < k,
+    the guaranteed heavy hitter survives churn from a wide tail, and the
+    two-pass verify yields the exact order-independent answer."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from interference_spark.dml import store
+    from interference_spark.streaming.windows import misra_gries
+
+    name = f"HH{uuid.uuid4().hex[:8]}"
+    engine.register_table(
+        name, "id long, v string", id_col="id", nocheck=True
+    )
+    td = engine.catalog.get(name)
+    # two part files -> two micro-batches (maxFilesPerTrigger=1); 'hot' is
+    # 25% overall, tail is 60 distinct cold keys
+    rows = [
+        {"id": i, "v": "hot" if i % 4 == 0 else f"c{i % 60}"} for i in range(400)
+    ]
+    store.append_rows(td, rows[:200])
+    store.append_rows(td, rows[200:])
+    try:
+        sdf = (
+            spark.readStream.schema(td.require_schema())
+            .option("maxFilesPerTrigger", "1")
+            .parquet(td.path)
+        )
+        mg = misra_gries(sdf, "id", "v", k=8)
+        qname = f"mg_{uuid.uuid4().hex[:8]}"
+        q = (
+            mg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snap = spark.table(qname).collect()
+        ords = {r["batch_ord"] for r in snap}
+        assert len(ords) >= 2  # state persisted across micro-batches
+        final = [r for r in snap if r["batch_ord"] == max(ords)]
+        assert 0 < len(final) <= 7  # bounded by k-1
+        cands = {r["value"] for r in final}
+        assert "hot" in cands  # freq 25% > n/k=12.5% -> guaranteed present
+        # two-pass exact verify == true heavy hitters
+        exact = (
+            engine.table(name)
+            .filter(F.col("v").isin(list(cands)))
+            .groupBy("v")
+            .count()
+            .filter(F.col("count") * 8 >= 400)
+            .collect()
+        )
+        assert {(r["v"], r["count"]) for r in exact} == {("hot", 100)}
+    finally:
+        engine.drop_table(name)
