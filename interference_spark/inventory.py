@@ -4258,6 +4258,13 @@ def export_shuffled_shards(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # r3 continued-session swaps: mm_frame_sample→mm_image_dedup,
+    # exact_variance_by_type→approx_quantile_sketch,
+    # corpus_token_stats→stream_heavy_hitters,
+    # dedup_canonical_corpus→dedup_incremental,
+    # text_fingerprint→corpus_divergence_by_lang — each swap stays inside
+    # the same operator family, preferring the newer/richer operator; the
+    # displaced entries keep their local 3-SF oracle checks.
     # dialect / TPC-H sentinels (kept: broad plan shapes + never-checked)
     "dialect_count_distinct",
     "dialect_is_null",
@@ -4285,7 +4292,7 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_embedding_neardup",
     "dedup_clusters",
-    "dedup_canonical_corpus",
+    "dedup_incremental",
     "corpus_curation_funnel",
     # similarity family
     "sim_cosine_topk",
@@ -4296,19 +4303,19 @@ _DRIVER_WINDOW = [
     "text_quality",
     "text_repetition",
     "text_token_count",
-    "text_fingerprint",
+    "corpus_divergence_by_lang",
     "lang_id",
-    "corpus_token_stats",
+    "stream_heavy_hitters",
     "decontaminate_ngrams",
     "pii_redact",
     "boilerplate_ngrams",
     # exact stats
     "exact_value_percentiles",
-    "exact_variance_by_type",
+    "approx_quantile_sketch",
     # multimodal plumbing
     "mm_feature_extract",
     "mm_resize",
-    "mm_frame_sample",
+    "mm_image_dedup",
     # source formats + semi-structured
     "source_csv_agg",
     "source_json_agg",
