@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -252,6 +253,19 @@ def _agg_expr(item: SelectItem, dtype: T.DataType, engine) -> Column:
         return F.max(c)
     if f == "LAST":
         return F.last(c)
+    if f in engine.group_functions:
+        fn, rtype = engine.group_functions[f]
+
+        # grouped-agg pandas UDF (Series → scalar): Spark runs it per group
+        # with Arrow transfer — D14 custom group functions, real here. The
+        # Series→float annotation is what makes pandas_udf infer the
+        # GROUPED_AGG eval type (an unannotated callable plans as a scalar
+        # UDF and Catalyst rejects it outside the GROUP BY).
+        def _wrapped(v: pd.Series) -> float:
+            return fn(v)
+
+        udf = F.pandas_udf(_wrapped, rtype)
+        return udf(c)
     raise InvalidCondition(f"unknown function {f}")  # pragma: no cover
 
 
@@ -314,13 +328,28 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
 
     agg_items = [i for i in q.items if i.is_agg]
     if agg_items:
-        aggs = [
-            _agg_expr(i, _dtype_of(dfs, i.ref), engine).alias(i.out_name)
-            for i in agg_items
-        ]
+        # Catalyst cannot mix grouped-agg pandas UDFs (custom D14 group
+        # functions) with JVM aggregates in one Aggregate — when both are
+        # present, the custom ones aggregate in a SECOND groupBy over the
+        # same keys and join back (both sides key-collapsed, tiny join)
+        pandas_items = [i for i in agg_items if i.func in engine.group_functions]
+        jvm_items = [i for i in agg_items if i.func not in engine.group_functions]
         extra, hfilter = ([], None)
         if q.having is not None:
             extra, hfilter = _having_exprs(q, dfs, engine)
+        split = bool(pandas_items) and bool(jvm_items or extra)
+        aggs = [
+            _agg_expr(i, _dtype_of(dfs, i.ref), engine).alias(i.out_name)
+            for i in (jvm_items if split else agg_items)
+        ]
+        split_aggs = (
+            [
+                _agg_expr(i, _dtype_of(dfs, i.ref), engine).alias(i.out_name)
+                for i in pandas_items
+            ]
+            if split
+            else []
+        )
         if q.group_by:
             # scalar group keys (GROUP BY year(e.ts)) are computed AS the
             # grouping expression, aliased to the matching select item's
@@ -345,7 +374,18 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
                     )
                 else:
                     gcols.append(_col(g))
+            grouped_src = out
             out = out.groupBy(*gcols).agg(*aggs, *extra)
+            if split_aggs:
+                keys = [
+                    out_names[(getattr(g, "scalar", None), g.alias, g.name)]
+                    if getattr(g, "scalar", None)
+                    else g.name
+                    for g in q.group_by
+                ]
+                out = out.join(
+                    grouped_src.groupBy(*gcols).agg(*split_aggs), keys
+                )
             if hfilter is not None:
                 # post-aggregate filter: runs AFTER partial+final agg, so
                 # only one group row per key is ever tested (never raw rows)
@@ -370,10 +410,13 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
                     sel.append(F.col(i.ref.name).alias(i.out_name))
             out = out.select(*sel)
         else:
+            grouped_src = out
             out = out.agg(*aggs, *extra)
+            if split_aggs:
+                out = out.crossJoin(grouped_src.agg(*split_aggs))
             if hfilter is not None:
                 out = out.filter(hfilter)
-            if extra:
+            if extra or split_aggs:
                 out = out.select(*[F.col(i.out_name) for i in agg_items])
     else:
         out = out.select(*[

@@ -441,7 +441,7 @@ class Parser:
         ) else (p, None)
         # keyword false-positive: "sum(x)" has no alias; regex above only
         # fires when a bare identifier trails the expression.
-        fm = re.match(r"^([A-Za-z_]+)\s*\((.*)\)$", expr, re.S)
+        fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)$", expr, re.S)
         if fm:
             fname = fm.group(1).upper()
             inner = fm.group(2).strip()
@@ -456,9 +456,10 @@ class Parser:
                     )
                 inner = dm.group(1).strip()
             ref = self._resolve_ref(inner, InvalidColumnDescription)
-            if fname in FUNCS:
+            if fname in FUNCS or fname in self.engine.group_functions:
                 # default alias: func name + inner with '.' stripped
-                # (reference sql/CList.java:93-95,175-179)
+                # (reference sql/CList.java:93-95,175-179); registered
+                # custom group functions (D14) parse exactly like built-ins
                 return SelectItem(ref=ref, func=fname, distinct=distinct,
                                   out_name=out or f"{fname.lower()}{ref.alias}{ref.name}")
             if fname in SCALAR_FUNCS:

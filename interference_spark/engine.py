@@ -96,11 +96,28 @@ class Engine:
         self.catalog.attach_warehouse(self.warehouse)
         # EventProcessor registry for PROCESS ... WITHIN (name → class/instance)
         self.processors: dict[str, object] = {}
+        # custom SQL group functions (name → (fn, return_type)); dead code
+        # in the reference (sql/SQLGroupFunction.java:53,60-63 — registered
+        # functions were never dispatched), REAL here: registered names
+        # become Arrow-batched grouped-agg pandas UDFs in the dialect
+        self.group_functions: dict[str, tuple] = {}
 
     def register_processor(self, name: str, processor) -> None:
         """Register an EventProcessor (class or instance) for
         ``PROCESS <table> WITHIN <name>`` (reference D11/D13)."""
         self.processors[name] = processor
+
+    def register_group_function(
+        self, name: str, fn, return_type: str = "double"
+    ) -> None:
+        """Register a custom aggregate usable as ``NAME(col)`` in dialect
+        SELECT ... GROUP BY (reference D14 — parse-only dead code there,
+        executed for real here). ``fn`` takes a pandas Series of the
+        group's values and returns one scalar; it runs as a grouped-agg
+        pandas UDF (Arrow batches, distributed per group — the group's
+        values DO materialize per task, so this is for genuinely custom
+        logic, not a faster path than the built-ins)."""
+        self.group_functions[name.upper()] = (fn, return_type)
 
     # -- registration ------------------------------------------------------
     def register_parquet(self, name: str, path: str, **meta) -> TableDef:

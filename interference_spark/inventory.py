@@ -3496,6 +3496,32 @@ def incremental_rollup_events(spark, sf_dir):
 
 
 @query(
+    "dialect_custom_group_function",
+    """SELECT event_type AS eevent_type, max(value) - min(value) AS spread,
+              count(*) AS c
+       FROM events GROUP BY event_type""",
+)
+def dialect_custom_group_function(spark, sf_dir):
+    """D14 custom group functions — registration-only dead code in the
+    reference (sql/SQLGroupFunction.java:53,60-63: registered names were
+    never dispatched), EXECUTED here: a registered ``NAME(col)`` compiles
+    to an Arrow-batched grouped-agg pandas UDF; mixing with built-ins
+    splits into a second same-key aggregation joined back (Catalyst cannot
+    mix pandas and JVM aggregates in one pass). SPREAD = max−min uses only
+    IEEE-exact ops so the oracle reproduces it bit for bit."""
+    e = engine_for(spark, sf_dir)
+
+    def spread(v):
+        return float(v.max() - v.min())
+
+    e.register_group_function("SPREAD", spread, "double")
+    return e.session().execute(
+        "select e.event_type, spread(e.value) spread, count(e.event_id) c "
+        "from events e group by e.event_type"
+    )
+
+
+@query(
     "dialect_count_distinct",
     """SELECT o_orderpriority AS oo_orderpriority,
               count(o_orderkey) AS cnt,

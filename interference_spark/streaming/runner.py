@@ -49,6 +49,14 @@ def run_stream(session, q: Query, stream_id: str | None = None) -> StreamQueue:
             "COUNT(DISTINCT ...) is batch-only: unbounded per-group "
             "distinct state has no eviction bound on a stream"
         )
+    if any(
+        i.func and i.func in session.engine.group_functions for i in q.items
+    ):
+        raise InvalidParameter(
+            "custom group functions are batch-only: the CEP window "
+            "emitters evaluate their fixed aggregate set over bounded "
+            "buffers, not arbitrary pandas aggregates"
+        )
     engine = session.engine
     td = engine.catalog.get(q.tables[0].name)
     if not td.managed:

@@ -213,3 +213,71 @@ def test_strict_compat_aggregates(spark, engine, tmp_path):
     assert row["fsum"] == 0          # SUM skips float/double inputs
     assert row["isum"] == sum([1, 2, 3, 4, 5, 6, 7, 8, 99])
     assert row["iavg"] == row["isum"] // 9  # integer division
+
+
+def test_custom_group_function_matrix(spark, engine):
+    """D14 custom group functions: alone, mixed with built-ins (split
+    aggregation), under HAVING, grand total, unknown-name rejection, and
+    batch-only enforcement on SELECT STREAM."""
+    import pytest as _pytest
+
+    from interference_spark import errors
+    from pyspark.sql import functions as F
+
+    def median(v):
+        return float(v.median())
+
+    def vrange(v):
+        return float(v.max() - v.min())
+
+    engine.register_group_function("MEDIAN", median, "double")
+    engine.register_group_function("VRANGE", vrange, "double")
+    s = engine.session()
+
+    got = {
+        r["eevent_type"]: (r["m"], r["vr"], r["c"])
+        for r in s.execute(
+            "select e.event_type, median(e.value) m, vrange(e.value) vr, "
+            "count(e.event_id) c from events e group by e.event_type"
+        ).collect()
+    }
+    want_df = (
+        engine.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("m"),
+            (F.max("value") - F.min("value")).alias("vr"),
+            F.count("event_id").alias("c"),
+        )
+    )
+    want = {r["event_type"]: (r["m"], r["vr"], r["c"]) for r in want_df.collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][2] == want[k][2]
+        assert abs(got[k][0] - want[k][0]) < 1e-9
+        assert got[k][1] == want[k][1]
+
+    # HAVING with a custom select aggregate (extras stay JVM-side)
+    hv = s.execute(
+        "select e.event_type, vrange(e.value) vr from events e "
+        "group by e.event_type having count(e.event_id) > 0"
+    ).collect()
+    assert {r["eevent_type"] for r in hv} == set(want)
+
+    # grand total (no GROUP BY) mixing custom + builtin
+    gt = s.execute(
+        "select vrange(e.value) vr, count(e.event_id) c from events e"
+    ).collect()[0]
+    assert gt["c"] == sum(w[2] for w in want.values())
+
+    with _pytest.raises(errors.InvalidColumnDescription):
+        s.execute("select nosuch(e.value) x from events e")
+
+    engine.register_table(
+        "GfStream", "id long, v double", id_col="id", nocheck=True
+    )
+    try:
+        with _pytest.raises(errors.InvalidParameter):
+            s.execute("select stream median(t.v) m, t.id from GfStream t group by t.id")
+    finally:
+        engine.drop_table("GfStream")
