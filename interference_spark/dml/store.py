@@ -243,6 +243,11 @@ def vacuum(td: TableDef) -> int:
     for f in glob.glob(td.path + ".stage-*.parquet"):
         os.remove(f)
         n += 1
+    # advisory locks (Session.lock) left by a crashed writer — safe under
+    # the same no-active-writer rule as the rest of vacuum
+    for f in glob.glob(os.path.join(td.path + ".locks", "*.lock")):
+        os.remove(f)
+        n += 1
     for pat in (".*.tmp", os.path.join("_tombstones", ".*.tmp")):
         for f in glob.glob(os.path.join(td.path, pat)):
             os.remove(f)

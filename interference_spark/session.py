@@ -80,6 +80,7 @@ class Session:
         # ops in order (persistent/Transaction.java undo-chunk ordering).
         self._staged_ops: dict[str, list[tuple[str, Any]]] = {}
         self._streams: list = []
+        self._locks: list[str] = []  # advisory lock files held (D7)
 
     # ---------------------------------------------------------------- DDL
     def register_table(self, name: str, schema, **kw):
@@ -143,6 +144,64 @@ class Session:
         if td.id_col is None:
             raise InvalidParameter(f"table {td.name} has no @Id column")
         self._staged_ops.setdefault(td.name, []).append(("delete", id_value))
+
+    def lock(self, table: str, id_value: Any = None) -> None:
+        """D7 ``session.lock(o)`` (reference ``persistent/Session.java:
+        429-434`` — explicit row lock before modification): ADVISORY
+        row/table lock held until :meth:`commit` or :meth:`rollback`.
+
+        Scope honestly differs from the reference: there, frame/table
+        locks are enforced by the storage engine cluster-wide; parquet
+        part files have no lock manager, so this is a cooperative lock —
+        every writer that wants mutual exclusion calls ``lock()`` first.
+        Enforcement is an O_EXCL lock file keyed by the row id in a
+        sibling ``<table>.locks/`` dir, which makes it hold across
+        processes sharing the warehouse filesystem (the deployment shape
+        the single-writer-per-table storage rule already assumes). On a
+        real multi-writer lake you'd use the table format's transaction
+        layer (Delta/Iceberg) instead. ``id_value=None`` locks the whole
+        table. Re-locking a row this session holds is a no-op; a row held
+        by another session raises ``UnableToLockTableForProcess``. Crash
+        leftovers are cleared by ``store.vacuum`` (no-writers rule)."""
+        import hashlib as _hl
+        import json as _json
+        import time as _time
+
+        td = self.engine.catalog.get(table)
+        if not td.managed:
+            raise InvalidParameter(f"cannot lock external table {td.name}")
+        key = (
+            "table"
+            if id_value is None
+            else "id-" + _hl.md5(repr(id_value).encode()).hexdigest()[:16]
+        )
+        lock_dir = td.path + ".locks"
+        os.makedirs(lock_dir, exist_ok=True)
+        path = os.path.join(lock_dir, f"{key}.lock")
+        if path in self._locks:
+            return
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            from .errors import UnableToLockTableForProcess
+
+            raise UnableToLockTableForProcess(
+                f"{td.name}: {'table' if id_value is None else f'row {id_value!r}'} "
+                f"is locked by another session"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            _json.dump(
+                {"pid": os.getpid(), "id": repr(id_value), "ts": _time.time()}, fh
+            )
+        self._locks.append(path)
+
+    def _release_locks(self) -> None:
+        for p in self._locks:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        self._locks.clear()
 
     def purge(self, table: str, id_value: Any) -> None:
         """Immediate delete ignoring staging (reference CEP consumption,
@@ -209,11 +268,13 @@ class Session:
                 i = j
             store.apply_threshold(self.spark, td)
         self._staged_ops.clear()
+        self._release_locks()
 
     def rollback(self) -> None:
         """Discard staged work (reference rollback physically removes
         inserted rows — ours never wrote them)."""
         self._staged_ops.clear()
+        self._release_locks()
 
     # ---------------------------------------------------------------- SQL
     def execute(self, sql: str, stream_id: str | None = None):

@@ -524,3 +524,47 @@ def test_upsert_does_not_grow_part_count(session, engine, fresh):
         assert len(store._parts(td)) == 1, f"trial {trial} grew the table"
     rows = {r["id"]: r["val"] for r in engine.table(fresh).collect()}
     assert rows == {i: 300 + i for i in range(50)}
+
+
+def test_lock_advisory_row_and_table(session, engine, fresh):
+    """D7 session.lock: mutual exclusion between sessions, no-op re-lock,
+    release on commit AND rollback, vacuum clears crash leftovers."""
+    import os
+
+    from interference_spark import errors
+
+    other = engine.session()
+    session.persist(fresh, {"id": 1, "val": 1, "tag": "x"})
+    session.commit()
+
+    session.lock(fresh, 1)
+    session.lock(fresh, 1)  # re-lock by holder: no-op
+    with pytest.raises(errors.UnableToLockTableForProcess):
+        other.lock(fresh, 1)
+    other.lock(fresh, 2)  # different row: fine
+    other.rollback()  # releases row 2
+
+    session.persist(fresh, {"id": 1, "val": 99, "tag": "y"})
+    session.commit()  # applies AND releases row 1
+    other.lock(fresh, 1)  # now acquirable
+    other.rollback()
+
+    # whole-table lock
+    session.lock(fresh)
+    with pytest.raises(errors.UnableToLockTableForProcess):
+        other.lock(fresh)
+    session.rollback()
+    other.lock(fresh)
+    other.rollback()
+
+    # crashed-writer leftovers → vacuum
+    session.lock(fresh, 7)
+    td = engine.catalog.get(fresh)
+    assert store.vacuum(td) >= 1
+    session._locks.clear()  # the file is gone; drop the stale handle
+    other.lock(fresh, 7)
+    other.rollback()
+
+    # external tables cannot be locked
+    with pytest.raises(errors.InvalidParameter):
+        session.lock("region")
