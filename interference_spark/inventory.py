@@ -2839,6 +2839,43 @@ def decontaminate_bloom(spark, sf_dir):
 
 
 @query(
+    "chunk_documents_rag",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         FROM documents
+       ), s AS (
+         SELECT doc_id, tk, len(tk) AS n,
+                CASE WHEN len(tk) <= 64 THEN 0
+                     ELSE CAST(ceil(CAST(len(tk) - 64 AS DOUBLE) / 56.0) AS BIGINT) * 56
+                END AS last
+         FROM t
+       ), c AS (
+         SELECT doc_id,
+                unnest(generate_series(0, last, 56)) AS start_tok, tk, n
+         FROM s
+       )
+       SELECT doc_id,
+              CAST(start_tok / 56 AS BIGINT) AS chunk_idx,
+              CAST(least(64, n - start_tok) AS BIGINT) AS n_tokens,
+              md5(array_to_string(tk[start_tok + 1:start_tok + 64], ' ')) AS fp
+       FROM c""",
+)
+def chunk_documents_rag(spark, sf_dir):
+    """Token-windowed chunking for RAG / context-window prep
+    (`pipeline/text.chunk_documents`): 64-token windows advancing by 56
+    (8-token overlap), tail kept, short docs → one chunk. Pure JVM array
+    expressions — zero UDFs, zero shuffles. Chunk text is compared by md5
+    fingerprint to keep the verified rows narrow."""
+    from .pipeline.text import chunk_documents
+
+    e = engine_for(spark, sf_dir)
+    ch = chunk_documents(e.table("documents"), chunk_tokens=64, overlap=8)
+    return ch.select(
+        "doc_id", "chunk_idx", "n_tokens", F.md5(F.col("chunk")).alias("fp")
+    )
+
+
+@query(
     "corpus_divergence_by_lang",
     """WITH t AS (
          SELECT lang AS g, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w

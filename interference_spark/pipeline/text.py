@@ -259,6 +259,51 @@ def contaminated_doc_ids(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Token-windowed document chunking (RAG / context-window prep): one
+    row per chunk ``(id, chunk_idx, n_tokens, chunk)``, windows of
+    ``chunk_tokens`` tokens advancing by ``chunk_tokens − overlap`` so
+    consecutive chunks share ``overlap`` tokens. The final window keeps its
+    tail even when short; a doc shorter than one window yields one chunk.
+
+    Pure JVM array expressions (project token array once → sequence of
+    starts → slice + join) — zero UDFs, zero shuffles, embarrassingly
+    parallel whatever the document-length mix.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    t = df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
+    # last start: smallest multiple of step whose window reaches the end —
+    # NOT the largest multiple below n, which would emit a tail chunk fully
+    # contained in its predecessor
+    n = F.size("__t")
+    last = F.when(n <= chunk_tokens, F.lit(0)).otherwise(
+        F.ceil((n - chunk_tokens).cast("double") / step).cast("int") * step
+    )
+    starts = F.sequence(F.lit(0), last, F.lit(step))
+    chunks = t.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.slice(F.col("__t"), s + 1, chunk_tokens)
+            )
+        ).alias("chunk_idx", "__c"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.size("__c").alias("n_tokens"),
+        F.array_join("__c", " ").alias("chunk"),
+    )
+
+
 def group_divergence(
     df: DataFrame, group_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:

@@ -625,3 +625,35 @@ def test_synth_png_corpus_variant_dedup(spark):
     assert len(groups) == 7
     assert sorted(r["keep"] for r in groups) == list(range(7))
     assert sum(r["n"] for r in groups) == 100
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: overlap honored, tail kept, no redundant tail
+    chunk fully contained in its predecessor, short docs = one chunk."""
+    from pyspark.sql import functions as F
+
+    from interference_spark.pipeline.text import chunk_documents
+
+    toks = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, toks(10)), (2, toks(128)), (3, toks(130)), (4, toks(240))],
+        "doc_id long, text string",
+    )
+    got = {}
+    rows = chunk_documents(df, chunk_tokens=128, overlap=16).collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"], r["chunk"]))
+    for v in got.values():
+        v.sort()
+    assert [(i, n) for i, n, _ in got[1]] == [(0, 10)]
+    assert [(i, n) for i, n, _ in got[2]] == [(0, 128)]
+    # 130 tokens: window 2 starts at 112, carries 18 tokens, overlap check
+    assert [(i, n) for i, n, _ in got[3]] == [(0, 128), (1, 18)]
+    assert got[3][1][2].split()[:16] == [f"t{i}" for i in range(112, 128)]
+    # 240 tokens: starts 0,112 — NOT a third chunk at 224 (contained in #2)
+    assert [(i, n) for i, n, _ in got[4]] == [(0, 128), (1, 128)]
+    # full coverage: union of chunk tokens == all tokens
+    seen = set()
+    for _, _, c in got[4]:
+        seen.update(c.split())
+    assert seen == {f"t{i}" for i in range(240)}
