@@ -2839,6 +2839,54 @@ def decontaminate_bloom(spark, sf_dir):
 
 
 @query(
+    "event_funnel_conversion",
+    """WITH e AS (
+         SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+         FROM events
+       ), a AS (
+         SELECT user_id,
+                list_sort(list(t) FILTER (WHERE event_type = 'view')) AS a0,
+                list_sort(list(t) FILTER (WHERE event_type = 'click')) AS a1,
+                list_sort(list(t) FILTER (WHERE event_type = 'purchase')) AS a2
+         FROM e GROUP BY user_id
+       ), s1 AS (
+         SELECT user_id, a1, a2, a0[1] AS t_view FROM a
+       ), s2 AS (
+         SELECT user_id, a2, t_view,
+                CASE WHEN t_view IS NOT NULL THEN
+                  list_filter(a1, x -> x > t_view AND x <= t_view + 3600)[1]
+                END AS t_click
+         FROM s1
+       ), s3 AS (
+         SELECT user_id, t_view, t_click,
+                CASE WHEN t_click IS NOT NULL THEN
+                  list_filter(a2, x -> x > t_click AND x <= t_click + 3600)[1]
+                END AS t_purchase
+         FROM s2
+       )
+       SELECT user_id, t_view, t_click, t_purchase,
+              (CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS reached
+       FROM s3""",
+)
+def event_funnel_conversion(spark, sf_dir):
+    """Behavioral conversion funnel (`pipeline/stats.event_funnel`): per
+    user, first view → first click strictly after it within 1h → first
+    purchase after that within 1h. ONE shuffle (per-user step arrays);
+    the stage chain is per-row higher-order-function folds — no
+    self-joins, no window over raw events."""
+    from .pipeline.stats import event_funnel
+
+    e = engine_for(spark, sf_dir)
+    return event_funnel(
+        e.table("events"),
+        steps=("view", "click", "purchase"),
+        within_seconds=3600,
+    )
+
+
+@query(
     "chunk_documents_rag",
     """WITH t AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk

@@ -48,3 +48,57 @@ def exact_group_percentiles(
             F.min(F.when(F.col("__cum") >= rank, F.col(value_col))).alias(name)
         )
     return joined.groupBy(*key_cols).agg(*aggs)
+
+
+def event_funnel(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Multi-step conversion funnel: per user, how far through ``steps`` did
+    they get, requiring each step to occur strictly AFTER the previous one
+    (and, with ``within_seconds``, within that many seconds of it). Returns
+    one row per user: ``(user, reached, t_<step>… epoch seconds)`` where
+    ``reached`` counts completed steps.
+
+    Shape at scale: ONE shuffle — per-user sorted timestamp arrays per step
+    (collect_list of a step's epochs is bounded by that user's own events),
+    then the stage chain is a per-row fold over those arrays with
+    higher-order functions: t₁ = first(step₁), tₖ = first element of
+    stepₖ's array after tₖ₋₁ (+window). No self-joins, no window over raw
+    events, deterministic integer arithmetic end to end.
+    """
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    arrs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == s, epoch))
+        ).alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = df.groupBy(user_col).agg(*arrs)
+    cols = [F.col(user_col)]
+    prev_t = None
+    t_exprs = []
+    for i, s in enumerate(steps):
+        arr = F.col(f"__a{i}")
+        if prev_t is None:
+            t = F.get(arr, 0)
+        else:
+            nxt = F.filter(arr, lambda x: x > prev_t)  # noqa: B023
+            if within_seconds is not None:
+                nxt = F.filter(
+                    nxt, lambda x: x <= prev_t + within_seconds  # noqa: B023
+                )
+            t = F.when(prev_t.isNotNull(), F.get(nxt, 0))
+        t_exprs.append(t.alias(f"t_{s}"))
+        prev_t = t
+    reached = None
+    for te, s in zip(t_exprs, steps):
+        bit = F.when(F.col(f"t_{s}").isNotNull(), 1).otherwise(0)
+        reached = bit if reached is None else reached + bit
+    return per_user.select(*cols, *t_exprs).select(
+        user_col, *[f"t_{s}" for s in steps], reached.alias("reached")
+    )

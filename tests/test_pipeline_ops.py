@@ -657,3 +657,36 @@ def test_chunk_documents_windows(spark):
     for _, _, c in got[4]:
         seen.update(c.split())
     assert seen == {f"t{i}" for i in range(240)}
+
+
+def test_event_funnel_ordering_and_window(spark):
+    """Funnel semantics: strict after-ordering, the within-window cutoff,
+    and per-step first-occurrence selection."""
+    from interference_spark.pipeline.stats import event_funnel
+
+    rows = [
+        # u1: full funnel inside windows
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2: click BEFORE view -> stops at view
+        (2, "click", 50), (2, "view", 100),
+        # u3: click after view but outside 1h window -> stops at view
+        (3, "view", 100), (3, "click", 100 + 3601),
+        # u4: first click too early, second click valid -> proceeds
+        (4, "view", 100), (4, "click", 50), (4, "click", 150),
+        (4, "purchase", 200),
+        # u5: purchase without any view -> reached 0
+        (5, "purchase", 10),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, float(s)) for u, t, s in rows],
+        "user_id long, event_type string, ts_s double",
+    ).selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = {
+        r["user_id"]: (r["reached"], r["t_view"], r["t_click"], r["t_purchase"])
+        for r in event_funnel(df, within_seconds=3600).collect()
+    }
+    assert got[1] == (3, 100, 200, 300)
+    assert got[2] == (1, 100, None, None)
+    assert got[3] == (1, 100, None, None)
+    assert got[4] == (3, 100, 150, 200)
+    assert got[5] == (0, None, None, None)
