@@ -3888,6 +3888,34 @@ def mm_image_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_label_centroids",
+    """WITH x AS (
+         SELECT label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+         FROM embeddings
+       ), d AS (
+         SELECT label, i.i - 1 AS dim,
+                CAST(floor(e[i.i] * 1000000.0) AS BIGINT) AS m
+         FROM x CROSS JOIN LATERAL (
+           SELECT unnest(generate_series(1, 64)) AS i
+         ) i
+       )
+       SELECT label, dim, count(*) AS n,
+              CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS mean
+       FROM d GROUP BY label, dim""",
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid vectors (`pipeline/linalg.label_centroids`):
+    class prototypes in long form for drift monitoring and hard-negative
+    mining. Combiner-friendly (label, dim) aggregate — the shuffle carries
+    labels×64 rows per partition regardless of corpus size; quantized-long
+    sums keep it engine-reproducible."""
+    from .pipeline.linalg import label_centroids
+
+    e = engine_for(spark, sf_dir)
+    return label_centroids(e.table("embeddings"))
+
+
 @query("embedding_top_pc")  # driver-side eigh → rows-only check (IVF exception)
 def embedding_top_pc(spark, sf_dir):
     """Exact top principal component of the embedding corpus

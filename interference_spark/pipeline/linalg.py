@@ -121,3 +121,31 @@ def top_principal_component(
         [(j, float(v[j]), lam, frac) for j in range(dim)],
         "dim int, loading double, eigenvalue double, explained_frac double",
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid vectors in long form ``(label, dim, n, mean)`` —
+    class prototypes for drift monitoring, prototype classification, and
+    hard-negative mining. posexplode fans each vector into dim narrow
+    rows; the aggregate is combiner-friendly on a (label, dim) key, so the
+    shuffle carries labels×dim rows per partition regardless of corpus
+    size. Micro-quantized long sums → bit-identical on any partitioning
+    and reproducible in the SQL oracle."""
+    d = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        ).alias("dim", "v"),
+    ).select(
+        "label", "dim", F.floor(F.col("v") * _Q).cast("long").alias("m")
+    )
+    return d.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("m").cast("double") / F.count(F.lit(1)).cast("double") / _Q).alias(
+            "mean"
+        ),
+    )
