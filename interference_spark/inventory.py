@@ -2839,6 +2839,30 @@ def decontaminate_bloom(spark, sf_dir):
 
 
 @query(
+    "cohort_retention_daily",
+    """WITH ud AS (
+         SELECT DISTINCT user_id AS u,
+                CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS p
+         FROM events
+       ), c AS (
+         SELECT u, min(p) AS c FROM ud GROUP BY u
+       )
+       SELECT c.c AS cohort_period, ud.p - c.c AS k, count(*) AS n_users
+       FROM ud JOIN c ON ud.u = c.u
+       GROUP BY c.c, ud.p - c.c""",
+)
+def cohort_retention_daily(spark, sf_dir):
+    """Daily cohort retention matrix (`pipeline/stats.cohort_retention`):
+    users bucketed by first-activity day, counted in each later day they
+    return. Dedup to (user, day) first — everything downstream runs on at
+    most users×days rows, never raw events."""
+    from .pipeline.stats import cohort_retention
+
+    e = engine_for(spark, sf_dir)
+    return cohort_retention(e.table("events"))
+
+
+@query(
     "event_funnel_conversion",
     """WITH e AS (
          SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t

@@ -102,3 +102,35 @@ def event_funnel(
     return per_user.select(*cols, *t_exprs).select(
         user_col, *[f"t_{s}" for s in steps], reached.alias("reached")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (cohort), counted in each later period they return —
+    ``(cohort_period, k, n_users)`` with k = periods since the cohort's
+    start (k = 0 is the cohort size itself).
+
+    Shape at scale: dedup to (user, period) first — everything after runs
+    on at most users×periods rows, never raw events; the cohort assignment
+    is a per-user min + an equi-join on the user key; the final aggregate
+    is combiner-friendly on (cohort, k). All integer arithmetic.
+    """
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    ud = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.floor(epoch / period_seconds).cast("long").alias("p"),
+        )
+        .distinct()
+    )
+    cohorts = ud.groupBy("u").agg(F.min("p").alias("c"))
+    return (
+        ud.join(cohorts, "u")
+        .groupBy(F.col("c").alias("cohort_period"), (F.col("p") - F.col("c")).alias("k"))
+        .agg(F.count("*").alias("n_users"))
+    )
