@@ -1976,6 +1976,84 @@ SELECT query_id, cand_id, cosine FROM (
 """
 
 
+def _lsh_multiprobe_oracle(
+    k: int = 5, planes: int = 6, dim: int = 64, seed: int = 42, mod: int = 199
+) -> str:
+    """Multi-probe variant: the query side probes its bucket plus every
+    Hamming-1 flip (same string surgery as the Spark expression)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    hyper = rng.standard_normal((planes, dim))
+    plane_rows = ", ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(x)) for x in hyper[j]))
+        for j in range(planes)
+    )
+    flips = ", ".join(
+        f"substring(bucket, 1, {i}) || "
+        f"(CASE WHEN substring(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substring(bucket, {i + 2}, {planes - i - 1})"
+        for i in range(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), pl AS (
+  SELECT * FROM (VALUES {plane_rows}) p(j, pv)
+), proj AS (
+  SELECT v.vec_id, pl.j,
+         list_reduce([v.e[i] * pl.pv[i] FOR i IN generate_series(1, {dim})],
+                     (acc, x) -> acc + x) AS d
+  FROM v, pl
+), bk AS (
+  SELECT vec_id, string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id
+), b AS (
+  SELECT v.vec_id, v.e, bk.bucket FROM v JOIN bk USING (vec_id)
+), qp AS (
+  SELECT vec_id, e, unnest([bucket, {flips}]) AS bucket
+  FROM b WHERE vec_id % {mod} = 0
+), cand AS (
+  SELECT qp.vec_id AS query_id, cb.vec_id AS cand_id, qp.e AS ea, cb.e AS eb
+  FROM qp JOIN b cb ON qp.bucket = cb.bucket
+  WHERE cb.vec_id % {mod} <> 0
+), expl AS (
+  SELECT query_id, cand_id, unnest(ea) AS x, unnest(eb) AS y FROM cand
+), s AS (
+  SELECT query_id, cand_id,
+         sum(CAST(floor((x * y) * 1e14) AS BIGINT)) AS dot_d,
+         sum(CAST(floor((x * x) * 1e14) AS BIGINT)) AS na,
+         sum(CAST(floor((y * y) * 1e14) AS BIGINT)) AS nb
+  FROM expl GROUP BY query_id, cand_id
+), scored AS (
+  SELECT query_id, cand_id,
+         CAST(dot_d AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+  FROM s
+)
+SELECT query_id, cand_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+@query("sim_lsh_multiprobe", _lsh_multiprobe_oracle())
+def sim_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe bucketed ANN (`similarity.lsh_multiprobe_topk`): each
+    query probes its own bucket plus all Hamming-1 flips — the classic
+    recall boost for near-boundary neighbors without more hash tables.
+    Only the small query side fans out ×(planes+1); candidates keep one
+    bucket row each."""
+    from .pipeline.similarity import lsh_multiprobe_topk
+
+    e = engine_for(spark, sf_dir)
+    return lsh_multiprobe_topk(
+        e.table("embeddings"), lambda c: c % 199 == 0, k=5, planes=6
+    )
+
+
 @query("sim_lsh_topk", _lsh_topk_oracle())
 def sim_lsh_topk(spark, sf_dir):
     """Bucketed ANN (the scale path between brute-force and IVF): top-5 by

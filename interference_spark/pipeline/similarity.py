@@ -355,3 +355,76 @@ def lsh_bucketed_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cosine")
     )
+
+
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    query_filter,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe bucketed ANN: each query probes its own hyperplane
+    bucket PLUS every bucket at Hamming distance 1 (one sign bit flipped)
+    — the classic multi-probe LSH recall boost (near-boundary neighbors
+    land one sign flip away) without building more hash tables.
+
+    Cost shape: the candidate side is untouched (one bucket per vector);
+    only the (small) query side fans out ×(planes+1), so the bucket join
+    stays one shuffle and candidates-per-query stays bounded by bucket
+    sizes. Probe buckets are distinct strings, so no (query, candidate)
+    pair is scored twice. Scoring/ranking identical to
+    :func:`lsh_bucketed_topk` (quantized cosine, per-query window).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import (
+        hyperplane_buckets,
+        quantized_cosine_sums,
+        quantized_cosine_value,
+    )
+
+    b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim)
+    flips = [F.col("bucket")]
+    for i in range(planes):
+        bit = F.substring("bucket", i + 1, 1)
+        flips.append(
+            F.concat(
+                F.substring("bucket", 1, i),
+                F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring("bucket", i + 2, planes - i - 1),
+            )
+        )
+    qs = (
+        b.filter(query_filter(F.col(id_col)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("__e").alias("eq"),
+            F.explode(F.array(*flips)).alias("bucket"),
+        )
+    )
+    cs = b.filter(~query_filter(F.col(id_col))).select(
+        F.col(id_col).alias("cand_id"), F.col("__e").alias("ec"), "bucket"
+    )
+    zipped = F.zip_with(
+        F.col("eq"), F.col("ec"),
+        lambda x, y: F.named_struct(F.lit("x"), x, F.lit("y"), y),
+    )
+    expl = qs.join(cs, "bucket").select(
+        "query_id", "cand_id", F.explode(zipped).alias("v")
+    )
+    sums = expl.groupBy("query_id", "cand_id").agg(
+        *quantized_cosine_sums(F.col("v.x"), F.col("v.y"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        sums.withColumn("cosine", quantized_cosine_value())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine")
+    )
