@@ -2039,6 +2039,74 @@ SELECT query_id, cand_id, cosine FROM (
 """
 
 
+def _hard_negatives_oracle(
+    k: int = 5, planes: int = 6, dim: int = 64, seed: int = 42, mod: int = 199
+) -> str:
+    """Same bucketing/scoring as the ANN oracle, restricted to
+    label-mismatched pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    hyper = rng.standard_normal((planes, dim))
+    plane_rows = ", ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(x)) for x in hyper[j]))
+        for j in range(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), pl AS (
+  SELECT * FROM (VALUES {plane_rows}) p(j, pv)
+), proj AS (
+  SELECT v.vec_id, pl.j,
+         list_reduce([v.e[i] * pl.pv[i] FOR i IN generate_series(1, {dim})],
+                     (acc, x) -> acc + x) AS d
+  FROM v, pl
+), bk AS (
+  SELECT vec_id, string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+  FROM proj GROUP BY vec_id
+), b AS (
+  SELECT v.vec_id, v.label, v.e, bk.bucket FROM v JOIN bk USING (vec_id)
+), cand AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS cand_id, qb.e AS ea, cb.e AS eb
+  FROM b qb JOIN b cb ON qb.bucket = cb.bucket AND qb.label <> cb.label
+  WHERE qb.vec_id % {mod} = 0 AND cb.vec_id % {mod} <> 0
+), expl AS (
+  SELECT query_id, cand_id, unnest(ea) AS x, unnest(eb) AS y FROM cand
+), s AS (
+  SELECT query_id, cand_id,
+         sum(CAST(floor((x * y) * 1e14) AS BIGINT)) AS dot_d,
+         sum(CAST(floor((x * x) * 1e14) AS BIGINT)) AS na,
+         sum(CAST(floor((y * y) * 1e14) AS BIGINT)) AS nb
+  FROM expl GROUP BY query_id, cand_id
+), scored AS (
+  SELECT query_id, cand_id,
+         CAST(dot_d AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+  FROM s
+)
+SELECT query_id, cand_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+@query("sim_hard_negatives", _hard_negatives_oracle())
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (`similarity.hard_negatives`): per query, the
+    top-5 most-similar DIFFERENT-label candidates — the looks-alike-isn't
+    pairs contrastive training feeds on. Label mismatch rides the bucket
+    join, so same-label pairs drop before scoring."""
+    from .pipeline.similarity import hard_negatives
+
+    e = engine_for(spark, sf_dir)
+    return hard_negatives(
+        e.table("embeddings"), lambda c: c % 199 == 0, k=5, planes=6
+    )
+
+
 @query("sim_lsh_multiprobe", _lsh_multiprobe_oracle())
 def sim_lsh_multiprobe(spark, sf_dir):
     """Multi-probe bucketed ANN (`similarity.lsh_multiprobe_topk`): each

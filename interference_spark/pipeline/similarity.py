@@ -428,3 +428,69 @@ def lsh_multiprobe_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cosine")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    query_filter,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    planes: int = 6,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for each
+    query vector, the top-k most-similar candidates with a DIFFERENT
+    label — the "looks alike, isn't" pairs that carry the gradient signal.
+
+    Same bucketed shape as :func:`lsh_bucketed_topk` (candidates bounded
+    by bucket size, never O(n)); the label-mismatch test rides the bucket
+    join as a join-time filter, so same-label pairs are dropped before any
+    scoring work."""
+    from pyspark.sql import Window
+
+    from .dedup import (
+        hyperplane_buckets,
+        quantized_cosine_sums,
+        quantized_cosine_value,
+    )
+
+    labels = df.select(F.col(id_col), F.col(label_col).alias("__lbl"))
+    b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim).join(
+        labels, id_col
+    )
+    qs = b.filter(query_filter(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__e").alias("eq"),
+        F.col("__lbl").alias("lq"),
+        "bucket",
+    )
+    cs = b.filter(~query_filter(F.col(id_col))).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("__e").alias("ec"),
+        F.col("__lbl").alias("lc"),
+        "bucket",
+    )
+    zipped = F.zip_with(
+        F.col("eq"), F.col("ec"),
+        lambda x, y: F.named_struct(F.lit("x"), x, F.lit("y"), y),
+    )
+    expl = (
+        qs.join(cs, "bucket")
+        .filter(F.col("lq") != F.col("lc"))
+        .select("query_id", "cand_id", F.explode(zipped).alias("v"))
+    )
+    sums = expl.groupBy("query_id", "cand_id").agg(
+        *quantized_cosine_sums(F.col("v.x"), F.col("v.y"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        sums.withColumn("cosine", quantized_cosine_value())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine")
+    )
