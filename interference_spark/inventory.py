@@ -4034,6 +4034,37 @@ def embedding_dim_stats(spark, sf_dir):
 
 
 @query(
+    "mm_video_frames",
+    """SELECT doc_id AS media_id,
+              CAST(fi AS BIGINT) AS frame_idx,
+              CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height
+       FROM (SELECT doc_id,
+                    unnest(generate_series(0, doc_id % 7, 2)) AS fi
+             FROM documents)""",
+)
+def mm_video_frames(spark, sf_dir):
+    """REAL video-container frame sampling: deterministic APNG per doc
+    (1 + doc_id % 7 full-canvas frames, bundled pure-Python codec), every
+    2nd frame extracted as a standalone single-frame PNG by
+    `multimodal.frame_sample(decoder="real")`. Width/height are parsed
+    JVM-side from each emitted frame's IHDR bytes — if the codec emitted
+    anything but a well-formed PNG, the dims (and the oracle) would
+    break."""
+    from .pipeline.multimodal import frame_sample, synth_apng_corpus
+
+    e = engine_for(spark, sf_dir)
+    media = synth_apng_corpus(e.table("documents"), max_frames=7)
+    frames = frame_sample(media, stride=2, decoder="real")
+    dim = lambda off: F.conv(  # noqa: E731
+        F.hex(F.substring(F.col("frame"), off, 4)), 16, 10
+    ).cast("long")
+    return frames.select(
+        "media_id", "frame_idx",
+        dim(17).alias("width"), dim(21).alias("height"),
+    )
+
+
+@query(
     "mm_image_dedup",
     """SELECT min(doc_id) AS keep_id, count(*) AS n_images
        FROM documents GROUP BY doc_id % 31""",

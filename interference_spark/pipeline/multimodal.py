@@ -9,10 +9,11 @@ The Spark-side design is real and tested: schema, Arrow batch shape,
   no real media).
 * ``decoder="real"`` — genuine decode via the bundled pure-Python codecs:
   PNG images (:mod:`.png`) are decoded/resized, RIFF/PCM WAV audio
-  (:mod:`.wav`) is parsed for rate/channels/duration/RMS. Other formats
-  (JPEG, MP3, video) raise ``NotImplementedError``/``UnsupportedMedia`` —
-  they need PIL/soundfile/pyav, which a real deployment installs, swapping
-  the per-batch codec call inside the same operator.
+  (:mod:`.wav`) is parsed for rate/channels/duration/RMS, and APNG
+  animations decode to per-frame PNGs (the video-container path). Other
+  formats (JPEG, MP3, MP4) raise ``UnsupportedMedia`` — they need
+  PIL/soundfile/pyav, which a real deployment installs, swapping the
+  per-batch codec call inside the same operator.
 
 At 100 TB: binary payloads dominate partition size, so operators here take a
 ``target_batch_bytes`` hint — ``mapInPandas`` yields multiple small pandas
@@ -280,14 +281,36 @@ def frame_sample(
     per-chunk to keep any single Arrow batch bounded.
 
     ``fake``: payload split into ``frame_bytes`` chunks, every ``stride``-th
-    kept. ``real``: stub — pyav keyframe iteration per batch.
+    kept. ``real``: APNG (animated PNG) container decode via the bundled
+    pure-Python codec — each kept frame is emitted as a standalone
+    single-frame PNG; a plain PNG is a 1-frame video; non-PNG payloads
+    raise. A deployment with pyav swaps the per-batch container call for
+    real video formats, plumbing unchanged.
     """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def real_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_apng_frames
+
+        for pdf in batches:
+            for start in range(0, len(pdf), target_batch_rows):
+                chunk = pdf.iloc[start : start + target_batch_rows]
+                ids, idxs, frames = [], [], []
+                for mid, c in zip(chunk["media_id"], chunk["content"]):
+                    if c is None:
+                        continue
+                    fr = decode_apng_frames(bytes(c))
+                    for fi in range(0, len(fr), stride):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(fr[fi])
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": idxs, "frame": frames}
+                ).astype({"media_id": "int64", "frame_idx": "int64"})
+
     if decoder == "real":
-        raise NotImplementedError(
-            "real frame sampling requires a video codec (pyav), which is "
-            "not in this container and has no pure-Python fallback; the "
-            "fake decoder exercises identical Spark plumbing"
-        )
+        return df.select("media_id", "content").mapInPandas(real_op, FRAME_SCHEMA)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -419,3 +442,49 @@ def image_ahash(df: DataFrame, target_batch_rows: int = 1024) -> DataFrame:
                 )
 
     return df.select("media_id", "content").mapInPandas(op, AHASH_SCHEMA)
+
+
+def synth_apng_corpus(
+    df: DataFrame, id_col: str = "doc_id", max_frames: int = 7, size: int = 16
+) -> DataFrame:
+    """Deterministic per-row APNG payloads (media rows): ``1 + id %
+    max_frames`` full-canvas frames whose pixels derive from (id, frame) —
+    drives the video path end to end with a real container, the way
+    :func:`synth_png_corpus` drives the image path."""
+    from .png import encode_apng
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x, c = np.meshgrid(
+            np.arange(size), np.arange(size), np.arange(3), indexing="ij"
+        )
+        base = y * 7 + x * 13 + c * 5
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            payloads = []
+            for i in ids:
+                nf = 1 + int(i) % max_frames
+                apng = cache.get(nf)
+                if apng is None:
+                    frames = [
+                        ((base + fi * 31) % 256).astype(np.uint8)
+                        for fi in range(nf)
+                    ]
+                    apng = encode_apng(frames)
+                    cache[nf] = apng
+                payloads.append(apng)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "content": payloads,
+                    "mime": "image/apng",
+                    "meta": [
+                        {"n_frames": str(1 + int(i) % max_frames)} for i in ids
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        op, MEDIA_SCHEMA
+    )

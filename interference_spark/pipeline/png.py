@@ -154,3 +154,114 @@ def resize_nearest(arr: np.ndarray, scale_div: int) -> np.ndarray:
     ys = (np.arange(nh) * h) // nh
     xs = (np.arange(nw) * w) // nw
     return arr[ys][:, xs]
+
+
+# ------------------------------------------------------------------ APNG
+# Animated PNG (the PNG third extension spec): acTL declares the animation,
+# each frame is an fcTL control chunk followed by IDAT (first frame) or
+# fdAT (subsequent; fdAT = 4-byte sequence number + deflate data). This
+# gives the container a REAL pure-Python video container: frame extraction
+# without pyav/ffmpeg. Only the subset the encoder below emits is decoded
+# (full-canvas frames, offset 0/0, no dispose/blend compositing) — offset
+# or composited APNGs raise UnsupportedMedia.
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _scanlines(arr: np.ndarray) -> bytes:
+    raw = bytearray()
+    for y in range(arr.shape[0]):
+        raw.append(0)
+        raw.extend(arr[y].tobytes())
+    return bytes(raw)
+
+
+def is_apng(data: bytes | None) -> bool:
+    return bool(data) and is_png(data) and b"acTL" in data[:256]
+
+
+def encode_apng(frames: list[np.ndarray], delay_ms: int = 100) -> bytes:
+    """Full-canvas animated PNG from equal-shaped (H, W, C) uint8 frames."""
+    if not frames:
+        raise UnsupportedMedia("empty frame list")
+    f0 = frames[0] if frames[0].ndim == 3 else frames[0][:, :, None]
+    h, w, c = f0.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    out = bytearray(_MAGIC)
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, fr in enumerate(frames):
+        fr = fr if fr.ndim == 3 else fr[:, :, None]
+        if fr.shape != (h, w, c):
+            raise UnsupportedMedia("APNG frames must share one shape")
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_ms, 1000, 0, 0
+        )
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        z = zlib.compress(_scanlines(fr), 6)
+        if i == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng_frames(data: bytes) -> list[bytes]:
+    """APNG bytes → list of standalone single-frame PNG byte strings
+    (each decodable with :func:`decode_png`). A plain PNG yields itself
+    as the single frame."""
+    if not is_png(data):
+        raise UnsupportedMedia("not a PNG payload")
+    if not is_apng(data):
+        return [bytes(data)]
+    pos = 8
+    ihdr = None
+    frames: list[bytes] = []
+    cur: bytearray | None = None
+    w = h = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = bytes(body)
+            w, h = struct.unpack(">II", body[:8])
+        elif ctype == b"fcTL":
+            fw, fh, fx, fy = struct.unpack(">IIII", body[4:20])
+            if (fw, fh, fx, fy) != (w, h, 0, 0):
+                raise UnsupportedMedia(
+                    "offset/partial-canvas APNG frames are not supported"
+                )
+            if cur is not None:
+                frames.append(bytes(cur))
+            cur = bytearray()
+        elif ctype == b"IDAT":
+            if cur is None:  # non-animated leading IDAT (spec allows)
+                cur = bytearray()
+            cur += body
+        elif ctype == b"fdAT":
+            if cur is None:
+                raise UnsupportedMedia("fdAT before any fcTL")
+            cur += body[4:]  # strip the sequence number
+        elif ctype == b"IEND":
+            break
+    if cur is not None:
+        frames.append(bytes(cur))
+    if ihdr is None or not frames:
+        raise UnsupportedMedia("truncated APNG")
+    return [
+        _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", z) + _chunk(b"IEND", b"")
+        for z in frames
+    ]

@@ -690,3 +690,28 @@ def test_event_funnel_ordering_and_window(spark):
     assert got[3] == (1, 100, None, None)
     assert got[4] == (3, 100, 150, 200)
     assert got[5] == (0, None, None, None)
+
+
+def test_apng_frame_sample_real(spark):
+    """Real video-container path: APNG frames extract to standalone PNGs,
+    stride honored, pixel content matches the encoder's per-frame pattern."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from interference_spark.pipeline.multimodal import frame_sample, synth_apng_corpus
+    from interference_spark.pipeline.png import decode_png
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    media = synth_apng_corpus(docs, max_frames=7, size=16)
+    out = frame_sample(media, stride=2, decoder="real").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], bytes(r["frame"])))
+    y, x, c = np.meshgrid(np.arange(16), np.arange(16), np.arange(3), indexing="ij")
+    base = y * 7 + x * 13 + c * 5
+    for mid, frames in by_id.items():
+        nf = 1 + mid % 7
+        assert sorted(i for i, _ in frames) == list(range(0, nf, 2))
+        for fi, png in frames:
+            arr = decode_png(png)
+            assert (arr == ((base + fi * 31) % 256).astype(np.uint8)).all()
