@@ -4637,7 +4637,7 @@ _DRIVER_WINDOW = [
     # similarity family
     "sim_cosine_topk",
     "sim_quantized_topk",
-    "sim_lsh_topk",
+    "sim_lsh_multiprobe",
     "sim_ivf_search",
     # text-analysis family
     "text_quality",
@@ -4653,7 +4653,7 @@ _DRIVER_WINDOW = [
     "exact_value_percentiles",
     "approx_quantile_sketch",
     # multimodal plumbing
-    "mm_feature_extract",
+    "mm_video_frames",
     "mm_resize",
     "mm_image_dedup",
     # source formats + semi-structured
