@@ -2937,6 +2937,36 @@ def decontaminate_ngrams(spark, sf_dir):
 
 
 @query(
+    "decontaminate_report",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+         FROM documents
+       ), g AS (
+         SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+         FROM (SELECT doc_id, tk,
+                      unnest(generate_series(1, len(tk) - 7)) AS i FROM t) s
+       )
+       SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
+              count(*) AS n_shared_grams
+       FROM g c JOIN g e ON c.g = e.g
+       WHERE c.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+       GROUP BY c.doc_id, e.doc_id""",
+)
+def decontaminate_report(spark, sf_dir):
+    """Contamination ATTRIBUTION (`pipeline/text.contamination_report`):
+    which eval doc leaked into which candidate doc and how many distinct
+    8-grams they share — the evidence table behind the boolean scrub.
+    Eval (gram, id) pairs broadcast; corpus side joins map-only."""
+    from .pipeline.text import contamination_report
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(cand, ev, n=8)
+
+
+@query(
     "decontaminate_bloom",
     """WITH t AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk

@@ -139,6 +139,28 @@ def write_shards(
     )
 
 
+def write_jsonl_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    path: str,
+    mixer=knuth_mix,
+) -> None:
+    """Same deterministic shuffle-to-shards layout as :func:`write_shards`,
+    materialized as ``shard=N/`` directories of JSON-lines files — the
+    format most training data loaders stream natively. Identical plan (one
+    exchange + in-task sort, rows written in shuffle order); JSONL trades
+    parquet's compression for splittable line-oriented streaming."""
+    sharded = shuffled_shards(df, id_col, n_shards, mixer)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

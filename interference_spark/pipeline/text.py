@@ -437,6 +437,33 @@ PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def contamination_report(
+    df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 8,
+) -> DataFrame:
+    """Attribution companion to :func:`contaminated_doc_ids`: one row per
+    (candidate doc, eval doc) pair that shares ≥1 word n-gram, with the
+    count of distinct shared grams — the evidence table a scrub decision
+    reviews ("which benchmark leaked into which training doc, how hard").
+
+    Same scale shape as the boolean variant: the eval side's distinct
+    (gram, eval id) pairs broadcast; the corpus side joins map-only and
+    only matching pairs reach the (doc, eval) count aggregate.
+    """
+    grams = lambda d, out: d.select(  # noqa: E731
+        F.col(id_col).alias(out), _tokens(F.col(text_col)).alias("__t")
+    ).select(
+        out, F.explode(F.array_distinct(ngrams_from_tokens(F.col("__t"), n))).alias("g")
+    )
+    ev = grams(eval_df, "eval_id")
+    cand = grams(df, id_col)
+    return (
+        cand.join(F.broadcast(ev), "g")
+        .groupBy(id_col, "eval_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
 def pii_redact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -166,3 +166,33 @@ def test_stratified_sample_nested_property(docs, spark):
 
     with _pytest.raises(ValueError):
         export.stratified_sample(docs, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_write_jsonl_shards_layout_and_order(docs, spark, tmp_path):
+    """JSONL export: same deterministic shard layout as parquet, physical
+    line order == shuffle order, content round-trips through json."""
+    import json
+
+    out = str(tmp_path / "jshards")
+    export.write_jsonl_shards(docs, "doc_id", 4, out)
+    expected = {
+        (r["shard"], r["shuffle_pos"]): r["doc_id"]
+        for r in export.shuffled_shards(docs, "doc_id", 4)
+        .select("shard", "shuffle_pos", "doc_id")
+        .collect()
+    }
+    seen = 0
+    for shard in range(4):
+        files = sorted(glob.glob(f"{out}/shard={shard}/*.json"))
+        assert files, f"no files for shard {shard}"
+        stream = []
+        for f in files:
+            with open(f) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    stream.append((rec["shuffle_pos"], rec["doc_id"]))
+        assert stream == sorted(stream)
+        for pos, did in stream:
+            assert expected[(shard, pos)] == did
+            seen += 1
+    assert seen == docs.count()
