@@ -435,3 +435,55 @@ def test_random_count_distinct_matches_duckdb(data, duck, engine):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- GROUP BY
+AGG_FNS = ["COUNT", "SUM", "MIN", "MAX", "AVG"]
+GROUP_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+AGG_COLS = ["o_orderkey", "o_totalprice"]
+
+
+def _agg_sql(fn, col):
+    if fn == "COUNT":
+        return f"count({col})"
+    if fn == "AVG":
+        return f"avg({col})"
+    return f"{fn.lower()}({col})"
+
+
+@given(
+    gcol=st.sampled_from(GROUP_COLS),
+    aggs=st.lists(
+        st.tuples(st.sampled_from(AGG_FNS), st.sampled_from(AGG_COLS)),
+        min_size=1, max_size=3, unique=True,
+    ),
+    having=st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+)
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_group_by_aggregates(engine, duck, gcol, aggs, having):
+    """Random GROUP BY + aggregate sets (+ optional HAVING count(pk) > n)
+    must match DuckDB exactly — values, not just row counts. AVG compares
+    with a tolerance (sum-order float division); others exactly."""
+    sel = ", ".join(
+        f"{fn.lower()}(o.{col}) a{i}" for i, (fn, col) in enumerate(aggs)
+    )
+    d_sel = ", ".join(
+        f"{_agg_sql(fn, col)} AS a{i}" for i, (fn, col) in enumerate(aggs)
+    )
+    hv = f" having count(o.o_orderkey) > {having}" if having is not None else ""
+    d_hv = f" HAVING count(o_orderkey) > {having}" if having is not None else ""
+    q = f"select o.{gcol} g, {sel} from orders o group by o.{gcol}{hv}"
+    dq = f"SELECT {gcol} AS g, {d_sel} FROM orders GROUP BY {gcol}{d_hv}"
+    s = engine.session()
+    got = {r[0]: tuple(r)[1:] for r in s.execute(q).collect()}
+    want = {r[0]: tuple(r)[1:] for r in duck.execute(dq).fetchall()}
+    assert set(got) == set(want)
+    for k in got:
+        for i, ((fn, _c), g, w) in enumerate(zip(aggs, got[k], want[k])):
+            if fn == "AVG":
+                assert g == pytest.approx(w, rel=1e-9), (k, i)
+            else:
+                assert g == w or g == pytest.approx(w, rel=1e-12), (k, i)
