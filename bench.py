@@ -76,12 +76,12 @@ HEADLINE = [
     "dialect_count_distinct",
     # r3 continued-session additions (cheap family representatives; the
     # heavier new ops — bloom decontamination 1.5 s, quantile sketch and
-    # divergence ~0.9 s each — stay driver-window-verified but unbenched
-    # to keep the headline total comparable to r1)
+    # divergence ~0.9 s each, per-doc-codec image dedup 0.7 s — stay
+    # driver-window-verified but unbenched to keep the headline total
+    # comparable to r1)
     "chunk_documents_rag",
     "event_funnel_conversion",
     "dedup_incremental",
-    "mm_image_dedup",
     # NOT benched (driver-window-verified for correctness; each costs
     # ~1.4-1.6 s of pure setup side effects, and the bench total is the
     # round's headline number): incremental_rollup_distinct_users,

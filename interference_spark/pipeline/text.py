@@ -211,12 +211,16 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
         return F.aggregate(F.array_sort(arr), acc0, step)
 
     base = df.select(id_col, _tokens(F.col(text_col)).alias("__t"))
+    # the fold (per-element struct churn) only pays for itself where a
+    # plain array op can't answer: max-run needs it; distinct counts are
+    # 2-3× cheaper through array_distinct (measured at sf0.1)
     base = base.select(
         id_col,
         F.size("__t").alias("n_words"),
+        F.size(F.array_distinct("__t")).alias("__wnd"),
         run_stats(F.col("__t")).alias("__ws"),
         F.size(ngrams_from_tokens(F.col("__t"), 2)).alias("n_bigrams"),
-        run_stats(ngrams_from_tokens(F.col("__t"), 2)).alias("__bs"),
+        F.size(F.array_distinct(ngrams_from_tokens(F.col("__t"), 2))).alias("__bnd"),
     )
     nw = F.col("n_words").cast("double")
     nb = F.when(F.col("n_bigrams") == 0, F.lit(1)).otherwise(
@@ -225,10 +229,10 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
     return base.select(
         id_col,
         "n_words",
-        ((nw - F.col("__ws.nd").cast("double")) / nw).alias("dup_word_ratio"),
+        ((nw - F.col("__wnd").cast("double")) / nw).alias("dup_word_ratio"),
         (F.col("__ws.best").cast("double") / nw).alias("top_word_ratio"),
         (
-            (F.col("n_bigrams").cast("double") - F.col("__bs.nd").cast("double"))
+            (F.col("n_bigrams").cast("double") - F.col("__bnd").cast("double"))
             / nb
         ).alias("dup_bigram_ratio"),
     )
