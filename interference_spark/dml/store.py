@@ -435,3 +435,41 @@ def _to_arrow(dt) -> pa.DataType:
     if isinstance(dt, T.DecimalType):
         return pa.decimal128(dt.precision, dt.scale)
     raise InvalidParameter(f"unsupported type for managed store: {dt}")
+
+
+def table_manifest(spark: SparkSession, td: TableDef) -> DataFrame:
+    """Data-release manifest: one row per live part file — ``(file, n_rows,
+    n_bytes, digest)`` with an md5 content digest. The digest work is
+    distributed (binaryFile source: each executor hashes its files);
+    row counts come from parquet footers read driver-side (metadata-only,
+    ~KB per file). Publishing this next to an exported dataset makes a
+    release byte-verifiable: a consumer re-lists, re-hashes, and diffs.
+
+    At 100 TB: hashing is embarrassingly parallel and IO-bound; run it once
+    per immutable part at write/compact time and store incrementally
+    rather than re-hashing the table per release."""
+    from pyspark.sql import functions as F
+
+    files = _parts(td)
+    if not files:
+        return spark.createDataFrame(
+            [], "file string, n_rows long, n_bytes long, digest string"
+        )
+    rows = {
+        os.path.basename(f): pq.ParquetFile(f).metadata.num_rows for f in files
+    }
+    rows_df = spark.createDataFrame(
+        list(rows.items()), "file string, n_rows long"
+    )
+    digests = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(td.path, "part-*.parquet"))
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+            F.length(F.col("content")).cast("long").alias("n_bytes"),
+            F.md5(F.col("content")).alias("digest"),
+        )
+    )
+    return digests.join(F.broadcast(rows_df), "file").select(
+        "file", "n_rows", "n_bytes", "digest"
+    )

@@ -568,3 +568,27 @@ def test_lock_advisory_row_and_table(session, engine, fresh):
     # external tables cannot be locked
     with pytest.raises(errors.InvalidParameter):
         session.lock("region")
+
+
+def test_table_manifest_digests(spark, engine, fresh):
+    """Manifest rows match an independent pyarrow/hashlib recomputation and
+    cover exactly the live parts."""
+    import hashlib
+    import os
+
+    from interference_spark.dml import store
+
+    td = engine.catalog.get(fresh)
+    for start in (0, 10):
+        store.append_rows(
+            td, [{"id": start + i, "val": i, "tag": "m"} for i in range(10)]
+        )
+    got = {r["file"]: r for r in store.table_manifest(spark, td).collect()}
+    parts = store._parts(td)
+    assert set(got) == {os.path.basename(p) for p in parts}
+    for p in parts:
+        b = open(p, "rb").read()
+        r = got[os.path.basename(p)]
+        assert r["n_bytes"] == len(b)
+        assert r["digest"] == hashlib.md5(b).hexdigest()
+        assert r["n_rows"] == 10
