@@ -1740,6 +1740,119 @@ def sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
+def _ivf_exact_oracle(
+    k: int = 10, nprobe: int = 4, n_centroids: int = 16, dim: int = 64
+) -> str:
+    """Fully-unrolled 2-iteration Lloyd k-means + probe + top-k, every
+    reduction a floor-quantized BIGINT sum — recomputes the exact-math IVF
+    entry bit for bit (float k-means is partition-order-dependent and
+    stays rows-only; this variant exists to be oracle-checkable)."""
+
+    def one_iter(n: int, cin: str) -> str:
+        return f"""qn{n} AS (
+  SELECT cid, sum(CAST(floor(cval * cval * 1e10) AS BIGINT)) AS qn
+  FROM {cin} GROUP BY cid
+), s{n} AS (
+  SELECT ve.vec_id, c.cid,
+         sum(CAST(floor(ve.x * c.cval * 1e10) AS BIGINT)) AS qd
+  FROM ve JOIN {cin} c ON ve.pos = c.pos
+  GROUP BY ve.vec_id, c.cid
+), a{n} AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT s{n}.vec_id, s{n}.cid,
+           row_number() OVER (PARTITION BY s{n}.vec_id
+             ORDER BY CAST(s{n}.qd AS DOUBLE) / sqrt(CAST(qn{n}.qn AS DOUBLE)) DESC,
+                      s{n}.cid DESC) AS rn
+    FROM s{n} JOIN qn{n} USING (cid)
+  ) WHERE rn = 1
+), m{n} AS (
+  SELECT a{n}.centroid AS cid, ve.pos,
+         CAST(sum(CAST(floor(ve.x * 1e10) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1e10 AS cval
+  FROM a{n} JOIN ve USING (vec_id) GROUP BY a{n}.centroid, ve.pos
+), c{n} AS (
+  SELECT c.cid, c.pos, coalesce(m{n}.cval, c.cval) AS cval
+  FROM {cin} c LEFT JOIN m{n} ON c.cid = m{n}.cid AND c.pos = m{n}.pos
+)"""
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id <> 0
+), ve AS (
+  SELECT vec_id, i.i - 1 AS pos, e[i.i] AS x
+  FROM v CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), qe AS (
+  SELECT i.i - 1 AS pos, e[i.i] AS x
+  FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id = 0)
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), c0 AS (
+  SELECT s.vec_id AS cid, i.i - 1 AS pos, s.e[i.i] AS cval
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {n_centroids}) s
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), {one_iter(1, "c0")}, {one_iter(2, "c1")}, qnf AS (
+  SELECT cid, sum(CAST(floor(cval * cval * 1e10) AS BIGINT)) AS qn
+  FROM c2 GROUP BY cid
+), sf AS (
+  SELECT ve.vec_id, c.cid,
+         sum(CAST(floor(ve.x * c.cval * 1e10) AS BIGINT)) AS qd
+  FROM ve JOIN c2 c ON ve.pos = c.pos
+  GROUP BY ve.vec_id, c.cid
+), af AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT sf.vec_id, sf.cid,
+           row_number() OVER (PARTITION BY sf.vec_id
+             ORDER BY CAST(sf.qd AS DOUBLE) / sqrt(CAST(qnf.qn AS DOUBLE)) DESC,
+                      sf.cid DESC) AS rn
+    FROM sf JOIN qnf USING (cid)
+  ) WHERE rn = 1
+), pq AS (
+  SELECT c.cid, sum(CAST(floor(qe.x * c.cval * 1e10) AS BIGINT)) AS qd
+  FROM c2 c JOIN qe ON c.pos = qe.pos GROUP BY c.cid
+), pr AS (
+  SELECT cid FROM (
+    SELECT pq.cid,
+           row_number() OVER (
+             ORDER BY CAST(pq.qd AS DOUBLE) / sqrt(CAST(qnf.qn AS DOUBLE)) DESC,
+                      pq.cid ASC) AS rn
+    FROM pq JOIN qnf USING (cid)
+  ) WHERE rn <= {nprobe}
+), pairs AS (
+  SELECT ve.vec_id, ve.x, qe.x AS y
+  FROM ve JOIN qe USING (pos)
+  JOIN af USING (vec_id) JOIN pr ON af.centroid = pr.cid
+), sums AS (
+  SELECT vec_id,
+         sum(CAST(floor((x * y) * 1e14) AS BIGINT)) AS dot_d,
+         sum(CAST(floor((x * x) * 1e14) AS BIGINT)) AS na,
+         sum(CAST(floor((y * y) * 1e14) AS BIGINT)) AS nb
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id,
+       CAST(dot_d AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+FROM sums ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+@query("sim_ivf_exact", _ivf_exact_oracle())
+def sim_ivf_exact(spark, sf_dir):
+    """FULLY-ORACLED IVF (`similarity.ivf_search_exact`): deterministic
+    quantized k-means (2 Lloyd iterations, lowest-id init), quantized
+    assignment and probe ranking, quantized-cosine top-k — the oracle
+    unrolls both training iterations in SQL and reproduces every number.
+    Upgrades the IVF family from rows-only to hash-verified; the storage
+    variant below keeps the partition-pruned probe path."""
+    from .pipeline.similarity import ivf_search_exact
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_search_exact(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, nprobe=4, n_centroids=16
+    )
+
+
 @query("sim_ivf_search", None)
 def sim_ivf_search(spark, sf_dir):
     """IVF approximate NN: deterministic coarse quantizer, assignment

@@ -494,3 +494,139 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cosine")
     )
+
+
+# -------------------------------------------------- exact-math IVF (oracled)
+_QI = 1e10  # fixed-point scale for IVF scores/means
+
+
+def _argmax_centroid_exact(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest centroid with EXACT cross-engine arithmetic: score =
+    (Σ_j floor(x_j·c_j·1e10)) / sqrt(Σ_j floor(c_j²·1e10)) — integer
+    numerators, one double division+sqrt from identical ints, so any
+    engine computes the identical score and the identical argmax
+    (ties → higher centroid id, like the float variant)."""
+    order = sorted(cents, key=lambda cv: -cv[0])
+    ids = np.array([cid for cid, _ in order], dtype=np.int64)
+    c = np.stack([np.asarray(v, dtype=np.float64) for _, v in order])
+    qn = np.floor(c * c * _QI).astype(np.int64).sum(axis=1)
+    denom = np.sqrt(qn.astype(np.float64))
+    denom[denom == 0] = 1.0
+
+    @F.pandas_udf(T.LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = np.empty(len(vecs), dtype=np.int64)
+        chunk = 1024
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) if len(vecs) else np.zeros((0, c.shape[1]))
+        for s in range(0, len(vecs), chunk):
+            xb = X[s : s + chunk]
+            qd = np.floor(xb[:, None, :] * c[None, :, :] * _QI).astype(np.int64).sum(axis=2)
+            scores = qd.astype(np.float64) / denom[None, :]
+            out[s : s + len(xb)] = ids[np.argmax(scores, axis=1)]
+        return pd.Series(out)
+
+    return assign(vec)
+
+
+def ivf_train_exact(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """`ivf_train` with quantized-integer accumulation throughout: both
+    the assignment scores and the per-(centroid, dim) means are sums of
+    floor-quantized longs, so the trained centroids are bit-identical on
+    any partitioning AND recomputable by a SQL oracle — this is the
+    variant the full-oracle IVF entry runs. (The float variant keeps
+    Spark-native `avg`; its per-round means depend on partition order at
+    the last ulp, which a cross-engine oracle cannot tolerate.)"""
+    cents = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in df.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        assigned = df.select(
+            _argmax_centroid_exact(F.col(vec_col), cents).alias("centroid"),
+            F.posexplode(vec_d).alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("centroid", "pos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("x") * _QI).cast("long")).alias("qs"),
+            )
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["centroid"], {})[r["pos"]] = r["qs"] / r["n"] / _QI
+        cents = [
+            (
+                cid,
+                [by_c[cid][p] for p in sorted(by_c[cid])]
+                if cid in by_c
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
+def probe_centroids_exact(
+    cents: list[tuple[int, list[float]]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Probe ranking with the same exact quantized score as assignment
+    (ties → lower centroid id)."""
+    qa = np.asarray(query_vec, dtype=np.float64)
+    scored = []
+    for cid, cvec in cents:
+        ca = np.asarray(cvec, dtype=np.float64)
+        qd = int(np.floor(qa * ca * _QI).astype(np.int64).sum())
+        qn = int(np.floor(ca * ca * _QI).astype(np.int64).sum())
+        denom = np.sqrt(float(qn)) or 1.0
+        scored.append((-(qd / denom), cid))
+    scored.sort()
+    return [cid for _, cid in scored[:nprobe]]
+
+
+def ivf_search_exact(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """End-to-end exact-math IVF probe: deterministic quantized k-means,
+    quantized assignment, quantized probe ranking, quantized-cosine top-k
+    — every number recomputable by a SQL oracle."""
+    cents = ivf_train_exact(df, n_centroids, 2, vec_col, id_col)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_centroid_exact(F.col(vec_col), cents).alias("centroid"),
+    )
+    probe_ids = probe_centroids_exact(cents, query_vec, nprobe)
+    cand = assigned.filter(F.col("centroid").isin(probe_ids))
+    from .dedup import quantized_cosine_sums, quantized_cosine_value
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    zipped = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        q,
+        lambda x, y: F.named_struct(F.lit("x"), x, F.lit("y"), y),
+    )
+    expl = cand.select(id_col, F.explode(zipped).alias("v"))
+    sums = expl.groupBy(id_col).agg(
+        *quantized_cosine_sums(F.col("v.x"), F.col("v.y"))
+    )
+    return (
+        sums.withColumn("cosine", quantized_cosine_value())
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
