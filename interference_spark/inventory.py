@@ -4781,7 +4781,7 @@ _DRIVER_WINDOW = [
     "sim_cosine_topk",
     "sim_quantized_topk",
     "sim_lsh_multiprobe",
-    "sim_ivf_search",
+    "sim_ivf_exact",
     # text-analysis family
     "text_quality",
     "text_repetition",
