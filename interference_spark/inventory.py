@@ -3050,6 +3050,36 @@ def decontaminate_ngrams(spark, sf_dir):
 
 
 @query(
+    "text_typicality",
+    """WITH occ AS (
+         SELECT doc_id, substring(text, i.i, 2) AS bg
+         FROM documents CROSS JOIN LATERAL (
+           SELECT unnest(generate_series(1, greatest(length(text) - 1, 1))) AS i
+         ) i
+       ), c AS (
+         SELECT bg, count(*) AS cnt FROM occ GROUP BY bg
+       ), t AS (
+         SELECT sum(cnt) AS tot FROM c
+       ), qf AS (
+         SELECT bg, CAST(floor(cnt * 1000000 / tot) AS BIGINT) AS qf
+         FROM c CROSS JOIN t
+       )
+       SELECT occ.doc_id AS doc_id, count(*) AS n_bigrams,
+              CAST(floor(CAST(sum(qf.qf) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS typicality
+       FROM occ JOIN qf USING (bg) GROUP BY occ.doc_id""",
+)
+def text_typicality(spark, sf_dir):
+    """Corpus-typicality quality signal (`pipeline/text.
+    char_bigram_typicality`): a log-free perplexity proxy — average corpus
+    frequency of the doc's character bigrams, integer arithmetic end to
+    end. Low scores flag mojibake/binary/foreign-script outliers."""
+    from .pipeline.text import char_bigram_typicality
+
+    e = engine_for(spark, sf_dir)
+    return char_bigram_typicality(e.table("documents"))
+
+
+@query(
     "decontaminate_report",
     """WITH t AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk

@@ -441,6 +441,46 @@ PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def char_bigram_typicality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-typicality quality signal: how frequent (in the corpus) are
+    this document's character bigrams, on average — a perplexity proxy
+    that needs no language model and no ``log`` (whose last ULP is
+    engine-specific): typicality = ⌊avg over the doc's bigram occurrences
+    of ⌊count(bigram)·10⁶ / total_bigrams⌋⌋. Low scores flag docs that
+    do not look like the corpus (mojibake, foreign scripts, binary spew).
+
+    Shape at scale: corpus bigram counts are ONE combiner-friendly shuffle
+    on a bounded key space (charset², broadcast back); the per-doc average
+    is a second combiner-friendly shuffle on the doc id. Integer
+    arithmetic throughout (counts ≲ 9·10¹² stay overflow-safe; rescale the
+    10⁶ factor for corpora beyond that).
+    """
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - 1, F.lit(1))),
+        lambda i: F.substring(F.col(text_col), i, 2),
+    )
+    occ = df.select(id_col, F.explode(bigrams).alias("bg"))
+    counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    qf = counts.crossJoin(F.broadcast(total)).select(
+        "bg", F.floor(F.col("cnt") * 1000000 / F.col("tot")).cast("long").alias("qf")
+    )
+    return (
+        occ.join(F.broadcast(qf), "bg")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("qf").alias("__s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.floor(
+                F.col("__s").cast("double") / F.col("n_bigrams").cast("double")
+            ).cast("long").alias("typicality"),
+        )
+    )
+
+
 def contamination_report(
     df: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
     text_col: str = "text", n: int = 8,
