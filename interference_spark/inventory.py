@@ -3158,6 +3158,52 @@ def decontaminate_bloom(spark, sf_dir):
 
 
 @query(
+    "robust_outliers_by_type",
+    """WITH h AS (
+         SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2
+       ), cum AS (
+         SELECT event_type, value, c,
+                sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum
+         FROM h
+       ), t AS (
+         SELECT event_type, sum(c) AS n FROM h GROUP BY event_type
+       ), med AS (
+         SELECT cum.event_type,
+                min(CASE WHEN cum >= ceil(0.5 * t.n) THEN value END) AS med
+         FROM cum JOIN t USING (event_type) GROUP BY cum.event_type
+       ), dev AS (
+         SELECT e.event_type, abs(e.value - med.med) AS dv, med.med
+         FROM events e JOIN med USING (event_type)
+       ), dh AS (
+         SELECT event_type, dv, count(*) AS c FROM dev GROUP BY 1, 2
+       ), dcum AS (
+         SELECT event_type, dv, c,
+                sum(c) OVER (PARTITION BY event_type ORDER BY dv) AS cum
+         FROM dh
+       ), mad AS (
+         SELECT dcum.event_type,
+                min(CASE WHEN cum >= ceil(0.5 * t.n) THEN dv END) AS mad,
+                min(t.n) AS n
+         FROM dcum JOIN t USING (event_type) GROUP BY dcum.event_type
+       )
+       SELECT dev.event_type AS event_type,
+              CAST(min(mad.n) AS BIGINT) AS n_rows,
+              min(dev.med) AS median, min(mad.mad) AS mad,
+              CAST(sum(CASE WHEN dev.dv > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type""",
+)
+def robust_outliers_by_type(spark, sf_dir):
+    """Robust outlier profile (`pipeline/stats.robust_outliers`): exact
+    discrete median + MAD per event type and the count of values beyond
+    3 MADs — the data-QA gate that survives the outliers it hunts
+    (mean/stddev do not). Two exact-percentile passes, never a raw sort."""
+    from .pipeline.stats import robust_outliers
+
+    e = engine_for(spark, sf_dir)
+    return robust_outliers(e.table("events"), ("event_type",), "value")
+
+
+@query(
     "cohort_retention_daily",
     """WITH ud AS (
          SELECT DISTINCT user_id AS u,

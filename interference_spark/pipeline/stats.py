@@ -134,3 +134,46 @@ def cohort_retention(
         .groupBy(F.col("c").alias("cohort_period"), (F.col("p") - F.col("c")).alias("k"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    k_mad: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile via median/MAD — the quality gate
+    that survives the outliers it is hunting (mean/stddev do not): one row
+    per group with the exact discrete median, the exact median absolute
+    deviation, and how many rows sit beyond ``k_mad`` MADs.
+
+    Two passes, both the exact-percentile shape (value-histogram + running
+    sum over histogram rows, never a sort of raw data): pass 1 computes
+    medians; pass 2 re-keys deviations |x − median| through the same
+    machinery and counts exceedances. Subtraction/abs of doubles is exact
+    IEEE, so the whole profile is engine-reproducible.
+    """
+    med = exact_group_percentiles(df, key_cols, value_col, (0.5,)).select(
+        *key_cols, F.col("p50").alias("__med")
+    )
+    dev = df.join(med, list(key_cols)).select(
+        *key_cols,
+        F.col("__med"),
+        F.abs(F.col(value_col) - F.col("__med")).alias("__dev"),
+    )
+    mad = exact_group_percentiles(dev, key_cols, "__dev", (0.5,)).select(
+        *key_cols, F.col("n_rows"), F.col("p50").alias("mad")
+    )
+    out = (
+        dev.join(mad, list(key_cols))
+        .groupBy(*key_cols)
+        .agg(
+            F.first("__med").alias("median"),
+            F.first("mad").alias("mad"),
+            F.first("n_rows").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("__dev") > F.lit(k_mad) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+    return out.select(*key_cols, "n_rows", "median", "mad", "n_outliers")
