@@ -3158,6 +3158,42 @@ def decontaminate_bloom(spark, sf_dir):
 
 
 @query(
+    "asof_forward_attribution",
+    """WITH l AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+       ), r AS (
+         SELECT user_id, ts, min(value) AS pval
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+       )
+       SELECT l.event_id AS event_id,
+              (SELECT r.pval FROM r
+               WHERE r.user_id = l.user_id AND r.ts >= l.ts
+                 AND epoch(r.ts) - epoch(l.ts) <= 300
+               ORDER BY r.ts LIMIT 1) AS pval
+       FROM l""",
+)
+def asof_forward_attribution(spark, sf_dir):
+    """FORWARD as-of with tolerance (`plans/asof.as_of_join`): each view
+    event attributed to the user's next purchase within 5 minutes — the
+    next-event-attribution direction the backward entry cannot express,
+    bounded like pandas merge_asof. Same single-shuffle union+window plan,
+    sort reversed; out-of-tolerance matches null out."""
+    from .plans.asof import as_of_join
+
+    e = engine_for(spark, sf_dir)
+    ev = e.table("events")
+    l = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("pval"))
+    )
+    return as_of_join(
+        l, r, "user_id", "ts", "ts", direction="forward", tolerance_seconds=300
+    ).select("event_id", "pval")
+
+
+@query(
     "robust_outliers_by_type",
     """WITH h AS (
          SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2

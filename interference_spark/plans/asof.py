@@ -9,10 +9,19 @@ window's hash partition on the keys) regardless of table sizes — the
 classic scalable as-of shape, vs. the naive range-join which explodes into
 an O(n·m) theta join per key.
 
-Backward inclusive semantics: each left row gets the latest right row with
-``right_ts <= left_ts`` in its key group (right rows sort before left rows
-at equal ts). If several right rows share (key, ts), pre-deduplicate the
-right side — order among them is not defined.
+Directions (both inclusive at equal timestamps):
+
+* ``backward`` — each left row gets the LATEST right row with
+  ``right_ts <= left_ts`` (the default; market-data "last known value").
+* ``forward``  — each left row gets the EARLIEST right row with
+  ``right_ts >= left_ts`` (next-event attribution) — the same single
+  window pass with the sort reversed.
+
+``tolerance_seconds`` bounds the match distance: a carried right row
+further than the tolerance nulls out (pandas ``merge_asof`` semantics).
+
+If several right rows share (key, ts), pre-deduplicate the right side —
+order among them is not defined.
 """
 
 from __future__ import annotations
@@ -29,9 +38,14 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Left as-of-backward join. Right columns (except keys) are appended,
-    renamed with ``suffix`` on collision; unmatched left rows keep nulls."""
+    """Left as-of join. Right columns (except keys) are appended, renamed
+    with ``suffix`` on collision; unmatched (or out-of-tolerance) left
+    rows keep nulls."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns if c not in keys]
     rvals = [c for c in right.columns if c not in keys]
@@ -59,18 +73,52 @@ def as_of_join(
         ],
         *[F.col(c).alias(f"__r_{c}") for c in rvals],
     )
+    # backward: ascending ts, right (0) before left (1) at equal ts;
+    # forward: descending ts, right still first at equal ts — in both, the
+    # window's carried "last right row seen" is exactly the direction's
+    # nearest match
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__src").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__src").asc()]
     w = (
         W.partitionBy(*keys)
-        .orderBy("__ts", "__src")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(out_name[c])
+        for c in rvals
+    ]
+    mts = F.last(
+        F.when(F.col("__src") == 0, F.col("__ts")), ignorenulls=True
+    ).over(w)
     filled = l2.unionByName(r2).select(
-        *keys,
-        "__src",
-        *lcols,
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(out_name[c])
-            for c in rvals
-        ],
+        *keys, "__ts", "__src", *lcols, *carried, mts.alias("__mts")
     )
-    return filled.filter(F.col("__src") == 1).drop("__src")
+    out = filled.filter(F.col("__src") == 1)
+    if tolerance_seconds is not None:
+        # TIMESTAMP_NTZ cannot cast straight to DOUBLE (the r2
+        # events_agg_by_type lesson) — route timestamp variants through
+        # TIMESTAMP first; plain numerics cast directly
+        from pyspark.sql import types as T
+
+        def secs(c):
+            if isinstance(
+                filled.schema["__ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+            ):
+                return c.cast("timestamp").cast("double")
+            return c.cast("double")
+
+        diff = secs(F.col("__ts")) - secs(F.col("__mts"))
+        if direction == "forward":
+            diff = -diff
+        ok = F.col("__mts").isNotNull() & (diff <= tolerance_seconds)
+        out = out.select(
+            *keys, "__ts", *lcols,
+            *[
+                F.when(ok, F.col(out_name[c])).alias(out_name[c])
+                for c in rvals
+            ],
+        )
+    return out.drop("__src", "__mts", "__ts")

@@ -715,3 +715,42 @@ def test_apng_frame_sample_real(spark):
         for fi, png in frames:
             arr = decode_png(png)
             assert (arr == ((base + fi * 31) % 256).astype(np.uint8)).all()
+
+
+def test_as_of_join_forward_and_tolerance(spark):
+    from interference_spark.plans.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (1, 35.0, "c"), (2, 5.0, "d")],
+        "k long, t double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 12.0, 100.0), (1, 20.0, 200.0), (1, 50.0, 500.0)],
+        "k long, t double, rv double",
+    )
+    fwd = {
+        r["tag"]: r["rv"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", direction="forward"
+        ).collect()
+    }
+    # a(10)→12, b(20)→20 (inclusive), c(35)→50, d: no right for k=2
+    assert fwd == {"a": 100.0, "b": 200.0, "c": 500.0, "d": None}
+    tol = {
+        r["tag"]: r["rv"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", direction="forward",
+            tolerance_seconds=5.0,
+        ).collect()
+    }
+    # c(35)→50 is 15 away: nulled by tolerance
+    assert tol == {"a": 100.0, "b": 200.0, "c": None, "d": None}
+    back_tol = {
+        r["tag"]: r["rv"]
+        for r in as_of_join(
+            left, right, "k", "t", "t", direction="backward",
+            tolerance_seconds=5.0,
+        ).collect()
+    }
+    # a(10): no earlier right; b(20)→20; c(35)→20 is 15 back: nulled
+    assert back_tol == {"a": None, "b": 200.0, "c": None, "d": None}
