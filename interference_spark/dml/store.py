@@ -473,3 +473,64 @@ def table_manifest(spark: SparkSession, td: TableDef) -> DataFrame:
     return digests.join(F.broadcast(rows_df), "file").select(
         "file", "n_rows", "n_bytes", "digest"
     )
+
+
+def _zorder_key(cols: list[tuple[str, float, float]], bits: int = 16):
+    """Interleaved-bit z-order key: each column range-bucketed to ``bits``
+    bits over its [lo, hi) domain, buckets bit-interleaved so files sorted
+    by the key are tight in EVERY dimension at once."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    buckets = []
+    for name, lo, hi in cols:
+        w = (hi - lo) / float(1 << bits)
+        b = F.floor((F.col(name).cast("double") - F.lit(lo)) / F.lit(w)).cast("long")
+        buckets.append(F.least(F.lit((1 << bits) - 1), F.greatest(F.lit(0), b)))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for c, b in enumerate(buckets):
+            key = key + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + c
+            )
+    return key
+
+
+def cluster_table_zorder(
+    spark: SparkSession,
+    td: TableDef,
+    cluster_by: tuple[str, ...],
+    n_parts: int | None = None,
+    bits: int = 16,
+) -> None:
+    """OPTIMIZE … ZORDER BY: multi-dimensional clustering. Single-column
+    CLUSTER BY gives disjoint per-file stats on ONE column — predicates on
+    any other column still read every file. Z-ordering interleaves the
+    bucket bits of every cluster column, so each rewritten file covers a
+    small hyper-rectangle: parquet min/max stats become tight in ALL
+    cluster dimensions and point/range predicates on ANY of them skip
+    files (the Delta OPTIMIZE ZORDER idea on plain parquet).
+
+    Domain bounds come from one cheap min/max pass (offline maintenance
+    op, like `cluster_table`); cost is the same single range-shuffle +
+    sort. At 100 TB run per partition directory."""
+    from pyspark.sql import functions as F
+
+    df = read_managed(spark, td)
+    aggs = []
+    for c in cluster_by:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
+    r = df.agg(*aggs).first()
+    cols = []
+    for c in cluster_by:
+        lo, hi = r[f"__lo_{c}"], r[f"__hi_{c}"]
+        hi = hi + 1.0 if hi is not None else 1.0  # half-open upper bound
+        cols.append((c, float(lo or 0.0), float(hi)))
+    key = _zorder_key(cols, bits)
+    if n_parts is None:
+        n_parts = max(1, len(_parts(td)))
+    out = df.withColumn("__zk", key).repartitionByRange(
+        n_parts, "__zk"
+    ).sortWithinPartitions("__zk").drop("__zk")
+    overwrite(td, out)
