@@ -383,9 +383,15 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
                     else g.name
                     for g in q.group_by
                 ]
-                out = out.join(
-                    grouped_src.groupBy(*gcols).agg(*split_aggs), keys
+                other = grouped_src.groupBy(*gcols).agg(*split_aggs)
+                # null-SAFE key equality: both sides emit a NULL-key group
+                # row; a plain equi-join would drop it (NULL != NULL) while
+                # the unsplit builtin path keeps it
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [out[k].eqNullSafe(other[k]) for k in keys],
                 )
+                out = out.join(other, cond).drop(*[other[k] for k in keys])
             if hfilter is not None:
                 # post-aggregate filter: runs AFTER partial+final agg, so
                 # only one group row per key is ever tested (never raw rows)

@@ -448,9 +448,14 @@ class Parser:
             # COUNT(DISTINCT col) extension (the reference has no DISTINCT
             # inside aggregates); other aggregates reject the modifier
             dm = re.match(r"^DISTINCT\s+(.*)$", inner, re.S | re.I)
-            distinct = bool(dm) and fname in FUNCS
+            distinct = bool(dm) and (
+                fname in FUNCS or fname in self.engine.group_functions
+            )
             if distinct:
                 if fname != "COUNT":
+                    # covers custom group functions too — without this the
+                    # un-stripped 'DISTINCT col' falls through to a baffling
+                    # "bad column reference" error
                     raise InvalidColumnDescription(
                         f"DISTINCT is supported only in COUNT(...), not {fname}"
                     )

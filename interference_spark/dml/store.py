@@ -516,6 +516,11 @@ def cluster_table_zorder(
     sort. At 100 TB run per partition directory."""
     from pyspark.sql import functions as F
 
+    n_dims = len(cluster_by)
+    # the interleaved key must fit a signed long: bit position
+    # (bits-1)*n + (n-1) ≤ 62 — cap bits rather than let shiftleft(·,63)
+    # wrap into the sign bit and garble the sort order
+    bits = min(bits, 63 // max(1, n_dims))
     df = read_managed(spark, td)
     aggs = []
     for c in cluster_by:

@@ -3424,7 +3424,7 @@ def exact_value_percentiles(spark, sf_dir):
          SELECT event_type,
                 least(255, greatest(0, CAST(floor(value / 3.90625) AS BIGINT))) AS bin,
                 count(*) AS c
-         FROM events GROUP BY 1, 2
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2
        ), cum AS (
          SELECT event_type, bin, c,
                 sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
@@ -4116,7 +4116,7 @@ def incremental_rollup_distinct_users(spark, sf_dir):
          SELECT event_type,
                 least(255, greatest(0, CAST(floor(value / 3.90625) AS BIGINT))) AS bin,
                 count(*) AS c
-         FROM events GROUP BY 1, 2
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2
        ), cum AS (
          SELECT event_type, bin, c,
                 sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
@@ -4686,7 +4686,7 @@ _HH_KEY_SQL = (
          SELECT {_HH_KEY_SQL} AS hkey FROM events
        ), n AS (SELECT count(*) AS n FROM t)
        SELECT hkey, count(*) AS cnt FROM t CROSS JOIN n
-       GROUP BY hkey, n.n HAVING count(*) * 8 >= n.n""",
+       GROUP BY hkey, n.n HAVING count(*) * 8 > n.n""",
 )
 def stream_heavy_hitters(spark, sf_dir):
     """Heavy hitters over an unbounded stream with O(k) state: Misra-Gries
@@ -4737,7 +4737,7 @@ def stream_heavy_hitters(spark, sf_dir):
         batch.join(F.broadcast(cands), "hkey", "left_semi")
         .groupBy("hkey")
         .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") * 8 >= F.lit(n_total))
+        .filter(F.col("cnt") * 8 > F.lit(n_total))
     )
 
 

@@ -302,6 +302,34 @@ def ivf_search_stored(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def _score_pairs_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail of every bucketed-ANN variant: quantized-cosine
+    the (query, candidate) pairs (columns query_id, cand_id, eq, ec) and
+    keep each query's top-k (ties → lower cand_id). One place owns the
+    quantization scale and tie-break, so the SQL oracles cannot drift
+    between variants."""
+    from pyspark.sql import Window
+
+    from .dedup import quantized_cosine_sums, quantized_cosine_value
+
+    zipped = F.zip_with(
+        F.col("eq"), F.col("ec"),
+        lambda x, y: F.named_struct(F.lit("x"), x, F.lit("y"), y),
+    )
+    expl = pairs.select("query_id", "cand_id", F.explode(zipped).alias("v"))
+    sums = expl.groupBy("query_id", "cand_id").agg(
+        *quantized_cosine_sums(F.col("v.x"), F.col("v.y"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        sums.withColumn("cosine", quantized_cosine_value())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cosine")
+    )
+
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_filter,
@@ -321,13 +349,7 @@ def lsh_bucketed_topk(
     cosine (engine-reproducible); ranking is a window PARTITIONED BY query
     id — parallel across queries, no global sort.
     """
-    from pyspark.sql import Window
-
-    from .dedup import (
-        hyperplane_buckets,
-        quantized_cosine_sums,
-        quantized_cosine_value,
-    )
+    from .dedup import hyperplane_buckets
 
     b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim)
     qs = b.filter(query_filter(F.col(id_col))).select(
@@ -336,25 +358,7 @@ def lsh_bucketed_topk(
     cs = b.filter(~query_filter(F.col(id_col))).select(
         F.col(id_col).alias("cand_id"), F.col("__e").alias("ec"), "bucket"
     )
-    zipped = F.zip_with(
-        F.col("eq"), F.col("ec"),
-        lambda x, y: F.named_struct(F.lit("x"), x, F.lit("y"), y),
-    )
-    expl = qs.join(cs, "bucket").select(
-        "query_id", "cand_id", F.explode(zipped).alias("v")
-    )
-    sums = expl.groupBy("query_id", "cand_id").agg(
-        *quantized_cosine_sums(F.col("v.x"), F.col("v.y"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
-    return (
-        sums.withColumn("cosine", quantized_cosine_value())
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "cand_id", "cosine")
-    )
+    return _score_pairs_topk(qs.join(cs, "bucket"), k)
 
 
 def lsh_multiprobe_topk(
@@ -379,13 +383,7 @@ def lsh_multiprobe_topk(
     pair is scored twice. Scoring/ranking identical to
     :func:`lsh_bucketed_topk` (quantized cosine, per-query window).
     """
-    from pyspark.sql import Window
-
-    from .dedup import (
-        hyperplane_buckets,
-        quantized_cosine_sums,
-        quantized_cosine_value,
-    )
+    from .dedup import hyperplane_buckets
 
     b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim)
     flips = [F.col("bucket")]
@@ -409,25 +407,7 @@ def lsh_multiprobe_topk(
     cs = b.filter(~query_filter(F.col(id_col))).select(
         F.col(id_col).alias("cand_id"), F.col("__e").alias("ec"), "bucket"
     )
-    zipped = F.zip_with(
-        F.col("eq"), F.col("ec"),
-        lambda x, y: F.named_struct(F.lit("x"), x, F.lit("y"), y),
-    )
-    expl = qs.join(cs, "bucket").select(
-        "query_id", "cand_id", F.explode(zipped).alias("v")
-    )
-    sums = expl.groupBy("query_id", "cand_id").agg(
-        *quantized_cosine_sums(F.col("v.x"), F.col("v.y"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
-    return (
-        sums.withColumn("cosine", quantized_cosine_value())
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "cand_id", "cosine")
-    )
+    return _score_pairs_topk(qs.join(cs, "bucket"), k)
 
 
 def hard_negatives(
@@ -449,13 +429,7 @@ def hard_negatives(
     by bucket size, never O(n)); the label-mismatch test rides the bucket
     join as a join-time filter, so same-label pairs are dropped before any
     scoring work."""
-    from pyspark.sql import Window
-
-    from .dedup import (
-        hyperplane_buckets,
-        quantized_cosine_sums,
-        quantized_cosine_value,
-    )
+    from .dedup import hyperplane_buckets
 
     labels = df.select(F.col(id_col), F.col(label_col).alias("__lbl"))
     b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim).join(
@@ -473,26 +447,8 @@ def hard_negatives(
         F.col("__lbl").alias("lc"),
         "bucket",
     )
-    zipped = F.zip_with(
-        F.col("eq"), F.col("ec"),
-        lambda x, y: F.named_struct(F.lit("x"), x, F.lit("y"), y),
-    )
-    expl = (
-        qs.join(cs, "bucket")
-        .filter(F.col("lq") != F.col("lc"))
-        .select("query_id", "cand_id", F.explode(zipped).alias("v"))
-    )
-    sums = expl.groupBy("query_id", "cand_id").agg(
-        *quantized_cosine_sums(F.col("v.x"), F.col("v.y"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
-    return (
-        sums.withColumn("cosine", quantized_cosine_value())
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "cand_id", "cosine")
+    return _score_pairs_topk(
+        qs.join(cs, "bucket").filter(F.col("lq") != F.col("lc")), k
     )
 
 

@@ -130,7 +130,13 @@ def hist_group_quantiles(
     """
     w = (hi - lo) / bins
     h = (
-        df.groupBy(*keys, hist_bin(F.col(col), lo, hi, bins).alias("bin"))
+        # NULL values are excluded up front: a NULL bin would otherwise
+        # enter n_rows and sort FIRST in the cumulation (Spark ASC nulls
+        # first), shifting every rank and making the crossing bin's
+        # estimate NULL — and it would diverge from the rollup 'hist'
+        # partial, which never scatters a NULL cell
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, hist_bin(F.col(col), lo, hi, bins).alias("bin"))
         .agg(F.count("*").alias("c"))
     )
     win = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin")

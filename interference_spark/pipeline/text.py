@@ -329,10 +329,18 @@ def group_divergence(
     toks = df.select(
         F.col(group_col).alias("g"), _tokens(F.col(text_col)).alias("__t")
     ).select("g", F.explode("__t").alias("w"))
-    gc = toks.groupBy("g", "w").agg(F.count("*").alias("ca"))
+    # gc feeds four consumers (per-token totals, per-group totals, the
+    # grand total, the term join) — persist the AGGREGATED rows so the
+    # corpus is tokenized exactly once, and derive n_all from the tiny
+    # per-group sums instead of a second full scan
+    gc = toks.groupBy("g", "w").agg(F.count("*").alias("ca")).persist()
     tot = gc.groupBy("w").agg(F.sum("ca").alias("ct"))
-    n_g = gc.groupBy("g").agg(F.sum("ca").alias("na"))
-    n_all = toks.count()
+    n_g_rows = gc.groupBy("g").agg(F.sum("ca").alias("na")).collect()
+    n_all = sum(r["na"] for r in n_g_rows)
+    gtype = df.schema[group_col].dataType.simpleString()
+    n_g = df.sparkSession.createDataFrame(
+        [(r["g"], r["na"]) for r in n_g_rows], f"g {gtype}, na long"
+    )
     j = gc.join(tot, "w").join(F.broadcast(n_g), "g")
     pa = F.col("ca").cast("double") / F.col("na").cast("double")
     pb = (F.col("ct") - F.col("ca")).cast("double") / (

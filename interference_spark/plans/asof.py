@@ -73,14 +73,20 @@ def as_of_join(
         ],
         *[F.col(c).alias(f"__r_{c}") for c in rvals],
     )
+    # a NULL-timestamp right row can never be anyone's nearest match —
+    # drop it up front (with desc NULLS LAST ordering it would otherwise
+    # be carried into every forward row)
+    r2 = r2.filter(F.col("__ts").isNotNull())
     # backward: ascending ts, right (0) before left (1) at equal ts;
     # forward: descending ts, right still first at equal ts — in both, the
     # window's carried "last right row seen" is exactly the direction's
-    # nearest match
+    # nearest match. NULL-ts LEFT rows must sort before any right row in
+    # both directions (→ no match, symmetric): asc defaults to NULLS
+    # FIRST; desc needs it explicitly.
     if direction == "backward":
         order = [F.col("__ts").asc(), F.col("__src").asc()]
     else:
-        order = [F.col("__ts").desc(), F.col("__src").asc()]
+        order = [F.col("__ts").desc_nulls_first(), F.col("__src").asc()]
     w = (
         W.partitionBy(*keys)
         .orderBy(*order)

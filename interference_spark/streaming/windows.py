@@ -98,7 +98,8 @@ def tumbling_keychange(
                 row[out] = _agg_value(func, st["vals"][c])
             emitted.append(row)
 
-        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        batch_list = list(pdfs)  # an iterator is always truthy — materialize
+        batch = pd.concat(batch_list, ignore_index=True) if batch_list else pd.DataFrame()
         if len(batch):
             batch = batch.sort_values(order_col)
             for _, r in batch.iterrows():
@@ -144,7 +145,8 @@ def sliding_count_window(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         buf: list[dict] = json.loads(state.get[0]) if state.exists else []
         emitted: list[dict] = []
-        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        batch_list = list(pdfs)  # an iterator is always truthy — materialize
+        batch = pd.concat(batch_list, ignore_index=True) if batch_list else pd.DataFrame()
         if len(batch):
             batch = batch.sort_values(order_col)
             for _, r in batch.iterrows():
@@ -209,7 +211,8 @@ def misra_gries(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         st = json.loads(state.get[0]) if state.exists else {"ord": -1, "c": {}}
         counters: dict[str, int] = st["c"]
-        batch = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        batch_list = list(pdfs)  # an iterator is always truthy — materialize
+        batch = pd.concat(batch_list, ignore_index=True) if batch_list else pd.DataFrame()
         if len(batch):
             batch = batch.sort_values(order_col)
             for v in batch[value_col]:

@@ -281,3 +281,40 @@ def test_custom_group_function_matrix(spark, engine):
             s.execute("select stream median(t.v) m, t.id from GfStream t group by t.id")
     finally:
         engine.drop_table("GfStream")
+
+
+def test_custom_group_function_keeps_null_key_group(spark, engine):
+    """The mixed custom+builtin split aggregation must not drop the
+    NULL-key group (plain equi-join would: NULL != NULL)."""
+    from pyspark.sql import functions as F
+
+    from interference_spark import errors
+    import pytest as _pytest
+
+    def vrange(v):
+        return float(v.max() - v.min())
+
+    engine.register_group_function("VRANGE2", vrange, "double")
+    engine.register_table("NullG", "id long, tag string, v double", id_col="id")
+    s = engine.session()
+    try:
+        s.persist("NullG", [
+            {"id": 1, "tag": "a", "v": 1.0},
+            {"id": 2, "tag": "a", "v": 5.0},
+            {"id": 3, "tag": None, "v": 2.0},
+            {"id": 4, "tag": None, "v": 10.0},
+        ])
+        s.commit()
+        got = {
+            r["ttag"]: (r["vr"], r["c"])
+            for r in s.execute(
+                "select t.tag, vrange2(t.v) vr, count(t.id) c "
+                "from NullG t group by t.tag"
+            ).collect()
+        }
+        assert got == {"a": (4.0, 2), None: (8.0, 2)}
+        # clear DISTINCT rejection for custom functions too
+        with _pytest.raises(errors.InvalidColumnDescription, match="DISTINCT"):
+            s.execute("select vrange2(distinct t.v) x from NullG t group by t.tag")
+    finally:
+        engine.drop_table("NullG")

@@ -754,3 +754,24 @@ def test_as_of_join_forward_and_tolerance(spark):
     }
     # a(10): no earlier right; b(20)→20; c(35)→20 is 15 back: nulled
     assert back_tol == {"a": None, "b": 200.0, "c": None, "d": None}
+
+
+def test_as_of_join_null_timestamps_symmetric(spark):
+    """NULL-ts left rows match nothing in BOTH directions; NULL-ts right
+    rows are never anyone's match."""
+    from interference_spark.plans.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, None, "n")], "k long, t double, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 50.0), (1, 15.0, 150.0), (1, None, -1.0)],
+        "k long, t double, rv double",
+    )
+    back = {r["tag"]: r["rv"] for r in as_of_join(left, right, "k", "t", "t").collect()}
+    fwd = {
+        r["tag"]: r["rv"]
+        for r in as_of_join(left, right, "k", "t", "t", direction="forward").collect()
+    }
+    assert back == {"a": 50.0, "n": None}
+    assert fwd == {"a": 150.0, "n": None}
