@@ -135,7 +135,13 @@ def main() -> None:
         # per-query fault isolation: one broken query must never zero the
         # whole bench run — record the error and keep measuring the rest
         try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm (JIT, code cache)
+            # warm TWICE: measured decay is ~8s → 1.0s → 0.8s → settled for
+            # the UDF-heavy queries (JIT tiers + Python worker pool + cache
+            # population all land across the first two runs); a single warm
+            # leaves the timed best-of-2 straddling the second tier and
+            # reads 1.5-3x noisy run over run
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = float("inf")
             for _ in range(2):  # best-of-2: robust to transient host noise
                 t0 = time.perf_counter()
