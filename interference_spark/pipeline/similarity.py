@@ -161,12 +161,16 @@ def ivf_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic distributed Lloyd iterations: init = the n lowest-id
-    vectors (reproducible, no RNG), then ``iters`` rounds of
-    assign-(argmax cosine)-and-average, entirely as DataFrame ops — the
-    per-round shuffle is (centroid, dim_pos) partial means, never vectors
-    to the driver (only the n_centroids × dim means are collected).
-    Empty clusters keep their previous centroid."""
+    """Distributed Lloyd iterations: init = the n lowest-id vectors
+    (reproducible, no RNG), then ``iters`` rounds of assign-(argmax
+    cosine)-and-average, entirely as DataFrame ops — the per-round shuffle
+    is (centroid, dim_pos) partial means, never vectors to the driver
+    (only the n_centroids × dim means are collected). Empty clusters keep
+    their previous centroid. Reproducible for a FIXED partitioning (what
+    the rows-only determinism check verifies); the float ``avg`` means can
+    differ at the last ulp across partitionings — use
+    :func:`ivf_train_exact` when cross-run/cross-engine bit-equality
+    matters."""
     cents = [
         (int(r[id_col]), [float(x) for x in r[vec_col]])
         for r in df.orderBy(id_col).limit(n_centroids).collect()
