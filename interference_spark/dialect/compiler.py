@@ -362,8 +362,13 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
                 for i in q.items
                 if not i.is_agg
             }
+            # plain keys get UNIQUE internal aliases (__g0, __g1, …): two
+            # tables can both carry a column named `key`, and grouping on
+            # both would otherwise leave two output columns named `key` —
+            # every later by-name reference then raises AMBIGUOUS_REFERENCE
             gcols = []
-            for g in q.group_by:
+            gkey_name: dict[tuple, str] = {}
+            for gi, g in enumerate(q.group_by):
                 sc = getattr(g, "scalar", None)
                 if sc:
                     name = out_names[(sc, g.alias, g.name)]
@@ -373,14 +378,16 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
                         ).alias(name)
                     )
                 else:
-                    gcols.append(_col(g))
+                    internal = f"__g{gi}"
+                    gkey_name[(g.alias, g.name)] = internal
+                    gcols.append(_col(g).alias(internal))
             grouped_src = out
             out = out.groupBy(*gcols).agg(*aggs, *extra)
             if split_aggs:
                 keys = [
                     out_names[(getattr(g, "scalar", None), g.alias, g.name)]
                     if getattr(g, "scalar", None)
-                    else g.name
+                    else gkey_name[(g.alias, g.name)]
                     for g in q.group_by
                 ]
                 other = grouped_src.groupBy(*gcols).agg(*split_aggs)
@@ -409,11 +416,16 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
                     # (one evaluation per group, not per row)
                     sel.append(
                         _scalar_fn(
-                            i.scalar, F.col(i.ref.name), _dtype_of(dfs, i.ref), engine
+                            i.scalar,
+                            F.col(gkey_name[(i.ref.alias, i.ref.name)]),
+                            _dtype_of(dfs, i.ref),
+                            engine,
                         ).alias(i.out_name)
                     )
                 else:
-                    sel.append(F.col(i.ref.name).alias(i.out_name))
+                    sel.append(
+                        F.col(gkey_name[(i.ref.alias, i.ref.name)]).alias(i.out_name)
+                    )
             out = out.select(*sel)
         else:
             grouped_src = out

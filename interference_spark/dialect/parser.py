@@ -659,7 +659,21 @@ class Parser:
             inner = rhs[1:-1].strip()
             if inner.upper().startswith("SELECT"):
                 sub = Parser(self.engine).parse(inner)
-                if len(sub.items) != 1:
+                # a set-operation subquery parses to SetQuery (no .items) —
+                # supported when every leaf branch selects one column; the
+                # bare len(sub.items) probe would escape the SQLException
+                # taxonomy with an AttributeError
+
+                def _leaves(x):
+                    ps = getattr(x, "parts", None)
+                    if ps is None:
+                        return [x]
+                    out = []
+                    for p in ps:
+                        out.extend(_leaves(p))
+                    return out
+
+                if any(len(b.items) != 1 for b in _leaves(sub)):
                     raise InvalidCondition("IN subquery must select one column")
                 return SubqueryCondition(ref=lhs, query=sub, negated=op.startswith("NOT"))
             vals = [self._parse_literal(v.strip(), ltype, src) for v in _split_top(inner)]

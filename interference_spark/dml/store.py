@@ -352,8 +352,18 @@ def upsert(
         .select("__f")
         .distinct()
     )
-    affected = {r["__f"].removeprefix("file://") for r in located.collect()}
-    affected = {f for f in files if f in affected or "file://" + f in affected}
+    # input_file_name() returns a URI (percent-encoded, file:// scheme) —
+    # comparing it against raw filesystem paths silently matches NOTHING
+    # for warehouses containing spaces/unicode, which would keep the old
+    # rows AND append the new ones (duplicate @Ids). Part names are
+    # uuid-unique within the table, so compare decoded basenames.
+    from urllib.parse import unquote, urlparse
+
+    located_names = {
+        os.path.basename(unquote(urlparse(r["__f"]).path))
+        for r in located.collect()
+    }
+    affected = {f for f in files if os.path.basename(f) in located_names}
     if affected:
         n_out = max(1, -(-sum(os.path.getsize(f) for f in affected) // TARGET_PART_BYTES))
         survivors = (

@@ -304,7 +304,10 @@ class Engine:
 
             return read_managed(self.spark, td)
         fmt = td.meta.get("format")
-        if fmt and fmt != "parquet":
+        # parquet WITH reader options must also go through the generic
+        # format reader — the plain-parquet fast path below would silently
+        # drop e.g. mergeSchema and return rows missing merged columns
+        if fmt and (fmt != "parquet" or td.meta.get("options")):
             reader = self.spark.read.format(fmt).options(
                 **td.meta.get("options", {})
             )

@@ -3522,9 +3522,14 @@ def exact_variance_by_type(spark, sf_dir):
               CAST(len(regexp_extract_all(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
                 AS n_emails,
-              CAST(len(regexp_extract_all(text,
+              CAST(len(regexp_extract_all(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phones,
-              CAST(len(regexp_extract_all(text,
+              CAST(len(regexp_extract_all(
+                  regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT)
                 AS n_ips
        FROM inj""",

@@ -409,16 +409,17 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
+    # gram arrays feed the plan-selection count AND whichever branch runs
+    # (index build + both verify sides, or the bitmap build) — persist
+    # BEFORE branching so the expensive ngram transform runs once, not 3×
+    # on the bitmap path
+    grams = grams.persist()
     # plan selection: one cheap vocabulary-count pass (see docstring)
     n_vocab = grams.select(F.explode("grams").alias("g")).distinct().count()
     if n_vocab <= bitmap_vocab_cap:
         return _bitmap_allpairs_jaccard(grams, id_col, threshold)
 
     from pyspark.sql import Window as W
-
-    # gram arrays feed the index build AND both verify sides — compute the
-    # (expensive) ngram transform once
-    grams = grams.persist()
     exploded = grams.select(id_col, "n_grams", F.explode("grams").alias("g"))
     freq = exploded.groupBy("g").agg(F.count("*").alias("df_g"))
     ranked = exploded.join(freq, "g").withColumn(
@@ -573,7 +574,16 @@ def hyperplane_buckets(
     Plane constants are seeded numpy normals inlined as literals, so the
     DuckDB oracle reproduces buckets bit for bit."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None:
+            # empty corpus (routine pipeline edge: a filter matched zero
+            # rows) → zero buckets, not a NoneType crash
+            return df.select(
+                F.col(id_col),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__e"),
+                F.lit("").alias("bucket"),
+            ).limit(0)
+        dim = len(probe[0])
     rng = np.random.RandomState(seed)
     hyper = rng.standard_normal((planes, dim))
 
@@ -648,13 +658,10 @@ def embedding_neardup_pairs(
     r = bucketed.select(
         F.col(id_col).alias("id_b"), F.col("__e").alias("eb"), "bucket"
     )
-    # Deterministic cosine on ANY partitioning and engine: per-position
-    # products (exact doubles for float32 inputs) are quantized with
-    # floor(p * 1e14) into BIGINTs — floor has no tie-breaking (unlike
-    # double→decimal rounding, where Spark HALF_UP vs DuckDB banker's
-    # rounding diverge) — and integer sums are exact. Quantization error
-    # ≤ dim·1e-14 on an LSH similarity score is immaterial.
-    q = F.lit(1e14)
+    # Deterministic cosine on ANY partitioning and engine — the quantized
+    # floor(p·1e14) BIGINT accumulation owned by quantized_cosine_sums /
+    # quantized_cosine_value (one place owns the scale and recombination,
+    # so this score cannot drift from the ANN variants or their oracles).
     cand = (
         l.join(r, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -667,17 +674,11 @@ def embedding_neardup_pairs(
     expl = cand.select(
         "id_a", "id_b", F.explode(zipped).alias("v")
     )
-    x, y = F.col("v.x"), F.col("v.y")
     sums = expl.groupBy("id_a", "id_b").agg(
-        F.sum(F.floor((x * y) * q)).alias("dot_d"),
-        F.sum(F.floor((x * x) * q)).alias("na"),
-        F.sum(F.floor((y * y) * q)).alias("nb"),
-    )
-    cos = F.col("dot_d").cast("double") / (
-        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+        *quantized_cosine_sums(F.col("v.x"), F.col("v.y"))
     )
     return (
-        sums.withColumn("cosine", cos)
+        sums.withColumn("cosine", quantized_cosine_value())
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -34,7 +34,17 @@ def salted_join(
     The salt is ``xxhash64`` of the large side's whole row — deterministic,
     uniform, and independent of the join key (which is constant within the
     hot group, so hashing the key alone would not scatter it).
+
+    Only join types whose output is defined per LARGE-side row are
+    supported: with the small side replicated ``salt`` ways, a right/full
+    outer join would emit every unmatched small-side row once PER SALT
+    (salt× duplicates) — rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the replicated small side would duplicate unmatched right rows"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salt))
     l = large.withColumn(_SALT, lsalt.cast("int"))

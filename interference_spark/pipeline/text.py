@@ -526,18 +526,18 @@ def pii_redact(
     Python in the hot path. Emails are redacted before phones so digit runs
     inside an address never double-match."""
     t = F.col(text_col)
+    # counts follow the SAME sequential pipeline as the redaction: phones
+    # are counted on the email-redacted text and IPs on the
+    # email+phone-redacted text, so a digit run inside an address can never
+    # be reported as a phone redaction that clean_text doesn't contain
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    clean = F.regexp_replace(after_phone, PII_IPV4, "<IP>")
     counts = {
         "n_emails": F.regexp_count(t, F.lit(PII_EMAIL)),
-        "n_phones": F.regexp_count(t, F.lit(PII_PHONE)),
-        "n_ips": F.regexp_count(t, F.lit(PII_IPV4)),
+        "n_phones": F.regexp_count(after_email, F.lit(PII_PHONE)),
+        "n_ips": F.regexp_count(after_phone, F.lit(PII_IPV4)),
     }
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
-        ),
-        PII_IPV4,
-        "<IP>",
-    )
     return df.select(
         F.col(id_col), clean.alias("clean_text"),
         *[c.alias(n) for n, c in counts.items()],

@@ -44,14 +44,18 @@ def _agg_value(func: str, vals: list):
         return len(vals)
     if not vals:
         return None
-    if func == "SUM":
-        return sum(vals)
+    if func in ("SUM", "AVG"):
+        # batch compiles SUM/AVG over a string column to a null result;
+        # a Python sum() over strings would instead TypeError and kill the
+        # whole streaming query — mirror the batch null semantics
+        nums = [v for v in vals if isinstance(v, (int, float)) and not isinstance(v, bool)]
+        if not nums:
+            return None
+        return sum(nums) if func == "SUM" else sum(nums) / len(nums)
     if func == "MIN":
         return min(vals)
     if func == "MAX":
         return max(vals)
-    if func == "AVG":
-        return sum(vals) / len(vals)
     if func == "LAST":
         return vals[-1]
     raise ValueError(func)

@@ -318,3 +318,24 @@ def test_custom_group_function_keeps_null_key_group(spark, engine):
             s.execute("select vrange2(distinct t.v) x from NullG t group by t.tag")
     finally:
         engine.drop_table("NullG")
+
+
+def test_group_by_same_named_columns_from_two_tables(spark, engine):
+    """Grouping on same-named columns of two joined tables must not raise
+    AMBIGUOUS_REFERENCE (group keys get unique internal aliases)."""
+    engine.register_table("GA", "id long, key string, v long", id_col="id")
+    engine.register_table("GB", "id long, key string, w long", id_col="id")
+    s = engine.session()
+    try:
+        s.persist("GA", [{"id": 1, "key": "x", "v": 1}, {"id": 2, "key": "y", "v": 2}])
+        s.persist("GB", [{"id": 1, "key": "x", "w": 10}, {"id": 2, "key": "y", "w": 20}])
+        s.commit()
+        rows = s.execute(
+            "select a.key ak, b.key bk, count(a.id) c from GA a, GB b "
+            "where a.key = b.key group by a.key, b.key"
+        ).collect()
+        got = {(r["ak"], r["bk"]): r["c"] for r in rows}
+        assert got == {("x", "x"): 1, ("y", "y"): 1}
+    finally:
+        engine.drop_table("GA")
+        engine.drop_table("GB")

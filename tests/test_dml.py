@@ -644,3 +644,21 @@ def test_zorder_tightens_stats_in_all_dimensions(engine, spark):
         assert after == before  # content preserved
     finally:
         engine.drop_table("zo")
+
+
+def test_targeted_upsert_in_warehouse_with_spaces(spark, tmp_path):
+    """input_file_name() returns percent-encoded URIs; the targeted MERGE
+    must still locate affected parts when the warehouse path needs
+    encoding — a miss would silently produce duplicate @Id rows."""
+    from interference_spark import Engine
+    from interference_spark.dml import store
+
+    eng = Engine(spark=spark, warehouse=str(tmp_path / "ware house ü"))
+    td = eng.register_table("kvs", "id long, val long", id_col="id")
+    for start in (0, 100, 200):
+        store.append_rows(td, [{"id": i, "val": i} for i in range(start, start + 100)])
+    new = spark.createDataFrame([(150, -1)], "id long, val long")
+    store.upsert(spark, td, new, full_rewrite_max_bytes=0)  # force targeted
+    rows = eng.table("kvs").filter("id = 150").collect()
+    assert [(r["id"], r["val"]) for r in rows] == [(150, -1)]  # ONE row, updated
+    assert eng.table("kvs").count() == 300
