@@ -3240,6 +3240,35 @@ def robust_outliers_by_type(spark, sf_dir):
 
 
 @query(
+    "event_transition_matrix",
+    """WITH s AS (
+         SELECT user_id, event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS to_type
+         FROM events
+       ), p AS (
+         SELECT from_type, to_type, count(*) AS n
+         FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+       ), t AS (
+         SELECT from_type, sum(n) AS tt FROM p GROUP BY from_type
+       )
+       SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+              CAST(p.n AS DOUBLE) / CAST(t.tt AS DOUBLE) AS frac
+       FROM p JOIN t USING (from_type)""",
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    (`pipeline/stats.event_transitions`): the journey-analysis adjacency
+    behind next-event baselines. One per-user window pass + combiner-
+    friendly pair aggregate; normalizers ride the pair counts, never the
+    events. Timestamp ties broken by event_id for full determinism."""
+    from .pipeline.stats import event_transitions
+
+    e = engine_for(spark, sf_dir)
+    return event_transitions(e.table("events"), order_tiebreak="event_id")
+
+
+@query(
     "cohort_retention_daily",
     """WITH ud AS (
          SELECT DISTINCT user_id AS u,

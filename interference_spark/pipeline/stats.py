@@ -177,3 +177,47 @@ def robust_outliers(
         )
     )
     return out.select(*key_cols, "n_rows", "median", "mad", "n_outliers")
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order transition counts over each user's event stream:
+    ``(from_type, to_type, n, frac)`` where frac is the row-normalized
+    transition probability (exact integer counts divided once — the Markov
+    adjacency matrix behind journey analysis and next-event baselines).
+
+    One window pass partitioned by user (parallel across users, bounded by
+    each user's own history) + one combiner-friendly pair aggregate; the
+    normalizing totals ride a second tiny aggregate over the pair counts,
+    never the events. Ties on ts are broken by ``order_tiebreak`` (pass an
+    id column for full determinism on dup timestamps).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("__t").cast("double")).alias("frac"),
+        )
+    )
