@@ -4908,7 +4908,7 @@ _DRIVER_WINDOW = [
     # topk_per_group, q7_volume_shipping)
     "window_analytics_orders",
     "pivot_user_event_matrix",
-    "gapfill_hourly_events",
+    "event_funnel_conversion",
     "incremental_rollup_events",
     "incremental_rollup_distinct_users",
     "incremental_rollup_user_freq",
