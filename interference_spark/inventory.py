@@ -4465,6 +4465,34 @@ def pack_training_sequences(spark, sf_dir):
     )
 
 
+_WS_MIX = "((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296"
+
+
+@query(
+    "weighted_sample_by_quality",
+    f"""SELECT doc_id, lang,
+              CAST(n_chars AS DOUBLE) / 1000.0 AS w
+       FROM documents
+       WHERE CAST({_WS_MIX} AS DOUBLE) / 4294967296.0
+             < least(1.0, CAST(n_chars AS DOUBLE) / 1000.0)""",
+)
+def weighted_sample_by_quality(spark, sf_dir):
+    """Deterministic importance sampling (`pipeline/export.weighted_sample`):
+    keep each doc with probability ∝ a quality proxy (here length/1000) —
+    the quality-weighted downsampling step of mixture building. Pure
+    projection, reproducible on any partitioning, and nested (raising the
+    scale only adds rows)."""
+    from .pipeline.export import weighted_sample
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    return weighted_sample(
+        docs, "doc_id", F.col("n_chars").cast("double") / 1000.0
+    ).select(
+        "doc_id", "lang", (F.col("n_chars").cast("double") / 1000.0).alias("w")
+    )
+
+
 @query(
     "stratified_sample_by_lang",
     """WITH h AS (

@@ -241,3 +241,23 @@ def stratified_sample(
         else thr.otherwise(int(default_rate * 4503599627370496.0))
     )
     return df.filter(h < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``min(1, weight·scale)`` — the quality-weighted downsampling step of
+    mixture building (keep high-quality docs more often), with the same
+    reproducibility contract as the engine's other samplers: the keep
+    decision is ``mix(id)/2³² < p``, a pure function of the row, so re-runs
+    and differently-partitioned clusters keep the identical subset, and
+    raising ``scale`` only ADDS rows (nested-sample property — a 2× budget
+    bump never drops previously kept docs). Zero shuffle, pure projection.
+    """
+    p = F.least(F.lit(1.0), weight.cast("double") * F.lit(scale))
+    u = knuth_mix(F.col(id_col)).cast("double") / float(_M32)
+    return df.filter(u < p)

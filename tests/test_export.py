@@ -196,3 +196,19 @@ def test_write_jsonl_shards_layout_and_order(docs, spark, tmp_path):
             assert expected[(shard, pos)] == did
             seen += 1
     assert seen == docs.count()
+
+
+def test_weighted_sample_nested_and_proportional(docs, spark):
+    """Nested-sample property (smaller scale ⊂ larger scale) and keep rate
+    roughly proportional to weight."""
+    from pyspark.sql import functions as F
+
+    w = F.lit(0.5)
+    half = {r["doc_id"] for r in export.weighted_sample(docs, "doc_id", w, 0.5).collect()}
+    full = {r["doc_id"] for r in export.weighted_sample(docs, "doc_id", w, 1.0).collect()}
+    assert half <= full  # nested
+    n = docs.count()
+    assert abs(len(half) / n - 0.25) < 0.08
+    assert abs(len(full) / n - 0.5) < 0.08
+    # weight > 1/scale keeps everything
+    assert export.weighted_sample(docs, "doc_id", F.lit(2.0)).count() == n
