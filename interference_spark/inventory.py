@@ -4465,6 +4465,62 @@ def pack_training_sequences(spark, sf_dir):
     )
 
 
+def _dedup_safe_split_oracle() -> str:
+    from .pipeline.export import assign_split_sql
+
+    split_case = assign_split_sql(
+        "cid", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return f"""WITH RECURSIVE grams AS (
+         SELECT doc_id,
+                list_distinct([substring(text, i, 3)
+                               for i in generate_series(1, greatest(length(text)-2, 1))]) AS gs
+         FROM documents
+       ), sized AS (
+         SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sized a JOIN sized b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         HAVING CAST(count(*) AS DOUBLE)
+                / CAST(a.n + b.n - count(*) AS DOUBLE) >= 0.8
+       ), edges AS (
+         SELECT id_a AS u, id_b AS v FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+       ), reach(id, r) AS (
+         SELECT u, u FROM edges
+         UNION
+         SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+       ), labels AS (
+         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+       ), cl AS (
+         SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cid
+         FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+       )
+       SELECT doc_id, cid AS cluster_id, {split_case} AS split
+       FROM cl"""
+
+
+@query("train_split_dedup_safe", _dedup_safe_split_oracle())
+def train_split_dedup_safe(spark, sf_dir):
+    """Near-dup-safe train/val/test split: the leakage unit is the
+    DUPLICATE CLUSTER, not the document — hashing doc ids alone lets two
+    near-identical docs straddle train and test (the classic contamination
+    path the plain split cannot see). Composition: n-gram Jaccard pairs →
+    connected components → split hashed on the cluster id, so every member
+    of a near-dup cluster lands in the same split."""
+    from .pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
+    from .pipeline.export import assign_split
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = dedup_clusters(docs, pairs)
+    return assign_split(
+        clusters, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "cluster_id", "split")
+
+
 _WS_MIX = "((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296"
 
 
