@@ -4501,6 +4501,44 @@ def _dedup_safe_split_oracle() -> str:
        FROM cl"""
 
 
+@query(
+    "quality_tiers_by_lang",
+    """WITH h AS (
+         SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+       ), cum AS (
+         SELECT lang, n_chars, c,
+                sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+         FROM h
+       ), t AS (
+         SELECT lang, sum(c) AS n FROM h GROUP BY lang
+       ), cuts AS (
+         SELECT cum.lang,
+                min(CASE WHEN cum >= ceil(0.25 * t.n) THEN n_chars END) AS p25,
+                min(CASE WHEN cum >= ceil(0.5 * t.n) THEN n_chars END) AS p50,
+                min(CASE WHEN cum >= ceil(0.75 * t.n) THEN n_chars END) AS p75
+         FROM cum JOIN t USING (lang) GROUP BY cum.lang
+       )
+       SELECT d.doc_id, d.lang,
+              CAST(1 + (CASE WHEN d.n_chars > c.p25 THEN 1 ELSE 0 END)
+                     + (CASE WHEN d.n_chars > c.p50 THEN 1 ELSE 0 END)
+                     + (CASE WHEN d.n_chars > c.p75 THEN 1 ELSE 0 END) AS INT) AS tier
+       FROM documents d JOIN cuts c USING (lang)""",
+)
+def quality_tiers_by_lang(spark, sf_dir):
+    """Per-language quality tiers (`pipeline/stats.quantile_tiers`): every
+    doc labeled 1-4 by its within-language length quartile — the
+    quality-tiered mixture tool (oversample the top quartile per lang).
+    Exact discrete cuts from the percentile histogram machinery, broadcast
+    back; the data side is a pure projection join."""
+    from .pipeline.stats import quantile_tiers
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents").select("doc_id", "lang", "n_chars")
+    return quantile_tiers(docs, ("lang",), "n_chars").select(
+        "doc_id", "lang", "tier"
+    )
+
+
 @query("train_split_dedup_safe", _dedup_safe_split_oracle())
 def train_split_dedup_safe(spark, sf_dir):
     """Near-dup-safe train/val/test split: the leakage unit is the

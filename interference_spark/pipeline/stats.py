@@ -221,3 +221,34 @@ def event_transitions(
             (F.col("n").cast("double") / F.col("__t").cast("double")).alias("frac"),
         )
     )
+
+
+def quantile_tiers(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    n_tiers: int = 4,
+    out_col: str = "tier",
+) -> DataFrame:
+    """Per-group quantile tiers: every row labeled 1..n_tiers by which
+    within-group quantile band its value falls in (tier 1 = lowest) — the
+    quality-tiered mixture tool ("oversample the top quartile per
+    language"). Exact discrete cut points from the percentile histogram
+    machinery (never a raw sort); the cuts broadcast back, so the data
+    side is a pure projection join.
+
+    Ties at a cut point: values ≤ cut_k belong to tier ≤ k (cut values
+    from :func:`exact_group_percentiles`' discrete definition), matching
+    the SQL oracle exactly.
+    """
+    qs = tuple(i / n_tiers for i in range(1, n_tiers))
+    cuts = exact_group_percentiles(df, key_cols, value_col, qs)
+    cut_names = [f"p{round(q * 100)}" for q in qs]
+    tier = F.lit(1)
+    for name in cut_names:
+        tier = tier + F.when(F.col(value_col) > F.col(name), 1).otherwise(0)
+    return (
+        df.join(F.broadcast(cuts.select(*key_cols, *cut_names)), list(key_cols))
+        .withColumn(out_col, tier.cast("int"))
+        .drop(*cut_names, "n_rows")
+    )
