@@ -4998,6 +4998,138 @@ def export_shuffled_shards(spark, sf_dir):
     )
 
 
+@query(
+    "tfidf_top_terms",
+    """WITH toks AS (
+         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         FROM documents WHERE length(trim(text)) > 0
+       ),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       dfq AS (SELECT term, count(*) AS dfq FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, term, tf,
+                CAST(tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE)
+                                      / CAST(dfq + 1 AS DOUBLE)) AS score
+         FROM tf JOIN dfq USING (term) CROSS JOIN n
+       )
+       SELECT doc_id, term, tf, score
+       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rn
+             FROM scored)
+       WHERE rn <= 3""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (`pipeline/text.tfidf_top_terms`).
+    The idf factor is the log-free rational (N+1)/(df+1) — a deterministic
+    IEEE product both engines compute identically (no libm `ln`).  Plan:
+    two combiner-friendly shuffles (doc×term tf, term df), 1-row broadcast
+    of N, per-doc top-k window over (doc, term, tf) rows only."""
+    from .pipeline.text import tfidf_top_terms as tt
+
+    e = engine_for(spark, sf_dir)
+    return tt(e.table("documents"), k=3)
+
+
+@query(
+    "bigram_lift",
+    """WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk
+                  FROM documents WHERE length(trim(text)) > 0),
+       uni AS (SELECT unnest(tk) AS w FROM t),
+       uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+       nu AS (SELECT count(*) AS n_uni FROM uni),
+       bg AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                           i -> tk[i] || ' ' || tk[i+1])) AS bigram
+              FROM t),
+       bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram),
+       nb AS (SELECT count(*) AS n_bi FROM bg),
+       top AS (SELECT bigram, c_ab FROM bc ORDER BY c_ab DESC, bigram ASC LIMIT 50)
+       SELECT bigram, c_ab, c_a, c_b,
+              (CAST(c_ab AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
+              ((CAST(c_a AS DOUBLE) / CAST(n_uni AS DOUBLE))
+               * (CAST(c_b AS DOUBLE) / CAST(n_uni AS DOUBLE))) AS lift
+       FROM top
+       JOIN (SELECT w AS w1, c_w AS c_a FROM uc) u1
+         ON split_part(bigram, ' ', 1) = w1
+       JOIN (SELECT w AS w2, c_w AS c_b FROM uc) u2
+         ON split_part(bigram, ' ', 2) = w2
+       CROSS JOIN nu CROSS JOIN nb""",
+)
+def bigram_lift(spark, sf_dir):
+    """Collocation mining (`pipeline/text.bigram_lift`): lift
+    P(ab)/(P(a)P(b)) — the log-free core of PMI — for the 50 most frequent
+    corpus bigrams.  Plan: hash-agg unigram + bigram counts,
+    TakeOrderedAndProject top-50 (never a global sort), unigram counts
+    re-attached to the tiny top set, corpus totals as 1-row broadcasts."""
+    from .pipeline.text import bigram_lift as bl
+
+    e = engine_for(spark, sf_dir)
+    return bl(e.table("documents"), top_n=50)
+
+
+@query(
+    "dedup_editdistance",
+    """WITH pre AS (
+         SELECT doc_id, substr(text, 1, 32) AS pre,
+                array_to_string(
+                  (regexp_split_to_array(trim(substr(text, 1, 32)), '\\s+'))[1:2],
+                  ' ') AS blk
+         FROM documents
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              levenshtein(a.pre, b.pre) AS dist
+       FROM pre a JOIN pre b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       WHERE levenshtein(a.pre, b.pre) <= 10""",
+)
+def dedup_editdistance(spark, sf_dir):
+    """Blocked edit-distance near-dup pairs
+    (`pipeline/dedup.editdistance_pairs`): Levenshtein ≤ 10 over 32-char
+    prefixes, candidates blocked on the first two tokens — the
+    order-sensitive complement to the set-based detectors (MinHash /
+    Jaccard under-score small in-place edits).  Plan: one shuffle on the
+    block key, pairs only inside blocks, built-in JVM levenshtein
+    (whole-stage codegen, bounded prefix → constant per-pair cost)."""
+    from .pipeline.dedup import editdistance_pairs
+
+    e = engine_for(spark, sf_dir)
+    return editdistance_pairs(
+        e.table("documents"), prefix_len=32, max_dist=10
+    )
+
+
+@query(
+    "skew_profile_users",
+    """WITH counts AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+       totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                         count(*) AS n_keys FROM counts),
+       top AS (SELECT user_id, cnt FROM counts
+               ORDER BY cnt DESC, user_id ASC LIMIT 20),
+       ranked AS (SELECT user_id, cnt,
+                    row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank,
+                    sum(cnt) OVER (ORDER BY cnt DESC, user_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_cnt
+                  FROM top)
+       SELECT user_id, cnt, rank,
+              CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+              CAST(cnt * n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS skew_ratio,
+              CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+              n_keys, total
+       FROM ranked CROSS JOIN totals""",
+)
+def skew_profile_users(spark, sf_dir):
+    """Shuffle-key skew diagnostics (`pipeline/stats.key_skew_profile`)
+    over events.user_id: heaviest 20 keys with corpus share, uniform-ratio
+    and cumulative share — the pre-flight check that decides when a join
+    key needs salting (`pipeline/skew.py`).  Plan: combiner hash-agg →
+    TakeOrderedAndProject top-20 → 20-row cumulative window + 1-row
+    broadcast totals."""
+    from .pipeline.stats import key_skew_profile
+
+    e = engine_for(spark, sf_dir)
+    return key_skew_profile(e.table("events"), "user_id", top_n=20)
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves

@@ -252,3 +252,54 @@ def quantile_tiers(
         .withColumn(out_col, tier.cast("int"))
         .drop(*cut_names, "n_rows")
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Key-distribution skew diagnostics: the ``top_n`` heaviest keys with
+    their absolute count, corpus share, skew ratio vs a uniform
+    distribution (``cnt · n_keys / total`` — 1.0 means perfectly uniform),
+    and cumulative share in heaviness order.  This is the pre-flight check
+    for every shuffle key in this repo: a key with share ≫ 1/parallelism
+    needs salting (``pipeline/skew.py``) before it becomes the straggler
+    partition at 100 TB.
+
+    Scale shape: per-key counts are a combiner-friendly hash aggregation;
+    the heaviest-key selection is ``orderBy().limit()`` →
+    TakeOrderedAndProject (distributed partial top-k, never a global
+    sort); the cumulative window then runs over exactly ``top_n`` rows.
+    Corpus totals are a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col(key_col).asc()).limit(top_n)
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        ))
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .select(
+            F.col(key_col),
+            "cnt",
+            "rank",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("share"),
+            (
+                (F.col("cnt") * F.col("n_keys")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("skew_ratio"),
+            (F.col("cum_cnt").cast("double") / F.col("total").cast("double")).alias("cum_share"),
+            "n_keys",
+            "total",
+        )
+    )

@@ -671,3 +671,98 @@ def repeated_passages(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document (keyword extraction for corpus
+    indexing / topic labeling). The idf factor is the log-free rational
+    form ``(N+1)/(df+1)`` so the score is a deterministic IEEE-double
+    product reproducible in any engine — no libm ``ln`` whose last ulp can
+    differ between JVM and DuckDB.
+
+    Scale shape: two combiner-friendly shuffles — (doc, term) term
+    frequencies, then (term) document frequencies; the corpus size N is a
+    1-row aggregate broadcast into the join; the per-doc top-k window
+    re-uses the (doc) hash partitioning and never sees raw tokens, only
+    the (doc, term, tf) rows. No UDFs anywhere.
+
+    Ties (equal score) break on term ASC — deterministic on any
+    partitioning."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf rows are already distinct per (doc, term) → document frequency is
+    # a plain count per term, no countDistinct needed
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        (F.col("n_docs") + 1).cast("double") / (F.col("dfq") + 1).cast("double")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "score")
+    )
+
+
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus-level bigram association (collocation mining): for the
+    ``top_n`` most frequent word bigrams, the lift
+    ``P(ab) / (P(a)·P(b))`` — the log-free core of PMI (``PMI = ln lift``;
+    ln is deliberately left out so the value is a deterministic IEEE
+    division chain, hash-identical across engines).
+
+    Scale shape: unigram and bigram counts are combiner-friendly
+    hash aggregations; corpus totals are 1-row broadcasts; the final
+    unigram re-attach joins the TINY top-n bigram set (TakeOrderedAndProject,
+    never a global sort) against the unigram counts — broadcast the top-n
+    side at 100 TB."""
+    t = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(_tokens(F.col(text_col)).alias("t"))
+    )
+    uni = t.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    nu = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    bg = t.select(F.explode(ngrams_from_tokens(F.col("t"), 2)).alias("bigram"))
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    nb = bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    top = bc.orderBy(F.col("c_ab").desc(), F.col("bigram").asc()).limit(top_n)
+    top = top.withColumn("w1", F.element_at(F.split(F.col("bigram"), " "), 1))
+    top = top.withColumn("w2", F.element_at(F.split(F.col("bigram"), " "), 2))
+    ua = uc.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    ub = uc.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    lift = (
+        F.col("c_ab").cast("double") / F.col("n_bi").cast("double")
+    ) / (
+        (F.col("c_a").cast("double") / F.col("n_uni").cast("double"))
+        * (F.col("c_b").cast("double") / F.col("n_uni").cast("double"))
+    )
+    return (
+        top.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bigram", "c_ab", "c_a", "c_b", lift.alias("lift"),
+        )
+    )
