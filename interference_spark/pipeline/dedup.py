@@ -298,39 +298,76 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ k. Pigeonhole: split the 64-bit
-    hash into k+1 bands — any pair within distance k agrees exactly on ≥1
-    band, so the equi-join on (band, band_bits) finds all candidates without
-    a cross join; verify with bit_count(a^b) JVM-side."""
-    nbands = max_hamming + 1
-    width = 64 // nbands
-    # fingerprints feed both join sides — persist the narrow (id, long)
-    # rows so the Pandas-UDF stage runs once, not once per side (at 100 TB
+    """Near-dup pairs with Hamming(simhash) ≤ k.
+
+    Plan (two lossless prunings on top of the classic pigeonhole):
+
+    * **fingerprint space, not doc space** — clustered corpora collapse
+      many docs onto one fingerprint (measured 5000 docs → 3866 distinct
+      at sf0.1, with 36k identical-fingerprint pairs); candidates are
+      generated between UNIQUE fingerprints and expanded back to doc
+      pairs afterwards, so identical docs never enter the band join.
+    * **2-clean-bands covering code** — k+2 bands instead of k+1: a pair
+      within distance k has errors in ≤ k bands, leaving ≥ 2 error-free
+      bands, so the equi-join runs on C(k+2, 2) band-PAIR keys (~26 bits
+      each for k=3) instead of single ~16-bit bands. Same lossless
+      guarantee, but the collision floor drops by the extra band's width
+      (2^13×) — measured 2.4M → ~90k candidates on clustered text.
+
+    Verify = bit_count(a^b) JVM-side on fingerprint pairs (≤ U² rows,
+    U = distinct fingerprints); the doc-pair expansion is two narrow
+    id-joins and emits each unordered pair exactly once — the doc-level
+    distinct shuffle of the naive plan disappears entirely."""
+    nbands = max_hamming + 2
+    base, rem = divmod(64, nbands)
+    widths = [base + (1 if i < rem else 0) for i in range(nbands)]
+    offs = [sum(widths[:i]) for i in range(nbands)]
+    # fingerprints feed the distinct + both expansion sides — persist the
+    # narrow (id, long) rows so the Pandas-UDF stage runs once (at 100 TB
     # you'd materialize fingerprints to a table instead — same idea)
     sh = simhash(df, text_col, id_col).persist()
-    bands = sh.select(
-        id_col,
-        "simhash",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {nbands - 1}), "
-                f"i -> shiftrightunsigned(simhash, i * {width}) & {(1 << width) - 1}L)"
-            )
-        ).alias("band", "band_bits"),
+    uf = sh.select("simhash").distinct()
+    band = [
+        f"(shiftrightunsigned(simhash, {offs[i]}) & {(1 << widths[i]) - 1}L)"
+        for i in range(nbands)
+    ]
+    combos = [(i, j) for i in range(nbands) for j in range(i + 1, nbands)]
+    elems = ", ".join(
+        f"named_struct('pid', {p}, "
+        f"'bk', shiftleft({band[i]}, {widths[j]}) | {band[j]})"
+        for p, (i, j) in enumerate(combos)
     )
-    l = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "band_bits")
-    r = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "band_bits")
-    return (
-        l.join(r, ["band", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
-        # verify BEFORE distinct: the hamming check is a per-row bit op on
-        # longs, while distinct is a shuffle — banding skew can make the
-        # candidate set large (measured 2.4M candidates from 5k docs on
-        # clustered text; ~7 s of the query was distinct-ing candidates
-        # that the ≤k filter was about to discard anyway)
-        .filter(F.col("hamming") <= max_hamming)
+    keyed = uf.select("simhash", F.expr(f"inline(array({elems}))"))
+    fa = keyed.select(F.col("simhash").alias("fa"), "pid", "bk")
+    fb = keyed.select(F.col("simhash").alias("fb"), "pid", "bk")
+    fp_cross = (
+        fa.join(fb, ["pid", "bk"])
+        .filter(F.col("fa") < F.col("fb"))
+        .filter(
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= max_hamming
+        )
+        .select("fa", "fb")
         .distinct()
+    )
+    # identical-fingerprint groups: every in-group doc pair is hamming 0
+    fp_self = uf.select(
+        F.col("simhash").alias("fa"), F.col("simhash").alias("fb")
+    )
+    fp_pairs = fp_cross.unionByName(fp_self)
+    a = sh.select(F.col(id_col).alias("ia"), F.col("simhash").alias("fa"))
+    b = sh.select(F.col(id_col).alias("ib"), F.col("simhash").alias("fb"))
+    return (
+        fp_pairs.join(a, "fa")
+        .join(b, "fb")
+        # cross rows (fa < fb): keep every (ia, ib) combination once and
+        # normalize the id order below; self rows (fa == fb): keep the
+        # ia < ib half so each in-group pair appears exactly once
+        .filter((F.col("fa") < F.col("fb")) | (F.col("ia") < F.col("ib")))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
     )
 
 
