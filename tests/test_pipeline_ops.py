@@ -775,3 +775,54 @@ def test_as_of_join_null_timestamps_symmetric(spark):
     }
     assert back == {"a": 50.0, "n": None}
     assert fwd == {"a": 150.0, "n": None}
+
+
+def test_simhash_banding_is_lossless_vs_bruteforce(spark):
+    """The 2-clean-bands covering code (k+2 bands, C(k+2,2) band-pair
+    keys) must find EXACTLY the pairs a brute-force all-pairs Hamming scan
+    finds — on adversarial near-dup text (small edits, duplicates,
+    empties)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from interference_spark.pipeline.dedup import simhash, simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    variants = [
+        base,
+        base,  # exact duplicate → hamming 0 pair
+        base.replace("quick", "quicke"),
+        base.replace("lazy", "sleepy"),
+        base.replace("dog", "cat").replace("fox", "wolf"),
+        "completely different words about spark shuffles and parquet files",
+        "completely different words about spark shuffles and parquet file",
+        "",  # empty doc → fingerprint 0
+        "   ",  # blank doc → fingerprint 0 (pairs with the empty one)
+        "one",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(variants)], "doc_id long, text string"
+    )
+    for k in (2, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(df, max_hamming=k).collect()
+        }
+        fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+
+        def ham(a, b):
+            # mask to 64 bits: fingerprints are int64 and may be negative
+            # as Python ints, where bin() would miscount
+            return bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+
+        want = {
+            (a, b, ham(a, b))
+            for a, b in itertools.combinations(sorted(fps), 2)
+            if ham(a, b) <= k
+        }
+        assert got == want, f"k={k}: banding lost or invented pairs"
+        # each unordered pair must be emitted exactly ONCE (no distinct in
+        # the expansion path — duplicates would mean the plan is wrong)
+        rows = simhash_pairs(df, max_hamming=k).collect()
+        assert len(rows) == len(got)
