@@ -5130,6 +5130,110 @@ def skew_profile_users(spark, sf_dir):
     return key_skew_profile(e.table("events"), "user_id", top_n=20)
 
 
+@query(
+    "sketch_kmv_overlap",
+    """WITH h AS (
+         SELECT DISTINCT event_type AS s,
+                ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS hv
+         FROM events
+       ), sk AS (
+         SELECT s, hv FROM (
+           SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv) AS rn
+           FROM h)
+         WHERE rn <= 64
+       ), per AS (
+         SELECT s, CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                        ELSE 63.0 / (CAST(max(hv) AS DOUBLE) / 4503599627370496.0)
+                   END AS est
+         FROM sk GROUP BY s
+       ), sl AS (SELECT DISTINCT s FROM sk),
+       pairs AS (SELECT a.s AS sa, b.s AS sb FROM sl a JOIN sl b ON a.s < b.s),
+       merged AS (
+         SELECT DISTINCT sa, sb, hv FROM (
+           SELECT p.sa, p.sb, k.hv FROM pairs p JOIN sk k ON k.s = p.sa
+           UNION ALL
+           SELECT p.sa, p.sb, k.hv FROM pairs p JOIN sk k ON k.s = p.sb)
+       ), usk AS (
+         SELECT sa, sb,
+                CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                     ELSE 63.0 / (CAST(max(hv) AS DOUBLE) / 4503599627370496.0)
+                END AS est_union
+         FROM (SELECT sa, sb, hv,
+                      row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+               FROM merged)
+         WHERE rn <= 64 GROUP BY sa, sb
+       )
+       SELECT u.sa, u.sb, ea.est AS est_a, eb.est AS est_b, u.est_union,
+              greatest(0.0, ea.est + eb.est - u.est_union) AS est_intersection
+       FROM usk u JOIN per ea ON ea.s = u.sa JOIN per eb ON eb.s = u.sb""",
+)
+def sketch_kmv_overlap(spark, sf_dir):
+    """Pairwise audience-overlap estimates between event types
+    (`pipeline/sketch.kmv_pair_overlap`): KMV |A|, |B|, |A∪B| and
+    inclusion-exclusion |A∩B| per slice pair — mergeable sketches doing
+    set algebra without ever comparing the underlying user sets.  Plan:
+    per-slice top-k over distinct (slice, hash) rows, pair union over
+    ≤ k·slices sketch rows; exact when a merged sketch stays under k."""
+    from .pipeline.sketch import kmv_pair_overlap
+
+    e = engine_for(spark, sf_dir)
+    return kmv_pair_overlap(e.table("events"), "event_type", "user_id", k=64)
+
+
+@query(
+    "decayed_user_activity",
+    """WITH b AS (
+         SELECT event_id, user_id, ts,
+                CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+         FROM events
+       ), wnd AS (
+         SELECT event_id, user_id, ts,
+                list(qv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+         FROM b
+       )
+       SELECT event_id, user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+              CAST(list_sum(list_transform(generate_series(0, len(arr) - 1),
+                   i -> arr[len(arr) - i] >> i)) AS DOUBLE) / 1000000.0
+                AS decayed_score
+       FROM wnd""",
+)
+def decayed_user_activity(spark, sf_dir):
+    """Recency-weighted per-event activity score
+    (`pipeline/stats.decayed_activity`): Σ value_{t-j}·2^(−j) over each
+    user's last 16 events — the engagement / fraud-velocity feature.
+    Exact integer arithmetic: quantize to floor(v·1e6), decay by
+    arithmetic shift (no pow()), identical in both engines.  Plan: one
+    hash exchange on user + ROWS-bounded ordered window (constant state
+    per row)."""
+    from .pipeline.stats import decayed_activity
+
+    e = engine_for(spark, sf_dir)
+    out = decayed_activity(e.table("events"), window_rows=16)
+    return out.select(
+        "event_id", "user_id", _epoch("ts").alias("ts_epoch"), "decayed_score"
+    )
+
+
+@query(
+    "kanonymity_audit",
+    """SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+       FROM customer
+       GROUP BY c_nationkey, c_mktsegment
+       HAVING count(*) < 5""",
+)
+def kanonymity_audit(spark, sf_dir):
+    """Privacy release audit (`pipeline/stats.kanonymity_audit`):
+    quasi-identifier combinations (nation × market segment) with fewer
+    than k=5 members — the groups a data release would re-identify.
+    One combiner-friendly groupBy; output is only the violating groups."""
+    from .pipeline.stats import kanonymity_audit as ka
+
+    e = engine_for(spark, sf_dir)
+    return ka(e.table("customer"), ("c_nationkey", "c_mktsegment"), k=5)
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves

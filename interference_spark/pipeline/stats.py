@@ -303,3 +303,64 @@ def key_skew_profile(
             "total",
         )
     )
+
+
+def decayed_activity(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 16,
+) -> DataFrame:
+    """Per-event exponentially-decayed activity score over the last
+    ``window_rows`` events of the key: score = Σ value_{t-j} · 2^(−j) —
+    the classic recency-weighted engagement / fraud-velocity feature.
+
+    The decay is computed in EXACT integer arithmetic: each value is
+    quantized to q = floor(v·1e6) and the 2^−j weight becomes an
+    arithmetic shift ``q >> j`` — no pow(), so the result is bit-identical
+    in any engine (IEEE halving would be exact too, but the shift keeps
+    the whole accumulation in int64).
+
+    Scale shape: one hash exchange on the key + per-key ordered window;
+    the frame is ROWS-bounded (≤ window_rows values per row), so state per
+    row is constant. The collect_list carries quantized longs, not raw
+    rows."""
+    from pyspark.sql import Window
+
+    q = F.floor(F.col(value_col) * 1000000.0).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    score_q = F.expr(
+        "aggregate(sequence(0, size(__arr) - 1), 0L, "
+        "(acc, i) -> acc + shiftright(element_at(__arr, size(__arr) - i), i))"
+    )
+    return (
+        df.select(id_col, key_col, ts_col, q.alias("__qv"))
+        .withColumn("__arr", F.collect_list("__qv").over(w))
+        .select(
+            id_col,
+            key_col,
+            F.col(ts_col),
+            (score_q.cast("double") / 1000000.0).alias("decayed_score"),
+        )
+    )
+
+
+def kanonymity_audit(
+    df: DataFrame, qid_cols: tuple[str, ...], k: int = 5
+) -> DataFrame:
+    """Privacy audit: quasi-identifier combinations held by FEWER than
+    ``k`` rows — the groups whose members a release would re-identify.
+    One combiner-friendly groupBy on the quasi-identifier tuple; the
+    violating-group output is at most the number of small groups, never
+    the data."""
+    return (
+        df.groupBy(*[F.col(c) for c in qid_cols])
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )
