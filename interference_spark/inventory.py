@@ -5245,6 +5245,11 @@ def kanonymity_audit(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # r3 continued-session swaps part 3: text_token_count→tfidf_top_terms
+    # (same family, richer operator), exact_value_percentiles→
+    # kanonymity_audit (percentiles were driver-green in r1; the privacy
+    # family was previously unrepresented). Displaced entries keep their
+    # local 3-SF oracle checks.
     # r3 continued-session swaps: mm_frame_sample→mm_image_dedup,
     # exact_variance_by_type→approx_quantile_sketch,
     # corpus_token_stats→stream_heavy_hitters,
@@ -5289,15 +5294,15 @@ _DRIVER_WINDOW = [
     # text-analysis family
     "text_quality",
     "text_repetition",
-    "text_token_count",
+    "tfidf_top_terms",
     "corpus_divergence_by_lang",
     "lang_id",
     "stream_heavy_hitters",
     "decontaminate_ngrams",
     "pii_redact",
     "boilerplate_ngrams",
-    # exact stats
-    "exact_value_percentiles",
+    # exact stats + privacy
+    "kanonymity_audit",
     "approx_quantile_sketch",
     # multimodal plumbing
     "mm_video_frames",
