@@ -5234,6 +5234,59 @@ def kanonymity_audit(spark, sf_dir):
     return ka(e.table("customer"), ("c_nationkey", "c_mktsegment"), k=5)
 
 
+@query(
+    "temperature_sample_by_lang",
+    """WITH c AS (
+         SELECT lang, count(*) AS c,
+                CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+         FROM documents GROUP BY lang
+       ),
+       t AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(wq) AS BIGINT) AS W FROM c),
+       r AS (SELECT lang, c,
+                    least(1.0,
+                          CAST(floor(CAST(n AS DOUBLE) * 0.5) AS DOUBLE)
+                          * CAST(wq AS DOUBLE)
+                          / CAST(W AS DOUBLE) / CAST(c AS DOUBLE)) AS p_keep
+             FROM c CROSS JOIN t),
+       k AS (SELECT d.lang FROM documents d JOIN r USING (lang)
+             WHERE ('0x' || substring(md5('t0' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   < CAST(floor(p_keep * 4503599627370496.0) AS BIGINT))
+       SELECT r.lang, r.c AS n_docs, r.p_keep,
+              COALESCE(kc.n_kept, 0) AS n_kept
+       FROM r LEFT JOIN (SELECT lang, count(*) AS n_kept FROM k GROUP BY lang) kc
+         USING (lang)""",
+)
+def temperature_sample_by_lang(spark, sf_dir):
+    """α=0.5 temperature sampling summary
+    (`pipeline/export.temperature_sample`): per-language corpus size, the
+    computed keep probability (output shares ∝ √size at a 50% total
+    budget — the multilingual head-flattening rebalance), and the rows
+    actually kept by the deterministic hash rule.  α=0.5 because IEEE
+    sqrt is correctly rounded (pow(x, α) is not) and the √ weights are
+    floor-quantized to int64 before the normalizing sum — no float
+    accumulation order anywhere.  Plan: rates broadcast onto a
+    projection+filter; the corpus never shuffles."""
+    from .pipeline.export import temperature_rates, temperature_sample
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    rates = temperature_rates(docs, "lang", 0.5)
+    kept = (
+        temperature_sample(docs, "lang", "doc_id", 0.5)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("c").alias("n_docs"),
+            "p_keep",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves

@@ -261,3 +261,68 @@ def weighted_sample(
     p = F.least(F.lit(1.0), weight.cast("double") * F.lit(scale))
     u = knuth_mix(F.col(id_col)).cast("double") / float(_M32)
     return df.filter(u < p)
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Per-stratum keep probabilities for α=0.5 temperature sampling
+    (the XLM-R-style multilingual rebalance: output shares ∝ √(stratum
+    size), flattening head strata while keeping the long tail), at a
+    total budget of ``target_frac`` of the corpus.
+
+    Exactness: α=0.5 is chosen deliberately — IEEE sqrt is correctly
+    rounded (pow(x, 0.3) is not), and the √ weights are floor-quantized
+    to int64 BEFORE summing so the normalizer is an exact integer with no
+    float accumulation order to diverge between engines.
+
+    Returns ``(strata, c, p_keep)`` — one row per stratum."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.withColumn(
+        "wq",
+        F.floor(F.sqrt(F.col("c").cast("double")) * 1000000.0).cast("long"),
+    )
+    tot = counts.agg(F.sum("c").alias("n"), F.sum("wq").alias("W"))
+    target = F.floor(F.col("n").cast("double") * F.lit(float(target_frac)))
+    p = F.least(
+        F.lit(1.0),
+        target.cast("double")
+        * F.col("wq").cast("double")
+        / F.col("W").cast("double")
+        / F.col("c").cast("double"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(strata_col, "c", p.alias("p_keep"))
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    unit_col: str,
+    target_frac: float = 0.5,
+    salt: str = "t0",
+) -> DataFrame:
+    """α=0.5 temperature sampling: keep each row when md5(salt ∥ unit)
+    falls below its stratum's ``p_keep`` (see :func:`temperature_rates`).
+    Same hash family as the engine's other samplers → nested-sample
+    property (raising the budget only ADDS rows) and identical output on
+    any engine/partitioning.  Plan: rates are a tiny broadcast onto a
+    pure projection+filter — the data never shuffles."""
+    rates = temperature_rates(df, strata_col, target_frac)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(unit_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = F.floor(F.col("p_keep") * 4503599627370496.0).cast("long")
+    return (
+        df.join(F.broadcast(rates.drop("c")), strata_col)
+        .filter(h < thr)
+        .drop("p_keep")
+    )

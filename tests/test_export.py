@@ -212,3 +212,37 @@ def test_weighted_sample_nested_and_proportional(docs, spark):
     assert abs(len(full) / n - 0.5) < 0.08
     # weight > 1/scale keeps everything
     assert export.weighted_sample(docs, "doc_id", F.lit(2.0)).count() == n
+
+
+def test_temperature_sample_nested_and_flattening(spark):
+    """Raising the budget only ADDS rows (nested-sample property), and the
+    α=0.5 rebalance flattens head strata: the head stratum's keep
+    probability is strictly below the tail stratum's."""
+    from pyspark.sql import functions as F
+
+    from interference_spark.pipeline.export import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    small = {
+        r["doc_id"]
+        for r in temperature_sample(df, "lang", "doc_id", 0.3).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in temperature_sample(df, "lang", "doc_id", 0.6).collect()
+    }
+    assert small <= big, "raising the budget must never drop kept rows"
+    rates = {
+        r["lang"]: r["p_keep"]
+        for r in temperature_rates(df, "lang", 0.5).collect()
+    }
+    assert rates["head"] < rates["tail"], "head stratum must be downweighted"
+    # output shares move toward sqrt proportions: head share in the kept
+    # set must drop below its 90% corpus share
+    kept = temperature_sample(df, "lang", "doc_id", 0.5)
+    shares = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert shares["head"] / sum(shares.values()) < 0.9
