@@ -4379,6 +4379,32 @@ def mm_image_dedup(spark, sf_dir):
 
 
 @query(
+    "mm_jpeg_dedup",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_images
+       FROM documents GROUP BY doc_id % 31""",
+)
+def mm_jpeg_dedup(spark, sf_dir):
+    """Image dedup through the REAL baseline-JPEG codec end to end
+    (`pipeline/jpeg.py` — pure-Python encoder with self-built canonical
+    Huffman tables, full entropy-decode + IDCT on read): a deterministic
+    JPEG per doc (pattern = doc_id % 31), aHash perceptual fingerprints
+    over the DECODED pixels, then the one-shuffle hash-groupBy.  The 31
+    lossy-decoded patterns land on 31 distinct aHashes (unit-verified),
+    so the oracle's variant-class grouping only matches if encoder,
+    decoder, and hash all work."""
+    from .pipeline.multimodal import image_ahash, synth_jpeg_corpus
+
+    e = engine_for(spark, sf_dir)
+    media = synth_jpeg_corpus(e.table("documents"), variants=31)
+    return (
+        image_ahash(media)
+        .groupBy("ahash")
+        .agg(F.min("media_id").alias("keep_id"), F.count("*").alias("n_images"))
+        .select("keep_id", "n_images")
+    )
+
+
+@query(
     "embedding_label_centroids",
     """WITH x AS (
          SELECT label, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e

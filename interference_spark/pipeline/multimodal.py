@@ -8,12 +8,14 @@ The Spark-side design is real and tested: schema, Arrow batch shape,
   full distributed plumbing on arbitrary payloads (the driver testdata has
   no real media).
 * ``decoder="real"`` — genuine decode via the bundled pure-Python codecs:
-  PNG images (:mod:`.png`) are decoded/resized, RIFF/PCM WAV audio
-  (:mod:`.wav`) is parsed for rate/channels/duration/RMS, and APNG
+  PNG (:mod:`.png`) and baseline JPEG (:mod:`.jpeg`) images are
+  decoded/resized (resize re-encodes in the source format), RIFF/PCM WAV
+  audio (:mod:`.wav`) is parsed for rate/channels/duration/RMS, and APNG
   animations decode to per-frame PNGs (the video-container path). Other
-  formats (JPEG, MP3, MP4) raise ``UnsupportedMedia`` — they need
-  PIL/soundfile/pyav, which a real deployment installs, swapping the
-  per-batch codec call inside the same operator.
+  formats (MP3, MP4, progressive/subsampled JPEG) raise
+  ``UnsupportedMedia`` — they need PIL/soundfile/pyav, which a real
+  deployment installs, swapping the per-batch codec call inside the same
+  operator.
 
 At 100 TB: binary payloads dominate partition size, so operators here take a
 ``target_batch_bytes`` hint — ``mapInPandas`` yields multiple small pandas
@@ -83,7 +85,7 @@ def feature_extract(
     ``fake`` decoder: deterministic features derived from the raw bytes
     (length, first-8-bytes hex, synthetic frame count) — lets every piece of
     the distributed plumbing run and be oracle-checked without codecs.
-    ``real`` decoder: PNG payloads are genuinely parsed (dimensions from
+    ``real`` decoder: PNG/JPEG payloads are genuinely parsed (dimensions from
     IHDR; a still image is 1 frame); other formats raise.
     """
     if decoder not in ("fake", "real"):
@@ -94,11 +96,14 @@ def feature_extract(
     df = ensure_parallelism(df)
 
     def _real_decode(payload: bytes | None) -> tuple[int, str, int]:
+        from .jpeg import is_jpeg, jpeg_dims
         from .png import png_dims
 
         if payload is None:
             return 0, "", 0
-        w, h = png_dims(bytes(payload))  # raises UnsupportedMedia if not PNG
+        data = bytes(payload)
+        # raises UnsupportedMedia if neither PNG nor baseline JPEG
+        w, h = jpeg_dims(data) if is_jpeg(data) else png_dims(data)
         return len(payload), f"{w}x{h}", 1
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -225,7 +230,7 @@ def resize(
     ``fake``: keeps every ``scale_div``-th byte — deterministic, size-
     proportional, exercises the binary-in/binary-out Arrow path whose batch
     sizing is the actual scale risk (payloads dominate partition bytes).
-    ``real``: PNG payloads are decoded, nearest-neighbor downscaled by
+    ``real``: PNG/JPEG payloads are decoded, nearest-neighbor downscaled by
     ``scale_div``, and re-encoded as PNG (pure-Python codec; a deployment
     with Pillow swaps the codec call, same operator). Non-PNG raises.
     Records the transform (and real output dims) in ``meta``.
@@ -234,12 +239,15 @@ def resize(
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def _real_resize(payload: bytes | None) -> tuple[bytes | None, str]:
-        from .png import decode_png, encode_png, resize_nearest
+        from .jpeg import encode_jpeg, is_jpeg
+        from .png import encode_png, resize_nearest
 
         if payload is None:
             return None, ""
-        arr = resize_nearest(decode_png(bytes(payload)), scale_div)
-        return encode_png(arr), f"{arr.shape[1]}x{arr.shape[0]}"
+        data = bytes(payload)
+        arr = resize_nearest(decode_image(data), scale_div)
+        out = encode_jpeg(arr, quality=90) if is_jpeg(data) else encode_png(arr)
+        return out, f"{arr.shape[1]}x{arr.shape[0]}"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -393,14 +401,74 @@ def synth_png_corpus(
     )
 
 
-def ahash_bytes(payload: bytes) -> tuple[int, int, int]:
-    """64-bit average-hash of a PNG payload: decode, channel-mean grayscale,
-    8×8 nearest-neighbor downscale, mean threshold, row-major bit pack.
-    Returns (ahash, width, height). Deterministic — every step is integer
-    or exact small-int float arithmetic."""
-    from .png import decode_png, resize_nearest
+def synth_jpeg_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    variants: int = 31,
+    size: int = 16,
+    quality: int = 90,
+) -> DataFrame:
+    """JPEG twin of :func:`synth_png_corpus`: deterministic baseline-JPEG
+    payloads whose pattern depends only on ``id % variants`` — rows
+    sharing a variant are bitwise-identical JPEGs, and the 31 variant
+    patterns land on 31 distinct aHashes even after lossy decode
+    (verified), so the dedup entries keep a known duplicate structure."""
+    from .jpeg import encode_jpeg
 
-    arr = decode_png(bytes(payload))
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            payloads = []
+            for i in ids:
+                var = int(i) % variants
+                jpg = cache.get(var)
+                if jpg is None:
+                    y, x, c = np.meshgrid(
+                        np.arange(size), np.arange(size), np.arange(3),
+                        indexing="ij",
+                    )
+                    arr = (
+                        (y * 7 + x * 13 + c * 5 + var * 29 + y * x * (var + 1))
+                        % 256
+                    ).astype(np.uint8)
+                    jpg = encode_jpeg(arr, quality=quality)
+                    cache[var] = jpg
+                payloads.append(jpg)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "content": payloads,
+                    "mime": "image/jpeg",
+                    "meta": [{"variant": str(int(i) % variants)} for i in ids],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("media_id")).mapInPandas(
+        op, MEDIA_SCHEMA
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """PNG or baseline-JPEG bytes → (H, W, C) uint8 via the bundled
+    pure-Python codecs; anything else raises ``UnsupportedMedia``."""
+    from .jpeg import decode_jpeg, is_jpeg
+    from .png import decode_png
+
+    data = bytes(payload)
+    if is_jpeg(data):
+        return decode_jpeg(data)
+    return decode_png(data)
+
+
+def ahash_bytes(payload: bytes) -> tuple[int, int, int]:
+    """64-bit average-hash of a PNG or JPEG payload: decode, channel-mean
+    grayscale, 8×8 nearest-neighbor downscale, mean threshold, row-major
+    bit pack. Returns (ahash, width, height). Deterministic — every step
+    is integer or exact small-int float arithmetic (JPEG decode included:
+    fixed IDCT + rounding chain, same bytes → same pixels everywhere)."""
+    arr = decode_image(bytes(payload))
     gray = arr.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     ys = (np.arange(8) * h) // 8

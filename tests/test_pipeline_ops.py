@@ -826,3 +826,108 @@ def test_simhash_banding_is_lossless_vs_bruteforce(spark):
         # the expansion path — duplicates would mean the plan is wrong)
         rows = simhash_pairs(df, max_hamming=k).collect()
         assert len(rows) == len(got)
+
+
+def _jpeg_fixture_df(spark, shapes, quality=90):
+    """Media rows whose payloads are REAL encoded baseline JPEGs (smooth
+    gradients — JPEG-friendly content)."""
+    import numpy as np
+
+    from interference_spark.pipeline.jpeg import encode_jpeg
+    from interference_spark.pipeline.multimodal import MEDIA_SCHEMA
+
+    def grad(h, w, c):
+        x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+        if c == 1:
+            return x.astype(np.uint8)
+        return np.stack([x, x[::-1], np.full_like(x, 90)], axis=-1).astype(
+            np.uint8
+        )
+
+    rows = [
+        (
+            i,
+            "image",
+            bytearray(encode_jpeg(grad(*s), quality=quality)),
+            "image/jpeg",
+            {"w": str(s[1]), "h": str(s[0])},
+        )
+        for i, s in enumerate(shapes)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_jpeg_codec_roundtrip():
+    """Encoder → decoder roundtrip: exact dims, near-lossless at q100
+    (only YCbCr/DCT rounding), small error on smooth content at q90, and
+    marker parsing (dims without full decode)."""
+    import numpy as np
+
+    from interference_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        is_jpeg,
+        jpeg_dims,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(13, 17, 3), (8, 8, 3), (5, 9, 1), (48, 64, 3)]:
+        a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        data = encode_jpeg(a, quality=100)
+        assert is_jpeg(data)
+        assert jpeg_dims(data) == (shape[1], shape[0])
+        b = decode_jpeg(data)
+        assert b.shape[:2] == a.shape[:2]
+        err = np.abs(b.astype(int)[..., : a.shape[2] if a.ndim == 3 else 1]
+                     - a.reshape(b.shape[0], b.shape[1], -1).astype(int))
+        assert err.max() <= 2, "q100 must be near-lossless"
+    # smooth gradient at q90: visually-lossy-but-close regime
+    x = np.linspace(0, 255, 64)[None, :] * np.ones((48, 1))
+    img = np.stack([x, x[::-1], np.full_like(x, 100)], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 4.0
+
+
+def test_jpeg_codec_rejects_non_baseline():
+    import numpy as np
+    import pytest as _pytest
+
+    from interference_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from interference_spark.pipeline.png import UnsupportedMedia, encode_png
+
+    png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    with _pytest.raises(UnsupportedMedia):
+        decode_jpeg(png)
+    # progressive SOF2 marker is rejected, not mis-decoded
+    j = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = j.find(b"\xff\xc0")
+    j[sof + 1] = 0xC2
+    with _pytest.raises(UnsupportedMedia):
+        decode_jpeg(bytes(j))
+
+
+def test_mm_real_decoder_handles_jpeg(spark):
+    """decoder="real" paths decode JPEG payloads: feature dims, resize
+    (re-encoded as JPEG at half dims), and aHash fingerprints that
+    collide for identical payloads."""
+    from interference_spark.pipeline.jpeg import is_jpeg, jpeg_dims
+    from interference_spark.pipeline.multimodal import (
+        feature_extract,
+        image_ahash,
+        resize,
+    )
+
+    shapes = [(16, 24, 3), (10, 8, 1)]
+    media = _jpeg_fixture_df(spark, shapes)
+    feats = {r["media_id"]: r for r in feature_extract(media, decoder="real").collect()}
+    for i, (h, w, _c) in enumerate(shapes):
+        assert feats[i]["head_hex"] == f"{w}x{h}"
+    out = {r["media_id"]: r for r in resize(media, scale_div=2, decoder="real").collect()}
+    for i, (h, w, _c) in enumerate(shapes):
+        payload = bytes(out[i]["content"])
+        assert is_jpeg(payload), "resize must re-encode JPEG as JPEG"
+        assert jpeg_dims(payload) == (max(1, w // 2), max(1, h // 2))
+    # identical payloads → identical perceptual hash
+    two = _jpeg_fixture_df(spark, [(12, 12, 3), (12, 12, 3)])
+    hs = [r["ahash"] for r in image_ahash(two).collect()]
+    assert hs[0] == hs[1]
