@@ -5383,10 +5383,13 @@ _DRIVER_WINDOW = [
     # exact stats + privacy
     "kanonymity_audit",
     "approx_quantile_sketch",
-    # multimodal plumbing
+    # multimodal plumbing (mm_image_dedup→mm_jpeg_dedup: same family, the
+    # JPEG entry drives the richer codec — full entropy decode + IDCT —
+    # while the PNG codec stays window-covered via mm_video_frames'
+    # APNG parse and mm_resize's PNG re-encode)
     "mm_video_frames",
     "mm_resize",
-    "mm_image_dedup",
+    "mm_jpeg_dedup",
     # source formats + semi-structured
     "source_csv_agg",
     "source_json_agg",
