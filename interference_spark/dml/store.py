@@ -216,10 +216,9 @@ def overwrite(td: TableDef, df: DataFrame) -> None:
     df.write.mode("overwrite").parquet(tmp)
     for f in glob.glob(os.path.join(tmp, "*.parquet")):
         os.rename(f, _new_part(td))
-    for f in old:
-        os.remove(f)
-    for f in _tombstone_parts(td):
-        os.remove(f)
+    # snapshot-pinned files archive instead of vanishing (time travel)
+    _retire_files(td, old)
+    _retire_files(td, _tombstone_parts(td))
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
@@ -248,7 +247,11 @@ def vacuum(td: TableDef) -> int:
     for f in glob.glob(os.path.join(td.path + ".locks", "*.lock")):
         os.remove(f)
         n += 1
-    for pat in (".*.tmp", os.path.join("_tombstones", ".*.tmp")):
+    for pat in (
+        ".*.tmp",
+        os.path.join("_tombstones", ".*.tmp"),
+        os.path.join("_snapshots", ".*.tmp"),
+    ):
         for f in glob.glob(os.path.join(td.path, pat)):
             os.remove(f)
             n += 1
@@ -376,8 +379,8 @@ def upsert(
         survivors.write.mode("overwrite").parquet(tmp)
         for f in glob.glob(os.path.join(tmp, "*.parquet")):
             os.rename(f, _new_part(td))
-        for f in affected:
-            os.remove(f)
+        # snapshot-pinned files archive instead of vanishing (time travel)
+        _retire_files(td, sorted(affected))
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
@@ -549,3 +552,142 @@ def cluster_table_zorder(
         n_parts, "__zk"
     ).sortWithinPartitions("__zk").drop("__zk")
     overwrite(td, out)
+
+
+# ------------------------------------------------------------ snapshots
+#
+# Time travel for managed tables, Delta/Iceberg-style but file-based:
+# a snapshot is a JSON manifest pinning the CURRENT set of part files and
+# tombstone files.  Mutations that would delete a pinned file move it to
+# `_archive/` instead (underscore prefix → invisible to Spark's FileIndex,
+# so live readers and the table-as-stream file source never see it);
+# `read_snapshot` resolves each pinned basename against the live dir first,
+# then the archive.  Dropping a snapshot releases its pins; files no longer
+# pinned by ANY snapshot are removed at drop time.  Appends never invalidate
+# snapshots (old manifests simply don't list the new files) — only rewrite
+# ops (upsert's targeted rewrite, compact, overwrite, clustering) archive.
+
+
+def _snapshot_dir(td: TableDef) -> str:
+    return os.path.join(td.path, "_snapshots")
+
+
+def _archive_dir(td: TableDef) -> str:
+    return os.path.join(td.path, "_archive")
+
+
+def _snapshot_files(td: TableDef) -> list[str]:
+    return sorted(glob.glob(os.path.join(_snapshot_dir(td), "snap-*.json")))
+
+
+def create_snapshot(td: TableDef) -> int:
+    """Record the current table state; returns the snapshot id. O(1) data
+    cost — the manifest holds file NAMES, never data."""
+    import json
+
+    os.makedirs(_snapshot_dir(td), exist_ok=True)
+    existing = [
+        int(os.path.basename(p)[5:-5]) for p in _snapshot_files(td)
+    ]
+    sid = (max(existing) + 1) if existing else 1
+    meta = {
+        "id": sid,
+        "parts": [os.path.basename(p) for p in _parts(td)],
+        "tombstones": [os.path.basename(p) for p in _tombstone_parts(td)],
+    }
+    path = os.path.join(_snapshot_dir(td), f"snap-{sid:09d}.json")
+    tmp = os.path.join(_snapshot_dir(td), f".snap-{sid:09d}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, path)
+    return sid
+
+
+def list_snapshots(td: TableDef) -> list[dict]:
+    import json
+
+    out = []
+    for p in _snapshot_files(td):
+        with open(p) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def _pinned_basenames(td: TableDef) -> set[str]:
+    pinned: set[str] = set()
+    for meta in list_snapshots(td):
+        pinned.update(meta["parts"])
+        pinned.update(meta["tombstones"])
+    return pinned
+
+
+def _retire_files(td: TableDef, files: list[str]) -> None:
+    """Delete files a mutation replaced — unless a snapshot pins them, in
+    which case they move to the archive (rename within one fs = atomic)."""
+    pinned = _pinned_basenames(td)
+    archived = False
+    for f in files:
+        if os.path.basename(f) in pinned:
+            os.makedirs(_archive_dir(td), exist_ok=True)
+            os.rename(f, os.path.join(_archive_dir(td), os.path.basename(f)))
+            archived = True
+        else:
+            os.remove(f)
+    if archived:
+        pass  # archive is append-only here; drop_snapshot reclaims
+
+
+def drop_snapshot(td: TableDef, snap_id: int) -> None:
+    """Release a snapshot's pins and reclaim archive files nothing pins."""
+    from ..errors import SnapshotUnavailable
+
+    path = os.path.join(_snapshot_dir(td), f"snap-{snap_id:09d}.json")
+    if not os.path.exists(path):
+        raise SnapshotUnavailable(f"snapshot {snap_id} of {td.name} not found")
+    os.remove(path)
+    still = _pinned_basenames(td)
+    for f in glob.glob(os.path.join(_archive_dir(td), "*.parquet")):
+        if os.path.basename(f) not in still:
+            os.remove(f)
+
+
+def read_snapshot(spark: SparkSession, td: TableDef, snap_id: int) -> DataFrame:
+    """The table AS OF a snapshot: pinned parts minus pinned tombstones.
+    Reads with the current registered schema, so columns added after the
+    snapshot surface as nulls (same contract as reading old part files
+    after ALTER TABLE ADD COLUMN)."""
+    import json
+
+    from ..errors import SnapshotUnavailable
+
+    path = os.path.join(_snapshot_dir(td), f"snap-{snap_id:09d}.json")
+    if not os.path.exists(path):
+        raise SnapshotUnavailable(f"snapshot {snap_id} of {td.name} not found")
+    with open(path) as fh:
+        meta = json.load(fh)
+
+    def resolve(basename: str, sub: str | None) -> str:
+        live = (
+            os.path.join(td.path, sub, basename)
+            if sub
+            else os.path.join(td.path, basename)
+        )
+        if os.path.exists(live):
+            return live
+        arch = os.path.join(_archive_dir(td), basename)
+        if os.path.exists(arch):
+            return arch
+        raise SnapshotUnavailable(
+            f"snapshot {snap_id} of {td.name} expired: {basename} is gone"
+        )
+
+    schema = td.require_schema()
+    parts = [resolve(b, None) for b in meta["parts"]]
+    if not parts:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*parts)
+    tombs = [resolve(b, "_tombstones") for b in meta["tombstones"]]
+    if tombs and td.id_col:
+        dead = spark.read.parquet(*tombs).select(td.id_col).distinct()
+        df = df.join(dead, td.id_col, "left_anti")
+    return df

@@ -293,6 +293,40 @@ class Engine:
 
         rollup.drop(self, name)
 
+    # -- snapshots (time travel) -------------------------------------------
+    def _managed_td(self, name: str) -> TableDef:
+        td = self.catalog.get(name)
+        if not td.managed:
+            from .errors import InvalidParameter
+
+            raise InvalidParameter(
+                f"snapshots require a managed table; {name} is external"
+            )
+        return td
+
+    def snapshot_table(self, name: str) -> int:
+        """Pin the table's current file set; returns the snapshot id."""
+        from .dml.store import create_snapshot
+
+        return create_snapshot(self._managed_td(name))
+
+    def table_snapshots(self, name: str) -> list[dict]:
+        from .dml.store import list_snapshots
+
+        return list_snapshots(self._managed_td(name))
+
+    def read_table_snapshot(self, name: str, snap_id: int) -> DataFrame:
+        """The table AS OF a snapshot (rewrites archive pinned files, so
+        reads stay valid until the snapshot is dropped)."""
+        from .dml.store import read_snapshot
+
+        return read_snapshot(self.spark, self._managed_td(name), snap_id)
+
+    def drop_table_snapshot(self, name: str, snap_id: int) -> None:
+        from .dml.store import drop_snapshot
+
+        drop_snapshot(self._managed_td(name), snap_id)
+
     # -- reading -----------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         td = self.catalog.get(name)

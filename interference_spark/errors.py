@@ -148,3 +148,8 @@ class InvalidParameter(StorageException):
 class TableNotRegistered(StorageException):
     """No reference analogue (tables are JVM classes there); raised when a
     query names a table absent from the catalog."""
+
+
+class SnapshotUnavailable(StorageException):
+    """A table snapshot references part files that no longer exist (expired
+    by vacuum after its pins were dropped) or an unknown snapshot id."""

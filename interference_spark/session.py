@@ -378,6 +378,18 @@ class Session:
             raise InvalidSQLStatement(
                 "ALTER TABLE supports: ALTER TABLE <t> ADD COLUMN <name> <type>"
             )
+        if up.startswith("SNAPSHOT TABLE "):
+            # extension: SNAPSHOT TABLE <t> — pin the current file set
+            name = stmt.split()[2]
+            sid = self.engine.snapshot_table(name)
+            return SystemResult(stmt, f"snapshot {sid} of {name} created")
+        if up.startswith("DROP SNAPSHOT "):
+            # extension: DROP SNAPSHOT <t> <id> — release pins + reclaim
+            toks = stmt.split()
+            if len(toks) != 4:
+                raise InvalidSQLStatement("DROP SNAPSHOT <table> <id>")
+            self.engine.drop_table_snapshot(toks[2], int(toks[3]))
+            return SystemResult(stmt, f"snapshot {toks[3]} of {toks[2]} dropped")
         if up in _SYSTEM_NOOPS:
             return SystemResult(stmt, "no-op on Spark (documented divergence)")
         return None

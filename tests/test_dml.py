@@ -662,3 +662,73 @@ def test_targeted_upsert_in_warehouse_with_spaces(spark, tmp_path):
     rows = eng.table("kvs").filter("id = 150").collect()
     assert [(r["id"], r["val"]) for r in rows] == [(150, -1)]  # ONE row, updated
     assert eng.table("kvs").count() == 300
+
+
+def test_snapshot_time_travel_survives_rewrites(session, engine, fresh):
+    """A snapshot keeps returning the AS-OF contents across upsert
+    rewrites, compaction, and deletes; appends after the snapshot are
+    invisible to it; dropping the snapshot reclaims archived files."""
+    import glob
+    import os
+
+    td = engine.catalog.get(fresh)
+    session.persist(fresh, [{"id": i, "val": i, "tag": "a"} for i in range(10)])
+    session.commit()
+    sid = engine.snapshot_table(fresh)
+    asof = {(r.id, r.val) for r in engine.read_table_snapshot(fresh, sid).collect()}
+    assert asof == {(i, i) for i in range(10)}
+
+    # append after snapshot → invisible to the snapshot, visible live
+    session.persist(fresh, [{"id": 100, "val": 100, "tag": "b"}])
+    session.commit()
+    # upsert rewrite of existing rows + delete + compaction
+    session.persist(fresh, [{"id": 3, "val": -3, "tag": "c"}])
+    session.commit()
+    session.execute(f"select t.id from {fresh} t")  # sanity: still queryable
+    store.compact(engine.spark, td)
+    store.overwrite(td, engine.table(fresh))  # full rewrite
+
+    live = {(r.id, r.val) for r in engine.table(fresh).collect()}
+    assert (3, -3) in live and (100, 100) in live
+    again = {(r.id, r.val) for r in engine.read_table_snapshot(fresh, sid).collect()}
+    assert again == asof, "snapshot must be immutable across rewrites"
+
+    # second snapshot sees the new state
+    sid2 = engine.snapshot_table(fresh)
+    now = {(r.id, r.val) for r in engine.read_table_snapshot(fresh, sid2).collect()}
+    assert now == live
+
+    archive = os.path.join(td.path, "_archive", "*.parquet")
+    assert glob.glob(archive), "rewrites must archive pinned files"
+    engine.drop_table_snapshot(fresh, sid)
+    engine.drop_table_snapshot(fresh, sid2)
+    assert not glob.glob(archive), "dropping all snapshots reclaims archive"
+    with pytest.raises(errors.SnapshotUnavailable):
+        engine.read_table_snapshot(fresh, sid)
+
+
+def test_snapshot_delete_tombstones_visibility(session, engine, fresh):
+    """Deletes after a snapshot (tombstone path) don't affect the
+    snapshot; a snapshot taken after the delete excludes the row even
+    though the part file still physically contains it."""
+    session.persist(fresh, [{"id": i, "val": i, "tag": "a"} for i in range(5)])
+    session.commit()
+    s1 = engine.snapshot_table(fresh)
+    session.delete(fresh, 2)
+    session.commit()
+    s2 = engine.snapshot_table(fresh)
+    ids1 = {r.id for r in engine.read_table_snapshot(fresh, s1).collect()}
+    ids2 = {r.id for r in engine.read_table_snapshot(fresh, s2).collect()}
+    assert ids1 == {0, 1, 2, 3, 4}
+    assert ids2 == {0, 1, 3, 4}
+
+
+def test_snapshot_system_statements(session, engine, fresh):
+    session.persist(fresh, [{"id": 1, "val": 1, "tag": "x"}])
+    session.commit()
+    res = session.execute(f"SNAPSHOT TABLE {fresh}")
+    assert "snapshot 1" in res.message
+    assert engine.table_snapshots(fresh)[0]["id"] == 1
+    res = session.execute(f"DROP SNAPSHOT {fresh} 1")
+    assert "dropped" in res.message
+    assert engine.table_snapshots(fresh) == []
