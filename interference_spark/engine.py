@@ -327,6 +327,14 @@ class Engine:
 
         drop_snapshot(self._managed_td(name), snap_id)
 
+    def table_changes(self, name: str, from_id: int, to_id: int) -> DataFrame:
+        """CDC-style row diff between two snapshots: (id, op, old, new)."""
+        from .dml.store import snapshot_changes
+
+        return snapshot_changes(
+            self.spark, self._managed_td(name), from_id, to_id
+        )
+
     # -- reading -----------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         td = self.catalog.get(name)

@@ -732,3 +732,26 @@ def test_snapshot_system_statements(session, engine, fresh):
     res = session.execute(f"DROP SNAPSHOT {fresh} 1")
     assert "dropped" in res.message
     assert engine.table_snapshots(fresh) == []
+
+
+def test_snapshot_changes_cdc_diff(session, engine, fresh):
+    """table_changes classifies insert/update/delete between snapshots and
+    drops unchanged rows; compaction between the snapshots must not
+    surface phantom churn."""
+    session.persist(fresh, [{"id": i, "val": i, "tag": "a"} for i in range(6)])
+    session.commit()
+    s1 = engine.snapshot_table(fresh)
+    session.persist(fresh, [{"id": 9, "val": 90, "tag": "n"}])   # insert
+    session.persist(fresh, [{"id": 2, "val": -2, "tag": "a"}])   # update
+    session.commit()
+    session.delete(fresh, 4)                                      # delete
+    session.commit()
+    td = engine.catalog.get(fresh)
+    store.compact(engine.spark, td)  # rewrite between the snapshots
+    s2 = engine.snapshot_table(fresh)
+    got = {
+        (r[0], r["op"]) for r in engine.table_changes(fresh, s1, s2).collect()
+    }
+    assert got == {(9, "insert"), (2, "update"), (4, "delete")}
+    engine.drop_table_snapshot(fresh, s1)
+    engine.drop_table_snapshot(fresh, s2)
