@@ -335,6 +335,30 @@ class Engine:
             self.spark, self._managed_td(name), from_id, to_id
         )
 
+    # -- incremental join views --------------------------------------------
+    def create_join_view(
+        self, name: str, left: str, right: str, on: list[str]
+    ) -> dict:
+        """Materialized inner equi-join maintained at O(appended rows)."""
+        from .dml import joinview
+
+        return joinview.create(self, name, left, right, on)
+
+    def refresh_join_view(self, name: str) -> dict:
+        from .dml import joinview
+
+        return joinview.refresh(self, name)
+
+    def join_view(self, name: str) -> DataFrame:
+        from .dml import joinview
+
+        return joinview.read(self, name)
+
+    def drop_join_view(self, name: str) -> None:
+        from .dml import joinview
+
+        joinview.drop(self, name)
+
     # -- reading -----------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         td = self.catalog.get(name)

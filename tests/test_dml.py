@@ -755,3 +755,70 @@ def test_snapshot_changes_cdc_diff(session, engine, fresh):
     assert got == {(9, "insert"), (2, "update"), (4, "delete")}
     engine.drop_table_snapshot(fresh, s1)
     engine.drop_table_snapshot(fresh, s2)
+
+
+def test_join_view_incremental_matches_full_recompute(session, engine):
+    """Delta-join refresh: appends to either side refresh at O(delta) and
+    the view always equals a from-scratch join; rewrites/deletes trigger
+    the rebuild fallback and stay correct."""
+    import uuid as _uuid
+
+    ln = f"L{_uuid.uuid4().hex[:8]}"
+    rn = f"R{_uuid.uuid4().hex[:8]}"
+    # nocheck → blind append (the append-only premise of the delta join);
+    # id-merge persist rewrites part files, which correctly forces rebuild
+    engine.register_table(ln, "k long, lv long", id_col="k", nocheck=True)
+    engine.register_table(rn, "k long, rv string", id_col="k", nocheck=True)
+    try:
+        session.persist(ln, [{"k": i, "lv": i * 10} for i in range(5)])
+        session.persist(rn, [{"k": i, "rv": f"r{i}"} for i in range(3)])
+        session.commit()
+        res = engine.create_join_view("v1", ln, rn, ["k"])
+        assert res["mode"] == "initial"
+
+        def expected():
+            return {
+                tuple(r)
+                for r in engine.table(ln).join(engine.table(rn), "k").collect()
+            }
+
+        def got():
+            return {tuple(r) for r in engine.join_view("v1").collect()}
+
+        assert got() == expected() and len(got()) == 3
+
+        # appends on both sides, including a new x new match (k=7)
+        session.persist(ln, [{"k": 7, "lv": 70}])
+        session.persist(rn, [{"k": 3, "rv": "r3"}, {"k": 7, "rv": "r7"}])
+        session.commit()
+        res = engine.refresh_join_view("v1")
+        assert res["mode"] == "incremental"
+        assert got() == expected() and len(got()) == 5
+        assert engine.refresh_join_view("v1")["mode"] == "noop"
+
+        # delete on the right side → rebuild fallback
+        session.delete(rn, 0)
+        session.commit()
+        res = engine.refresh_join_view("v1")
+        assert res["mode"] == "rebuild"
+        assert got() == expected() and len(got()) == 4
+
+        # append another left row (duplicate key under nocheck): the
+        # incremental path must join it against the full right side
+        session.persist(ln, [{"k": 1, "lv": -1}])
+        session.commit()
+        res = engine.refresh_join_view("v1")
+        assert res["mode"] == "incremental"
+        assert got() == expected()
+        assert (1, -1, "r1") in got()
+        # physical rewrite (compaction applies left tombstones) → rebuild
+        session.delete(ln, 0)
+        session.commit()
+        store.compact(engine.spark, engine.catalog.get(ln))
+        res = engine.refresh_join_view("v1")
+        assert res["mode"] == "rebuild"
+        assert got() == expected()
+    finally:
+        engine.drop_join_view("v1")
+        engine.drop_table(ln)
+        engine.drop_table(rn)
