@@ -5261,6 +5261,37 @@ def kanonymity_audit(spark, sf_dir):
 
 
 @query(
+    "frequent_event_sequences",
+    """WITH s AS (
+         SELECT event_type || '>' ||
+                lead(event_type, 1) OVER w || '>' ||
+                lead(event_type, 2) OVER w AS seq
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       f AS (SELECT seq FROM s WHERE seq IS NOT NULL),
+       c AS (SELECT seq, count(*) AS n FROM f GROUP BY seq),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM f)
+       SELECT seq, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS support
+       FROM (SELECT seq, n FROM c ORDER BY n DESC, seq ASC LIMIT 20) top
+       CROSS JOIN t""",
+)
+def frequent_event_sequences(spark, sf_dir):
+    """Top-20 contiguous 3-event behavioral sequences
+    (`pipeline/stats.frequent_sequences`) — the n>2 generalization of the
+    Markov transition matrix for journey mining.  Plan: per-user window
+    builds trigrams with lead columns (no arrays, constant state),
+    combiner groupBy counts, TakeOrderedAndProject top-k, 1-row broadcast
+    denominator."""
+    from .pipeline.stats import frequent_sequences
+
+    e = engine_for(spark, sf_dir)
+    return frequent_sequences(
+        e.table("events"), order_tiebreak="event_id", n=3, top_k=20
+    )
+
+
+@query(
     "temperature_sample_by_lang",
     """WITH c AS (
          SELECT lang, count(*) AS c,

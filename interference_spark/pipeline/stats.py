@@ -364,3 +364,48 @@ def kanonymity_audit(
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent length-``n`` event-type sequences across user
+    streams (sequence mining's contiguous-pattern core — the n>2
+    generalization of the transition matrix): ``(seq, n, support)`` where
+    seq is '>'-joined and support = n / total sequences.
+
+    Plan: one window pass per user stream builds the n-grams with
+    ``lead`` columns (no arrays collected, constant state); a
+    combiner-friendly groupBy counts them; top-k is
+    TakeOrderedAndProject; the support denominator is a 1-row broadcast.
+    Null-propagating concat (not concat_ws) keeps stream-tail partial
+    windows out — identical to SQL ``||`` semantics."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    parts = [F.col(type_col)]
+    for i in range(1, n):
+        parts.extend([F.lit(">"), F.lead(type_col, i).over(w)])
+    seqs = (
+        df.select(F.concat(*parts).alias("seq"))
+        .filter(F.col("seq").isNotNull())
+    )
+    counts = seqs.groupBy("seq").agg(F.count(F.lit(1)).alias("n"))
+    total = seqs.agg(F.count(F.lit(1)).alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("seq").asc()).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "seq", "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("support"),
+        )
+    )

@@ -356,8 +356,6 @@ class Session:
                 raise InvalidSQLStatement("CONNECT requires user/password")
             return SystemResult(stmt, "connected")
         if up == "ALTER SYSTEM CHECK STORAGE":
-            import os
-
             n = len(self.engine.catalog.names())
             ok = os.path.isdir(self.engine.warehouse)
             return SystemResult(
@@ -378,6 +376,28 @@ class Session:
             raise InvalidSQLStatement(
                 "ALTER TABLE supports: ALTER TABLE <t> ADD COLUMN <name> <type>"
             )
+        if up.startswith("DESCRIBE TABLE "):
+            # extension: DESCRIBE TABLE <t> — schema + storage facts
+            name = stmt.split()[2]
+            td = self.engine.catalog.get(name)
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in td.require_schema().fields
+            )
+            if td.managed:
+                from .dml import store as _store
+
+                parts = _store._parts(td)
+                nbytes = sum(os.path.getsize(p) for p in parts)
+                extra = (
+                    f"managed, {len(parts)} parts, {nbytes} bytes, "
+                    f"{len(_store._tombstone_parts(td))} tombstone files, "
+                    f"{len(_store._snapshot_files(td))} snapshots, "
+                    f"id_col={td.id_col}"
+                )
+            else:
+                extra = f"external, format={td.meta.get('format', 'parquet')}"
+            return SystemResult(stmt, f"{name}({cols}) — {extra}")
         if up.startswith("SNAPSHOT TABLE "):
             # extension: SNAPSHOT TABLE <t> — pin the current file set
             name = stmt.split()[2]

@@ -125,3 +125,11 @@ def test_reregister_same_schema_idempotent_different_raises(spark, tmp_path):
     e.drop_table("rr_t")
     e.register_table("rr_t", "id long, v string, extra long", id_col="id")
     assert len(e.catalog.get("rr_t").require_schema().fields) == 3
+
+
+def test_describe_table_statement(session):
+    session.persist("t", {"id": 1, "v": "x"})
+    session.commit()
+    msg = session.execute("DESCRIBE TABLE t").message
+    assert "id bigint" in msg and "v string" in msg
+    assert "managed" in msg and "1 parts" in msg and "id_col=id" in msg
