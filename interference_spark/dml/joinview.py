@@ -224,3 +224,58 @@ def read(engine, name: str) -> DataFrame:
 
 def drop(engine, name: str) -> None:
     shutil.rmtree(_view_dir(engine, name), ignore_errors=True)
+
+
+class StreamRefreshHandle:
+    """Handle over the streaming-refresh queries of a join view."""
+
+    def __init__(self, queries) -> None:
+        self._queries = queries
+
+    def process_all_available(self) -> None:
+        for q in self._queries:
+            q.processAllAvailable()
+
+    def stop(self) -> None:
+        for q in self._queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+
+def stream_refresh(engine, name: str) -> StreamRefreshHandle:
+    """Keep a join view continuously fresh: a file-source stream over EACH
+    source table's directory triggers :func:`refresh` per micro-batch
+    (the micro-batch rows themselves are discarded — refresh re-lists
+    part files, which is what makes it exactly-once: a trigger that fires
+    twice for the same file is a noop the second time). A process-local
+    lock serializes the two triggers; refresh from a trigger is identical
+    to a manual refresh, delta-join fast path and rebuild fallback
+    included."""
+    import threading
+
+    meta = _load_meta(engine, name)
+    lock = threading.Lock()
+
+    def fire(_bdf, _eid) -> None:
+        with lock:
+            refresh(engine, name)
+
+    queries = []
+    for table in (meta["left"], meta["right"]):
+        td = _managed(engine, table)
+        src = (
+            engine.spark.readStream.schema(td.require_schema())
+            .option("maxFilesPerTrigger", "16")
+            .parquet(td.path)
+        )
+        queries.append(
+            src.writeStream.foreachBatch(fire)
+            .option(
+                "checkpointLocation",
+                os.path.join(_view_dir(engine, name), f"_ckpt_{table}"),
+            )
+            .start()
+        )
+    return StreamRefreshHandle(queries)

@@ -359,6 +359,12 @@ class Engine:
 
         joinview.drop(self, name)
 
+    def stream_refresh_join_view(self, name: str):
+        """Continuously refresh the view as either source table grows."""
+        from .dml import joinview
+
+        return joinview.stream_refresh(self, name)
+
     # -- reading -----------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         td = self.catalog.get(name)

@@ -624,3 +624,35 @@ def test_misra_gries_bounded_state_multibatch(spark, engine):
         assert {(r["v"], r["count"]) for r in exact} == {("hot", 100)}
     finally:
         engine.drop_table(name)
+
+
+def test_join_view_stream_refresh(engine):
+    """Appends to either side of a join view are picked up by the
+    streaming refresher without manual refresh calls."""
+    import uuid as _uuid
+
+    ln, rn = f"SL{_uuid.uuid4().hex[:8]}", f"SR{_uuid.uuid4().hex[:8]}"
+    engine.register_table(ln, "k long, lv long", id_col="k", nocheck=True)
+    engine.register_table(rn, "k long, rv string", id_col="k", nocheck=True)
+    s = engine.session()
+    h = None
+    try:
+        s.persist(ln, [{"k": 1, "lv": 10}])
+        s.persist(rn, [{"k": 1, "rv": "a"}])
+        s.commit()
+        engine.create_join_view("sv", ln, rn, ["k"])
+        h = engine.stream_refresh_join_view("sv")
+        h.process_all_available()
+        assert engine.join_view("sv").count() == 1
+        s.persist(ln, [{"k": 2, "lv": 20}])   # left append, no match yet
+        s.persist(rn, [{"k": 2, "rv": "b"}])  # right append completes it
+        s.commit()
+        h.process_all_available()
+        got = {tuple(r) for r in engine.join_view("sv").collect()}
+        assert got == {(1, 10, "a"), (2, 20, "b")}
+    finally:
+        if h is not None:
+            h.stop()
+        engine.drop_join_view("sv")
+        engine.drop_table(ln)
+        engine.drop_table(rn)
