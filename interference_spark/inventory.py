@@ -5261,6 +5261,89 @@ def kanonymity_audit(spark, sf_dir):
 
 
 @query(
+    "data_quality_report",
+    """SELECT 'orders_custkey_not_null' AS check_name, 'orders' AS table_name,
+              CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) AS violations,
+              (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0 AS passed
+       UNION ALL
+       SELECT 'lineitem_discount_range', 'lineitem',
+              CAST((SELECT count(*) FROM lineitem
+                    WHERE l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.08)) AS BIGINT),
+              (SELECT count(*) FROM lineitem
+               WHERE l_discount IS NOT NULL
+                 AND (l_discount < 0.0 OR l_discount > 0.08)) = 0
+       UNION ALL
+       SELECT 'events_type_accepted', 'events',
+              CAST((SELECT count(*) FROM events
+                    WHERE event_type IS NOT NULL
+                      AND event_type NOT IN ('click', 'view', 'purchase')) AS BIGINT),
+              (SELECT count(*) FROM events
+               WHERE event_type IS NOT NULL
+                 AND event_type NOT IN ('click', 'view', 'purchase')) = 0
+       UNION ALL
+       SELECT 'customer_key_unique', 'customer',
+              CAST((SELECT COALESCE(sum(n - 1), 0) FROM (
+                      SELECT count(*) AS n FROM customer
+                      GROUP BY c_custkey HAVING count(*) > 1)) AS BIGINT),
+              (SELECT COALESCE(sum(n - 1), 0) FROM (
+                 SELECT count(*) AS n FROM customer
+                 GROUP BY c_custkey HAVING count(*) > 1)) = 0
+       UNION ALL
+       SELECT 'orders_customer_fk', 'orders',
+              CAST((SELECT count(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+              (SELECT count(*) FROM orders o
+               WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                   SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey)) = 0
+       UNION ALL
+       SELECT 'lineitem_part_fk', 'lineitem',
+              CAST((SELECT count(*) FROM lineitem l
+                    WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM part p
+                        WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+              (SELECT count(*) FROM lineitem l
+               WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+                   SELECT 1 FROM part p
+                   WHERE p.p_partkey = l.l_partkey)) = 0""",
+)
+def data_quality_report(spark, sf_dir):
+    """Deequ/dbt-test-style constraint suite (`pipeline/quality.check_report`):
+    not-null, value-range, accepted-values, key-uniqueness, and two
+    referential-integrity checks over the driver tables, reduced to one
+    (check, table, violations, passed) row each.  Plan: row-level checks
+    on the same table FUSE into one conditional-count aggregate pass;
+    uniqueness is a combiner groupBy shipping only duplicated keys; FK is
+    a broadcast left-anti join; the union carries six 1-row frames."""
+    from .pipeline.quality import check_report
+
+    e = engine_for(spark, sf_dir)
+    return check_report(
+        e,
+        [
+            {"name": "orders_custkey_not_null", "table": "orders",
+             "kind": "not_null", "col": "o_custkey"},
+            {"name": "lineitem_discount_range", "table": "lineitem",
+             "kind": "in_range", "col": "l_discount", "lo": 0.0, "hi": 0.08},
+            {"name": "events_type_accepted", "table": "events",
+             "kind": "accepted", "col": "event_type",
+             "values": ("click", "view", "purchase")},
+            {"name": "customer_key_unique", "table": "customer",
+             "kind": "unique", "cols": ("c_custkey",)},
+            {"name": "orders_customer_fk", "table": "orders",
+             "kind": "fk", "col": "o_custkey",
+             "ref_table": "customer", "ref_col": "c_custkey"},
+            {"name": "lineitem_part_fk", "table": "lineitem",
+             "kind": "fk", "col": "l_partkey",
+             "ref_table": "part", "ref_col": "p_partkey"},
+        ],
+    )
+
+
+@query(
     "frequent_event_sequences",
     """WITH s AS (
          SELECT event_type || '>' ||
