@@ -5504,9 +5504,11 @@ _DRIVER_WINDOW = [
     "mm_video_frames",
     "mm_resize",
     "mm_jpeg_dedup",
-    # source formats + semi-structured
+    # source formats + semi-structured + data-quality (source_json_agg→
+    # data_quality_report: csv + json-extract keep the source family
+    # covered; the constraint suite is a previously-unrepresented family)
     "source_csv_agg",
-    "source_json_agg",
+    "data_quality_report",
     "json_extract_props",
     # sessionization + streaming + PROCESS
     "sessionize_users",
