@@ -43,9 +43,10 @@ def _col_vals(duck, col):
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
-    )
+    for t in ("orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
     return con
 
 
@@ -487,3 +488,52 @@ def test_fuzz_group_by_aggregates(engine, duck, gcol, aggs, having):
                 assert g == pytest.approx(w, rel=1e-9), (k, i)
             else:
                 assert g == w or g == pytest.approx(w, rel=1e-12), (k, i)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_multiway_join_matches_duckdb(data, duck, engine):
+    """Random 2-3 way joins through the dialect (comma-FROM + WHERE join
+    conditions, SURVEY §2.3 J1-J8): equi-join chains with optional theta
+    condition and random value predicates must match DuckDB row for row,
+    including the alias-concatenated output names."""
+    three_way = data.draw(st.booleans())
+    theta = data.draw(st.booleans())
+    vc_num = data.draw(st.sampled_from([None] + NUM_COLS))
+    conds_d = ["o.o_custkey = c.c_custkey"]
+    conds_a = ["o.o_custkey = c.c_custkey"]
+    tables_d = "orders o, customer c"
+    proj_d = "o.o_orderkey, c.c_name"
+    proj_a = "o.o_orderkey AS oo_orderkey, c.c_name AS cc_name"
+    if three_way:
+        tables_d += ", nation n"
+        conds_d.append("c.c_nationkey = n.n_nationkey")
+        conds_a.append("c.c_nationkey = n.n_nationkey")
+        proj_d += ", n.n_name"
+        proj_a += ", n.n_name AS nn_name"
+    if theta:
+        # non-equi join condition → nested-loops path (reference J8)
+        conds_d.append("o.o_custkey < c.c_custkey")
+        conds_a.append("o.o_custkey < c.c_custkey")
+    if vc_num is not None:
+        v = data.draw(st.sampled_from(_col_vals(duck, vc_num)))
+        conds_d.append(f"o.{vc_num} >= {_fmt_num(v)}")
+        conds_a.append(f"o.{vc_num} >= {_fmt_num(v)}")
+    dial = (
+        f"select {proj_d} from {tables_d} where "
+        + " and ".join(conds_d)
+    )
+    ansi = (
+        f"SELECT {proj_a} FROM {tables_d} WHERE "
+        + " AND ".join(conds_a)
+    )
+    sdf = engine.session().execute(dial)
+    got = sorted(tuple(r) for r in sdf.collect())
+    want = sorted(tuple(r) for r in duck.execute(ansi).fetchall())
+    dcols = [d[0] for d in duck.execute(ansi).description]
+    assert sdf.columns == dcols, f"output naming diverged: {sdf.columns}"
+    assert got == want, f"dialect: {dial!r}"
