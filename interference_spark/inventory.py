@@ -5260,6 +5260,67 @@ def kanonymity_audit(spark, sf_dir):
     return ka(e.table("customer"), ("c_nationkey", "c_mktsegment"), k=5)
 
 
+def _profile_oracle() -> str:
+    """One UNION ALL branch per profiled lineitem column; numeric means
+    use the quantized split-sum so the double chain matches Spark's."""
+
+    def num(col: str, expr: str) -> str:
+        q = f"CAST(floor(({expr}) * 1000000.0) AS BIGINT)"
+        mean = (
+            f"((CAST(sum({q} >> 20) AS DOUBLE) * 1048576.0 + "
+            f"CAST(sum({q} & 1048575) AS DOUBLE)) / 1000000.0) "
+            f"/ CAST(count({expr}) AS DOUBLE)"
+        )
+        return f"""SELECT '{col}' AS column_name,
+              CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+              CAST((SELECT count(*) FROM lineitem WHERE {col} IS NULL) AS BIGINT) AS n_nulls,
+              CAST((SELECT count(DISTINCT {col}) FROM lineitem) AS BIGINT) AS n_distinct,
+              (SELECT CAST(min({expr}) AS DOUBLE) FROM lineitem) AS min_value,
+              (SELECT CAST(max({expr}) AS DOUBLE) FROM lineitem) AS max_value,
+              (SELECT {mean} FROM lineitem) AS mean_value"""
+
+    def strcol(col: str) -> str:
+        return f"""SELECT '{col}',
+              CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+              CAST((SELECT count(*) FROM lineitem WHERE {col} IS NULL) AS BIGINT),
+              CAST((SELECT count(DISTINCT {col}) FROM lineitem) AS BIGINT),
+              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"""
+
+    branches = [
+        num("l_orderkey", "l_orderkey"),
+        num("l_quantity", "l_quantity"),
+        num("l_extendedprice", "l_extendedprice"),
+        num("l_discount", "l_discount"),
+        strcol("l_returnflag"),
+        num("l_shipdate", "CAST(floor(epoch(l_shipdate)) AS BIGINT)"),
+    ]
+    return "\nUNION ALL\n".join(branches)
+
+
+@query("table_profile_lineitem", _profile_oracle())
+def table_profile_lineitem(spark, sf_dir):
+    """Single-pass column profiling over lineitem
+    (`pipeline/quality.profile_columns`): null/distinct counts, min/max,
+    and an engine-exact quantized-split-sum mean per column — the
+    describe()/Deequ-profiles analogue.  Plan: every column profiles in
+    ONE aggregate pass (multi-distinct via Spark's Expand); at 100 TB the
+    exact distinct swaps for the KMV sketch, same report shape."""
+    from .pipeline.quality import profile_columns
+
+    e = engine_for(spark, sf_dir)
+    return profile_columns(
+        e.table("lineitem"),
+        [
+            ("l_orderkey", "num"),
+            ("l_quantity", "num"),
+            ("l_extendedprice", "num"),
+            ("l_discount", "num"),
+            ("l_returnflag", "str"),
+            ("l_shipdate", "ts"),
+        ],
+    )
+
+
 @query(
     "data_quality_report",
     """SELECT 'orders_custkey_not_null' AS check_name, 'orders' AS table_name,

@@ -114,3 +114,71 @@ def check_report(engine, checks: list[dict]) -> DataFrame:
     for r in results[1:]:
         out = out.unionByName(r)
     return out
+
+
+def profile_columns(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
+    """Single-pass column profiling (the Deequ-profiles / describe()
+    analogue): one output row per column with null count, exact distinct
+    count, min/max, and an engine-exact mean.
+
+    ``cols`` is ``[(name, kind)]`` with kind ∈ {num, str, ts}; timestamps
+    profile as epoch seconds, strings carry null min/max/mean (lexical
+    extremes belong to a typed report, not a double column).
+
+    Exactness: the mean accumulates floor(x·1e6) as two split int64 sums
+    (hi/lo, same scheme as the quantized aggregates elsewhere in this
+    repo) so the double recombination is bit-identical in any engine —
+    no float summation order anywhere.
+
+    Scale shape: ALL columns profile in ONE aggregate pass over the data.
+    The exact count(distinct) per column expands rows (Spark's Expand for
+    multi-distinct) — at 100 TB swap it for the KMV sketch column
+    (``pipeline/sketch``), same report shape."""
+    num_kinds = {"num", "ts"}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, kind in cols:
+        c = F.col(name)
+        if kind == "ts":
+            c = c.cast("timestamp").cast("long")
+        aggs.append(
+            F.count(F.when(F.col(name).isNull(), F.lit(1))).alias(f"__nn_{name}")
+        )
+        aggs.append(F.countDistinct(F.col(name)).alias(f"__nd_{name}"))
+        if kind in num_kinds:
+            q = F.floor(c * 1000000.0).cast("long")
+            aggs.append(F.min(c).cast("double").alias(f"__mn_{name}"))
+            aggs.append(F.max(c).cast("double").alias(f"__mx_{name}"))
+            aggs.append(F.sum(F.shiftright(q, 20)).alias(f"__hi_{name}"))
+            aggs.append(
+                F.sum(q.bitwiseAND(F.lit((1 << 20) - 1))).alias(f"__lo_{name}")
+            )
+            aggs.append(F.count(c).alias(f"__nc_{name}"))
+    row = df.agg(*aggs)
+    structs = []
+    for name, kind in cols:
+        if kind in num_kinds:
+            mean = (
+                (
+                    F.col(f"__hi_{name}").cast("double") * float(1 << 20)
+                    + F.col(f"__lo_{name}").cast("double")
+                )
+                / 1000000.0
+                / F.col(f"__nc_{name}").cast("double")
+            )
+            mn, mx = F.col(f"__mn_{name}"), F.col(f"__mx_{name}")
+        else:
+            mean = F.lit(None).cast("double")
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+        structs.append(
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__nn_{name}").cast("long").alias("n_nulls"),
+                F.col(f"__nd_{name}").cast("long").alias("n_distinct"),
+                mn.alias("min_value"),
+                mx.alias("max_value"),
+                mean.alias("mean_value"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
