@@ -5260,6 +5260,74 @@ def kanonymity_audit(spark, sf_dir):
     return ka(e.table("customer"), ("c_nationkey", "c_mktsegment"), k=5)
 
 
+@query(
+    "sketch_join_size",
+    """WITH ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+       sa AS (
+         SELECT d,
+                ('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':'
+                 || CAST(o_custkey AS VARCHAR)), 1, 13))::BIGINT % 65536 AS b,
+                count(*) AS ca
+         FROM orders CROSS JOIN ds GROUP BY d, b
+       ),
+       sb AS (
+         SELECT d,
+                ('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':'
+                 || CAST(c_custkey AS VARCHAR)), 1, 13))::BIGINT % 65536 AS b,
+                count(*) AS cb
+         FROM customer CROSS JOIN ds GROUP BY d, b
+       ),
+       dots AS (
+         SELECT sa.d, sum(sa.ca * sb.cb) AS dot
+         FROM sa JOIN sb ON sa.d = sb.d AND sa.b = sb.b GROUP BY sa.d
+       )
+       SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots""",
+)
+def sketch_join_size(spark, sf_dir):
+    """Join-cardinality estimation without running the join
+    (`pipeline/sketch.cms_join_size_estimate`): |orders ⋈ customer| on
+    custkey via the Count-Min inner-product estimator — min over sketch
+    rows of the bucket-wise count dot product (AMS/CMS classic; an upper
+    bound, exact when buckets don't collide; measured 1.02-1.23x of the
+    true size at w=65536 across SFs).  The what-if input to join
+    planning and output sizing.  Plan: one combiner sketch aggregation
+    per side (≤ d·w counter rows on the shuffle), cell-on-cell dot."""
+    from .pipeline.sketch import cms_join_size_estimate
+
+    e = engine_for(spark, sf_dir)
+    return cms_join_size_estimate(
+        e.table("orders"), e.table("customer"),
+        "o_custkey", "c_custkey", width=65536, depth=4,
+    )
+
+
+@query(
+    "group_sample_5_per_lang",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY ('0x' || substring(md5('g0' || CAST(doc_id AS VARCHAR)),
+                            1, 13))::BIGINT ASC, doc_id ASC) AS rn
+         FROM documents)
+       WHERE rn <= 5""",
+)
+def group_sample_5_per_lang(spark, sf_dir):
+    """Deterministic k-per-group sampling
+    (`pipeline/export.group_sample_k`): the 5 smallest-hash docs per
+    language — a balanced uniform without-replacement sample, identical
+    on any engine/partitioning, with bounded churn under corpus growth
+    (a row only leaves when a smaller hash enters its stratum).  Plan:
+    one hash exchange on the stratum + per-stratum top-k window; never a
+    global sort."""
+    from .pipeline.export import group_sample_k
+
+    e = engine_for(spark, sf_dir)
+    return group_sample_k(
+        e.table("documents"), "lang", "doc_id", k=5
+    ).select("doc_id", "lang")
+
+
 def _profile_oracle() -> str:
     """One UNION ALL branch per profiled lineitem column; numeric means
     use the quantized split-sum so the double chain matches Spark's."""

@@ -326,3 +326,41 @@ def temperature_sample(
         .filter(h < thr)
         .drop("p_keep")
     )
+
+
+def group_sample_k(
+    df: DataFrame,
+    strata_col: str,
+    unit_col: str,
+    k: int,
+    salt: str = "g0",
+) -> DataFrame:
+    """Deterministic k-per-group sampling (balanced eval-set construction):
+    within each stratum keep the k rows whose md5(salt ∥ unit) hashes are
+    smallest — a uniform without-replacement sample that is identical on
+    every run, engine, and partitioning, and STABLE under corpus growth in
+    a precise sense: a row only leaves the sample when a new row with a
+    smaller hash enters its stratum (bounded churn, unlike re-rolled
+    rand()).
+
+    Plan: one hash exchange on the stratum + per-stratum top-k window over
+    (hash, id) — never a global sort; ties impossible while unit ids are
+    unique (the hash includes the unit)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(unit_col).cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__h").asc(), F.col(unit_col).asc()
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__h", "__rn")
+    )

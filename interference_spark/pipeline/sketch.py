@@ -280,3 +280,32 @@ def kmv_pair_overlap(
             inter.alias("est_intersection"),
         )
     )
+
+
+def cms_join_size_estimate(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    col_a: str,
+    col_b: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Equi-join cardinality estimate WITHOUT running the join: the
+    Count-Min inner-product estimator — |A ⋈ B| on a key equals the dot
+    product of the key-frequency vectors, and min over the sketch's
+    ``depth`` rows of Σ_b cntA[d,b]·cntB[d,b] upper-bounds it tightly
+    (AMS/CMS classic; exact when no bucket collisions).  The
+    what-if input to join planning, skew triage, and output sizing.
+
+    Scale shape: each side is one combiner-friendly sketch aggregation
+    (shuffle carries ≤ depth·width counter rows); the dot product joins
+    the two d×w tables cell-on-cell. Deterministic md5 bucketing →
+    engine-reproducible, hash-oracle-able."""
+    sa = cms_sketch(dfa, col_a, width, depth).withColumnRenamed("cnt", "ca")
+    sb = cms_sketch(dfb, col_b, width, depth).withColumnRenamed("cnt", "cb")
+    per_row = (
+        sa.join(sb, ["d", "b"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return per_row.agg(F.min("dot").cast("long").alias("est_join_size"))
