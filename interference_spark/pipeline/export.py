@@ -364,3 +364,125 @@ def group_sample_k(
         .filter(F.col("__rn") <= k)
         .drop("__h", "__rn")
     )
+
+
+def write_tar_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    path: str,
+    content_col: str | None = None,
+    mixer=knuth_mix,
+) -> None:
+    """WebDataset-style export: the deterministic shuffle-to-shards layout
+    materialized as ``shard-NNNNN.tar`` archives, one member per row —
+    ``<id>.json`` (all non-binary columns) plus ``<id>.bin`` when
+    ``content_col`` names a binary column.  Tar is the container
+    multimodal trainers stream sequentially (WebDataset et al.): one open
+    file per shard, no per-sample filesystem ops at read time.
+
+    Determinism: same shard assignment and in-tar member order as every
+    other exporter here (mix(id), id); tar metadata (mtime/uid) is zeroed,
+    so exports are byte-identical across runs and cluster sizes.
+
+    Plan: ONE exchange repartitioning on shard + in-task sort, then each
+    task streams its shard straight into one tar — rows never collect to
+    the driver. Requires a filesystem reachable from executors (local/NFS/
+    FUSE mount; on object stores write locally and upload per shard)."""
+    import io
+    import json as _json
+    import os
+    import tarfile
+
+    os.makedirs(path, exist_ok=True)
+    sharded = shuffled_shards(df, id_col, n_shards, mixer)
+    cols = [c for c in df.columns]
+    bin_col = content_col
+
+    def write_partition(rows) -> None:
+        tars: dict[int, tarfile.TarFile] = {}
+        try:
+            for row in rows:
+                shard = row["shard"]
+                tf = tars.get(shard)
+                if tf is None:
+                    tf = tarfile.open(
+                        os.path.join(path, f"shard-{shard:05d}.tar"), "w"
+                    )
+                    tars[shard] = tf
+                rid = row[id_col]
+                meta = {
+                    c: row[c]
+                    for c in cols
+                    if c != bin_col and not isinstance(row[c], (bytes, bytearray))
+                }
+                payload = _json.dumps(meta, sort_keys=True, default=str).encode()
+                info = tarfile.TarInfo(name=f"{rid}.json")
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+                if bin_col is not None and row[bin_col] is not None:
+                    blob = bytes(row[bin_col])
+                    binfo = tarfile.TarInfo(name=f"{rid}.bin")
+                    binfo.size = len(blob)
+                    binfo.mtime = 0
+                    tf.addfile(binfo, io.BytesIO(blob))
+        finally:
+            for tf in tars.values():
+                tf.close()
+
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_pos")
+        .foreachPartition(write_partition)
+    )
+
+
+def read_tar_shards(spark, path: str) -> DataFrame:
+    """Read WebDataset-style tar shards back as ``(shard, member_name,
+    content binary)`` rows: the shard tars load via Spark's binaryFile
+    source (one task per tar — matches how trainers consume them) and a
+    ``mapInPandas`` unpacks members. Pair ``<id>.json`` / ``<id>.bin``
+    members downstream with a self-join on the stem."""
+    import io
+    import os
+    import re
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType(), False),
+            T.StructField("member_name", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard-(\d+)\.tar$", os.path.basename(fpath))
+                shard = int(m.group(1)) if m else -1
+                names, blobs = [], []
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for member in tf.getmembers():
+                        names.append(member.name)
+                        fh = tf.extractfile(member)
+                        blobs.append(fh.read() if fh else None)
+                yield pd.DataFrame(
+                    {
+                        "shard": [shard] * len(names),
+                        "member_name": names,
+                        "content": blobs,
+                    }
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "shard-*.tar"))
+        .select("path", "content")
+        .mapInPandas(unpack, schema)
+    )

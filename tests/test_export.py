@@ -246,3 +246,55 @@ def test_temperature_sample_nested_and_flattening(spark):
     kept = temperature_sample(df, "lang", "doc_id", 0.5)
     shares = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert shares["head"] / sum(shares.values()) < 0.9
+
+
+def test_tar_shards_roundtrip_and_determinism(spark, tmp_path):
+    """WebDataset-style tar export: every row lands exactly once across
+    shards with its json + bin members in shuffle order; a second export
+    is byte-identical (zeroed tar metadata + deterministic permutation)."""
+    import glob
+    import hashlib
+    import io
+    import json
+    import tarfile
+
+    from interference_spark.pipeline.export import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", bytes([i % 251]) * (i + 1)) for i in range(40)],
+        "doc_id long, text string, payload binary",
+    )
+    out1, out2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    write_tar_shards(df, "doc_id", 4, out1, content_col="payload")
+    write_tar_shards(df, "doc_id", 4, out2, content_col="payload")
+    h = lambda p: hashlib.md5(open(p, "rb").read()).hexdigest()
+    d1 = {p.split("/")[-1]: h(p) for p in glob.glob(out1 + "/*.tar")}
+    d2 = {p.split("/")[-1]: h(p) for p in glob.glob(out2 + "/*.tar")}
+    assert d1 == d2 and len(d1) == 4, "export must be byte-reproducible"
+
+    # every row exactly once, members paired, payload intact
+    seen = {}
+    for p in sorted(glob.glob(out1 + "/*.tar")):
+        with tarfile.open(p) as tf:
+            names = tf.getnames()
+            metas = [n for n in names if n.endswith(".json")]
+            bins = [n for n in names if n.endswith(".bin")]
+            assert {m[:-5] for m in metas} == {b[:-4] for b in bins}
+            for m in metas:
+                doc = json.loads(tf.extractfile(m).read())
+                seen[doc["doc_id"]] = True
+    assert sorted(seen) == list(range(40))
+
+    # reader round-trip: same members, payload bytes intact
+    back = read_tar_shards(spark, out1)
+    rows = back.collect()
+    assert len(rows) == 80  # 40 json + 40 bin
+    payloads = {
+        int(r["member_name"][:-4]): bytes(r["content"])
+        for r in rows
+        if r["member_name"].endswith(".bin")
+    }
+    assert payloads[7] == bytes([7]) * 8
