@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Scaling probe: time representative operators at geometrically growing
+synthetic input sizes and print sec + rows/sec per point.
+
+This substantiates SCALE.md's designs with measurements: an operator whose
+plan is scale-correct shows near-linear wall-clock growth (slope ~1 on the
+size ratio) on a fixed local[32]; a super-linear slope exposes a hidden
+quadratic or a single-task stage. Synthetic inputs are generated with
+spark.range (deterministic columns) so the probe needs no testdata and can
+be pushed to any size.
+
+Usage: python tools/scaling_probe.py [sizes...]  (default 100k 1M 10M rows)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _docs(spark, n: int):
+    # ~40-token synthetic docs from a 64-word vocabulary, deterministic
+    words = [f"w{i}" for i in range(64)]
+    vocab = F.array(*[F.lit(w) for w in words])
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.element_at(
+            vocab,
+            ((F.xxhash64(F.col("id") * 41 + i) % 64 + 64) % 64 + 1).cast("int"),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+
+
+def _events(spark, n: int):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 2654435761) % 100000).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("event_type"),
+        ((F.col("id") % 1000).cast("double") / 10.0).alias("value"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400).alias("ts"),
+    )
+
+
+def probe(spark, sizes: list[int]) -> dict:
+    from interference_spark.pipeline.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+        simhash_pairs,
+    )
+    from interference_spark.pipeline.sketch import kmv_distinct_count
+    from interference_spark.pipeline.stats import (
+        exact_group_percentiles,
+        key_skew_profile,
+    )
+    from interference_spark.pipeline.text import tfidf_top_terms
+
+    # pair-producing dedup ops get 10x smaller inputs: their OUTPUT (not
+    # their plan) is what grows super-linearly on a tiny synthetic
+    # vocabulary, and the probe measures plan scaling, not output volume
+    pair_ops = {"dedup_minhash_lsh", "dedup_simhash"}
+    ops = {
+        "dedup_exact": lambda n: exact_dedup(_docs(spark, n)),
+        "dedup_minhash_lsh": lambda n: minhash_dedup_pairs(
+            _docs(spark, n), threshold=0.9
+        ),
+        "dedup_simhash": lambda n: simhash_pairs(_docs(spark, n), max_hamming=1),
+        "tfidf_top_terms": lambda n: tfidf_top_terms(_docs(spark, n)),
+        "exact_percentiles": lambda n: exact_group_percentiles(
+            _events(spark, n), ("event_type",), "value"
+        ),
+        "kmv_distinct": lambda n: kmv_distinct_count(
+            _events(spark, n), "user_id", k=256
+        ),
+        "skew_profile": lambda n: key_skew_profile(
+            _events(spark, n), "user_id", top_n=20
+        ),
+    }
+    out: dict[str, dict] = {}
+    for name, make in ops.items():
+        out[name] = {}
+        for n in sizes:
+            n = n // 10 if name in pair_ops else n
+            df = make(n)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            out[name][n] = round(dt, 3)  # keyed by the ACTUAL size used
+            spark.catalog.clearCache()
+        print(name, out[name], flush=True)
+    return out
+
+
+def main() -> None:
+    from interference_spark import build_spark
+
+    sizes = [int(float(a)) for a in sys.argv[1:]] or [100_000, 1_000_000, 10_000_000]
+    spark = build_spark(
+        app_name="scaling-probe",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    res = probe(spark, sizes)
+    print(json.dumps({"sizes": sizes, "seconds": res}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
