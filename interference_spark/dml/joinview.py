@@ -161,11 +161,15 @@ def _refresh(engine, name: str, meta: dict, initial: bool) -> dict:
         or any(p not in set(rparts) for p in rapplied)
     )
     if needs_rebuild:
+        # read exactly the LISTED parts, not a second directory scan: a
+        # part landing between the listing and the read would enter the
+        # state without being marked applied, then re-join as a "delta"
+        # on the next refresh — duplicated view rows
         full = _joined(
             engine,
             meta,
-            store.read_managed(engine.spark, ltd),
-            store.read_managed(engine.spark, rtd),
+            _read_parts(engine, ltd, lparts),
+            _read_parts(engine, rtd, rparts),
         )
         names = _append_state(engine, name, full, meta)
         meta.update(
@@ -184,11 +188,12 @@ def _refresh(engine, name: str, meta: dict, initial: bool) -> dict:
     if not lnew and not rnew:
         return {"mode": "noop", "files_read": 0}
     # ΔL ⋈ R_new  ∪  L_old ⋈ ΔR  (each new×new pair meets exactly once,
-    # in the first term)
+    # in the first term). R_new is the LISTED rparts, not a re-scan of
+    # the directory — see the rebuild branch comment.
     dl = _read_parts(engine, ltd, lnew)
     dr = _read_parts(engine, rtd, rnew)
     l_old = _read_parts(engine, ltd, sorted(lapplied))
-    r_all = store.read_managed(engine.spark, rtd)
+    r_all = _read_parts(engine, rtd, rparts)
     delta = _joined(engine, meta, dl, r_all).unionByName(
         _joined(engine, meta, l_old, dr)
     )

@@ -582,14 +582,31 @@ def _snapshot_files(td: TableDef) -> list[str]:
 
 def create_snapshot(td: TableDef) -> int:
     """Record the current table state; returns the snapshot id. O(1) data
-    cost — the manifest holds file NAMES, never data."""
+    cost — the manifest holds file NAMES, never data.
+
+    Ids are MONOTONIC via a persisted SEQ counter, never recycled: deriving
+    the next id from surviving manifests alone would re-issue an id after
+    its snapshot was dropped, silently resolving a stale consumer-held id
+    to a DIFFERENT table state instead of raising SnapshotUnavailable."""
     import json
 
     os.makedirs(_snapshot_dir(td), exist_ok=True)
+    seq_path = os.path.join(_snapshot_dir(td), "SEQ")
+    last = 0
+    if os.path.exists(seq_path):
+        with open(seq_path) as fh:
+            last = int(fh.read().strip() or 0)
     existing = [
         int(os.path.basename(p)[5:-5]) for p in _snapshot_files(td)
     ]
-    sid = (max(existing) + 1) if existing else 1
+    sid = max([last] + existing) + 1
+    # dot-prefixed .tmp so a crash leftover matches vacuum's debris glob
+    seq_tmp = os.path.join(
+        _snapshot_dir(td), f".SEQ-{uuid.uuid4().hex}.tmp"
+    )
+    with open(seq_tmp, "w") as fh:
+        fh.write(str(sid))
+    os.rename(seq_tmp, seq_path)
     meta = {
         "id": sid,
         "parts": [os.path.basename(p) for p in _parts(td)],

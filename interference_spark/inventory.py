@@ -5281,7 +5281,8 @@ def kanonymity_audit(spark, sf_dir):
          SELECT sa.d, sum(sa.ca * sb.cb) AS dot
          FROM sa JOIN sb ON sa.d = sb.d AND sa.b = sb.b GROUP BY sa.d
        )
-       SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots""",
+       SELECT CAST(min(COALESCE(dot, 0)) AS BIGINT) AS est_join_size
+       FROM ds LEFT JOIN dots ON ds.d = dots.d""",
 )
 def sketch_join_size(spark, sf_dir):
     """Join-cardinality estimation without running the join
@@ -5508,7 +5509,7 @@ def frequent_event_sequences(spark, sf_dir):
     """WITH c AS (
          SELECT lang, count(*) AS c,
                 CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
-         FROM documents GROUP BY lang
+         FROM documents WHERE lang IS NOT NULL GROUP BY lang
        ),
        t AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(wq) AS BIGINT) AS W FROM c),
        r AS (SELECT lang, c,

@@ -42,6 +42,21 @@ def mix64(col: Column) -> Column:
     return F.xxhash64(col)
 
 
+_TWO_52 = 4503599627370496.0  # 2^52 — width of the md5-derived hash family
+
+
+def hash52(salt: str, col: Column) -> Column:
+    """Deterministic 52-bit uniform hash of ``salt ∥ value`` (first 13 hex
+    chars of md5) — the shared hash family behind every sampler here and
+    the sketches (``sketch.kmv_hash``): reproducible in any engine, and
+    shared so the cross-sampler nested-sample guarantees hold."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+
+
 def assign_split(
     df: DataFrame,
     unit_col: str,
@@ -223,13 +238,7 @@ def stratified_sample(
     for k, v in rates.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"rate for stratum {k!r} must be in [0,1], got {v}")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(unit_col).cast("string"))), 1, 13
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = hash52(salt, F.col(unit_col))
     thr = None
     for k, v in rates.items():
         t = int(v * 4503599627370496.0)
@@ -278,8 +287,17 @@ def temperature_rates(
     to int64 BEFORE summing so the normalizer is an exact integer with no
     float accumulation order to diverge between engines.
 
+    NULL strata are EXCLUDED from both the budget and the output — a
+    null-keyed row would otherwise inflate the normalizer while the
+    equi-join in :func:`temperature_sample` could never keep it (silent
+    under-delivery). Fill or filter null strata upstream.
+
     Returns ``(strata, c, p_keep)`` — one row per stratum."""
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("c"))
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     counts = counts.withColumn(
         "wq",
         F.floor(F.sqrt(F.col("c").cast("double")) * 1000000.0).cast("long"),
@@ -313,14 +331,8 @@ def temperature_sample(
     any engine/partitioning.  Plan: rates are a tiny broadcast onto a
     pure projection+filter — the data never shuffles."""
     rates = temperature_rates(df, strata_col, target_frac)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(unit_col).cast("string"))), 1, 13
-        ),
-        16,
-        10,
-    ).cast("long")
-    thr = F.floor(F.col("p_keep") * 4503599627370496.0).cast("long")
+    h = hash52(salt, F.col(unit_col))
+    thr = F.floor(F.col("p_keep") * _TWO_52).cast("long")
     return (
         df.join(F.broadcast(rates.drop("c")), strata_col)
         .filter(h < thr)
@@ -348,13 +360,7 @@ def group_sample_k(
     unique (the hash includes the unit)."""
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(unit_col).cast("string"))), 1, 13
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = hash52(salt, F.col(unit_col))
     w = Window.partitionBy(strata_col).orderBy(
         F.col("__h").asc(), F.col(unit_col).asc()
     )
@@ -394,9 +400,18 @@ def write_tar_shards(
     import os
     import tarfile
 
+    from pyspark.sql import types as T
+
     os.makedirs(path, exist_ok=True)
     sharded = shuffled_shards(df, id_col, n_shards, mixer)
-    cols = [c for c in df.columns]
+    # json membership is decided by column TYPE, not per-row value type:
+    # a nullable second binary column would otherwise appear as a null
+    # json key in some rows and be absent in others — inconsistent
+    # per-member schemas across one export
+    bin_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.BinaryType)
+    }
+    meta_cols = [c for c in df.columns if c != content_col and c not in bin_cols]
     bin_col = content_col
 
     def write_partition(rows) -> None:
@@ -411,11 +426,7 @@ def write_tar_shards(
                     )
                     tars[shard] = tf
                 rid = row[id_col]
-                meta = {
-                    c: row[c]
-                    for c in cols
-                    if c != bin_col and not isinstance(row[c], (bytes, bytearray))
-                }
+                meta = {c: row[c] for c in meta_cols}
                 payload = _json.dumps(meta, sort_keys=True, default=str).encode()
                 info = tarfile.TarInfo(name=f"{rid}.json")
                 info.size = len(payload)

@@ -308,4 +308,12 @@ def cms_join_size_estimate(
         .groupBy("d")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
     )
-    return per_row.agg(F.min("dot").cast("long").alias("est_join_size"))
+    # a depth row whose buckets never collide has true dot product 0 —
+    # it must participate in the min as 0, not silently vanish (which
+    # would both overestimate and return NULL on fully-disjoint inputs)
+    depths = dfa.sparkSession.range(depth).select(F.col("id").cast("int").alias("d"))
+    return (
+        depths.join(per_row, "d", "left")
+        .select(F.coalesce(F.col("dot"), F.lit(0)).alias("dot"))
+        .agg(F.min("dot").cast("long").alias("est_join_size"))
+    )

@@ -339,6 +339,14 @@ def decayed_activity(
         "aggregate(sequence(0, size(__arr) - 1), 0L, "
         "(acc, i) -> acc + shiftright(element_at(__arr, size(__arr) - i), i))"
     )
+    # collect_list skips NULL values, so an all-NULL window leaves an
+    # EMPTY array — and sequence(0, -1) counts DOWN to [0, -1], driving
+    # element_at(arr, 0) into INVALID_INDEX_OF_ZERO (same pitfall guarded
+    # in text.ngrams_from_tokens). Empty window → NULL score, matching
+    # SQL list_sum([]) semantics in the oracle.
+    score = F.when(
+        F.size(F.col("__arr")) == 0, F.lit(None).cast("double")
+    ).otherwise(score_q.cast("double") / 1000000.0)
     return (
         df.select(id_col, key_col, ts_col, q.alias("__qv"))
         .withColumn("__arr", F.collect_list("__qv").over(w))
@@ -346,7 +354,7 @@ def decayed_activity(
             id_col,
             key_col,
             F.col(ts_col),
-            (score_q.cast("double") / 1000000.0).alias("decayed_score"),
+            score.alias("decayed_score"),
         )
     )
 

@@ -376,9 +376,12 @@ class Session:
             raise InvalidSQLStatement(
                 "ALTER TABLE supports: ALTER TABLE <t> ADD COLUMN <name> <type>"
             )
-        if up.startswith("DESCRIBE TABLE "):
+        if up.startswith("DESCRIBE TABLE"):
             # extension: DESCRIBE TABLE <t> — schema + storage facts
-            name = stmt.split()[2]
+            toks = stmt.split()
+            if len(toks) != 3:
+                raise InvalidSQLStatement("DESCRIBE TABLE <table>")
+            name = toks[2]
             td = self.engine.catalog.get(name)
             cols = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
@@ -398,9 +401,12 @@ class Session:
             else:
                 extra = f"external, format={td.meta.get('format', 'parquet')}"
             return SystemResult(stmt, f"{name}({cols}) — {extra}")
-        if up.startswith("SNAPSHOT TABLE "):
+        if up.startswith("SNAPSHOT TABLE"):
             # extension: SNAPSHOT TABLE <t> — pin the current file set
-            name = stmt.split()[2]
+            toks = stmt.split()
+            if len(toks) != 3:
+                raise InvalidSQLStatement("SNAPSHOT TABLE <table>")
+            name = toks[2]
             sid = self.engine.snapshot_table(name)
             return SystemResult(stmt, f"snapshot {sid} of {name} created")
         if up.startswith("DROP SNAPSHOT "):

@@ -822,3 +822,21 @@ def test_join_view_incremental_matches_full_recompute(session, engine):
         engine.drop_join_view("v1")
         engine.drop_table(ln)
         engine.drop_table(rn)
+
+
+def test_snapshot_ids_never_recycled(session, engine, fresh):
+    """Dropping the newest snapshot must not let its id be re-issued for a
+    different table state (stale consumer ids must raise, not resolve)."""
+    session.persist(fresh, [{"id": 1, "val": 1, "tag": "a"}])
+    session.commit()
+    s1 = engine.snapshot_table(fresh)
+    s2 = engine.snapshot_table(fresh)
+    engine.drop_table_snapshot(fresh, s2)
+    session.persist(fresh, [{"id": 2, "val": 2, "tag": "b"}])
+    session.commit()
+    s3 = engine.snapshot_table(fresh)
+    assert s3 > s2, "ids must be monotonic, never recycled"
+    with pytest.raises(errors.SnapshotUnavailable):
+        engine.read_table_snapshot(fresh, s2)
+    engine.drop_table_snapshot(fresh, s1)
+    engine.drop_table_snapshot(fresh, s3)

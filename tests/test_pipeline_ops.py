@@ -931,3 +931,29 @@ def test_mm_real_decoder_handles_jpeg(spark):
     two = _jpeg_fixture_df(spark, [(12, 12, 3), (12, 12, 3)])
     hs = [r["ahash"] for r in image_ahash(two).collect()]
     assert hs[0] == hs[1]
+
+
+def test_decayed_activity_all_null_window(spark):
+    """A key whose window holds only NULL values must yield a NULL score,
+    not INVALID_INDEX_OF_ZERO (collect_list skips nulls → empty array →
+    sequence(0,-1) counts DOWN)."""
+    from interference_spark.pipeline.stats import decayed_activity
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.0, None), (2, 1, 1.0, 5.0), (3, 2, 0.0, None)],
+        "event_id long, user_id long, ts double, value double",
+    )
+    rows = {r["event_id"]: r["decayed_score"] for r in decayed_activity(df).collect()}
+    assert rows[1] is None and rows[3] is None
+    assert rows[2] == 5.0
+
+
+def test_cms_join_size_disjoint_inputs(spark):
+    """Fully-disjoint key sets must estimate 0 (not NULL), and a depth row
+    with zero bucket collisions must pull the min to its true 0."""
+    from interference_spark.pipeline.sketch import cms_join_size_estimate
+
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    est = cms_join_size_estimate(a, b, "k", "k", width=1 << 20).collect()[0]
+    assert est["est_join_size"] == 0
