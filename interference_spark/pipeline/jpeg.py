@@ -259,73 +259,102 @@ def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
     return np.stack([y, cb, cr], axis=-1)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """(H, W) or (H, W, 1|3) uint8 array → baseline JPEG bytes (4:4:4)."""
+def _block_symbols(blk, prev: int):
+    """One 8×8 zigzagged block → (dc_sym, dc_bits, [(ac_sym, bits, len)])."""
+    diff = int(blk[0]) - prev
+    s = _category(diff)
+    dbits = (
+        (diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1) if s else 0
+    )
+    acs = []
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, 0, 0))
+            run -= 16
+        sz = _category(v)
+        vb = (v if v >= 0 else v + (1 << sz) - 1) & ((1 << sz) - 1)
+        acs.append(((run << 4) | sz, vb, sz))
+        run = 0
+    if last < 63:
+        acs.append((0x00, 0, 0))
+    return s, dbits, acs
+
+
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(H, W) or (H, W, 1|3) uint8 array → baseline JPEG bytes.
+
+    ``subsampling``: ``"444"`` (no chroma subsampling, the exactness
+    default), ``"422"`` (2×1) or ``"420"`` (2×2 — what camera/web JPEGs
+    typically use; chroma is box-filter downsampled)."""
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 3) or a.dtype != np.uint8:
         raise UnsupportedMedia("encode_jpeg expects (H,W[,1|3]) uint8")
+    if subsampling not in _SUBSAMPLING:
+        raise UnsupportedMedia(f"unknown subsampling {subsampling!r}")
     h, w, ncomp = a.shape
     if h == 0 or w == 0:
         raise UnsupportedMedia("empty image")
+    hs, vs = _SUBSAMPLING[subsampling] if ncomp == 3 else (1, 1)
     ql, qc = _quality_tables(quality)
     planes = (
         [_rgb_to_ycbcr(a.astype(np.float64))[..., i] for i in range(3)]
         if ncomp == 3
         else [a[..., 0].astype(np.float64)]
     )
-    # pad to multiples of 8 by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    # pad to whole MCUs by edge replication (MCU = 8·hs × 8·vs luma px)
+    mh, mw = 8 * vs, 8 * hs
+    ph, pw = (h + mh - 1) // mh * mh, (w + mw - 1) // mw * mw
     qtabs = [ql] + ([qc] if ncomp == 3 else [])
     comp_q = [0] + ([1, 1] if ncomp == 3 else [])
-    coeffs = []
+    samp = [(hs, vs)] + ([(1, 1), (1, 1)] if ncomp == 3 else [])
+    grids = []  # per comp: (gh, gw, 64) zigzagged quantized coefficients
     for ci, plane in enumerate(planes):
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        if ci > 0 and (hs, vs) != (1, 1):
+            # box-filter chroma downsample to (ph/vs, pw/hs)
+            p = p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        p = p - 128.0
+        bh, bw_ = p.shape[0] // 8, p.shape[1] // 8
         blocks = _blocks(p)
         f = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
         qt = qtabs[comp_q[ci]].reshape(8, 8).astype(np.float64)
         qz = np.round(f / qt).astype(np.int64)
-        coeffs.append(qz.reshape(-1, 64)[:, _ZIGZAG])
-    # gather symbols per class (luma=comp0, chroma=rest)
-    dc_syms: list[set[int]] = [set(), set()]
-    ac_syms: list[set[int]] = [set(), set()]
-    seqs = []  # per component: list of (dc_sym, dc_bits, [(ac_sym, bits_val, bits_len)])
-    for ci, cz in enumerate(coeffs):
-        cls = 0 if ci == 0 else 1
-        prev = 0
-        comp_seq = []
-        for blk in cz:
-            diff = int(blk[0]) - prev
-            prev = int(blk[0])
-            s = _category(diff)
-            dc_syms[cls].add(s)
-            dbits = (diff if diff >= 0 else diff + (1 << s) - 1) & ((1 << s) - 1) if s else 0
-            acs = []
-            run = 0
-            nz = np.nonzero(blk[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ac_syms[cls].add(0xF0)
-                    acs.append((0xF0, 0, 0))
-                    run -= 16
-                sz = _category(v)
-                sym = (run << 4) | sz
-                ac_syms[cls].add(sym)
-                vb = (v if v >= 0 else v + (1 << sz) - 1) & ((1 << sz) - 1)
-                acs.append((sym, vb, sz))
-                run = 0
-            if last < 63:
-                ac_syms[cls].add(0x00)
-                acs.append((0x00, 0, 0))
-            comp_seq.append((s, dbits, acs))
-        seqs.append(comp_seq)
+        grids.append(qz.reshape(bh, bw_, 64)[:, :, _ZIGZAG])
+    # walk blocks in MCU scan order (DC prediction is scan-ordered)
+    mcus_y, mcus_x = ph // mh, pw // mw
     ncls = 1 if ncomp == 1 else 2
+    dc_syms: list[set[int]] = [set() for _ in range(ncls)]
+    ac_syms: list[set[int]] = [set() for _ in range(ncls)]
+    scan = []  # [(cls, dc_sym, dc_bits, acs)]
+    pred = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                cls = 0 if ci == 0 else 1
+                for iy in range(vi):
+                    for ix in range(hi):
+                        blk = grids[ci][my * vi + iy, mx * hi + ix]
+                        s, dbits, acs = _block_symbols(blk, pred[ci])
+                        pred[ci] = int(blk[0])
+                        dc_syms[cls].add(s)
+                        for sym, _vb, _sz in acs:
+                            ac_syms[cls].add(sym)
+                        scan.append((cls, s, dbits, acs))
     dc_tabs = [_fixed_length_table(dc_syms[c]) for c in range(ncls)]
     ac_tabs = [_fixed_length_table(ac_syms[c]) for c in range(ncls)]
     dc_codes = [_canonical_codes(*t) for t in dc_tabs]
@@ -341,7 +370,10 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     for qi, qt in enumerate(qtabs):
         seg(0xDB, bytes([qi]) + bytes(int(x) for x in qt[_ZIGZAG]))
     comp_info = b"".join(
-        struct.pack(">BBB", ci + 1, 0x11, comp_q[ci]) for ci in range(ncomp)
+        struct.pack(
+            ">BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]
+        )
+        for ci in range(ncomp)
     )
     seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_info)  # SOF0
     for cls in range(ncls):
@@ -358,18 +390,14 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     )
     seg(0xDA, bytes([ncomp]) + sos_comp + b"\x00\x3f\x00")
     bw = _BitWriter()
-    nblocks = len(coeffs[0])
-    for bi in range(nblocks):  # interleaved MCUs (1x1 sampling)
-        for ci in range(ncomp):
-            cls = 0 if ci == 0 else 1
-            s, dbits, acs = seqs[ci][bi]
-            code, length = dc_codes[cls][s]
+    for cls, s, dbits, acs in scan:
+        code, length = dc_codes[cls][s]
+        bw.write(code, length)
+        bw.write(dbits, s)
+        for sym, vb, sz in acs:
+            code, length = ac_codes[cls][sym]
             bw.write(code, length)
-            bw.write(dbits, s)
-            for sym, vb, sz in acs:
-                code, length = ac_codes[cls][sym]
-                bw.write(code, length)
-                bw.write(vb, sz)
+            bw.write(vb, sz)
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
@@ -454,9 +482,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, tq = struct.unpack(
                     ">BBB", body[6 + 3 * ci : 9 + 3 * ci]
                 )
-                if samp != 0x11:
+                if (samp >> 4) not in (1, 2) or (samp & 0xF) not in (1, 2):
                     raise UnsupportedMedia(
-                        "subsampled JPEG unsupported (1x1 only)"
+                        "sampling factors beyond 2x2 unsupported"
                     )
                 comps.append((cid, samp, tq))
         elif marker == 0xDD:
@@ -475,45 +503,60 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if h is None or not scan_comps:
         raise UnsupportedMedia("missing SOF/SOS")
     nc = len(comps)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64) for _ in range(nc)]
+    hmax = max(c[1] >> 4 for c in comps)
+    vmax = max(c[1] & 0xF for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component plane at ITS OWN resolution; upsampled after the scan
+    planes = []
+    for _, samp, _ in comps:
+        hi, vi = samp >> 4, samp & 0xF
+        planes.append(
+            np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        )
     br = _BitReader(data, pos)
     pred = [0] * nc
     mcu = 0
-    total = bw_ * bh_
+    total = mcus_x * mcus_y
     while mcu < total:
         if restart_interval and mcu and mcu % restart_interval == 0:
             br.sync_to_marker()
             pred = [0] * nc
-        by, bx = divmod(mcu, bw_)
+        my, mx = divmod(mcu, mcus_x)
         try:
             for idx, tdc, tac in scan_comps:
-                blk = np.zeros(64, dtype=np.int64)
-                s = _read_symbol(br, htabs[(0, tdc)])
-                diff = _extend(br.read_bits(s), s) if s else 0
-                pred[idx] += diff
-                blk[0] = pred[idx]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, htabs[(1, tac)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, sz = sym >> 4, sym & 0xF
-                    if sz == 0:
-                        if run != 15:
-                            raise UnsupportedMedia("bad AC symbol")
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise UnsupportedMedia("AC overrun")
-                    blk[k] = _extend(br.read_bits(sz), sz)
-                    k += 1
-                qt = qtabs[comps[idx][2]]
-                f = np.zeros(64, dtype=np.float64)
-                f[_ZIGZAG] = (blk * qt).astype(np.float64)
-                b8 = _D.T @ f.reshape(8, 8) @ _D
-                planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = b8
+                hi, vi = comps[idx][1] >> 4, comps[idx][1] & 0xF
+                for iy in range(vi):
+                    for ix in range(hi):
+                        blk = np.zeros(64, dtype=np.int64)
+                        s = _read_symbol(br, htabs[(0, tdc)])
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        pred[idx] += diff
+                        blk[0] = pred[idx]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, htabs[(1, tac)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, sz = sym >> 4, sym & 0xF
+                            if sz == 0:
+                                if run != 15:
+                                    raise UnsupportedMedia("bad AC symbol")
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise UnsupportedMedia("AC overrun")
+                            blk[k] = _extend(br.read_bits(sz), sz)
+                            k += 1
+                        qt = qtabs[comps[idx][2]]
+                        f = np.zeros(64, dtype=np.float64)
+                        f[_ZIGZAG] = (blk * qt).astype(np.float64)
+                        b8 = _D.T @ f.reshape(8, 8) @ _D
+                        by, bx = my * vi + iy, mx * hi + ix
+                        planes[idx][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = b8
         except _RestartMarker:
             # tolerate encoders emitting RSTn without DRI bookkeeping drift
             br.sync_to_marker()
@@ -522,7 +565,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         except (_SegmentEnd, IndexError) as exc:
             raise UnsupportedMedia("truncated scan data") from exc
         mcu += 1
-    out = np.stack([p[:h, :w] + 128.0 for p in planes], axis=-1)
+    # nearest-neighbor chroma upsample to full resolution, then crop
+    full = []
+    for (_, samp, _), p in zip(comps, planes):
+        hi, vi = samp >> 4, samp & 0xF
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    out = np.stack([p + 128.0 for p in full], axis=-1)
     if nc == 3:
         y, cb, cr = out[..., 0], out[..., 1] - 128.0, out[..., 2] - 128.0
         r = y + 1.402 * cr

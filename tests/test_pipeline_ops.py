@@ -957,3 +957,28 @@ def test_cms_join_size_disjoint_inputs(spark):
     b = spark.createDataFrame([(2,)], "k long")
     est = cms_join_size_estimate(a, b, "k", "k", width=1 << 20).collect()[0]
     assert est["est_join_size"] == 0
+
+
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:2 and 4:2:0 (what camera/web JPEGs use) encode smaller and
+    decode to full resolution with bounded extra chroma error; odd
+    (non-MCU-multiple) dimensions exercise the padding paths."""
+    import numpy as np
+
+    from interference_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 61)[None, :] * np.ones((45, 1))
+    img = np.stack([x, x[::-1], np.full_like(x, 100)], axis=-1).astype(np.uint8)
+    sizes = {}
+    for sub in ("444", "422", "420"):
+        enc = encode_jpeg(img, quality=90, subsampling=sub)
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape
+        mae = float(np.abs(dec.astype(int) - img.astype(int)).mean())
+        assert mae < 4.0, f"{sub}: mae {mae}"
+        sizes[sub] = len(enc)
+    assert sizes["420"] < sizes["422"] < sizes["444"]
+    odd = np.full((9, 13, 3), 77, dtype=np.uint8)
+    do = decode_jpeg(encode_jpeg(odd, 85, subsampling="420"))
+    assert do.shape == (9, 13, 3)
+    assert int(np.abs(do.astype(int) - odd.astype(int)).max()) == 0
