@@ -5260,6 +5260,67 @@ def kanonymity_audit(spark, sf_dir):
     return ka(e.table("customer"), ("c_nationkey", "c_mktsegment"), k=5)
 
 
+def _lang_confusion_oracle() -> str:
+    from .pipeline.text import LANG_MARKERS
+
+    entries = ", ".join(
+        "{'s': %s, 'l': '%s'}" % (_lang_score_sql(lang, ws), lang)
+        for lang, ws in sorted(LANG_MARKERS.items())
+    )
+    return f"""WITH s AS (SELECT doc_id, [{entries}] AS ps FROM documents),
+       o AS (SELECT doc_id, list_sort(ps) AS arr FROM s)
+       SELECT doc_id,
+              arr[-1].l AS top_lang, CAST(arr[-1].s AS BIGINT) AS top_score,
+              arr[-2].l AS second_lang,
+              CAST(arr[-2].s AS BIGINT) AS second_score,
+              CAST(arr[-1].s - arr[-2].s AS BIGINT) AS margin
+       FROM o"""
+
+
+@query("lang_confusion_margin", _lang_confusion_oracle())
+def lang_confusion_margin(spark, sf_dir):
+    """Code-switching / language-purity signal
+    (`pipeline/text.lang_confusion`): per doc the top and runner-up
+    language-marker scores and their margin — small margins on nonzero
+    tops flag mixed-language documents for routing.  Integer scores and
+    subtraction only; both engines sort the same (score, lang) structs.
+    Pure projection, zero shuffle."""
+    from .pipeline.text import lang_confusion
+
+    e = engine_for(spark, sf_dir)
+    return lang_confusion(e.table("documents"))
+
+
+@query(
+    "sketch_f2_user_skew",
+    """WITH ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+       sk AS (
+         SELECT d,
+                ('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':'
+                 || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 65536 AS b,
+                count(*) AS c
+         FROM events CROSS JOIN ds GROUP BY d, b
+       ),
+       dots AS (SELECT d, sum(c * c) AS dot FROM sk GROUP BY d)
+       SELECT CAST(min(COALESCE(dot, 0)) AS BIGINT) AS est_f2
+       FROM ds LEFT JOIN dots ON ds.d = dots.d""",
+)
+def sketch_f2_user_skew(spark, sf_dir):
+    """Second frequency moment F2 = Σ f_k² of events.user_id — the
+    self-join size, THE scalar skew statistic query optimizers use
+    (AMS classic; F2 ≫ N²/distinct means a hot key).  Computed as the
+    CMS self-inner-product (`pipeline/sketch.cms_join_size_estimate`
+    with both sides the same stream).  One combiner sketch aggregation;
+    the shuffle carries ≤ d·w counter rows."""
+    from .pipeline.sketch import cms_join_size_estimate
+
+    e = engine_for(spark, sf_dir)
+    ev = e.table("events")
+    return cms_join_size_estimate(
+        ev, ev, "user_id", "user_id", width=65536, depth=4
+    ).withColumnRenamed("est_join_size", "est_f2")
+
+
 @query(
     "sketch_join_size",
     """WITH ds AS (SELECT unnest(generate_series(0, 3)) AS d),

@@ -789,3 +789,28 @@ def bigram_lift(
             "bigram", "c_ab", "c_a", "c_b", lift.alias("lift"),
         )
     )
+
+
+def lang_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-switching / language-purity signal: per doc, the top and
+    runner-up language-marker scores and their margin. A small margin on
+    a nonzero top score means the document mixes language markers — the
+    rows a multilingual pipeline routes to per-language review instead of
+    blind bucketing. Integer scores and subtraction only (no ratios), so
+    the output is engine-exact. Pure projection, zero shuffle."""
+    scores = lang_scores(F.col(text_col))
+    pairs = [
+        F.struct(s.alias("s"), F.lit(lang).alias("l"))
+        for lang, s in scores.items()
+    ]
+    arr = F.array_sort(F.array(*pairs))  # ascending by (score, lang)
+    top = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    return df.select(
+        "doc_id",
+        top.getField("l").alias("top_lang"),
+        top.getField("s").cast("long").alias("top_score"),
+        second.getField("l").alias("second_lang"),
+        second.getField("s").cast("long").alias("second_score"),
+        (top.getField("s") - second.getField("s")).cast("long").alias("margin"),
+    )
