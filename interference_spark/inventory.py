@@ -5260,6 +5260,58 @@ def kanonymity_audit(spark, sf_dir):
     return ka(e.table("customer"), ("c_nationkey", "c_mktsegment"), k=5)
 
 
+@query(
+    "interarrival_percentiles",
+    """WITH g AS (
+         SELECT event_type,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                    OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                  AS gap
+         FROM events
+       ), f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+       h AS (
+         SELECT event_type, gap, count(*) AS c FROM f GROUP BY event_type, gap
+       ), cum AS (
+         SELECT event_type, gap, c,
+                sum(c) OVER (PARTITION BY event_type ORDER BY gap) AS cum
+         FROM h
+       ), t AS (
+         SELECT event_type, sum(c) AS n_rows FROM h GROUP BY event_type
+       )
+       SELECT cum.event_type AS event_type,
+              CAST(min(t.n_rows) AS BIGINT) AS n_rows,
+              min(CASE WHEN cum >= ceil(0.5 * t.n_rows) THEN gap END) AS p50,
+              min(CASE WHEN cum >= ceil(0.9 * t.n_rows) THEN gap END) AS p90,
+              min(CASE WHEN cum >= ceil(0.99 * t.n_rows) THEN gap END) AS p99
+       FROM cum JOIN t ON cum.event_type = t.event_type
+       GROUP BY cum.event_type""",
+)
+def interarrival_percentiles(spark, sf_dir):
+    """EXACT inter-arrival-gap percentiles per event type — the
+    time-series health metric behind SLO/anomaly monitoring ("p99 gap
+    between purchases just tripled"). Gaps come from one per-type ordered
+    window (lag of epoch seconds, integer-exact), then the same
+    histogram-cumulation percentile machinery as
+    `exact_value_percentiles` — the only windowed stage after the lag
+    runs over histogram rows, never raw gaps."""
+    from pyspark.sql import Window
+
+    from .pipeline.stats import exact_group_percentiles
+
+    e = engine_for(spark, sf_dir)
+    ev = e.table("events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (_epoch("ts") - F.lag(_epoch("ts")).over(w)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    return exact_group_percentiles(gaps, ("event_type",), "gap", (0.5, 0.9, 0.99))
+
+
 def _lang_confusion_oracle() -> str:
     from .pipeline.text import LANG_MARKERS
 
