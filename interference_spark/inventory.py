@@ -5261,6 +5261,48 @@ def kanonymity_audit(spark, sf_dir):
 
 
 @query(
+    "graph_triangles_copurchase",
+    """WITH e AS (
+         SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY pa, pb HAVING count(*) >= 2
+       ),
+       deg AS (SELECT v, count(*) AS deg FROM
+                 (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+               GROUP BY v),
+       w AS (SELECT CAST(COALESCE(sum(deg * (deg - 1) / 2), 0) AS BIGINT)
+                      AS n_wedges FROM deg),
+       t AS (SELECT count(*) AS n_triangles
+             FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+             JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+       ne AS (SELECT count(*) AS n_edges FROM e)
+       SELECT CAST(n_edges AS BIGINT) AS n_edges, n_wedges,
+              CAST(n_triangles AS BIGINT) AS n_triangles,
+              CASE WHEN n_wedges = 0 THEN 0.0
+                   ELSE CAST(3 * n_triangles AS DOUBLE)
+                        / CAST(n_wedges AS DOUBLE) END AS global_clustering
+       FROM ne, w, t""",
+)
+def graph_triangles_copurchase(spark, sf_dir):
+    """Graph analytics beyond connected components
+    (`pipeline/graph.triangle_stats`): exact triangle count and global
+    clustering coefficient of the co-purchase graph (parts sharing an
+    order, line-level support ≥ 2).  Canonical a<b edge orientation
+    counts each triangle once as a wedge (x,y)+(y,z) closed by (x,z) —
+    two hash joins, no adjacency materialization, no driver-side graph;
+    at 100 TB bound the wedge set by support/degree thresholds BEFORE
+    the join."""
+    from .pipeline.graph import co_occurrence_edges, triangle_stats
+
+    e = engine_for(spark, sf_dir)
+    edges = co_occurrence_edges(
+        e.table("lineitem"), "l_orderkey", "l_partkey", min_support=2
+    )
+    return triangle_stats(edges)
+
+
+@query(
     "interarrival_percentiles",
     """WITH g AS (
          SELECT event_type,

@@ -1,0 +1,84 @@
+"""Graph analytics over relational edge lists.
+
+Complements the duplicate-graph connected components in
+:mod:`.dedup`: exact triangle counting and global clustering — the
+density diagnostics for co-occurrence graphs (co-purchase baskets,
+near-dup clusters, entity co-mention networks).
+
+Scale design (the classic distributed triangle algorithm): edges are kept
+in canonical ``a < b`` orientation, so every triangle {x<y<z} is counted
+exactly once as the wedge (x,y)+(y,z) closed by the edge (x,z) — two
+equi-joins on vertex keys, no per-vertex adjacency materialization, no
+driver-side graph. The first join's output is the wedge set; at 100 TB
+bound it by filtering high-degree hub vertices first (degree-ordered
+orientation) or raising the co-occurrence support threshold — both shrink
+wedges before the join, not after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_occurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket edge list: items sharing a group (order, session,
+    document) become edges weighted by co-occurrence count, kept above
+    ``min_support``. One self-join co-located on the group key; the
+    canonical a < b orientation halves the pair space."""
+    a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("pa"))
+    b = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("pb"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row exact graph stats over a canonical (pa < pb) edge list:
+    edge count, wedge count (Σ deg·(deg−1)/2), triangle count, and the
+    global clustering coefficient 3·T / wedges (0.0 when wedge-free).
+
+    Triangles via two hash joins: wedges (x,y)+(y,z) with x<y<z closed by
+    probing the edge set for (x,z) — each triangle counted exactly once.
+    Degrees come from one combiner-friendly aggregate over both endpoint
+    columns."""
+    e = edges.select("pa", "pb")
+    deg = (
+        e.select(F.col("pa").alias("v"))
+        .unionByName(e.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_edges = e.count()
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0.0)
+        ).cast("long").alias("w")
+    ).collect()[0]["w"]
+    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tris = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .count()
+    )
+    spark = edges.sparkSession
+    cc = (
+        0.0
+        if wedges == 0
+        else float(3 * tris) / float(wedges)
+    )
+    return spark.createDataFrame(
+        [(n_edges, int(wedges), tris, cc)],
+        "n_edges long, n_wedges long, n_triangles long, global_clustering double",
+    )

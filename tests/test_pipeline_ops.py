@@ -982,3 +982,16 @@ def test_jpeg_chroma_subsampling_roundtrip():
     do = decode_jpeg(encode_jpeg(odd, 85, subsampling="420"))
     assert do.shape == (9, 13, 3)
     assert int(np.abs(do.astype(int) - odd.astype(int)).max()) == 0
+
+
+def test_triangle_stats_hand_graph(spark):
+    """K4 minus one edge: 5 edges, 2 triangles, wedges checked by hand."""
+    from interference_spark.pipeline.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "pa long, pb long"
+    )
+    r = triangle_stats(edges).collect()[0]
+    # degrees: 1→3, 2→3, 3→2, 4→2 ⇒ wedges 3+3+1+1 = 8
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (5, 8, 2)
+    assert abs(r.global_clustering - 6.0 / 8.0) < 1e-12
