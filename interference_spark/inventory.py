@@ -5261,6 +5261,67 @@ def kanonymity_audit(spark, sf_dir):
 
 
 @query(
+    "graph_pagerank_copurchase",
+    """WITH e0 AS (
+         SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY pa, pb HAVING count(*) >= 2
+       ),
+       de AS (SELECT pa AS src, pb AS dst FROM e0
+              UNION ALL SELECT pb, pa FROM e0),
+       deg AS (SELECT src AS v, count(*) AS outdeg FROM de GROUP BY src),
+       n AS (SELECT count(*) AS nv FROM deg),
+       c0 AS (SELECT CAST(1000000 // nv AS BIGINT) AS r0,
+                     CAST(floor((1.0 - 0.85) * 1000000.0 / nv) AS BIGINT) AS tele
+              FROM n),
+       it1 AS (
+         SELECT d.v,
+                tele + CAST(floor(0.85 * CAST(COALESCE(s.sc, 0) AS DOUBLE))
+                            AS BIGINT) AS rq
+         FROM deg d CROSS JOIN c0
+         LEFT JOIN (
+           SELECT de.dst AS v,
+                  sum(CAST(floor(CAST(r0 AS DOUBLE) / deg.outdeg) AS BIGINT)) AS sc
+           FROM de JOIN deg ON de.src = deg.v CROSS JOIN c0
+           GROUP BY de.dst
+         ) s ON s.v = d.v
+       ),
+       it2 AS (
+         SELECT d.v,
+                tele + CAST(floor(0.85 * CAST(COALESCE(s.sc, 0) AS DOUBLE))
+                            AS BIGINT) AS rq
+         FROM deg d CROSS JOIN c0
+         LEFT JOIN (
+           SELECT de.dst AS v,
+                  sum(CAST(floor(CAST(i.rq AS DOUBLE) / deg.outdeg) AS BIGINT)) AS sc
+           FROM de JOIN it1 i ON de.src = i.v JOIN deg ON deg.v = i.v
+           GROUP BY de.dst
+         ) s ON s.v = d.v
+       )
+       SELECT v, rq AS rank_micro, CAST(rq AS DOUBLE) / 1000000.0 AS rank_value
+       FROM it2 ORDER BY rq DESC, v ASC LIMIT 20""",
+)
+def graph_pagerank_copurchase(spark, sf_dir):
+    """Iterative PageRank, FULLY hash-oracled
+    (`pipeline/graph.pagerank_quantized`): ranks as floor-quantized
+    micro-units, per-edge contributions by floor division, damping
+    multiply floored back to int64 — both Lloyd-style iterations unroll
+    in ANSI SQL and match bit for bit (float PageRank's order-dependent
+    sums never could).  Per iteration: one ranks⋈edges hash join + one
+    combiner aggregate on the target vertex — the classic distributed
+    step; top-20 via TakeOrderedAndProject."""
+    from .pipeline.graph import co_occurrence_edges, pagerank_quantized
+
+    e = engine_for(spark, sf_dir)
+    edges = co_occurrence_edges(
+        e.table("lineitem"), "l_orderkey", "l_partkey", min_support=2
+    )
+    out = pagerank_quantized(edges, iters=2, top_k=20)
+    return out.withColumnRenamed("rank", "rank_value")
+
+
+@query(
     "graph_triangles_copurchase",
     """WITH e AS (
          SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support

@@ -82,3 +82,73 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         [(n_edges, int(wedges), tris, cc)],
         "n_edges long, n_wedges long, n_triangles long, global_clustering double",
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    top_k: int = 20,
+) -> DataFrame:
+    """PageRank with EXACT integer-quantized arithmetic — iterative graph
+    computation whose every step is engine-reproducible (the same design
+    as the exact-math IVF k-means): ranks live as floor-quantized
+    micro-units (r·1e6 as int64), per-edge contributions use floor
+    division by out-degree, and the damping multiply floors back to an
+    integer — so an ANSI-SQL oracle can unroll the iterations and match
+    bit for bit, which float PageRank (order-dependent sums) never can.
+
+    Input: canonical a<b undirected edges; each becomes two directed
+    edges. Returns the ``top_k`` vertices by final quantized rank
+    (ties → vertex asc) with the rank as micro-units and as a double.
+
+    Scale shape per iteration: one hash join ranks⋈edges on the source
+    vertex + one combiner-friendly aggregate on the target — the classic
+    distributed PageRank step; degrees broadcast-join (vertex-count-sized).
+    Driver holds nothing; iterations chain lazily (localCheckpoint
+    between them at 100 TB to cut lineage, as in dedup_clusters)."""
+    spark = edges.sparkSession
+    dir_e = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+    )
+    deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    verts = deg.select(F.col("src").alias("v"), "outdeg")
+    n = verts.count()
+    r0 = int(1_000_000 // n)
+    teleport = int((1.0 - damping) * 1_000_000 // n)
+    ranks = verts.select("v", F.lit(r0).cast("long").alias("rq"), "outdeg")
+    for _ in range(iters):
+        contrib = (
+            ranks.select(F.col("v").alias("src"), "rq", "outdeg")
+            .join(dir_e, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.floor(F.col("rq").cast("double") / F.col("outdeg")).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("v").agg(F.sum("c").alias("sc"))
+        ranks = (
+            verts.join(summed, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.floor(
+                        F.lit(damping) * F.coalesce(F.col("sc"), F.lit(0)).cast("double")
+                    )
+                ).cast("long").alias("rq"),
+                "outdeg",
+            )
+        )
+    return (
+        ranks.orderBy(F.col("rq").desc(), F.col("v").asc())
+        .limit(top_k)
+        .select(
+            "v",
+            F.col("rq").alias("rank_micro"),
+            (F.col("rq").cast("double") / 1000000.0).alias("rank"),
+        )
+    )

@@ -995,3 +995,18 @@ def test_triangle_stats_hand_graph(spark):
     # degrees: 1→3, 2→3, 3→2, 4→2 ⇒ wedges 3+3+1+1 = 8
     assert (r.n_edges, r.n_wedges, r.n_triangles) == (5, 8, 2)
     assert abs(r.global_clustering - 6.0 / 8.0) < 1e-12
+
+
+def test_pagerank_quantized_hub_ranks_highest(spark):
+    """On a star graph the hub must out-rank every leaf, and ranks must be
+    deterministic across runs."""
+    from interference_spark.pipeline.graph import pagerank_quantized
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "pa long, pb long"
+    )
+    r1 = [(r.v, r.rank_micro) for r in pagerank_quantized(star, iters=3).collect()]
+    r2 = [(r.v, r.rank_micro) for r in pagerank_quantized(star, iters=3).collect()]
+    assert r1 == r2
+    assert r1[0][0] == 0, "hub first"
+    assert r1[0][1] > r1[1][1], "hub strictly out-ranks leaves"
