@@ -5813,7 +5813,11 @@ _DRIVER_WINDOW = [
     "event_funnel_conversion",
     "incremental_rollup_events",
     "incremental_rollup_distinct_users",
-    "incremental_rollup_user_freq",
+    # incremental_rollup_user_freq→graph_pagerank_copurchase: the
+    # incremental-rollup family keeps two sentinels; the graph family
+    # (triangles/PageRank) was unrepresented, and PageRank additionally
+    # driver-proves the exact-quantized ITERATIVE computation pattern
+    "graph_pagerank_copurchase",
     "train_split_leakage_safe",
     "export_shuffled_shards",
     # dedup family
