@@ -51,36 +51,43 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     probing the edge set for (x,z) — each triangle counted exactly once.
     Degrees come from one combiner-friendly aggregate over both endpoint
     columns."""
-    e = edges.select("pa", "pb")
+    # the edge list feeds four plan branches (count, degrees, and both
+    # triangle-join sides) — persist + materialize ONCE so the possibly
+    # expensive upstream lineage (e.g. the co-occurrence self-join) is
+    # not replayed per branch; everything downstream stays one lazy plan
+    e = edges.select("pa", "pb").persist()
+    e.count()
     deg = (
         e.select(F.col("pa").alias("v"))
         .unionByName(e.select(F.col("pb").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    n_edges = e.count()
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     wedges = deg.agg(
         F.coalesce(
             F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0.0)
-        ).cast("long").alias("w")
-    ).collect()[0]["w"]
+        ).cast("long").alias("n_wedges")
+    )
     e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
     e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
     tris = (
         e1.join(e2, "y")
         .join(e3, ["x", "z"])
-        .count()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    spark = edges.sparkSession
-    cc = (
-        0.0
-        if wedges == 0
-        else float(3 * tris) / float(wedges)
+    cc = F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_triangles") * 3).cast("double")
+        / F.col("n_wedges").cast("double")
     )
-    return spark.createDataFrame(
-        [(n_edges, int(wedges), tris, cc)],
-        "n_edges long, n_wedges long, n_triangles long, global_clustering double",
+    return (
+        ne.crossJoin(wedges)
+        .crossJoin(tris)
+        .select(
+            "n_edges", "n_wedges", "n_triangles",
+            cc.alias("global_clustering"),
+        )
     )
 
 
@@ -108,15 +115,23 @@ def pagerank_quantized(
     Driver holds nothing; iterations chain lazily (localCheckpoint
     between them at 100 TB to cut lineage, as in dedup_clusters)."""
     spark = edges.sparkSession
+    # both the per-iteration join and the degree/vertex frames re-read the
+    # directed edges every iteration — persist once; the n-count below
+    # also materializes the cache, so the upstream edge lineage runs once
     dir_e = (
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionByName(
             edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
+        .persist()
     )
-    deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     verts = deg.select(F.col("src").alias("v"), "outdeg")
     n = verts.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "v long, rank_micro long, rank double"
+        )
     r0 = int(1_000_000 // n)
     teleport = int((1.0 - damping) * 1_000_000 // n)
     ranks = verts.select("v", F.lit(r0).cast("long").alias("rq"), "outdeg")

@@ -6,17 +6,19 @@ image format in a container without PIL/libjpeg. Implements baseline
 sequential JPEG (ITU-T T.81): marker parsing, DQT/DHT/SOF0/SOS, Huffman
 entropy decode with byte-unstuffing and RSTn restart handling, dequantize →
 inverse zigzag → IDCT (orthonormal 8×8 DCT as two matrix multiplies), and
-JFIF YCbCr→RGB. The encoder emits 4:4:4 (or grayscale) baseline JPEG with
-IJG-scaled Annex-K quantization tables and SELF-BUILT fixed-length canonical
-Huffman tables — every symbol that occurs gets the same code length, the
-all-ones codeword stays unused (as T.81 recommends), and the decoder reads
-whatever DHT declares, so codec correctness never depends on transcribing
-the Annex-K code tables.
+JFIF YCbCr→RGB. The encoder emits baseline JPEG (4:4:4 by default; optional 4:2:2 / 4:2:0
+chroma subsampling with box-filter downsampling) with IJG-scaled Annex-K
+quantization tables and SELF-BUILT fixed-length canonical Huffman tables —
+every symbol that occurs gets the same code length, the all-ones codeword
+stays unused (as T.81 recommends), and the decoder reads whatever DHT
+declares, so codec correctness never depends on transcribing the Annex-K
+code tables.
 
-Supported on decode: baseline (SOF0), 8-bit, 1 or 3 components, 1×1
-sampling (what this encoder and any 4:4:4 encoder emit). Progressive,
-subsampled, 12-bit, or arithmetic-coded payloads raise
-:class:`~.png.UnsupportedMedia`.
+Supported on decode: baseline (SOF0), 8-bit, 1 or 3 components, sampling
+factors up to 2×2 (covers 4:4:4 / 4:2:2 / 4:2:0 — what camera and web
+JPEGs use; single-component scans decode non-interleaved per T.81
+regardless of declared factors). Progressive, 12-bit, >2× sampling, or
+arithmetic-coded payloads raise :class:`~.png.UnsupportedMedia`.
 
 Deliberately NOT a performance path — real deployments install Pillow and
 swap the per-batch decode call; this codec keeps the "real" plumbing honest
@@ -486,6 +488,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise UnsupportedMedia(
                         "sampling factors beyond 2x2 unsupported"
                     )
+                if nc == 1:
+                    # T.81: a single-component scan is NON-interleaved —
+                    # MCU is one 8×8 block in full-grid raster order, so
+                    # the declared sampling factor must not drive MCU
+                    # interleaving (some encoders emit 0x22 here)
+                    samp = 0x11
                 comps.append((cid, samp, tq))
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])

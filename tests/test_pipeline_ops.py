@@ -1010,3 +1010,31 @@ def test_pagerank_quantized_hub_ranks_highest(spark):
     assert r1 == r2
     assert r1[0][0] == 0, "hub first"
     assert r1[0][1] > r1[1][1], "hub strictly out-ranks leaves"
+
+
+def test_pagerank_empty_graph(spark):
+    from interference_spark.pipeline.graph import pagerank_quantized
+
+    empty = spark.createDataFrame([], "pa long, pb long")
+    out = pagerank_quantized(empty)
+    assert out.count() == 0
+    assert out.columns == ["v", "rank_micro", "rank"]
+
+
+def test_jpeg_gray_with_declared_subsampling_decodes_raster():
+    """Some encoders declare 2x2 sampling on single-component JPEGs; per
+    T.81 a one-component scan is NON-interleaved, so the decode must
+    match the 1x1 interpretation, not scramble blocks."""
+    import numpy as np
+
+    from interference_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    g = (np.arange(24 * 24).reshape(24, 24) % 256).astype(np.uint8)
+    enc = bytearray(encode_jpeg(g, quality=95))
+    ref = decode_jpeg(bytes(enc))
+    sof = bytes(enc).find(b"\xff\xc0")
+    samp_off = sof + 4 + 6 + 1  # marker+len+prec/h/w/nc, comp id byte
+    assert enc[samp_off] == 0x11
+    enc[samp_off] = 0x22  # declare 2x2 on the lone component
+    dec = decode_jpeg(bytes(enc))
+    assert (dec == ref).all()
