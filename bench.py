@@ -42,7 +42,9 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q20_excess_shippers",
+    "q21_waiting_suppliers",
     "q22_idle_customers",
+    "q9_product_profit",
     "dialect_group_agg",
     "dialect_multiway_join",
     "dialect_window_count_sliding",
