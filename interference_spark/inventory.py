@@ -1856,16 +1856,12 @@ def sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
-def _ivf_exact_oracle(
-    k: int = 10, nprobe: int = 4, n_centroids: int = 16, dim: int = 64
-) -> str:
-    """Fully-unrolled 2-iteration Lloyd k-means + probe + top-k, every
-    reduction a floor-quantized BIGINT sum — recomputes the exact-math IVF
-    entry bit for bit (float k-means is partition-order-dependent and
-    stays rows-only; this variant exists to be oracle-checkable)."""
-
-    def one_iter(n: int, cin: str) -> str:
-        return f"""qn{n} AS (
+def _kmeans_iter_cte(n: int, cin: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs (shared by the IVF and
+    SemDeDup oracles): quantized assignment scores against centroid set
+    ``{cin}``, then floor-quantized means, producing centroid set c{n}.
+    Expects CTEs ``ve`` (vec_id, pos, x) upstream."""
+    return f"""qn{n} AS (
   SELECT cid, sum(CAST(floor(cval * cval * 1e10) AS BIGINT)) AS qn
   FROM {cin} GROUP BY cid
 ), s{n} AS (
@@ -1890,6 +1886,17 @@ def _ivf_exact_oracle(
   SELECT c.cid, c.pos, coalesce(m{n}.cval, c.cval) AS cval
   FROM {cin} c LEFT JOIN m{n} ON c.cid = m{n}.cid AND c.pos = m{n}.pos
 )"""
+
+
+def _ivf_exact_oracle(
+    k: int = 10, nprobe: int = 4, n_centroids: int = 16, dim: int = 64
+) -> str:
+    """Fully-unrolled 2-iteration Lloyd k-means + probe + top-k, every
+    reduction a floor-quantized BIGINT sum — recomputes the exact-math IVF
+    entry bit for bit (float k-means is partition-order-dependent and
+    stays rows-only; this variant exists to be oracle-checkable)."""
+
+    one_iter = _kmeans_iter_cte
 
     return f"""
 WITH v AS (
@@ -1987,6 +1994,92 @@ def sim_ivf_search(spark, sf_dir):
     path = os.path.join(e.warehouse, f"ivf_{uuid.uuid4().hex[:8]}")
     ivf_write(assigned, path)
     return ivf_search_stored(spark, path, cents, qvec, k=10, nprobe=4)
+
+
+def _semdedup_oracle(
+    n_centroids: int = 16, threshold: float = 0.9, dim: int = 64
+) -> str:
+    """SemDeDup recomputed in SQL: the same unrolled 2-iteration quantized
+    k-means as the IVF oracle (shared ``_kmeans_iter_cte``), final
+    assignment WITH its quantized centroid-cosine score, same-cluster
+    pairs, floor-quantized pair cosines, and the keep-the-outlier rule."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), ve AS (
+  SELECT vec_id, i.i - 1 AS pos, e[i.i] AS x
+  FROM v CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), c0 AS (
+  SELECT s.vec_id AS cid, i.i - 1 AS pos, s.e[i.i] AS cval
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {n_centroids}) s
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), {_kmeans_iter_cte(1, "c0")}, {_kmeans_iter_cte(2, "c1")}, qnf AS (
+  SELECT cid, sum(CAST(floor(cval * cval * 1e10) AS BIGINT)) AS qn
+  FROM c2 GROUP BY cid
+), sfin AS (
+  SELECT ve.vec_id, c.cid,
+         sum(CAST(floor(ve.x * c.cval * 1e10) AS BIGINT)) AS qd
+  FROM ve JOIN c2 c ON ve.pos = c.pos
+  GROUP BY ve.vec_id, c.cid
+), af AS (
+  SELECT vec_id, cid AS centroid,
+         CAST(qd AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) AS score
+  FROM (
+    SELECT sfin.vec_id, sfin.cid, sfin.qd, qnf.qn,
+           row_number() OVER (PARTITION BY sfin.vec_id
+             ORDER BY CAST(sfin.qd AS DOUBLE) / sqrt(CAST(qnf.qn AS DOUBLE)) DESC,
+                      sfin.cid DESC) AS rn
+    FROM sfin JOIN qnf USING (cid)
+  ) WHERE rn = 1
+), prs AS (
+  SELECT a.centroid, a.vec_id AS id_a, b.vec_id AS id_b,
+         a.score AS sa, b.score AS sb
+  FROM af a JOIN af b ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT p.id_a, p.id_b,
+         sum(CAST(floor(va.x * vb.x * 1e14) AS BIGINT)) AS dot_d
+  FROM prs p
+  JOIN ve va ON va.vec_id = p.id_a
+  JOIN ve vb ON vb.vec_id = p.id_b AND vb.pos = va.pos
+  GROUP BY 1, 2
+), norms AS (
+  SELECT vec_id, sum(CAST(floor(x * x * 1e14) AS BIGINT)) AS nn
+  FROM ve GROUP BY 1
+), scoredp AS (
+  SELECT p.centroid, p.id_a, p.id_b, p.sa, p.sb,
+         CAST(d.dot_d AS DOUBLE)
+           / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cosine
+  FROM prs p JOIN dots d ON p.id_a = d.id_a AND p.id_b = d.id_b
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+)
+SELECT centroid,
+       CASE WHEN sa > sb THEN id_b ELSE id_a END AS keep_id,
+       CASE WHEN sa > sb THEN id_a ELSE id_b END AS drop_id,
+       cosine
+FROM scoredp WHERE cosine >= {threshold}
+"""
+
+
+@query("dedup_semantic", _semdedup_oracle(threshold=0.35))
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (`similarity.semantic_dedup`): cluster-then-compare
+    semantic dedup — quantized k-means partitions the embedding space,
+    pairwise cosine runs only inside a cluster (cluster id = shuffle key,
+    never all-pairs), and each duplicate pair drops the member closer to
+    its centroid (keep the outlier → preserve diversity). Complements the
+    hyperplane-LSH near-dup entry: LSH finds high-cosine twins, SemDeDup
+    finds cluster-local semantic redundancy at lower thresholds. Every
+    number floor-quantized → the full pipeline (training included)
+    hash-matches the SQL oracle. Threshold 0.35 fits this synthetic
+    corpus: its 64-d vectors are near-orthogonal (pair cosines peak
+    ~0.3-0.5), unlike real sentence embeddings where SemDeDup uses
+    ~0.95+."""
+    from .pipeline.similarity import semantic_dedup
+
+    e = engine_for(spark, sf_dir)
+    return semantic_dedup(e.table("embeddings"), n_clusters=16, threshold=0.35)
 
 
 def _minhash_oracle(num_perm: int = 128, bands: int = 32, threshold: float = 0.4) -> str:

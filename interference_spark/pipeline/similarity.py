@@ -590,3 +590,91 @@ def ivf_search_exact(
         .limit(k)
         .select(id_col, "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then compare pairs ONLY within a cluster — the
+    cluster id is the shuffle key that turns an O(n²) all-pairs problem
+    into bounded per-cluster work.  Returns one row per duplicate pair
+    ``(centroid, keep_id, drop_id, cosine)`` with cosine ≥ ``threshold``;
+    ``drop_id`` is the member sitting CLOSER to its centroid (higher
+    quantized centroid-cosine; ties → the higher id), i.e. the redundant
+    interior point — keeping the outlier preserves diversity, which is the
+    paper's pruning rule.
+
+    Exactness: clustering is the oracle-grade quantized k-means
+    (:func:`ivf_train_exact` — floor-quantized BIGINT sums, lowest-id
+    init, no RNG), centroid scores and pair cosines are floor-quantized
+    integer sums turned into doubles by one division — every number is
+    engine-reproducible, so the whole operator hash-matches a SQL oracle.
+
+    100 TB shape: one broadcast join against k×d centroids (driver holds
+    only the centroid matrix), one shuffle on the cluster id for the
+    self-join, per-pair cosines as JVM ``zip_with``/``aggregate`` folds
+    (whole-stage codegen, no Python in the pair loop).  Grow ``n_clusters``
+    ~√n so per-cluster candidate counts stay bounded; the reference has no
+    embedding operators at all (SURVEY §2.8 — scalar functions only), this
+    is driver-mandate surface."""
+    spark = df.sparkSession
+    cents = ivf_train_exact(df, n_clusters, iters, vec_col, id_col)
+    assigned = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__e"),
+        _argmax_centroid_exact(F.col(vec_col), cents).alias("centroid"),
+    )
+    crows = []
+    for cid, cvec in cents:
+        ca = np.asarray(cvec, dtype=np.float64)
+        qn = int(np.floor(ca * ca * _QI).astype(np.int64).sum())
+        crows.append((cid, [float(x) for x in cvec], qn))
+    cdf = spark.createDataFrame(crows, "cid long, cvec array<double>, qn long")
+
+    def _qfold(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    cscore = (
+        _qfold(
+            F.zip_with(F.col("__e"), F.col("cvec"), lambda x, c: F.floor(x * c * F.lit(_QI)))
+        ).cast("double")
+        / F.sqrt(F.col("qn").cast("double"))
+    )
+    scored = (
+        assigned.join(F.broadcast(cdf), F.col("centroid") == F.col("cid"))
+        .select(id_col, "centroid", "__e", cscore.alias("cscore"))
+    )
+    a = scored.select(
+        "centroid",
+        F.col(id_col).alias("id_a"), F.col("__e").alias("ea"),
+        F.col("cscore").alias("sa"),
+    )
+    b = scored.select(
+        "centroid",
+        F.col(id_col).alias("id_b"), F.col("__e").alias("eb"),
+        F.col("cscore").alias("sb"),
+    )
+    q = F.lit(1e14)
+    dot_d = _qfold(F.zip_with("ea", "eb", lambda x, y: F.floor(x * y * q)))
+    na = _qfold(F.transform("ea", lambda x: F.floor(x * x * q)))
+    nb = _qfold(F.transform("eb", lambda x: F.floor(x * x * q)))
+    cos = dot_d.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    pairs = (
+        a.join(b, "centroid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("centroid", "id_a", "id_b", "sa", "sb", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    drop_a = F.col("sa") > F.col("sb")
+    return pairs.select(
+        "centroid",
+        F.when(drop_a, F.col("id_b")).otherwise(F.col("id_a")).alias("keep_id"),
+        F.when(drop_a, F.col("id_a")).otherwise(F.col("id_b")).alias("drop_id"),
+        "cosine",
+    )

@@ -1038,3 +1038,54 @@ def test_jpeg_gray_with_declared_subsampling_decodes_raster():
     enc[samp_off] = 0x22  # declare 2x2 on the lone component
     dec = decode_jpeg(bytes(enc))
     assert (dec == ref).all()
+
+
+def test_semantic_dedup_keeps_outlier(spark):
+    """Within a cluster, the pair member CLOSER to the centroid is dropped
+    (SemDeDup's diversity-preserving rule); cross-cluster pairs never
+    form even at cosine 1.0."""
+    import numpy as np
+
+    from interference_spark.pipeline.similarity import semantic_dedup
+
+    # two tight groups on orthogonal axes; id 2 is a slightly-off copy of
+    # id 1 (same direction, so pair cosine == 1.0 after normalization is
+    # irrelevant — raw cosine of x and 2x is 1.0); id 12 copies id 11 on
+    # the other axis. 4 seeds -> 2 clusters by construction.
+    def vec(axis, scale):
+        v = np.zeros(8)
+        v[axis] = scale
+        return [float(x) for x in v]
+
+    rows = [
+        (1, vec(0, 1.0)),
+        (2, vec(0, 2.0)),      # same axis as 1: cosine(1,2)=1.0
+        (11, vec(4, 1.0)),
+        (12, vec(4, 3.0)),     # same axis as 11
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, n_clusters=2, threshold=0.99).collect()
+    pairs = {(r.keep_id, r.drop_id) for r in out}
+    # no cross-axis pair (cosine 0 anyway), and within each axis-aligned
+    # pair BOTH members have centroid-cosine 1.0 (centroid lies on the
+    # axis), so the tie rule drops the higher id
+    assert pairs == {(1, 2), (11, 12)}
+    for r in out:
+        assert r.cosine == pytest.approx(1.0, abs=1e-9)
+
+
+def test_semantic_dedup_threshold_filters(spark):
+    import math
+
+    from interference_spark.pipeline.similarity import semantic_dedup
+
+    # 45-degree pair: cosine ~0.7071 — included at 0.7, excluded at 0.8
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hi = semantic_dedup(df, n_clusters=1, threshold=0.8).collect()
+    lo = semantic_dedup(df, n_clusters=1, threshold=0.7).collect()
+    assert hi == []
+    assert len(lo) == 1 and lo[0].cosine == pytest.approx(math.sqrt(0.5), abs=1e-6)
