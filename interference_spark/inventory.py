@@ -1640,20 +1640,31 @@ def q21_waiting_suppliers(spark, sf_dir):
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    per_order = flagged.groupBy("ok").agg(
-        F.countDistinct("sk").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("sk"))).alias("n_late_supp"),
+    # single pass over the fact join: collapse to (order, supplier,
+    # late-row count) first, then per-order counts PLUS the identity and
+    # late-row count of the sole late supplier (well-defined exactly when
+    # n_late_supp == 1) — so no row-level join back into flagged is ever
+    # needed, and each aggregate shuffles strictly fewer rows than the
+    # one before. Two countDistinct's on one groupBy would instead plan
+    # as an Expand AND still need the row-level re-join.
+    per_os = flagged.groupBy("ok", "sk").agg(
+        F.sum(F.col("late").cast("long")).alias("c_late")
+    )
+    is_late = F.col("c_late") > 0
+    per_order = per_os.groupBy("ok").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(is_late.cast("long")).alias("n_late_supp"),
+        F.max(F.when(is_late, F.col("sk"))).alias("late_sk"),
+        F.max(F.when(is_late, F.col("c_late"))).alias("late_cnt"),
     )
     qualifying = per_order.filter(
         (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
-    ).select("ok")
+    )
     s = e.table("supplier").select("s_suppkey", "s_name")
     return (
-        flagged.filter(F.col("late"))
-        .join(qualifying, "ok")
-        .join(s, F.col("sk") == s.s_suppkey)
+        qualifying.join(s, F.col("late_sk") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_cnt").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
