@@ -84,6 +84,7 @@ HEADLINE = [
     "chunk_documents_rag",
     "event_funnel_conversion",
     "dedup_incremental",
+    "quality_model_scores",
     # NOT benched (driver-window-verified for correctness; each costs
     # ~1.4-1.6 s of pure setup side effects, and the bench total is the
     # round's headline number): incremental_rollup_distinct_users,

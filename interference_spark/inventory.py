@@ -2073,6 +2073,68 @@ FROM scoredp WHERE cosine >= {threshold}
 """
 
 
+@query(
+    "quality_model_scores",
+    """WITH feats AS (
+         SELECT lang AS label,
+                CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                  / 100.0 AS x1,
+                CAST(length(text) AS DOUBLE)
+                  / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                  / 10.0 AS x2,
+                CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END AS y
+         FROM documents
+       ), sums AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+                CAST(sum(CAST(floor(x1 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS s1,
+                CAST(sum(CAST(floor(x2 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS s2,
+                CAST(sum(CAST(floor(x1 * x1 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS s11,
+                CAST(sum(CAST(floor(x1 * x2 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS s12,
+                CAST(sum(CAST(floor(x2 * x2 * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS s22,
+                CAST(sum(CAST(floor(y * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sy,
+                CAST(sum(CAST(floor(x1 * y * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS s1y,
+                CAST(sum(CAST(floor(x2 * y * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS s2y
+         FROM feats
+       ), w AS (
+         SELECT ((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                  + s2 * (s1y * s12 - s11 * s2y))
+                 / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2))) AS w0,
+                ((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s2y - s1y * s2))
+                 / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2))) AS w1,
+                ((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                  + sy * (s1 * s12 - s11 * s2))
+                 / (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2))) AS w2
+         FROM sums
+       )
+       SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+              min(w0) AS w0, min(w1) AS w1, min(w2) AS w2,
+              CAST(sum(CAST(floor((w0 + w1 * x1 + w2 * x2) * 1e8) AS BIGINT))
+                   AS DOUBLE) / count(*) / 1e8 AS avg_pred
+       FROM feats CROSS JOIN w GROUP BY label""",
+)
+def quality_model_scores(spark, sf_dir):
+    """Trained quality filter (`text.linear_quality_model`): one-pass
+    distributed least squares (is-English vs two surface features) with a
+    Cramer's-rule solve written as a fixed IEEE expression — the
+    ML-training pattern (fit a classifier over corpus features, then
+    score every document) as a two-aggregate Spark plan. All moments are
+    floor-quantized BIGINT sums, so the fitted weights AND the
+    per-language mean scores hash-match the SQL oracle (logistic loss
+    would need exp(), whose last ULP differs across engines — least
+    squares keeps the whole fit transcendental-free). The reference has
+    no regression surface at all; this is driver-mandate territory
+    (learned quality scoring a la CCNet/fastText)."""
+    from .pipeline.text import linear_quality_model
+
+    e = engine_for(spark, sf_dir)
+    return linear_quality_model(e.table("documents"))
+
+
 @query("dedup_semantic", _semdedup_oracle(threshold=0.35))
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (`similarity.semantic_dedup`): cluster-then-compare

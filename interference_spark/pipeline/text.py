@@ -814,3 +814,85 @@ def lang_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
         second.getField("s").cast("long").alias("second_score"),
         (top.getField("s") - second.getField("s")).cast("long").alias("margin"),
     )
+
+
+def linear_quality_model(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+) -> DataFrame:
+    """A trained quality filter, fit distributively in ONE pass — the
+    linear-model analogue of the fastText/CCNet quality classifiers real
+    LLM pipelines train over surface features.  Least squares on
+    y = 1[label = positive] against two surface features
+    (x1 = word_count/100, x2 = avg_word_len/10) via the normal equations:
+    the 3x3 Gram matrix and moment vector are floor-quantized BIGINT sums
+    (exact on any partitioning), and the solve is Cramer's rule written as
+    ONE fixed arithmetic expression — identical IEEE ops in any engine, so
+    the fitted weights and every downstream score are reproducible by a
+    SQL oracle (no exp/sigmoid: logistic loss would drag in
+    transcendentals whose last ULP differs across engines).
+
+    Returns one row per label value: (label, n_docs, w0, w1, w2,
+    avg_pred) — the shared global weights plus the label-slice mean of
+    the predicted quality score (quantized mean, order-free).  A real
+    deployment thresholds the per-doc score; the per-label means are the
+    compact, verifiable summary of the same scoring pass.
+
+    100 TB shape: pass 1 is a 9-term combiner aggregate to a single row
+    (the only thing the driver ever holds is the 3x3 system); pass 2
+    re-scans with the weights broadcast and reduces per label. No
+    iteration, no collect of rows, no shuffle wider than the label
+    cardinality."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    wc = F.size(toks).cast("double")
+    x1 = wc / F.lit(100.0)
+    x2 = F.length(F.col(text_col)).cast("double") / wc / F.lit(10.0)
+    y = F.when(F.col(label_col) == positive, F.lit(1.0)).otherwise(F.lit(0.0))
+
+    def q8(c):
+        return F.sum(F.floor(c * F.lit(1e8))).cast("double") / F.lit(1e8)
+
+    feats = df.select(
+        F.col(label_col).alias("label"), x1.alias("x1"), x2.alias("x2"), y.alias("y")
+    )
+    sums = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        q8(F.col("x1")).alias("s1"),
+        q8(F.col("x2")).alias("s2"),
+        q8(F.col("x1") * F.col("x1")).alias("s11"),
+        q8(F.col("x1") * F.col("x2")).alias("s12"),
+        q8(F.col("x2") * F.col("x2")).alias("s22"),
+        q8(F.col("y")).alias("sy"),
+        q8(F.col("x1") * F.col("y")).alias("s1y"),
+        q8(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    a, b, c = F.col("n"), F.col("s1"), F.col("s2")
+    d, e_, f = F.col("s11"), F.col("s12"), F.col("s22")
+    r0, r1, r2 = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = a * (d * f - e_ * e_) - b * (b * f - e_ * c) + c * (b * e_ - d * c)
+    det0 = r0 * (d * f - e_ * e_) - b * (r1 * f - e_ * r2) + c * (r1 * e_ - d * r2)
+    det1 = a * (r1 * f - e_ * r2) - r0 * (b * f - e_ * c) + c * (b * r2 - r1 * c)
+    det2 = a * (d * r2 - r1 * e_) - b * (b * r2 - r1 * c) + r0 * (b * e_ - d * c)
+    weights = sums.select(
+        (det0 / det).alias("w0"), (det1 / det).alias("w1"), (det2 / det).alias("w2")
+    )
+    pred = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+    return (
+        feats.crossJoin(F.broadcast(weights))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("w0").alias("w0"),
+            F.first("w1").alias("w1"),
+            F.first("w2").alias("w2"),
+            F.sum(F.floor(pred * F.lit(1e8))).alias("__qp"),
+        )
+        .select(
+            "label", "n_docs", "w0", "w1", "w2",
+            (
+                F.col("__qp").cast("double") / F.col("n_docs").cast("double") / F.lit(1e8)
+            ).alias("avg_pred"),
+        )
+    )
