@@ -140,6 +140,17 @@ class WindowBy:
 
 
 @dataclass
+class LeftJoinSpec:
+    """EXTENSION: ``LEFT [OUTER] JOIN t alias ON cond [AND cond ...]`` —
+    the reference dialect has inner comma-joins only (SURVEY §2.3:
+    'Absent: range/as-of/interval joins, semi/anti, outer'). ``on`` is the
+    flattened AND-conjunction; OR and subqueries are rejected at parse."""
+
+    table: "TableRef" = None
+    on: list = field(default_factory=list)
+
+
+@dataclass
 class Query:
     kind: str = "SELECT"               # SELECT | PROCESS
     stream: bool = False
@@ -157,6 +168,9 @@ class Query:
     having: Optional[object] = None    # EXTENSION: HavingCondition tree
     #                                    (reference's HAVING is a dead
     #                                    constant — SURVEY §2.4)
+    left_joins: list = field(default_factory=list)  # EXTENSION: LeftJoinSpec
+    #                                    chain (reference has inner joins
+    #                                    only — SURVEY §2.3)
 
 
 @dataclass

@@ -314,7 +314,22 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
     """Compile against caller-supplied source DataFrames (batch or
     streaming)."""
     joins, subqueries, filters = _split_where(q.where)
-    out = _build_join(dfs, [t.alias for t in q.tables], joins)
+    if q.left_joins:
+        # EXTENSION (SURVEY §2.3): FROM base LEFT JOIN t ON ... chain.
+        # The parser guarantees a single base table, so the inner fold is
+        # just the base scan; WHERE stays post-join (ANSI), including any
+        # col = col conjuncts — pushing those into the join would silently
+        # turn the outer join back into an inner one.
+        out = dfs[q.tables[0].alias]
+        for spec in q.left_joins:
+            on = functools.reduce(
+                lambda a, b: a & b, (_cond_expr(c) for c in spec.on)
+            )
+            out = out.join(dfs[spec.table.alias], on, "left")
+        for jc in joins:
+            out = out.filter(_join_expr(jc))
+    else:
+        out = _build_join(dfs, [t.alias for t in q.tables], joins)
     if filters:
         out = out.filter(functools.reduce(lambda a, b: a & b, map(_cond_expr, filters)))
     for sq in subqueries:

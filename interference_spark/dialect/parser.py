@@ -55,6 +55,7 @@ from .ast import (
     GroupExpr,
     HavingCondition,
     JoinCondition,
+    LeftJoinSpec,
     Query,
     SelectItem,
     SetQuery,
@@ -65,6 +66,10 @@ from .ast import (
 )
 
 MAX_NESTING = 64  # reference: TooManyNestedConditions
+
+# EXTENSION: LEFT [OUTER] JOIN in FROM (SURVEY §2.3 — reference is
+# inner-comma-join only)
+_LEFT_JOIN_RE = re.compile(r"\bLEFT\s+(?:OUTER\s+)?JOIN\b", re.I)
 
 # scan order is irrelevant; _CLAUSE_ORDER defines valid statement order:
 # PROCESS tbl WITHIN p WHERE …; SELECT … FROM … WHERE … GROUP/ORDER/WINDOW BY
@@ -336,10 +341,21 @@ class Parser:
         tbl_src = spans.get("FROM", "") if kind == "SELECT" else head
         if not tbl_src.strip():
             raise MissingTablesDescription(sql[:80])
-        q.tables = self._parse_tables(tbl_src)
+        lj_parts: list[tuple[TableRef, str]] = []
+        if kind == "SELECT" and _LEFT_JOIN_RE.search(tbl_src):
+            q.tables, lj_parts = self._parse_from_left_joins(tbl_src)
+        else:
+            q.tables = self._parse_tables(tbl_src)
         if kind == "PROCESS" and len(q.tables) != 1:
             raise InvalidSQLStatement("PROCESS works on a single table")
         self._cols = {t.alias: self.resolver.columns(t.name) for t in q.tables}
+        if lj_parts:
+            if q.stream:
+                raise InvalidSQLStatement("LEFT JOIN not supported on SELECT STREAM")
+            q.left_joins = [
+                LeftJoinSpec(table=tref, on=self._parse_on(on_src))
+                for tref, on_src in lj_parts
+            ]
 
         # select list
         if kind == "SELECT":
@@ -393,6 +409,66 @@ class Parser:
 
         self._validate_group(q)
         return q
+
+    def _parse_from_left_joins(
+        self, src: str
+    ) -> tuple[list[TableRef], list[tuple[TableRef, str]]]:
+        """EXTENSION (SURVEY §2.3 — reference has inner comma-joins only):
+        ``FROM base b LEFT [OUTER] JOIN t1 a ON cond [LEFT JOIN t2 ...]``.
+        One base table, no comma mixing; every join needs an ON clause.
+        Returns (all table refs, [(joined ref, raw ON text), ...]); ON
+        text is parsed by the caller once column metadata is loaded."""
+        segs = _LEFT_JOIN_RE.split(src)
+        base = segs[0]
+        if len(_split_top(base)) != 1:
+            raise InvalidSQLStatement(
+                "comma joins cannot be mixed with LEFT JOIN"
+            )
+        tables = self._parse_tables(base)
+        parts: list[tuple[TableRef, str]] = []
+        for seg in segs[1:]:
+            pieces = re.split(r"\bON\b", seg, maxsplit=1, flags=re.I)
+            if len(pieces) != 2:
+                raise InvalidSQLStatement(
+                    f"LEFT JOIN requires an ON clause: {seg.strip()[:60]!r}"
+                )
+            tsrc, on_src = pieces
+            refs = self._parse_tables(tsrc)
+            if len(refs) != 1:
+                raise InvalidSQLStatement(
+                    f"LEFT JOIN joins exactly one table: {tsrc.strip()!r}"
+                )
+            if not on_src.strip():
+                raise UnexpectedEndOfStatement("empty ON condition")
+            tables.extend(refs)
+            parts.append((refs[0], on_src.strip()))
+        aliases = [t.alias for t in tables]
+        if len(set(aliases)) != len(aliases):
+            raise InvalidSQLStatement("duplicate table alias")
+        return tables, parts
+
+    def _parse_on(self, src: str) -> list:
+        """ON accepts a flat AND conjunction of simple conditions, at
+        least one of them column = column (the join key); OR, nesting and
+        subqueries are rejected — outer-join semantics under the
+        reference's one-connective-per-level rule stay unambiguous."""
+        cond = self._parse_condition_group(src, depth=0)
+        if isinstance(cond, ConditionGroup):
+            if cond.connective == "OR":
+                raise InvalidSQLStatement("OR is not allowed in LEFT JOIN ON")
+            children = list(cond.children)
+        else:
+            children = [cond]
+        for c in children:
+            if isinstance(c, (ConditionGroup, SubqueryCondition)):
+                raise InvalidSQLStatement(
+                    "LEFT JOIN ON supports a flat AND of simple conditions"
+                )
+        if not any(isinstance(c, JoinCondition) for c in children):
+            raise InvalidSQLStatement(
+                "LEFT JOIN ON requires a column = column condition"
+            )
+        return children
 
     def _parse_tables(self, src: str) -> list[TableRef]:
         out = []

@@ -222,6 +222,29 @@ def dialect_theta_join(spark, sf_dir):
 
 
 @query(
+    "dialect_left_join",
+    """SELECT c.c_custkey AS cc_custkey, c.c_acctbal AS cc_acctbal,
+              o.o_orderkey AS oo_orderkey, o.o_totalprice AS oo_totalprice
+       FROM customer c LEFT JOIN orders o
+         ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000.0
+       WHERE c.c_acctbal > 9000.0""",
+)
+def dialect_left_join(spark, sf_dir):
+    """LEFT [OUTER] JOIN dialect extension (SURVEY §2.3 marks outer joins
+    absent from the reference — its only join syntax is inner comma-FROM).
+    ON accepts a flat AND with join-time value conditions (the
+    o_totalprice bound filters the right side BEFORE the join, so
+    unmatched customers survive with NULLs — pushed into WHERE it would
+    collapse to an inner join); WHERE stays post-join per ANSI."""
+    return engine_for(spark, sf_dir).session().execute(
+        "select c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice "
+        "from customer c left join orders o "
+        "on c.c_custkey = o.o_custkey and o.o_totalprice > 300000.0 "
+        "where c.c_acctbal > 9000.0"
+    )
+
+
+@query(
     "dialect_order_by",
     """SELECT c.c_custkey AS cc_custkey, c.c_name AS cc_name FROM customer c
        ORDER BY c.c_custkey""",

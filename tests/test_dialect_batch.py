@@ -339,3 +339,52 @@ def test_group_by_same_named_columns_from_two_tables(spark, engine):
     finally:
         engine.drop_table("GA")
         engine.drop_table("GB")
+
+
+def test_left_join_extension(session, engine):
+    """LEFT [OUTER] JOIN extension: null-preserving outer semantics with a
+    join-time value condition, DuckDB-cross-checked; grammar errors raise
+    the typed taxonomy."""
+    import pytest as _pytest
+
+    from interference_spark import errors
+
+    df = session.execute(
+        "select d.deptName, e.empName from Dept d left join Emp e "
+        "on d.deptId = e.deptId and e.salary > 2000.0"
+    )
+    assert df.columns == ["ddeptName", "eempName"]
+    got = _rows(df)
+    want = _duck(
+        engine,
+        "select d.deptName, e.empName from Dept d left join Emp e "
+        "on d.deptId = e.deptId and e.salary > 2000.0",
+        ["Dept", "Emp"],
+    )
+    assert got == want
+    # at least one dept has no emp over 2000 -> null-extended row survives
+    assert any(r[1] is None for r in got)
+
+    # LEFT OUTER JOIN spelling parses identically
+    df2 = session.execute(
+        "select d.deptName, e.empName from Dept d left outer join Emp e "
+        "on d.deptId = e.deptId and e.salary > 2000.0"
+    )
+    assert _rows(df2) == got
+
+    for bad, exc in [
+        ("select d.deptName from Dept d left join Emp e on e.salary > 1.0",
+         errors.InvalidSQLStatement),          # no join key in ON
+        ("select d.deptName from Dept d, Emp x left join Emp e on d.deptId = e.deptId",
+         errors.InvalidSQLStatement),          # comma mixing
+        ("select d.deptName from Dept d left join Emp e",
+         errors.InvalidSQLStatement),          # missing ON
+        ("select d.deptName from Dept d left join Emp e "
+         "on d.deptId = e.deptId or e.salary > 1.0",
+         errors.InvalidSQLStatement),          # OR in ON
+        ("select stream e.empName from Emp e left join Dept d "
+         "on e.deptId = d.deptId",
+         errors.InvalidSQLStatement),          # streaming
+    ]:
+        with _pytest.raises(exc):
+            session.execute(bad)
