@@ -141,13 +141,16 @@ class WindowBy:
 
 @dataclass
 class LeftJoinSpec:
-    """EXTENSION: ``LEFT [OUTER] JOIN t alias ON cond [AND cond ...]`` —
-    the reference dialect has inner comma-joins only (SURVEY §2.3:
-    'Absent: range/as-of/interval joins, semi/anti, outer'). ``on`` is the
-    flattened AND-conjunction; OR and subqueries are rejected at parse."""
+    """EXTENSION: ``LEFT|RIGHT|FULL [OUTER] JOIN t alias ON cond
+    [AND cond ...]`` — the reference dialect has inner comma-joins only
+    (SURVEY §2.3: 'Absent: range/as-of/interval joins, semi/anti,
+    outer'). ``on`` is the flattened AND-conjunction; OR and subqueries
+    are rejected at parse. ``how`` is the Spark join type
+    (left/right/full)."""
 
     table: "TableRef" = None
     on: list = field(default_factory=list)
+    how: str = "left"
 
 
 @dataclass

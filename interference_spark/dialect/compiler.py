@@ -315,17 +315,17 @@ def compile_on(engine, q: Query, dfs: dict[str, DataFrame]) -> DataFrame:
     streaming)."""
     joins, subqueries, filters = _split_where(q.where)
     if q.left_joins:
-        # EXTENSION (SURVEY §2.3): FROM base LEFT JOIN t ON ... chain.
-        # The parser guarantees a single base table, so the inner fold is
-        # just the base scan; WHERE stays post-join (ANSI), including any
-        # col = col conjuncts — pushing those into the join would silently
-        # turn the outer join back into an inner one.
+        # EXTENSION (SURVEY §2.3): FROM base LEFT|RIGHT|FULL JOIN t ON ...
+        # chain. The parser guarantees a single base table, so the inner
+        # fold is just the base scan; WHERE stays post-join (ANSI),
+        # including any col = col conjuncts — pushing those into the join
+        # would silently turn the outer join back into an inner one.
         out = dfs[q.tables[0].alias]
         for spec in q.left_joins:
             on = functools.reduce(
                 lambda a, b: a & b, (_cond_expr(c) for c in spec.on)
             )
-            out = out.join(dfs[spec.table.alias], on, "left")
+            out = out.join(dfs[spec.table.alias], on, spec.how)
         for jc in joins:
             out = out.filter(_join_expr(jc))
     else:

@@ -67,9 +67,9 @@ from .ast import (
 
 MAX_NESTING = 64  # reference: TooManyNestedConditions
 
-# EXTENSION: LEFT [OUTER] JOIN in FROM (SURVEY §2.3 — reference is
-# inner-comma-join only)
-_LEFT_JOIN_RE = re.compile(r"\bLEFT\s+(?:OUTER\s+)?JOIN\b", re.I)
+# EXTENSION: LEFT/RIGHT/FULL [OUTER] JOIN in FROM (SURVEY §2.3 —
+# reference is inner-comma-join only)
+_LEFT_JOIN_RE = re.compile(r"\b(LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\b", re.I)
 
 # scan order is irrelevant; _CLAUSE_ORDER defines valid statement order:
 # PROCESS tbl WITHIN p WHERE …; SELECT … FROM … WHERE … GROUP/ORDER/WINDOW BY
@@ -341,7 +341,7 @@ class Parser:
         tbl_src = spans.get("FROM", "") if kind == "SELECT" else head
         if not tbl_src.strip():
             raise MissingTablesDescription(sql[:80])
-        lj_parts: list[tuple[TableRef, str]] = []
+        lj_parts: list[tuple[TableRef, str, str]] = []
         if kind == "SELECT" and _LEFT_JOIN_RE.search(tbl_src):
             q.tables, lj_parts = self._parse_from_left_joins(tbl_src)
         else:
@@ -351,10 +351,12 @@ class Parser:
         self._cols = {t.alias: self.resolver.columns(t.name) for t in q.tables}
         if lj_parts:
             if q.stream:
-                raise InvalidSQLStatement("LEFT JOIN not supported on SELECT STREAM")
+                raise InvalidSQLStatement(
+                    "LEFT/RIGHT/FULL JOIN not supported on SELECT STREAM"
+                )
             q.left_joins = [
-                LeftJoinSpec(table=tref, on=self._parse_on(on_src))
-                for tref, on_src in lj_parts
+                LeftJoinSpec(table=tref, on=self._parse_on(on_src), how=how)
+                for tref, on_src, how in lj_parts
             ]
 
         # select list
@@ -412,36 +414,39 @@ class Parser:
 
     def _parse_from_left_joins(
         self, src: str
-    ) -> tuple[list[TableRef], list[tuple[TableRef, str]]]:
+    ) -> tuple[list[TableRef], list[tuple[TableRef, str, str]]]:
         """EXTENSION (SURVEY §2.3 — reference has inner comma-joins only):
-        ``FROM base b LEFT [OUTER] JOIN t1 a ON cond [LEFT JOIN t2 ...]``.
+        ``FROM base b LEFT|RIGHT|FULL [OUTER] JOIN t1 a ON cond [...]``.
         One base table, no comma mixing; every join needs an ON clause.
-        Returns (all table refs, [(joined ref, raw ON text), ...]); ON
-        text is parsed by the caller once column metadata is loaded."""
-        segs = _LEFT_JOIN_RE.split(src)
+        Returns (all table refs, [(joined ref, raw ON text, how), ...]);
+        ON text is parsed by the caller once column metadata is loaded."""
+        segs = _LEFT_JOIN_RE.split(src)  # [base, dir1, seg1, dir2, seg2, …]
         base = segs[0]
         if len(_split_top(base)) != 1:
             raise InvalidSQLStatement(
-                "comma joins cannot be mixed with LEFT JOIN"
+                "comma joins cannot be mixed with LEFT/RIGHT/FULL JOIN"
             )
         tables = self._parse_tables(base)
-        parts: list[tuple[TableRef, str]] = []
-        for seg in segs[1:]:
+        parts: list[tuple[TableRef, str, str]] = []
+        for direction, seg in zip(segs[1::2], segs[2::2]):
+            how = direction.lower()  # left | right | full
             pieces = re.split(r"\bON\b", seg, maxsplit=1, flags=re.I)
             if len(pieces) != 2:
                 raise InvalidSQLStatement(
-                    f"LEFT JOIN requires an ON clause: {seg.strip()[:60]!r}"
+                    f"{direction.upper()} JOIN requires an ON clause: "
+                    f"{seg.strip()[:60]!r}"
                 )
             tsrc, on_src = pieces
             refs = self._parse_tables(tsrc)
             if len(refs) != 1:
                 raise InvalidSQLStatement(
-                    f"LEFT JOIN joins exactly one table: {tsrc.strip()!r}"
+                    f"{direction.upper()} JOIN joins exactly one table: "
+                    f"{tsrc.strip()!r}"
                 )
             if not on_src.strip():
                 raise UnexpectedEndOfStatement("empty ON condition")
             tables.extend(refs)
-            parts.append((refs[0], on_src.strip()))
+            parts.append((refs[0], on_src.strip(), how))
         aliases = [t.alias for t in tables]
         if len(set(aliases)) != len(aliases):
             raise InvalidSQLStatement("duplicate table alias")
@@ -455,18 +460,18 @@ class Parser:
         cond = self._parse_condition_group(src, depth=0)
         if isinstance(cond, ConditionGroup):
             if cond.connective == "OR":
-                raise InvalidSQLStatement("OR is not allowed in LEFT JOIN ON")
+                raise InvalidSQLStatement("OR is not allowed in an outer-join ON")
             children = list(cond.children)
         else:
             children = [cond]
         for c in children:
             if isinstance(c, (ConditionGroup, SubqueryCondition)):
                 raise InvalidSQLStatement(
-                    "LEFT JOIN ON supports a flat AND of simple conditions"
+                    "outer-join ON supports a flat AND of simple conditions"
                 )
         if not any(isinstance(c, JoinCondition) for c in children):
             raise InvalidSQLStatement(
-                "LEFT JOIN ON requires a column = column condition"
+                "outer-join ON requires a column = column condition"
             )
         return children
 

@@ -388,3 +388,33 @@ def test_left_join_extension(session, engine):
     ]:
         with _pytest.raises(exc):
             session.execute(bad)
+
+
+def test_right_and_full_join_extension(session, engine):
+    """RIGHT and FULL [OUTER] JOIN directions share the LEFT JOIN grammar;
+    null extension lands on the correct side(s)."""
+    got_r = _rows(session.execute(
+        "select e.empName, d.deptName from Emp e right join Dept d "
+        "on e.deptId = d.deptId and e.salary > 2000.0"
+    ))
+    want_r = _duck(
+        engine,
+        "select e.empName, d.deptName from Emp e right join Dept d "
+        "on e.deptId = d.deptId and e.salary > 2000.0",
+        ["Dept", "Emp"],
+    )
+    assert got_r == want_r
+    assert any(r[0] is None for r in got_r)      # dept kept, emp null side
+
+    got_f = _rows(session.execute(
+        "select e.empName, d.deptName from Emp e full outer join Dept d "
+        "on e.deptId = d.deptId and e.salary > 2000.0"
+    ))
+    want_f = _duck(
+        engine,
+        "select e.empName, d.deptName from Emp e full outer join Dept d "
+        "on e.deptId = d.deptId and e.salary > 2000.0",
+        ["Dept", "Emp"],
+    )
+    assert got_f == want_f
+    assert any(r[0] is None for r in got_f) and any(r[1] is None for r in got_f)
