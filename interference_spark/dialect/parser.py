@@ -358,6 +358,23 @@ class Parser:
                 LeftJoinSpec(table=tref, on=self._parse_on(on_src), how=how)
                 for tref, on_src, how in lj_parts
             ]
+            # each ON may only reference tables already in scope (the
+            # base and previously-joined tables plus its own) — caught
+            # here as a typed error instead of a raw Catalyst failure
+            allowed = {q.tables[0].alias}
+            for spec in q.left_joins:
+                allowed.add(spec.table.alias)
+                for c in spec.on:
+                    refs = (
+                        [c.ref] if isinstance(c, ValueCondition)
+                        else [c.left, c.right]
+                    )
+                    for r in refs:
+                        if r.alias not in allowed:
+                            raise InvalidSQLStatement(
+                                f"ON condition references {r.alias!r} "
+                                f"before it is joined"
+                            )
 
         # select list
         if kind == "SELECT":

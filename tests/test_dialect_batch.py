@@ -418,3 +418,16 @@ def test_right_and_full_join_extension(session, engine):
     )
     assert got_f == want_f
     assert any(r[0] is None for r in got_f) and any(r[1] is None for r in got_f)
+
+
+def test_outer_join_on_forward_reference_rejected(session):
+    import pytest as _pytest
+
+    from interference_spark import errors
+
+    with _pytest.raises(errors.InvalidSQLStatement):
+        session.execute(
+            "select d.deptName from Dept d "
+            "left join Emp e on d.deptId = f.deptId "
+            "left join Emp f on d.deptId = f.deptId"
+        )
