@@ -4153,11 +4153,11 @@ def process_stream_consume(spark, sf_dir):
                 AS prev_odate_epoch,
               CAST(floor(epoch(lead(o_orderdate) OVER w)) AS BIGINT)
                 AS next_odate_epoch,
-              sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT))
+              CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS run_micros,
+                AS BIGINT) AS run_micros,
               dense_rank() OVER (PARTITION BY o_custkey
                                  ORDER BY o_totalprice DESC) AS spend_rank,
               ntile(4) OVER w AS quartile
@@ -4295,7 +4295,8 @@ def gapfill_hourly_events(spark, sf_dir):
     "incremental_rollup_events",
     """SELECT event_type,
               count(*) AS cnt,
-              sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS v_micros,
+              CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                AS v_micros,
               min(CAST(floor(value * 1000000.0) AS BIGINT)) AS v_min_micros,
               max(CAST(floor(value * 1000000.0) AS BIGINT)) AS v_max_micros
        FROM events GROUP BY event_type""",
@@ -4600,7 +4601,8 @@ def text_repeated_passages(spark, sf_dir):
            SELECT unnest(generate_series(1, 64)) AS i
          ) i
        )
-       SELECT dim, count(*) AS n, sum(m) AS sum_micros,
+       SELECT dim, count(*) AS n,
+              CAST(sum(m) AS BIGINT) AS sum_micros,
               min(m) AS min_micros, max(m) AS max_micros
        FROM d GROUP BY dim""",
 )

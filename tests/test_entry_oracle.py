@@ -70,6 +70,22 @@ def test_query_matches_oracle(name, spark, duck):
     assert got == want, f"{name}: values differ\nspark: {got[:3]}\nduck:  {want[:3]}"
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_schema_has_no_hugeint(name, duck):
+    """Type-audit lint (round-4 verdict #8): the driver's value hash is
+    type-tagged, so a DuckDB result column that widens to HUGEINT (int128 —
+    e.g. an un-recast ``sum(BIGINT)``) hash-mismatches against Spark's LONG
+    even when every value is identical.  ``DESCRIBE`` plans the oracle
+    without executing it, so this covers all oracles cheaply.  Fix pattern:
+    wrap the aggregate as ``CAST(sum(...) AS BIGINT)``."""
+    desc = duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    bad = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+    assert not bad, (
+        f"{name}: oracle result columns widen to HUGEINT {bad}; "
+        "wrap the aggregate in CAST(... AS BIGINT)"
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
