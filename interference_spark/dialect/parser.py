@@ -70,6 +70,7 @@ MAX_NESTING = 64  # reference: TooManyNestedConditions
 # EXTENSION: LEFT/RIGHT/FULL [OUTER] JOIN in FROM (SURVEY §2.3 —
 # reference is inner-comma-join only)
 _LEFT_JOIN_RE = re.compile(r"\b(LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\b", re.I)
+_ON_RE = re.compile(r"\bON\b", re.I)
 
 # scan order is irrelevant; _CLAUSE_ORDER defines valid statement order:
 # PROCESS tbl WITHIN p WHERE …; SELECT … FROM … WHERE … GROUP/ORDER/WINDOW BY
@@ -195,6 +196,43 @@ def _scan_setops(sql: str) -> list[tuple[str, int, int]]:
                 i += 1
                 continue
             continue
+        i += 1
+    return hits
+
+
+def _scan_top_matches(s: str, regex: re.Pattern) -> list[re.Match]:
+    """Match ``regex`` at top level only — outside quotes, brackets and
+    parens (same scan discipline as :func:`_scan_clauses` /
+    :func:`_scan_setops`).  Used for join-keyword detection so a string
+    literal containing e.g. ``'left join'`` or ``'on'`` inside an ON
+    clause can never split the FROM span mid-literal."""
+    hits: list[re.Match] = []
+    depth_p = depth_b = 0
+    q: str | None = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth_p += 1
+        elif ch == ")":
+            depth_p -= 1
+        elif ch == "[":
+            depth_b += 1
+        elif ch == "]":
+            depth_b -= 1
+        elif depth_p == 0 and depth_b == 0:
+            m = regex.match(s, i)
+            if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "._")):
+                hits.append(m)
+                i = m.end()
+                continue
         i += 1
     return hits
 
@@ -342,7 +380,7 @@ class Parser:
         if not tbl_src.strip():
             raise MissingTablesDescription(sql[:80])
         lj_parts: list[tuple[TableRef, str, str]] = []
-        if kind == "SELECT" and _LEFT_JOIN_RE.search(tbl_src):
+        if kind == "SELECT" and _scan_top_matches(tbl_src, _LEFT_JOIN_RE):
             q.tables, lj_parts = self._parse_from_left_joins(tbl_src)
         else:
             q.tables = self._parse_tables(tbl_src)
@@ -436,24 +474,31 @@ class Parser:
         ``FROM base b LEFT|RIGHT|FULL [OUTER] JOIN t1 a ON cond [...]``.
         One base table, no comma mixing; every join needs an ON clause.
         Returns (all table refs, [(joined ref, raw ON text, how), ...]);
-        ON text is parsed by the caller once column metadata is loaded."""
-        segs = _LEFT_JOIN_RE.split(src)  # [base, dir1, seg1, dir2, seg2, …]
-        base = segs[0]
+        ON text is parsed by the caller once column metadata is loaded.
+        Join keywords are located with the quote/paren-aware scanner
+        (:func:`_scan_top_matches`) so literals inside ON conditions can
+        never be mistaken for JOIN/ON keywords."""
+        joins = _scan_top_matches(src, _LEFT_JOIN_RE)
+        base = src[: joins[0].start()]
         if len(_split_top(base)) != 1:
             raise InvalidSQLStatement(
                 "comma joins cannot be mixed with LEFT/RIGHT/FULL JOIN"
             )
         tables = self._parse_tables(base)
         parts: list[tuple[TableRef, str, str]] = []
-        for direction, seg in zip(segs[1::2], segs[2::2]):
+        for i, jm in enumerate(joins):
+            direction = jm.group(1)
             how = direction.lower()  # left | right | full
-            pieces = re.split(r"\bON\b", seg, maxsplit=1, flags=re.I)
-            if len(pieces) != 2:
+            end = joins[i + 1].start() if i + 1 < len(joins) else len(src)
+            seg = src[jm.end(): end]
+            on_hits = _scan_top_matches(seg, _ON_RE)
+            if not on_hits:
                 raise InvalidSQLStatement(
                     f"{direction.upper()} JOIN requires an ON clause: "
                     f"{seg.strip()[:60]!r}"
                 )
-            tsrc, on_src = pieces
+            om = on_hits[0]
+            tsrc, on_src = seg[: om.start()], seg[om.end():]
             refs = self._parse_tables(tsrc)
             if len(refs) != 1:
                 raise InvalidSQLStatement(
@@ -486,7 +531,12 @@ class Parser:
                 raise InvalidSQLStatement(
                     "outer-join ON supports a flat AND of simple conditions"
                 )
-        if not any(isinstance(c, JoinCondition) for c in children):
+        # at least one EQUALITY key: a theta-only ON (a.x < b.y) would
+        # plan a broadcast-nested-loop outer join, which the docstring
+        # and error message both promise to reject
+        if not any(
+            isinstance(c, JoinCondition) and c.op == "=" for c in children
+        ):
             raise InvalidSQLStatement(
                 "outer-join ON requires a column = column condition"
             )

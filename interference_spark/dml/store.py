@@ -16,7 +16,13 @@ this module keeps is the *operation surface*:
 * ``upsert``           — persist-by-@Id (reference
                          ``persistent/Table.java:1187-1409``): anti-join +
                          union + atomic swap (the Delta-less MERGE).
-* ``delete_where``     — transactional delete / CEP ``purge``.
+* ``add_tombstones`` / ``maybe_compact`` — THE delete path (transactional
+                         delete / CEP ``purge``, routed via
+                         ``session.py`` commit): deletes write id
+                         tombstone files (O(deleted ids), never a table
+                         rewrite); ``read_managed`` anti-joins them out,
+                         and compaction folds them into data files only
+                         past a file-count/bytes threshold.
 * ``apply_threshold``  — ``@Threshold(n)`` ring-buffer retention
                          (``core/Threshold.java``): keep the newest n rows
                          by id.
@@ -385,15 +391,6 @@ def upsert(
 
         shutil.rmtree(tmp, ignore_errors=True)
     append_df(td, new_df.select(*cols))
-
-
-def delete_where(spark: SparkSession, td: TableDef, predicate) -> int:
-    """Delete rows matching a Column predicate; returns deleted count."""
-    cur = read_managed(spark, td)
-    keep = cur.filter(~predicate)
-    n_before = cur.count()
-    overwrite(td, keep.coalesce(_target_parts(td)))
-    return n_before - read_managed(spark, td).count()
 
 
 def apply_threshold(spark: SparkSession, td: TableDef) -> None:

@@ -2010,24 +2010,35 @@ def sim_ivf_exact(spark, sf_dir):
     )
 
 
-@query("sim_ivf_search", None)
+@query("sim_ivf_search", _ivf_exact_oracle())
 def sim_ivf_search(spark, sf_dir):
-    """IVF approximate NN: deterministic coarse quantizer, assignment
-    persisted PARTITIONED BY centroid, then an nprobe search whose
-    centroid IN-list is a partition filter — directory-level pruning reads
-    ~nprobe/n_centroids of the bytes (the 100 TB probe path)."""
+    """IVF approximate NN over STORAGE: the exact quantized coarse
+    quantizer (`ivf_build_exact`), assignment persisted PARTITIONED BY
+    centroid, then an nprobe search whose centroid IN-list is a partition
+    filter — directory-level pruning reads ~nprobe/n_centroids of the
+    bytes (the 100 TB probe path).  Every number is the exact-math IVF's
+    (quantized BIGINT sums end to end), so the stored path shares
+    `_ivf_exact_oracle` — upgraded from rows-only in round 4 (the float
+    quantizer's avg() means were partition-order-dependent; the pruning
+    behavior itself is unchanged and still plan-linted)."""
     import os
     import uuid
 
-    from .pipeline.similarity import ivf_build, ivf_search_stored, ivf_write
+    from .pipeline.similarity import (
+        ivf_build_exact,
+        ivf_search_stored_exact,
+        ivf_write,
+    )
 
     e = engine_for(spark, sf_dir)
     emb = e.table("embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    assigned, cents = ivf_build(emb.filter(F.col("vec_id") != 0), n_centroids=16)
+    assigned, cents = ivf_build_exact(
+        emb.filter(F.col("vec_id") != 0), n_centroids=16
+    )
     path = os.path.join(e.warehouse, f"ivf_{uuid.uuid4().hex[:8]}")
     ivf_write(assigned, path)
-    return ivf_search_stored(spark, path, cents, qvec, k=10, nprobe=4)
+    return ivf_search_stored_exact(spark, path, cents, qvec, k=10, nprobe=4)
 
 
 def _semdedup_oracle(
@@ -2057,12 +2068,18 @@ WITH v AS (
   FROM ve JOIN c2 c ON ve.pos = c.pos
   GROUP BY ve.vec_id, c.cid
 ), af AS (
+  -- denom==0 -> 1.0: same degenerate-centroid guard as the engine's
+  -- assignment (_argmax_centroid_exact) and cscore paths
   SELECT vec_id, cid AS centroid,
-         CAST(qd AS DOUBLE) / sqrt(CAST(qn AS DOUBLE)) AS score
+         CAST(qd AS DOUBLE)
+           / (CASE WHEN qn = 0 THEN 1.0 ELSE sqrt(CAST(qn AS DOUBLE)) END)
+           AS score
   FROM (
     SELECT sfin.vec_id, sfin.cid, sfin.qd, qnf.qn,
            row_number() OVER (PARTITION BY sfin.vec_id
-             ORDER BY CAST(sfin.qd AS DOUBLE) / sqrt(CAST(qnf.qn AS DOUBLE)) DESC,
+             ORDER BY CAST(sfin.qd AS DOUBLE)
+               / (CASE WHEN qnf.qn = 0 THEN 1.0
+                       ELSE sqrt(CAST(qnf.qn AS DOUBLE)) END) DESC,
                       sfin.cid DESC) AS rn
     FROM sfin JOIN qnf USING (cid)
   ) WHERE rn = 1
@@ -3256,6 +3273,90 @@ def stream_sliding_count_window(spark, sf_dir):
         [(r["cnt"], r["sum_uid"], r["mn"]) for r in rows],
         "cnt long, sum_uid long, mn double",
     )
+
+
+@query(
+    "stream_watermark_dedup",
+    """SELECT k_user, k_type FROM (
+         SELECT DISTINCT user_id AS k_user, event_type AS k_type FROM events
+         UNION ALL
+         SELECT DISTINCT user_id AS k_user, event_type AS k_type FROM events
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT) AS k_user, 'tick' AS k_type
+       )""",
+)
+def stream_watermark_dedup(spark, sf_dir):
+    """Event-time dedup-within-watermark (C5 extension —
+    `streaming/windows.stream_dedup_within_watermark`, Spark's
+    ``dropDuplicatesWithinWatermark``): first occurrence per
+    (user, event_type) emits, duplicates within the watermark delay are
+    dropped, and state for a key is EVICTED once the watermark passes it
+    — bounded state, the exactly-once-ingest building block a 100 TB
+    stream needs (plain dropDuplicates remembers every key forever).
+
+    The run is three single-file micro-batches so the watermark schedule
+    is deterministic: (1) the events snapshot → one emission per distinct
+    key; (2) a far-future tick row → the batch-end watermark passes every
+    phase-1 expiry (tick is 2 h past max ts, delay is 10 min); (3) the
+    same keys again with timestamps shifted past the watermark → all
+    re-emit, PROVING eviction (a global-distinct implementation would
+    emit nothing here, and a late-row replay would be watermark-dropped —
+    the shift keeps phase 3 on-time).  Output = each distinct key twice
+    plus the tick, which is exactly what the oracle's two-DISTINCT union
+    computes.  Only key columns are projected: which physical duplicate
+    row arrives first inside a batch is not deterministic, its key is."""
+    import datetime as _dt
+    import os
+    import uuid as _uuid
+
+    from .streaming.windows import stream_dedup_within_watermark
+
+    e = engine_for(spark, sf_dir)
+    ev = e.table("events").select("user_id", "event_type", "ts")
+    bounds = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).first()
+    tick_ts = bounds["mx"] + _dt.timedelta(hours=2)
+    # phase-3 times must clear the post-tick watermark (tick - 10 min)
+    shift = (tick_ts - bounds["mn"]) + _dt.timedelta(hours=1)
+
+    src = os.path.join(e.warehouse, f"wmdedup_{_uuid.uuid4().hex[:8]}")
+    ck = src + "_ck"
+    qname = f"wmdedup_{_uuid.uuid4().hex[:8]}"
+    schema = "user_id long, event_type string, ts timestamp"
+
+    def write_phase(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write_phase(ev)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = stream_dedup_within_watermark(
+        sdf, ("user_id", "event_type"), "ts", watermark="10 minutes"
+    ).select(
+        F.col("user_id").alias("k_user"), F.col("event_type").alias("k_type")
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_phase(
+            spark.createDataFrame([(-1, "tick", tick_ts)], schema)
+        )
+        q.processAllAvailable()
+        write_phase(ev.withColumn("ts", F.col("ts") + F.lit(shift)))
+        q.processAllAvailable()
+        rows = [
+            (r["k_user"], r["k_type"])
+            for r in spark.table(qname).collect()
+        ]
+    finally:
+        q.stop()
+    return spark.createDataFrame(rows, "k_user long, k_type string")
 
 
 @query(
@@ -6091,6 +6192,24 @@ def temperature_sample_by_lang(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # r4 swaps (verdict #2 — rotate the round-3 flagships in; every
+    # displaced entry is r3-driver-green and its family keeps ≥1 window
+    # row + local 3-SF oracle checks):
+    #   pivot_user_event_matrix   → dialect_custom_group_function (D14,
+    #                               executed grouped-agg pandas UDF)
+    #   train_split_leakage_safe  → quality_model_scores (one-pass
+    #                               distributed least squares)
+    #   dedup_exact               → dedup_semantic (SemDeDup, k-means
+    #                               unrolled in the oracle SQL)
+    #   boilerplate_ngrams        → dialect_left_join (LEFT/RIGHT/FULL
+    #                               outer-join dialect extension)
+    #   sim_ivf_exact             → process_stream_consume (D12 PROCESS
+    #                               STREAM back in the window)
+    #   stream_snapshot_filter    → stream_watermark_dedup (NEW r4
+    #                               operator: event-time dedup within
+    #                               watermark, verdict #7; the snapshot
+    #                               path stays covered by
+    #                               stream_into_materialize's filter)
     # r3 continued-session swaps part 3: text_token_count→tfidf_top_terms
     # (same family, richer operator), exact_value_percentiles→
     # kanonymity_audit (percentiles were driver-green in r1; the privacy
@@ -6120,8 +6239,9 @@ _DRIVER_WINDOW = [
     # dialect_set_ops, dialect_scalar_funcs, dialect_multiway_join,
     # dialect_window_count_sliding, rollup_pricing_subtotals,
     # topk_per_group, q7_volume_shipping)
+    "dialect_custom_group_function",
+    "dialect_left_join",
     "window_analytics_orders",
-    "pivot_user_event_matrix",
     "event_funnel_conversion",
     "incremental_rollup_events",
     "incremental_rollup_distinct_users",
@@ -6130,22 +6250,20 @@ _DRIVER_WINDOW = [
     # (triangles/PageRank) was unrepresented, and PageRank additionally
     # driver-proves the exact-quantized ITERATIVE computation pattern
     "graph_pagerank_copurchase",
-    "train_split_leakage_safe",
     "export_shuffled_shards",
     # dedup family
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_neardup",
     "dedup_clusters",
     "dedup_incremental",
+    "dedup_semantic",
     "corpus_curation_funnel",
     # similarity family
     "sim_cosine_topk",
     "sim_quantized_topk",
     "sim_lsh_multiprobe",
-    "sim_ivf_exact",
     # text-analysis family
     "text_quality",
     "text_repetition",
@@ -6155,7 +6273,7 @@ _DRIVER_WINDOW = [
     "stream_heavy_hitters",
     "decontaminate_ngrams",
     "pii_redact",
-    "boilerplate_ngrams",
+    "quality_model_scores",
     # exact stats + privacy
     "kanonymity_audit",
     "approx_quantile_sketch",
@@ -6174,12 +6292,13 @@ _DRIVER_WINDOW = [
     "json_extract_props",
     # sessionization + streaming + PROCESS
     "sessionize_users",
-    "stream_snapshot_filter",
+    "stream_watermark_dedup",
     "stream_tumbling_keychange",
     "stream_sliding_count_window",
     "stream_into_materialize",
     "stream_stream_join",
     "process_within_consume",
+    "process_stream_consume",
 ]
 
 

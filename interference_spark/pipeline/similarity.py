@@ -552,26 +552,17 @@ def probe_centroids_exact(
     return [cid for _, cid in scored[:nprobe]]
 
 
-def ivf_search_exact(
-    df: DataFrame,
+def _quantized_topk_single(
+    cand: DataFrame,
     query_vec: list[float],
-    k: int = 10,
-    nprobe: int = 4,
-    n_centroids: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    k: int,
+    vec_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """End-to-end exact-math IVF probe: deterministic quantized k-means,
-    quantized assignment, quantized probe ranking, quantized-cosine top-k
-    — every number recomputable by a SQL oracle."""
-    cents = ivf_train_exact(df, n_centroids, 2, vec_col, id_col)
-    assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _argmax_centroid_exact(F.col(vec_col), cents).alias("centroid"),
-    )
-    probe_ids = probe_centroids_exact(cents, query_vec, nprobe)
-    cand = assigned.filter(F.col("centroid").isin(probe_ids))
+    """Quantized-cosine top-k of candidates against ONE query vector
+    (ties → lower id) — the shared scoring tail of the exact-math IVF
+    variants, so the in-memory and stored probe paths cannot drift from
+    each other or their SQL oracle."""
     from .dedup import quantized_cosine_sums, quantized_cosine_value
 
     q = F.array(*[F.lit(float(v)) for v in query_vec])
@@ -590,6 +581,65 @@ def ivf_search_exact(
         .limit(k)
         .select(id_col, "cosine")
     )
+
+
+def ivf_search_exact(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """End-to-end exact-math IVF probe: deterministic quantized k-means,
+    quantized assignment, quantized probe ranking, quantized-cosine top-k
+    — every number recomputable by a SQL oracle."""
+    assigned, cents = ivf_build_exact(df, n_centroids, vec_col, id_col)
+    probe_ids = probe_centroids_exact(cents, query_vec, nprobe)
+    cand = assigned.filter(F.col("centroid").isin(probe_ids))
+    return _quantized_topk_single(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_build_exact(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_iters: int = 2,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """`ivf_build` with the exact quantized quantizer throughout
+    (:func:`ivf_train_exact` + :func:`_argmax_centroid_exact`): the
+    assignment — and therefore the partition layout `ivf_write` produces —
+    is bit-identical on any partitioning and recomputable by a SQL
+    oracle."""
+    cents = ivf_train_exact(df, n_centroids, train_iters, vec_col, id_col)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_centroid_exact(F.col(vec_col), cents).alias("centroid"),
+    )
+    return assigned, cents
+
+
+def ivf_search_stored_exact(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`ivf_search_stored` with exact quantized probe ranking and scoring:
+    the centroid IN-list is still a partition filter over the
+    ``ivf_write`` layout (directory-level pruning — the 100 TB probe
+    path), and every produced number matches :func:`ivf_search_exact` on
+    the same data, so the stored path shares the same SQL oracle."""
+    probe_ids = probe_centroids_exact(cents, query_vec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("centroid").isin(probe_ids))
+    return _quantized_topk_single(cand, query_vec, k, vec_col, id_col)
 
 
 def semantic_dedup(
@@ -634,8 +684,14 @@ def semantic_dedup(
     for cid, cvec in cents:
         ca = np.asarray(cvec, dtype=np.float64)
         qn = int(np.floor(ca * ca * _QI).astype(np.int64).sum())
-        crows.append((cid, [float(x) for x in cvec], qn))
-    cdf = spark.createDataFrame(crows, "cid long, cvec array<double>, qn long")
+        # same zero-denominator guard as _argmax_centroid_exact (denom==0
+        # -> 1.0): a degenerate all-zero centroid must score identically
+        # in assignment and cscore, and never produce NULL/inf
+        denom = float(np.sqrt(qn)) if qn > 0 else 1.0
+        crows.append((cid, [float(x) for x in cvec], denom))
+    cdf = spark.createDataFrame(
+        crows, "cid long, cvec array<double>, cdenom double"
+    )
 
     def _qfold(arr: Column) -> Column:
         return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -644,7 +700,7 @@ def semantic_dedup(
         _qfold(
             F.zip_with(F.col("__e"), F.col("cvec"), lambda x, c: F.floor(x * c * F.lit(_QI)))
         ).cast("double")
-        / F.sqrt(F.col("qn").cast("double"))
+        / F.col("cdenom")
     )
     scored = (
         assigned.join(F.broadcast(cdf), F.col("centroid") == F.col("cid"))

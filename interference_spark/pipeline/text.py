@@ -9,6 +9,8 @@ shuffle, predicate/column pruning reaches the parquet scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -868,6 +870,33 @@ def linear_quality_model(
         q8(F.col("x1") * F.col("y")).alias("s1y"),
         q8(F.col("x2") * F.col("y")).alias("s2y"),
     )
+    # Singularity guard (round-4 advice): a corpus with constant or
+    # perfectly collinear features makes the Gram matrix singular and the
+    # Cramer solve would silently emit inf/NaN weights.  The moment
+    # aggregate is ONE row (the only thing the driver ever holds), so
+    # collect it, test |det| against the quantization-noise floor
+    # (each 1e-8-floored sum carries error < n*1e-8; det is cubic in the
+    # sums, so noise scales with n³·X²·1e-8), and re-feed the literal row
+    # into the identical IEEE expression — still exactly two data scans.
+    srow = sums.first()
+    n_v, s1_v, s2_v = srow["n"], srow["s1"], srow["s2"]
+    s11_v, s12_v, s22_v = srow["s11"], srow["s12"], srow["s22"]
+    det_v = (
+        n_v * (s11_v * s22_v - s12_v * s12_v)
+        - s1_v * (s1_v * s22_v - s12_v * s2_v)
+        + s2_v * (s1_v * s12_v - s11_v * s2_v)
+    )
+    x_scale = max(abs(s1_v) / max(n_v, 1.0), abs(s2_v) / max(n_v, 1.0), 1.0)
+    # det is cubic in the sums: |Δdet| ≲ 3·S²·ε with S ≤ n·X and
+    # ε < n·1e-8 per floored sum, hence the 3·n³·X²·1e-8 worst case
+    noise_floor = 3.0 * (n_v ** 3) * (x_scale ** 2) * 1e-8
+    if not math.isfinite(det_v) or abs(det_v) <= noise_floor:
+        raise ValueError(
+            "linear_quality_model: singular Gram matrix "
+            f"(det={det_v!r}, noise floor={noise_floor!r}) — features are "
+            "constant or collinear; pick non-degenerate features"
+        )
+    sums_lit = df.sparkSession.createDataFrame([srow], sums.schema)
     a, b, c = F.col("n"), F.col("s1"), F.col("s2")
     d, e_, f = F.col("s11"), F.col("s12"), F.col("s22")
     r0, r1, r2 = F.col("sy"), F.col("s1y"), F.col("s2y")
@@ -875,7 +904,7 @@ def linear_quality_model(
     det0 = r0 * (d * f - e_ * e_) - b * (r1 * f - e_ * r2) + c * (r1 * e_ - d * r2)
     det1 = a * (r1 * f - e_ * r2) - r0 * (b * f - e_ * c) + c * (b * r2 - r1 * c)
     det2 = a * (d * r2 - r1 * e_) - b * (b * r2 - r1 * c) + r0 * (b * e_ - d * c)
-    weights = sums.select(
+    weights = sums_lit.select(
         (det0 / det).alias("w0"), (det1 / det).alias("w1"), (det2 / det).alias("w2")
     )
     pred = F.col("w0") + F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")

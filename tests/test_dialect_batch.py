@@ -431,3 +431,37 @@ def test_outer_join_on_forward_reference_rejected(session):
             "left join Emp e on d.deptId = f.deptId "
             "left join Emp f on d.deptId = f.deptId"
         )
+
+
+def test_outer_join_keywords_inside_literals(session, engine):
+    """Join keywords inside string literals must not split the FROM span:
+    the scanner is quote-aware (round-4 advice — the old regex split was
+    quote-blind and a literal containing 'left join' or 'on' broke the
+    table parse)."""
+    sql = (
+        "select d.deptName, e.empName from Dept d left join Emp e "
+        "on d.deptId = e.deptId and e.empName <> 'a LEFT JOIN b ON x FULL'"
+    )
+    got = _rows(session.execute(sql))
+    want = _duck(engine, sql, ["Dept", "Emp"])
+    assert got == want
+
+
+def test_outer_join_on_requires_equality_key(session):
+    """A theta-only ON (no column = column equality) is rejected — it
+    would otherwise plan a broadcast-nested-loop outer join, which the
+    grammar promises not to produce (round-4 advice)."""
+    import pytest as _pytest
+
+    from interference_spark import errors
+
+    with _pytest.raises(errors.InvalidSQLStatement):
+        session.execute(
+            "select d.deptName from Dept d left join Emp e "
+            "on d.deptId < e.deptId"
+        )
+    with _pytest.raises(errors.InvalidSQLStatement):
+        session.execute(
+            "select d.deptName from Dept d left join Emp e "
+            "on d.deptId <> e.deptId and e.salary > 1.0"
+        )

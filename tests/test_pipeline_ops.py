@@ -1089,3 +1089,81 @@ def test_semantic_dedup_threshold_filters(spark):
     lo = semantic_dedup(df, n_clusters=1, threshold=0.7).collect()
     assert hi == []
     assert len(lo) == 1 and lo[0].cosine == pytest.approx(math.sqrt(0.5), abs=1e-6)
+
+
+def test_linear_quality_model_recovers_exact_fit(spark):
+    """On a corpus where y is EXACTLY linear in the features the least
+    squares fit must recover the interpolant: en docs have wc=100
+    (x1=1.0), others wc=200 (x1=2.0), so y = 1[lang='en'] = 2 - x1
+    exactly, while x2 (avg word length) varies independently within both
+    groups — the Gram matrix is well-conditioned and the zero-residual
+    solution is w = (2, -1, 0)."""
+    from interference_spark.pipeline.text import linear_quality_model
+
+    def doc(wc, width):
+        return " ".join(["a" * width] * wc)
+
+    rows = []
+    i = 0
+    for wc, width, lang in [
+        (100, 1, "en"), (100, 4, "en"), (100, 2, "en"),
+        (200, 1, "de"), (200, 4, "de"), (200, 6, "fr"),
+    ]:
+        rows.append((i, doc(wc, width), lang))
+        i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["label"]: r for r in linear_quality_model(df).collect()}
+    assert set(out) == {"en", "de", "fr"}
+    r = out["en"]
+    # weights are global (identical on every row) and match the exact fit
+    assert r["w0"] == out["de"]["w0"] and r["w1"] == out["fr"]["w1"]
+    assert r["w0"] == pytest.approx(2.0, abs=1e-3)
+    assert r["w1"] == pytest.approx(-1.0, abs=1e-3)
+    assert r["w2"] == pytest.approx(0.0, abs=1e-3)
+    # zero-residual fit reproduces y on the training points
+    assert out["en"]["avg_pred"] == pytest.approx(1.0, abs=1e-3)
+    assert out["de"]["avg_pred"] == pytest.approx(0.0, abs=1e-3)
+    assert out["fr"]["avg_pred"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_linear_quality_model_singular_raises(spark):
+    """Constant features make the Gram matrix singular: the fit must
+    raise a clear error, never emit NULL/inf weights (round-4 advice)."""
+    from interference_spark.pipeline.text import linear_quality_model
+
+    rows = [(i, "a a a a", "en" if i % 2 == 0 else "de") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="singular Gram"):
+        linear_quality_model(df)
+
+
+def test_ivf_stored_exact_prunes_and_matches_exact(spark, tmp_path):
+    """ivf_build_exact + ivf_search_stored_exact (the oracled stored
+    path): the centroid IN-list still prunes partitions at directory
+    level, and results are bit-identical to the in-memory
+    ivf_search_exact on the same corpus/query."""
+    import re
+
+    from interference_spark.pipeline.similarity import (
+        ivf_build_exact,
+        ivf_search_exact,
+        ivf_search_stored_exact,
+        ivf_write,
+        probe_centroids_exact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    base = emb.filter("vec_id <> 0")
+    assigned, cents = ivf_build_exact(base, n_centroids=8)
+    path = str(tmp_path / "ivf_exact")
+    ivf_write(assigned, path)
+
+    got = ivf_search_stored_exact(spark, path, cents, qvec, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    probe_ids = probe_centroids_exact(cents, qvec, 2)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "centroid" in m.group(1), plan
+    assert all(str(pid) in m.group(1) for pid in probe_ids), plan
+    want = ivf_search_exact(base, qvec, k=5, nprobe=2, n_centroids=8)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
