@@ -4840,14 +4840,181 @@ def embedding_label_centroids(spark, sf_dir):
     return label_centroids(e.table("embeddings"))
 
 
-@query("embedding_top_pc")  # driver-side eigh → rows-only check (IVF exception)
+def _top_pc_oracle() -> str:
+    """Top-principal-component oracle: the quantized covariance (same
+    floor-1e6 BIGINT cells the engine's mapInPandas pass accumulates)
+    followed by the engine's FIXED-schedule parallel Jacobi eigensolve
+    replayed move for move in a recursive CTE — 63 round-robin rounds of
+    32 disjoint rotations per sweep, rotation coefficients from the
+    round-start matrix, the identical ``c·x − s·y`` elementwise mixes,
+    trace as the same sequential left fold, top-diagonal / pivot / sign
+    rules identical (`pipeline/linalg.jacobi_top_component`).  Every
+    operation is elementary IEEE double arithmetic (+ correctly-rounded
+    sqrt), which is exactly why the engine uses Jacobi instead of LAPACK
+    ``eigh`` — this is what upgrades the entry from rows-only to
+    value-hashed.  NOTE: double literals are written ``CAST(1 AS DOUBLE)``
+    — a bare ``1.0`` is DECIMAL(2,1) in DuckDB and a recursive CTE
+    coerces every iterate back to one decimal place."""
+    from .pipeline.linalg import JACOBI_SWEEPS
+
+    nsteps = JACOBI_SWEEPS * 63
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), ve AS (
+  SELECT vec_id, i.i - 1 AS pos, e[i.i] AS x
+  FROM v CROSS JOIN LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i
+), nn AS (SELECT count(*) AS n FROM v),
+cells AS (
+  SELECT a.pos AS i, b.pos AS j,
+         sum(CAST(floor(a.x * b.x * 1e6) AS BIGINT)) AS q
+  FROM ve a JOIN ve b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+  GROUP BY 1, 2
+), means AS (
+  SELECT pos,
+         CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / (SELECT n FROM nn) AS m
+  FROM ve GROUP BY pos
+), grid AS (
+  SELECT gi.i AS i, gj.i AS j
+  FROM (SELECT unnest(generate_series(0, 63)) AS i) gi
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) gj
+), covlist AS (
+  SELECT list(
+           CAST(COALESCE(c.q, 0) AS DOUBLE) / 1e6 / (SELECT n FROM nn)
+             - mi.m * mj.m
+           ORDER BY g.i * 64 + g.j
+         ) AS a
+  FROM grid g
+  LEFT JOIN cells c ON c.i = LEAST(g.i, g.j) AND c.j = GREATEST(g.i, g.j)
+  JOIN means mi ON mi.pos = g.i
+  JOIN means mj ON mj.pos = g.j
+), pairsrr AS (
+  -- round-robin circle method: position 0 fixed, round t seats
+  -- player 1 + (j-1+t) % 63 at position j; pair i = (pos i, pos 63-i)
+  SELECT t, LEAST(x, y) AS p, GREATEST(x, y) AS q
+  FROM (
+    SELECT tt.t AS t,
+           CASE WHEN ii.i = 0 THEN 0 ELSE 1 + ((ii.i - 1 + tt.t) % 63) END AS x,
+           1 + ((62 - ii.i + tt.t) % 63) AS y
+    FROM (SELECT unnest(generate_series(0, 62)) AS t) tt
+    CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) ii
+  )
+), jac AS (
+  SELECT 0 AS step,
+         (SELECT a FROM covlist) AS a,
+         [CASE WHEN (k - 1) // 64 = (k - 1) % 64 THEN CAST(1 AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END
+          FOR k IN generate_series(1, 4096)] AS w
+  UNION ALL
+  SELECT step + 1,
+         -- column mix over the row-mixed b: A' = (Jt·A)·J
+         [CASE WHEN lw[((k - 1) % 64) + 1]
+               THEN cc[((k - 1) % 64) + 1] * b[k]
+                    - ss[((k - 1) % 64) + 1]
+                      * b[((k - 1) // 64) * 64 + pp[((k - 1) % 64) + 1] + 1]
+               ELSE ss[((k - 1) % 64) + 1]
+                    * b[((k - 1) // 64) * 64 + pp[((k - 1) % 64) + 1] + 1]
+                    + cc[((k - 1) % 64) + 1] * b[k]
+          END FOR k IN generate_series(1, 4096)],
+         [CASE WHEN lw[((k - 1) % 64) + 1]
+               THEN cc[((k - 1) % 64) + 1] * w[k]
+                    - ss[((k - 1) % 64) + 1]
+                      * w[((k - 1) // 64) * 64 + pp[((k - 1) % 64) + 1] + 1]
+               ELSE ss[((k - 1) % 64) + 1]
+                    * w[((k - 1) // 64) * 64 + pp[((k - 1) % 64) + 1] + 1]
+                    + cc[((k - 1) % 64) + 1] * w[k]
+          END FOR k IN generate_series(1, 4096)]
+  FROM (
+    SELECT step, a, w, pp, cc, ss, lw,
+           -- row mix: b = Jt·A
+           [CASE WHEN lw[((k - 1) // 64) + 1]
+                 THEN cc[((k - 1) // 64) + 1] * a[k]
+                      - ss[((k - 1) // 64) + 1]
+                        * a[pp[((k - 1) // 64) + 1] * 64 + ((k - 1) % 64) + 1]
+                 ELSE ss[((k - 1) // 64) + 1]
+                      * a[pp[((k - 1) // 64) + 1] * 64 + ((k - 1) % 64) + 1]
+                      + cc[((k - 1) // 64) + 1] * a[k]
+            END FOR k IN generate_series(1, 4096)] AS b
+    FROM (
+      SELECT j.step, j.a, j.w,
+             r.pp AS pp, r.cc AS cc, r.ss AS ss, r.lw AS lw
+      FROM jac j, LATERAL (
+        SELECT list(partner ORDER BY r) AS pp,
+               list(c ORDER BY r) AS cc,
+               list(s ORDER BY r) AS ss,
+               list(islow ORDER BY r) AS lw
+        FROM (
+          SELECT unnest([pr.p, pr.q]) AS r,
+                 unnest([pr.q, pr.p]) AS partner,
+                 unnest([TRUE, FALSE]) AS islow,
+                 CASE WHEN apq = 0.0 THEN 1.0
+                      ELSE 1.0 / sqrt(1.0 + tt * tt) END AS c,
+                 CASE WHEN apq = 0.0 THEN 0.0
+                      ELSE tt * (1.0 / sqrt(1.0 + tt * tt)) END AS s
+          FROM (
+            SELECT pr.p, pr.q, apq,
+                   CASE WHEN apq = 0.0 THEN 0.0
+                        ELSE (CASE WHEN tau >= 0.0 THEN 1.0 ELSE -1.0 END)
+                             / (abs(tau) + sqrt(1.0 + tau * tau)) END AS tt
+            FROM (
+              SELECT pr.p, pr.q,
+                     j.a[pr.p * 64 + pr.q + 1] AS apq,
+                     CASE WHEN j.a[pr.p * 64 + pr.q + 1] = 0.0 THEN 0.0
+                          ELSE (j.a[pr.q * 65 + 1] - j.a[pr.p * 65 + 1])
+                               / (2.0 * j.a[pr.p * 64 + pr.q + 1]) END AS tau
+              FROM pairsrr pr WHERE pr.t = j.step % 63
+            ) pr
+          ) pr
+        )
+      ) r
+      WHERE j.step < {nsteps}
+    )
+  )
+), fin AS (
+  SELECT a, w FROM jac WHERE step = {nsteps}
+), topsel AS (
+  SELECT jj.j AS lamj, f.a[jj.j * 65 + 1] AS lam
+  FROM fin f, (SELECT unnest(generate_series(0, 63)) AS j) jj
+  ORDER BY f.a[jj.j * 65 + 1] DESC, jj.j ASC LIMIT 1
+), tr AS (
+  SELECT list_reduce(
+           [ c.a[j * 65 + 1] FOR j IN generate_series(0, 63) ],
+           (x, y) -> x + y
+         ) AS trace
+  FROM covlist c
+), vecsel AS (
+  SELECT [f.w[r * 64 + t.lamj + 1] FOR r IN generate_series(0, 63)] AS vv,
+         t.lam AS lam
+  FROM fin f, topsel t
+), piv AS (
+  SELECT rr.r AS pivot, v.vv[rr.r + 1] AS pval
+  FROM vecsel v, (SELECT unnest(generate_series(0, 63)) AS r) rr
+  ORDER BY abs(v.vv[rr.r + 1]) DESC, rr.r ASC LIMIT 1
+)
+SELECT jj.j AS dim,
+       CASE WHEN p.pval < 0.0 THEN -v.vv[jj.j + 1] ELSE v.vv[jj.j + 1] END AS loading,
+       v.lam AS eigenvalue,
+       CASE WHEN t.trace > 0.0 THEN v.lam / t.trace ELSE 0.0 END AS explained_frac
+FROM vecsel v, piv p, tr t, (SELECT unnest(generate_series(0, 63)) AS j) jj
+ORDER BY dim
+"""
+
+
+@query("embedding_top_pc", _top_pc_oracle())
 def embedding_top_pc(spark, sf_dir):
     """Exact top principal component of the embedding corpus
     (`pipeline/linalg.top_principal_component`): ONE mapInPandas pass of
     numpy partial Grams (2 080 quantized-long cells per batch on the
-    shuffle, never data), exact d×d covariance, numpy eigh on the driver.
-    Quantized-long accumulation makes the result bit-identical on any
-    partitioning — which the driver's deterministic re-run check verifies."""
+    shuffle, never data), exact d×d covariance, then a FIXED-schedule
+    parallel Jacobi eigensolve on the driver
+    (`linalg.jacobi_top_component`) — elementary IEEE arithmetic in a
+    deterministic order instead of LAPACK ``eigh`` (agrees to ~1e-12,
+    cross-checked in unit tests), so the SQL oracle replays the entire
+    solve bit for bit in a recursive CTE.  Quantized-long accumulation
+    makes the covariance — and therefore every downstream number —
+    bit-identical on any partitioning.  Upgraded from rows-only to
+    value-hashed in round 4 (the last of 160 entries without a value
+    oracle)."""
     from .pipeline.linalg import top_principal_component
 
     e = engine_for(spark, sf_dir)

@@ -93,15 +93,136 @@ def covariance_matrix(
     return e2 - np.outer(mean, mean), mean, n
 
 
+JACOBI_SWEEPS = 10  # fixed — part of the cross-engine contract (see below)
+
+
+def round_robin_pairs(n: int) -> list[list[tuple[int, int]]]:
+    """Deterministic parallel Jacobi ordering: the classic round-robin
+    tournament (circle method).  ``n-1`` rounds of ``n/2`` DISJOINT index
+    pairs — disjoint rotations commute, so one round applies as a single
+    two-sided block rotation.  Position 0 is fixed; round t seats player
+    ``1 + (j - 1 + t) % (n - 1)`` at position j."""
+    rounds = []
+    for t in range(n - 1):
+        pos = [0] + [1 + ((j - 1 + t) % (n - 1)) for j in range(1, n)]
+        pairs = []
+        for i in range(n // 2):
+            x, y = pos[i], pos[n - 1 - i]
+            pairs.append((min(x, y), max(x, y)))
+        rounds.append(pairs)
+    return rounds
+
+
+def _jacobi_rotation(app: float, aqq: float, apq: float) -> tuple[float, float]:
+    """Symmetric Schur (c, s) for one Jacobi rotation, as straight-line
+    IEEE double arithmetic (no transcendentals beyond correctly-rounded
+    sqrt) so a SQL engine evaluating the same expressions gets the same
+    bits.  ``apq == 0`` → identity."""
+    import math
+
+    if apq == 0.0:
+        return 1.0, 0.0
+    tau = (aqq - app) / (2.0 * apq)
+    sgn = 1.0 if tau >= 0.0 else -1.0
+    t = sgn / (abs(tau) + math.sqrt(1.0 + tau * tau))
+    c = 1.0 / math.sqrt(1.0 + t * t)
+    s = t * c
+    return c, s
+
+
+def jacobi_top_component(
+    cov: np.ndarray, sweeps: int = JACOBI_SWEEPS
+) -> tuple[float, np.ndarray, float]:
+    """Top eigenpair of a symmetric matrix via FIXED-schedule parallel
+    cyclic Jacobi — chosen over LAPACK ``eigh`` because every operation is
+    elementary IEEE double arithmetic in a deterministic order, so a SQL
+    oracle can replay the identical computation bit for bit (``eigh``'s
+    blocked tridiagonalization cannot be reproduced outside LAPACK; this
+    is what upgrades the ``embedding_top_pc`` driver entry from rows-only
+    to value-hashed).
+
+    Schedule: ``sweeps`` passes over the ``n-1`` round-robin rounds of
+    ``n/2`` disjoint rotations (:func:`round_robin_pairs`); rotation
+    coefficients for a round are computed from the matrix state at round
+    start, then all of the round's rotations apply as one two-sided mix —
+    elementwise ``c·x − s·y`` / ``s·x + c·y`` updates that a SQL list
+    comprehension states identically.  The sweep count is FIXED (not
+    convergence-tested) because it is part of the cross-engine contract;
+    10 sweeps takes a 64×64 well past float64 convergence (off-diagonal
+    mass decays quadratically once sweeps > ~4).
+
+    Returns ``(lam, v, trace)``: the largest diagonal entry after the
+    final sweep (ties → lowest index), its accumulated eigenvector column
+    (sign canonicalized: largest-|loading| entry positive, ties → lowest
+    index), and the SEQUENTIAL left-fold trace of the input diagonal (the
+    fold order is pinned because float addition is not associative)."""
+    n = cov.shape[0]
+    diag0 = [float(cov[j, j]) for j in range(n)]
+    tr = diag0[0]
+    for j in range(1, n):
+        tr = tr + diag0[j]
+    a = cov.astype(np.float64, copy=True)
+    v = np.eye(n, dtype=np.float64)
+    rounds = round_robin_pairs(n)
+    partner = np.empty(n, dtype=np.int64)
+    cvec = np.empty(n, dtype=np.float64)
+    svec = np.empty(n, dtype=np.float64)
+    low = np.empty(n, dtype=bool)
+    for _ in range(sweeps):
+        for pairs in rounds:
+            for p, q in pairs:
+                c, s = _jacobi_rotation(
+                    float(a[p, p]), float(a[q, q]), float(a[p, q])
+                )
+                partner[p], partner[q] = q, p
+                cvec[p] = cvec[q] = c
+                svec[p] = svec[q] = s
+                low[p], low[q] = True, False
+            # B = Jᵀ·A (row mix), A' = B·J (column mix), V' = V·J — the
+            # np.where branches are the same two-multiply-one-add/sub
+            # expressions the SQL oracle states per element
+            b = np.where(
+                low[:, None],
+                cvec[:, None] * a - svec[:, None] * a[partner],
+                svec[:, None] * a[partner] + cvec[:, None] * a,
+            )
+            a = np.where(
+                low[None, :],
+                cvec[None, :] * b - svec[None, :] * b[:, partner],
+                svec[None, :] * b[:, partner] + cvec[None, :] * b,
+            )
+            v = np.where(
+                low[None, :],
+                cvec[None, :] * v - svec[None, :] * v[:, partner],
+                svec[None, :] * v[:, partner] + cvec[None, :] * v,
+            )
+    diag = [float(a[j, j]) for j in range(n)]
+    lam_idx = 0
+    for j in range(1, n):
+        if diag[j] > diag[lam_idx]:
+            lam_idx = j
+    vec = v[:, lam_idx].copy()
+    pivot = 0
+    for j in range(1, n):
+        if abs(vec[j]) > abs(vec[pivot]):
+            pivot = j
+    if vec[pivot] < 0.0:
+        vec = -vec
+    return diag[lam_idx], vec, tr
+
+
 def top_principal_component(
     df: DataFrame, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:
     """Exact top principal component of the vector column; returns ``dim``
     rows ``(dim, loading, eigenvalue, explained_frac)``.
 
-    The loading's sign is canonicalized (largest-|loading| entry positive) —
-    eigenvectors are sign-ambiguous otherwise. ``explained_frac`` is
-    λ₁ / trace(cov).
+    The eigensolve is :func:`jacobi_top_component` — fixed-schedule
+    parallel Jacobi whose every operation a SQL oracle replays bit for
+    bit (LAPACK ``eigh`` agrees to ~1e-12 but is not reproducible outside
+    LAPACK; the unit tests cross-check the two).  The loading's sign is
+    canonicalized (largest-|loading| entry positive) — eigenvectors are
+    sign-ambiguous otherwise. ``explained_frac`` is λ₁ / trace(cov).
     """
     spark = df.sparkSession
     cov, _mean, n = covariance_matrix(df, vec_col, dim)
@@ -109,13 +230,7 @@ def top_principal_component(
         return spark.createDataFrame(
             [], "dim int, loading double, eigenvalue double, explained_frac double"
         )
-    evals, evecs = np.linalg.eigh(cov)
-    lam = float(evals[-1])
-    v = evecs[:, -1]
-    pivot = int(np.argmax(np.abs(v)))
-    if v[pivot] < 0:
-        v = -v
-    tr = float(np.trace(cov))
+    lam, v, tr = jacobi_top_component(cov)
     frac = lam / tr if tr > 0 else 0.0
     return spark.createDataFrame(
         [(j, float(v[j]), lam, frac) for j in range(dim)],

@@ -1167,3 +1167,36 @@ def test_ivf_stored_exact_prunes_and_matches_exact(spark, tmp_path):
     assert all(str(pid) in m.group(1) for pid in probe_ids), plan
     want = ivf_search_exact(base, qvec, k=5, nprobe=2, n_centroids=8)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_jacobi_top_component_matches_lapack():
+    """The fixed-schedule parallel Jacobi (the SQL-replayable eigensolver
+    behind embedding_top_pc) must agree with LAPACK eigh to float64
+    precision and be bit-deterministic across reruns."""
+    import numpy as np
+
+    from interference_spark.pipeline.linalg import (
+        jacobi_top_component,
+        round_robin_pairs,
+    )
+
+    rounds = round_robin_pairs(64)
+    assert len(rounds) == 63
+    seen = set()
+    for pairs in rounds:
+        flat = [x for pq in pairs for x in pq]
+        assert len(set(flat)) == 64  # disjoint within a round
+        seen.update(pairs)
+    assert len(seen) == 64 * 63 // 2  # every pair exactly once per sweep
+
+    rng = np.random.RandomState(3)
+    for _ in range(3):
+        m = rng.randn(64, 64)
+        cov = (m @ m.T) / 64.0
+        lam, v, tr = jacobi_top_component(cov)
+        evals, evecs = np.linalg.eigh(cov)
+        assert abs(lam - evals[-1]) <= 1e-10 * abs(evals[-1])
+        assert abs(abs(float(v @ evecs[:, -1])) - 1.0) <= 1e-10
+        assert abs(tr - float(np.trace(cov))) <= 1e-10 * abs(tr)
+        lam2, v2, tr2 = jacobi_top_component(cov.copy())
+        assert lam == lam2 and tr == tr2 and (v == v2).all()
