@@ -1200,3 +1200,99 @@ def test_jacobi_top_component_matches_lapack():
         assert abs(tr - float(np.trace(cov))) <= 1e-10 * abs(tr)
         lam2, v2, tr2 = jacobi_top_component(cov.copy())
         assert lam == lam2 and tr == tr2 and (v == v2).all()
+
+
+def test_simhash_jvm_variant_properties(spark):
+    """The all-JVM xxhash64 SimHash (the 100 TB scale path — not
+    oracle-hashable since DuckDB can't recompute Spark's xxhash64) must
+    satisfy the SimHash contract: identical token sets collide, token
+    order/duplication is irrelevant, near-dup docs land at small Hamming
+    distance, disjoint docs far apart, tokenless docs → 0 — and the plan
+    must contain NO Python evaluation node."""
+    from interference_spark.pipeline.dedup import simhash, simhash_pairs
+
+    base = " ".join(f"tok{i}" for i in range(64))
+    near = " ".join(f"tok{i}" for i in range(62)) + " other1 other2"
+    far = " ".join(f"zzz{i}" for i in range(64))
+    rows = [
+        (1, base),
+        (2, base),                       # identical token set
+        (3, " ".join(reversed(base.split())) + " " + base),  # order/dupes
+        (4, near),
+        (5, far),
+        (6, "   "),                      # tokenless
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash(df, token_hash="xxhash64")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    fp = {r.doc_id: r.simhash for r in out.collect()}
+    assert fp[1] == fp[2] == fp[3]
+    ham_near = bin((fp[1] ^ fp[4]) & (2**64 - 1)).count("1")
+    ham_far = bin((fp[1] ^ fp[5]) & (2**64 - 1)).count("1")
+    assert ham_near <= 12, ham_near
+    assert ham_far >= 16, ham_far
+    assert fp[6] == 0
+
+    # banding completeness holds for any hash family: pairs from the
+    # covering-code join == brute-force Hamming scan at the same k
+    k = max(ham_near, 3)
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(df, max_hamming=k, token_hash="xxhash64").collect()
+    }
+    ids = sorted(fp)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1") <= k
+    }
+    assert got == want
+
+
+def test_minhash_jvm_variant_properties(spark):
+    """The all-JVM xxhash64 MinHash (scale path; not oracle-hashable)
+    must satisfy the MinHash contract: identical shingle sets produce
+    identical signatures, signature-estimated Jaccard tracks true shingle
+    Jaccard, short/empty docs follow the _doc_shingles semantics — and
+    the plan must contain NO Python evaluation node."""
+    import numpy as np
+
+    from interference_spark.pipeline.dedup import (
+        _doc_shingles,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    base_toks = [f"w{i}" for i in range(40)]
+    overlap = base_toks[:30] + [f"x{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(base_toks)),
+        (2, " ".join(base_toks)),       # identical
+        (3, " ".join(overlap)),         # ~0.5 shingle overlap
+        (4, "a b"),                     # < k tokens → one whole-doc shingle
+        (5, ""),                        # empty → the "" shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_signatures(df, token_hash="xxhash64")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    sigs = {r.doc_id: tuple(r.signature) for r in out.collect()}
+    assert set(sigs) == {1, 2, 3, 4, 5}
+    assert all(len(s) == 128 for s in sigs.values())
+    assert sigs[1] == sigs[2]
+    assert sigs[4] != sigs[5]
+    est = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 128.0
+    sa = _doc_shingles(rows[0][1], 3)
+    sb = _doc_shingles(rows[2][1], 3)
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(est - true_j) <= 0.15, (est, true_j)
+
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_dedup_pairs(
+            df, threshold=0.9, token_hash="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
