@@ -2175,6 +2175,56 @@ def quality_model_scores(spark, sf_dir):
     return linear_quality_model(e.table("documents"))
 
 
+@query(
+    "decontaminate_semantic",
+    """WITH v AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings
+       ), ev AS (
+         SELECT vec_id AS eid, e FROM v WHERE vec_id % 53 = 0
+       ), cp AS (
+         SELECT vec_id, e FROM v WHERE vec_id % 53 <> 0
+       ), pairs AS (
+         SELECT c.vec_id,
+                list_reduce([CAST(floor(c.e[i] * ev.e[i] * 1e14) AS BIGINT)
+                             for i in generate_series(1, 64)],
+                            (x, y) -> x + y) AS dot_d,
+                list_reduce([CAST(floor(c.e[i] * c.e[i] * 1e14) AS BIGINT)
+                             for i in generate_series(1, 64)],
+                            (x, y) -> x + y) AS na,
+                list_reduce([CAST(floor(ev.e[i] * ev.e[i] * 1e14) AS BIGINT)
+                             for i in generate_series(1, 64)],
+                            (x, y) -> x + y) AS nb
+         FROM cp c CROSS JOIN ev
+       ), scored AS (
+         SELECT vec_id,
+                CAST(dot_d AS DOUBLE)
+                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+         FROM pairs
+       )
+       SELECT vec_id, max(cos) AS max_eval_cos,
+              (max(cos) >= 0.5) AS contaminated
+       FROM scored GROUP BY vec_id""",
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Eval-set decontamination by EMBEDDING similarity
+    (`similarity.semantic_decontaminate`) — the semantic sibling of the
+    n-gram `decontaminate_ngrams` pass: every corpus vector's max
+    quantized cosine against a small eval/benchmark slice (vec_id % 53);
+    contaminated at ≥ 0.5.  Catches paraphrased benchmark leakage exact
+    n-gram overlap misses.  Eval side broadcast, corpus streams through
+    one JVM-fold projection (no shuffle until the combinable per-id max);
+    quantized-BIGINT cosines → the full decision table hash-matches the
+    oracle."""
+    from .pipeline.similarity import semantic_decontaminate
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    ev = emb.filter(F.col("vec_id") % 53 == 0)
+    corpus = emb.filter(F.col("vec_id") % 53 != 0)
+    return semantic_decontaminate(corpus, ev, threshold=0.5)
+
+
 @query("dedup_semantic", _semdedup_oracle(threshold=0.35))
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (`similarity.semantic_dedup`): cluster-then-compare
@@ -2195,25 +2245,51 @@ def dedup_semantic(spark, sf_dir):
     return semantic_dedup(e.table("embeddings"), n_clusters=16, threshold=0.35)
 
 
+def _minhash_band_conds(
+    num_perm: int, bands: int, la: str = "a", lb: str = "b"
+) -> str:
+    """OR-chain of per-band signature-slice equalities between two sig
+    table aliases — the SQL equivalent of Spark's band-bucket join (the
+    bucket hash is an equality proxy)."""
+    rpb = num_perm // bands
+    return "\n            OR ".join(
+        f"{la}.sig[{i * rpb + 1}:{(i + 1) * rpb}] = "
+        f"{lb}.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
+        for i in range(bands)
+    )
+
+
 def _minhash_oracle(num_perm: int = 128, bands: int = 32, threshold: float = 0.4) -> str:
     """MinHash+LSH is deterministic end to end (seeded permutations, md5
     shingle hashes), so DuckDB can recompute it exactly: the permutation
     constants are inlined, the numpy uint64 wraparound is replicated with
     HUGEINT mod 2^64, and LSH banding becomes per-band signature-slice
     equality (bucket hashing is just an equality proxy on Spark's side)."""
+    band_conds = _minhash_band_conds(num_perm, bands)
+    return f"""
+WITH {_minhash_sig_ctes(num_perm)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len([j for j in generate_series(1, {num_perm})
+                 if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)} AS est_jaccard
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE ({band_conds})
+  AND CAST(len([j for j in generate_series(1, {num_perm})
+                if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)} >= {threshold}
+"""
+
+
+def _minhash_sig_ctes(num_perm: int = 128) -> str:
+    """Shared CTE prefix recomputing the md5 MinHash signatures of every
+    document (permutation constants inlined, numpy uint64 wraparound as
+    HUGEINT mod 2^64) — used by both the pair oracle and the incremental
+    registry oracle so the two can never drift."""
     from .pipeline.dedup import _perm_params
 
     a, b = _perm_params(num_perm, 42)
     vals = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
     )
-    rpb = num_perm // bands
-    band_conds = "\n            OR ".join(
-        f"a.sig[{i * rpb + 1}:{(i + 1) * rpb}] = b.sig[{i * rpb + 1}:{(i + 1) * rpb}]"
-        for i in range(bands)
-    )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
                              x -> x <> '') AS tk
   FROM documents
@@ -2243,15 +2319,7 @@ WITH toks AS (
   GROUP BY doc_id, p.i
 ), sigs AS (
   SELECT doc_id, list(v ORDER BY i) AS sig FROM mv GROUP BY doc_id
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len([j for j in generate_series(1, {num_perm})
-                 if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)} AS est_jaccard
-FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE ({band_conds})
-  AND CAST(len([j for j in generate_series(1, {num_perm})
-                if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)} >= {threshold}
-"""
+)"""
 
 
 @query("dedup_minhash_lsh", _minhash_oracle())
@@ -2260,6 +2328,65 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     e = engine_for(spark, sf_dir)
     return minhash_dedup_pairs(e.table("documents"), threshold=0.4)
+
+
+def _minhash_incremental_oracle(
+    num_perm: int = 128, bands: int = 32, threshold: float = 0.4
+) -> str:
+    """Incremental near-dup admission recomputed in SQL: signatures via
+    the shared CTE prefix, registry = even doc_ids, batch = odd; banded
+    candidates as per-band slice equality; best est-Jaccard ≥ threshold
+    against registry / earlier-batch (0.0 when none); kept = both zero."""
+    est = (
+        f"CAST(len([j for j in generate_series(1, {num_perm}) "
+        f"if n.sig[j] = o.sig[j]]) AS DOUBLE) / {float(num_perm)}"
+    )
+    bc = _minhash_band_conds(num_perm, bands, "n", "o")
+    return f"""
+WITH {_minhash_sig_ctes(num_perm)}, known AS (
+  SELECT * FROM sigs WHERE doc_id % 2 = 0
+), newb AS (
+  SELECT * FROM sigs WHERE doc_id % 2 = 1
+), bk AS (
+  SELECT n.doc_id AS id_n, max({est}) AS best
+  FROM newb n JOIN known o ON ({bc})
+  WHERE {est} >= {threshold}
+  GROUP BY n.doc_id
+), bb AS (
+  SELECT n.doc_id AS id_n, max({est}) AS best
+  FROM newb n JOIN newb o ON o.doc_id < n.doc_id AND ({bc})
+  WHERE {est} >= {threshold}
+  GROUP BY n.doc_id
+)
+SELECT n.doc_id AS doc_id,
+       COALESCE(bk.best, 0.0) AS best_known,
+       COALESCE(bb.best, 0.0) AS best_batch,
+       (COALESCE(bk.best, 0.0) = 0.0 AND COALESCE(bb.best, 0.0) = 0.0) AS kept
+FROM newb n
+LEFT JOIN bk ON bk.id_n = n.doc_id
+LEFT JOIN bb ON bb.id_n = n.doc_id
+"""
+
+
+@query("dedup_incremental_minhash", _minhash_incremental_oracle())
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup ingestion (`dedup.incremental_minhash_dedup`)
+    — the fuzzy sibling of `dedup_incremental`: a new batch (odd doc_ids)
+    is admitted against a persisted SIGNATURE registry built from the
+    known corpus (even doc_ids; 128 longs/doc — the registry a 100 TB
+    pipeline actually keeps, never corpus text).  Rejection = banded
+    est-Jaccard ≥ 0.4 against any registry doc or any earlier batch doc
+    (deterministic greedy id-order).  Both candidate joins meet only
+    inside band buckets; estimates are k/128 exact doubles, so the whole
+    decision table hash-matches the SQL oracle."""
+    from .pipeline.dedup import incremental_minhash_dedup, minhash_signatures
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    known = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    known_sigs = minhash_signatures(known)
+    return incremental_minhash_dedup(new, known_sigs, threshold=0.4)
 
 
 # SimHash is fully deterministic (md5 token hashes, little-endian), so the
@@ -6377,6 +6504,11 @@ _DRIVER_WINDOW = [
     #                               watermark, verdict #7; the snapshot
     #                               path stays covered by
     #                               stream_into_materialize's filter)
+    #   dedup_incremental         → dedup_incremental_minhash (NEW r4
+    #                               operator: near-dup admission against
+    #                               a signature registry — supersets the
+    #                               exact-digest incremental path, which
+    #                               keeps its local 3-SF checks)
     # r3 continued-session swaps part 3: text_token_count→tfidf_top_terms
     # (same family, richer operator), exact_value_percentiles→
     # kanonymity_audit (percentiles were driver-green in r1; the privacy
@@ -6424,7 +6556,7 @@ _DRIVER_WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_embedding_neardup",
     "dedup_clusters",
-    "dedup_incremental",
+    "dedup_incremental_minhash",
     "dedup_semantic",
     "corpus_curation_funnel",
     # similarity family

@@ -317,6 +317,116 @@ def minhash_dedup_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    known_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion — the fuzzy sibling of
+    :func:`incremental_dedup`: a new batch is admitted against a
+    persisted SIGNATURE REGISTRY (``known_sigs`` = (id, signature) from
+    :func:`minhash_signatures`; 128 longs per doc — the registry a 100 TB
+    pipeline actually keeps, never the corpus text).  A new doc is
+    rejected when its signature-estimated Jaccard reaches ``threshold``
+    against ANY registry doc, or against any earlier (lower-id) doc of
+    its own batch — the deterministic greedy id-order policy
+    (non-cascading: a batch doc rejected by the registry still blocks its
+    own later near-dups, which errs toward dropping more duplicates).
+
+    Returns one row per new doc: ``(id, best_known, best_batch, kept)``
+    where ``best_*`` is the max est-Jaccard ≥ threshold among banded
+    candidates (0.0 when none — sub-threshold candidates are ignored so
+    bucket-collision noise cannot perturb the value) and
+    ``kept = best_known = best_batch = 0``.  Estimates are k/num_perm —
+    exact doubles, so the whole decision table hash-matches a SQL oracle.
+
+    Scale shape: both candidate joins meet ONLY inside band buckets
+    (narrow (id, bucket) rows; signatures re-attach by id afterwards) —
+    new×known work is bounded by bucket co-occupancy, never
+    O(batch × registry)."""
+    rows_per_band = num_perm // bands
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, num_perm, shingle_k, seed
+    ).persist()
+
+    def banded(sigs: DataFrame, idname: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(idname),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.xxhash64(
+                        i,
+                        F.slice(
+                            F.col("signature"), i * rows_per_band + 1, rows_per_band
+                        ),
+                    ),
+                )
+            ).alias("bucket"),
+        )
+
+    bn = banded(new_sigs, "id_n")
+    bk = banded(known_sigs, "id_k")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_n", "sig_o", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    sn = new_sigs.select(F.col(id_col).alias("id_n"), F.col("signature").alias("sig_n"))
+
+    def best_against(cand: DataFrame, other_sigs: DataFrame, out: str) -> DataFrame:
+        so = other_sigs.select(
+            F.col(id_col).alias("id_o"), F.col("signature").alias("sig_o")
+        )
+        return (
+            cand.join(sn, "id_n")
+            .join(so, "id_o")
+            .withColumn("__e", est)
+            .filter(F.col("__e") >= threshold)
+            .groupBy("id_n")
+            .agg(F.max("__e").alias(out))
+        )
+
+    cand_known = (
+        bn.join(bk, "bucket")
+        .select("id_n", F.col("id_k").alias("id_o"))
+        .distinct()
+    )
+    bn2 = bn.select(F.col("id_n").alias("id_o"), "bucket")
+    cand_batch = (
+        bn.join(bn2, "bucket")
+        .filter(F.col("id_o") < F.col("id_n"))
+        .select("id_n", "id_o")
+        .distinct()
+    )
+    best_known = best_against(cand_known, known_sigs, "best_known")
+    best_batch = best_against(cand_batch, new_sigs, "best_batch")
+    return (
+        new_sigs.select(F.col(id_col).alias("id_n"))
+        .join(best_known, "id_n", "left")
+        .join(best_batch, "id_n", "left")
+        .select(
+            F.col("id_n").alias(id_col),
+            F.coalesce("best_known", F.lit(0.0)).alias("best_known"),
+            F.coalesce("best_batch", F.lit(0.0)).alias("best_batch"),
+            (
+                (F.coalesce("best_known", F.lit(0.0)) == 0.0)
+                & (F.coalesce("best_batch", F.lit(0.0)) == 0.0)
+            ).alias("kept"),
+        )
+    )
+
+
 # ------------------------------------------------------------- simhash
 def simhash_jvm(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

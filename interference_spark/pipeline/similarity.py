@@ -734,3 +734,57 @@ def semantic_dedup(
         F.when(drop_a, F.col("id_a")).otherwise(F.col("id_b")).alias("drop_id"),
         "cosine",
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Eval-set decontamination by EMBEDDING similarity — the semantic
+    sibling of the n-gram `decontaminate` pass: for every corpus vector,
+    the max quantized cosine against the (small) eval/benchmark set;
+    ``contaminated`` when it reaches ``threshold``.  Catches paraphrased
+    benchmark leakage that exact n-gram overlap misses.
+
+    Returns one row per corpus vector: ``(id, max_eval_cos,
+    contaminated)``.  Cosines are floor-quantized BIGINT folds turned
+    into a double by one division, and ``max`` is comparison-based (no
+    accumulation), so the whole decision table hash-matches a SQL oracle.
+
+    100 TB shape: eval sets are ~10²-10⁴ vectors, so the eval side is
+    BROADCAST and the corpus streams through one projection — corpus ×
+    |eval| JVM fold work, no shuffle at all until the per-id max (which
+    combines map-side).  For very large eval sets you'd bucket both
+    sides with the hyperplane-LSH machinery instead (same verify
+    arithmetic)."""
+    q = F.lit(1e14)
+
+    def _fold(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    ev = eval_df.select(
+        F.col(id_col).alias("__eid"), _as_double(F.col(vec_col)).alias("__ev")
+    )
+    cv = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    pairs = cv.crossJoin(F.broadcast(ev))
+    dot = _fold(F.zip_with("__cv", "__ev", lambda x, y: F.floor(x * y * q)))
+    na = _fold(F.transform("__cv", lambda x: F.floor(x * x * q)))
+    nb = _fold(F.transform("__ev", lambda x: F.floor(x * x * q)))
+    cos = dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+    return (
+        pairs.select(id_col, cos.alias("__cos"))
+        .groupBy(id_col)
+        .agg(F.max("__cos").alias("max_eval_cos"))
+        .select(
+            id_col,
+            "max_eval_cos",
+            (F.col("max_eval_cos") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

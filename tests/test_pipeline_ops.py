@@ -1296,3 +1296,63 @@ def test_minhash_jvm_variant_properties(spark):
         ).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+
+
+def test_incremental_minhash_dedup_decisions(spark):
+    """Registry near-dups and earlier-batch near-dups reject; unique docs
+    keep; decisions and best-Jaccard values are as constructed."""
+    from interference_spark.pipeline.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    known_text = " ".join(f"k{i}" for i in range(30))
+    batch_dup = " ".join(f"b{i}" for i in range(30))
+    unique = " ".join(f"u{i}" for i in range(30))
+    known = spark.createDataFrame(
+        [(100, known_text)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, known_text),   # exact dup of registry → rejected
+            (2, batch_dup),    # first of an in-batch pair → kept
+            (3, batch_dup),    # later in-batch dup → rejected
+            (4, unique),       # unique → kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_minhash_dedup(
+            new, minhash_signatures(known), threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert not out[1].kept and out[1].best_known == 1.0 and out[1].best_batch == 0.0
+    assert out[2].kept and out[2].best_known == 0.0 and out[2].best_batch == 0.0
+    assert not out[3].kept and out[3].best_batch == 1.0
+    assert out[4].kept
+
+
+def test_semantic_decontaminate_thresholds(spark):
+    """Identical corpus/eval vectors are contaminated at cosine 1.0, a
+    45-degree vector sits at ~0.707 (flips with the threshold), an
+    orthogonal one stays clean."""
+    import math
+
+    from interference_spark.pipeline.similarity import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 1.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    hi = {r.vec_id: r for r in semantic_decontaminate(corpus, ev, 0.9).collect()}
+    assert hi[1].contaminated and hi[1].max_eval_cos == pytest.approx(1.0, abs=1e-9)
+    assert not hi[2].contaminated
+    assert hi[2].max_eval_cos == pytest.approx(math.sqrt(0.5), abs=1e-6)
+    assert not hi[3].contaminated and hi[3].max_eval_cos == pytest.approx(0.0, abs=1e-9)
+    lo = {r.vec_id: r for r in semantic_decontaminate(corpus, ev, 0.5).collect()}
+    assert lo[2].contaminated
