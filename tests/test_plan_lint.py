@@ -147,3 +147,63 @@ def test_image_ahash_no_shuffle(spark):
     fp = image_ahash(synth_png_corpus(docs, variants=5))
     plan = fp._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_semantic_decontaminate_plan_broadcasts_eval(spark):
+    """The eval side must be BROADCAST (BroadcastNestedLoopJoin over the
+    tiny eval set, never CartesianProduct) and the corpus scan must prune
+    to (id, embedding)."""
+    from pyspark.sql import functions as F
+
+    from interference_spark.pipeline.similarity import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 53 != 0),
+        emb.filter(F.col("vec_id") % 53 == 0),
+        threshold=0.5,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    # per-id max must combine map-side (partial_max before the exchange)
+    assert "partial_max" in plan or "partial max" in plan, plan[:2000]
+
+
+def test_incremental_minhash_band_shuffle_is_narrow(spark):
+    """The batch×registry candidate join must shuffle NARROW (id, bucket)
+    rows — the 128-long signature arrays may not enter the band-bucket
+    exchange (they re-attach afterwards by id).  Broadcast is disabled so
+    the band joins actually plan their shuffles (at test scale AQE would
+    broadcast them and the lint would be vacuous — at 100 TB both sides
+    shuffle, which is exactly the case the lint protects)."""
+    from pyspark.sql import functions as F
+
+    from interference_spark.pipeline.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        known = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        out = incremental_minhash_dedup(
+            new, minhash_signatures(known), threshold=0.4
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the Exchange line names only the key; its CHILD line shows the rows
+    # actually shuffled — that projection must not contain the signature
+    lines = plan.splitlines()
+    bucket_ex = [
+        i for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning(bucket" in ln
+    ]
+    assert bucket_ex, plan[:2000]  # non-vacuous: band shuffles must exist
+    for i in bucket_ex:
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "signature" not in child, f"{lines[i]}\n{child}"
