@@ -3483,6 +3483,12 @@ def stream_watermark_dedup(spark, sf_dir):
         ]
     finally:
         q.stop()
+        import shutil
+
+        # the result is fully collected; drop the throwaway source +
+        # checkpoint dirs so repeated runs don't accumulate in the warehouse
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     return spark.createDataFrame(rows, "k_user long, k_type string")
 
 
