@@ -537,3 +537,64 @@ def test_random_multiway_join_matches_duckdb(data, duck, engine):
     dcols = [d[0] for d in duck.execute(ansi).description]
     assert sdf.columns == dcols, f"output naming diverged: {sdf.columns}"
     assert got == want, f"dialect: {dial!r}"
+
+
+# ---------------------------------------------------------------- outer joins
+_CUST_NUM = ["c_custkey", "c_nationkey", "c_acctbal"]
+_ORD_NUM = ["o_custkey", "o_totalprice"]
+
+
+def _join_val_cond(duck, data):
+    """One simple ON value-condition '<alias>.<col> <op> <num>' rendered
+    for the dialect and for DuckDB."""
+    alias, col = data.draw(
+        st.sampled_from(
+            [("o", c) for c in _ORD_NUM] + [("c", c) for c in _CUST_NUM]
+        )
+    )
+    table = "orders" if alias == "o" else "customer"
+    vals = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT DISTINCT {col} FROM {table} ORDER BY {col} LIMIT 20"
+        ).fetchall()
+    ]
+    op = data.draw(st.sampled_from(NUM_OPS))
+    v = _fmt_num(data.draw(st.sampled_from(vals)))
+    return f"{alias}.{col} {op} {v}", f"{alias}.{col} {op} {v}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_random_outer_joins_match_duckdb(data, duck, engine):
+    """LEFT/RIGHT/FULL [OUTER] JOIN with a random flat AND of ON
+    value-conditions must return exactly DuckDB's rows (incl. the
+    null-extended side)."""
+    how = data.draw(st.sampled_from(["left", "right", "full"]))
+    outer = data.draw(st.sampled_from(["", " outer"]))
+    n_conds = data.draw(st.integers(min_value=0, max_value=2))
+    conds = [_join_val_cond(duck, data) for _ in range(n_conds)]
+    on_dial = " and ".join(
+        ["o.o_custkey = c.c_custkey"] + [c[0] for c in conds]
+    )
+    on_ansi = " AND ".join(
+        ["o.o_custkey = c.c_custkey"] + [c[1] for c in conds]
+    )
+    dial = (
+        f"select o.o_orderkey, c.c_custkey from orders o "
+        f"{how}{outer} join customer c on {on_dial}"
+    )
+    ansi = (
+        f"SELECT o.o_orderkey, c.c_custkey FROM orders o "
+        f"{how.upper()} JOIN customer c ON {on_ansi}"
+    )
+    got = sorted(
+        ((r.oo_orderkey, r.cc_custkey) for r in engine.session().execute(dial).collect()),
+        key=str,
+    )
+    want = sorted(((r[0], r[1]) for r in duck.execute(ansi).fetchall()), key=str)
+    assert got == want, f"dialect: {dial!r}"
