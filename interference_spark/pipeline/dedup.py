@@ -354,6 +354,11 @@ def incremental_minhash_dedup(
     new_sigs = minhash_signatures(
         new_df, text_col, id_col, num_perm, shingle_k, seed
     ).persist()
+    # the registry feeds two plan branches (banding + est re-attach); in
+    # production it is a STORED parquet table, but when the caller hands
+    # in a computed signature plan (tests, probes) an unpersisted one
+    # would re-run its Pandas-UDF stage per branch
+    known_sigs = known_sigs.persist()
 
     def banded(sigs: DataFrame, idname: str) -> DataFrame:
         return sigs.select(

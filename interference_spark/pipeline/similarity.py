@@ -742,6 +742,7 @@ def semantic_decontaminate(
     threshold: float = 0.5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Eval-set decontamination by EMBEDDING similarity — the semantic
     sibling of the n-gram `decontaminate` pass: for every corpus vector,
@@ -750,16 +751,71 @@ def semantic_decontaminate(
     benchmark leakage that exact n-gram overlap misses.
 
     Returns one row per corpus vector: ``(id, max_eval_cos,
-    contaminated)``.  Cosines are floor-quantized BIGINT folds turned
+    contaminated)``.  Every cosine is a floor-quantized int64 sum turned
     into a double by one division, and ``max`` is comparison-based (no
-    accumulation), so the whole decision table hash-matches a SQL oracle.
+    float accumulation), so the decision table hash-matches a SQL oracle
+    — under BOTH implementations, which compute bit-identical values:
 
-    100 TB shape: eval sets are ~10²-10⁴ vectors, so the eval side is
-    BROADCAST and the corpus streams through one projection — corpus ×
-    |eval| JVM fold work, no shuffle at all until the per-id max (which
-    combines map-side).  For very large eval sets you'd bucket both
-    sides with the hyperplane-LSH machinery instead (same verify
-    arithmetic)."""
+    * ``impl="vectorized"`` (default): the eval matrix is collected
+      (bounded — eval sets are 10²-10⁴ vectors) into an Arrow-batched
+      pandas UDF that floor-quantizes the per-element products and sums
+      them in int64 (order-free), emitting each row's max directly —
+      corpus × |eval| numpy work, NO shuffle and no join at all.
+      Measured ~50× faster than the fold path (1M×100 evals: 80 s → see
+      SCALING.md): Spark's higher-order-function lambdas evaluate on the
+      interpreted path, per element, while numpy does the same arithmetic
+      in vectorized batches.
+    * ``impl="fold"``: pure JVM expression tree (broadcast cross join +
+      zip_with/aggregate folds + map-side-combining per-id max) — zero
+      Python anywhere, for deployments that disallow Python workers.
+
+    For very large eval sets you'd bucket both sides with the
+    hyperplane-LSH machinery instead (same verify arithmetic)."""
+    if impl == "vectorized":
+        rows = eval_df.select(_as_double(F.col(vec_col)).alias("e")).collect()
+        emat = np.array([r["e"] for r in rows], dtype=np.float64)  # (k, d)
+        if len(emat) == 0:
+            return corpus.select(
+                F.col(id_col),
+                F.lit(0.0).alias("max_eval_cos"),
+                F.lit(False).alias("contaminated"),
+            )
+        nb = np.floor(emat * emat * 1e14).astype(np.int64).sum(axis=1)
+        sqrt_nb = np.sqrt(nb.astype(np.float64))  # (k,)
+
+        @F.pandas_udf(T.DoubleType())
+        def max_cos(vecs: pd.Series) -> pd.Series:
+            out = np.empty(len(vecs), dtype=np.float64)
+            if len(vecs) == 0:
+                return pd.Series(out)
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            na = np.floor(X * X * 1e14).astype(np.int64).sum(axis=1)
+            sqrt_na = np.sqrt(na.astype(np.float64))
+            chunk = 1024  # bound the (rows, k, d) product block
+            for s in range(0, len(X), chunk):
+                xb = X[s : s + chunk]
+                dots = (
+                    np.floor(xb[:, None, :] * emat[None, :, :] * 1e14)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )  # (rows, k) — same ints as the fold/oracle
+                cos = dots.astype(np.float64) / (
+                    sqrt_na[s : s + chunk, None] * sqrt_nb[None, :]
+                )
+                out[s : s + len(xb)] = cos.max(axis=1)
+            return pd.Series(out)
+
+        cvec = _as_double(F.col(vec_col))
+        return corpus.select(
+            F.col(id_col),
+            max_cos(cvec).alias("max_eval_cos"),
+        ).select(
+            id_col,
+            "max_eval_cos",
+            (F.col("max_eval_cos") >= F.lit(threshold)).alias("contaminated"),
+        )
+    if impl != "fold":
+        raise ValueError(f"unknown impl {impl!r}")
     q = F.lit(1e14)
 
     def _fold(arr: Column) -> Column:

@@ -149,25 +149,36 @@ def test_image_ahash_no_shuffle(spark):
     assert "Exchange" not in plan, plan[:2000]
 
 
-def test_semantic_decontaminate_plan_broadcasts_eval(spark):
-    """The eval side must be BROADCAST (BroadcastNestedLoopJoin over the
-    tiny eval set, never CartesianProduct) and the corpus scan must prune
-    to (id, embedding)."""
+def test_semantic_decontaminate_plan_shapes(spark):
+    """Default (vectorized) path: per-row max inside the Arrow UDF — the
+    plan must contain NO shuffle and no join at all.  Fold path: eval side
+    BROADCAST (BroadcastNestedLoopJoin, never CartesianProduct) with a
+    map-side-combining per-id max."""
     from pyspark.sql import functions as F
 
     from interference_spark.pipeline.similarity import semantic_decontaminate
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    out = semantic_decontaminate(
-        emb.filter(F.col("vec_id") % 53 != 0),
-        emb.filter(F.col("vec_id") % 53 == 0),
-        threshold=0.5,
+    corpus = emb.filter(F.col("vec_id") % 53 != 0)
+    ev = emb.filter(F.col("vec_id") % 53 == 0)
+
+    vec = semantic_decontaminate(corpus, ev, threshold=0.5)
+    vplan = vec._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in vplan, vplan[:2000]
+    assert "Join" not in vplan, vplan[:2000]
+    assert "ArrowEvalPython" in vplan or "Python" in vplan, vplan[:2000]
+
+    fold = semantic_decontaminate(corpus, ev, threshold=0.5, impl="fold")
+    fplan = fold._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in fplan, fplan[:2000]
+    assert "BroadcastNestedLoopJoin" in fplan, fplan[:2000]
+    assert "partial_max" in fplan or "partial max" in fplan, fplan[:2000]
+
+    # the two implementations must produce bit-identical decision tables
+    cols = ["vec_id", "max_eval_cos", "contaminated"]
+    assert sorted(map(tuple, vec.select(cols).collect())) == sorted(
+        map(tuple, fold.select(cols).collect())
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, plan[:2000]
-    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
-    # per-id max must combine map-side (partial_max before the exchange)
-    assert "partial_max" in plan or "partial max" in plan, plan[:2000]
 
 
 def test_incremental_minhash_band_shuffle_is_narrow(spark):

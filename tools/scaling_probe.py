@@ -50,12 +50,33 @@ def _events(spark, n: int):
     )
 
 
+def _embs(spark, n: int, dim: int = 64):
+    # deterministic pseudo-random embeddings in [-1, 1)
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (
+            ((F.xxhash64(F.col("id") * 131 + i) % 2000 + 2000) % 2000).cast(
+                "double"
+            )
+            / 1000.0
+            - 1.0
+        ).cast("float"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
 def probe(spark, sizes: list[int]) -> dict:
     from interference_spark.pipeline.dedup import (
         exact_dedup,
+        incremental_minhash_dedup,
         minhash_dedup_pairs,
+        minhash_signatures,
+        simhash,
         simhash_pairs,
     )
+    from interference_spark.pipeline.similarity import semantic_decontaminate
     from interference_spark.pipeline.sketch import kmv_distinct_count
     from interference_spark.pipeline.stats import (
         exact_group_percentiles,
@@ -66,7 +87,7 @@ def probe(spark, sizes: list[int]) -> dict:
     # pair-producing dedup ops get 10x smaller inputs: their OUTPUT (not
     # their plan) is what grows super-linearly on a tiny synthetic
     # vocabulary, and the probe measures plan scaling, not output volume
-    pair_ops = {"dedup_minhash_lsh", "dedup_simhash"}
+    pair_ops = {"dedup_minhash_lsh", "dedup_simhash", "dedup_incremental_minhash"}
     ops = {
         "dedup_exact": lambda n: exact_dedup(_docs(spark, n)),
         "dedup_minhash_lsh": lambda n: minhash_dedup_pairs(
@@ -82,6 +103,25 @@ def probe(spark, sizes: list[int]) -> dict:
         ),
         "skew_profile": lambda n: key_skew_profile(
             _events(spark, n), "user_id", top_n=20
+        ),
+        # r4 additions: registry admission is a pair-producing op on the
+        # tiny synthetic vocabulary → 10x-reduced sizes like the other two
+        "dedup_incremental_minhash": lambda n: incremental_minhash_dedup(
+            _docs(spark, n).filter(F.col("doc_id") % 2 == 1),
+            minhash_signatures(_docs(spark, n).filter(F.col("doc_id") % 2 == 0)),
+            threshold=0.9,
+        ),
+        # fixed 100-vector eval side (the realistic shape: eval sets do
+        # not grow with the corpus) → corpus-linear fold work
+        "decontaminate_semantic": lambda n: semantic_decontaminate(
+            _embs(spark, n).filter(F.col("vec_id") >= 100),
+            _embs(spark, 100),
+            threshold=0.5,
+        ),
+        # all-JVM SimHash fingerprints (xxhash64 path) — no banding, pure
+        # per-doc signature throughput of the zero-Python plan
+        "simhash_jvm_fingerprints": lambda n: simhash(
+            _docs(spark, n), token_hash="xxhash64"
         ),
     }
     out: dict[str, dict] = {}
