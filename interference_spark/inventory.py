@@ -2197,9 +2197,13 @@ def quality_model_scores(spark, sf_dir):
                             (x, y) -> x + y) AS nb
          FROM cp c CROSS JOIN ev
        ), scored AS (
+         -- zero-norm guard mirrors the engine: denom==0 -> 1.0 (cosine 0)
          SELECT vec_id,
                 CAST(dot_d AS DOUBLE)
-                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+                  / ((CASE WHEN na = 0 THEN CAST(1 AS DOUBLE)
+                           ELSE sqrt(CAST(na AS DOUBLE)) END)
+                     * (CASE WHEN nb = 0 THEN CAST(1 AS DOUBLE)
+                             ELSE sqrt(CAST(nb AS DOUBLE)) END)) AS cos
          FROM pairs
        )
        SELECT vec_id, max(cos) AS max_eval_cos,

@@ -327,6 +327,7 @@ def incremental_minhash_dedup(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental NEAR-dup ingestion — the fuzzy sibling of
     :func:`incremental_dedup`: a new batch is admitted against a
@@ -349,7 +350,17 @@ def incremental_minhash_dedup(
     Scale shape: both candidate joins meet ONLY inside band buckets
     (narrow (id, bucket) rows; signatures re-attach by id afterwards) —
     new×known work is bounded by bucket co-occupancy, never
-    O(batch × registry)."""
+    O(batch × registry).
+
+    Cache lifecycle (round-4 advice): the batch signatures (and, when not
+    already cached by the caller, the registry) are persisted only while
+    the decision runs — with ``materialize=True`` (default) the decision
+    table is persisted, computed eagerly, and the temporaries unpersisted
+    before returning, so repeated admissions in a long-lived session do
+    not accumulate signature caches.  The returned (small: one row per
+    new doc) cached table is the caller's to ``unpersist()``.
+    ``materialize=False`` returns the fully lazy plan (plan-shape lints
+    use this) and leaves the signature caches alive — caller manages."""
     rows_per_band = num_perm // bands
     new_sigs = minhash_signatures(
         new_df, text_col, id_col, num_perm, shingle_k, seed
@@ -357,8 +368,12 @@ def incremental_minhash_dedup(
     # the registry feeds two plan branches (banding + est re-attach); in
     # production it is a STORED parquet table, but when the caller hands
     # in a computed signature plan (tests, probes) an unpersisted one
-    # would re-run its Pandas-UDF stage per branch
-    known_sigs = known_sigs.persist()
+    # would re-run its Pandas-UDF stage per branch.  Respect a storage
+    # level the caller already chose (never mutate their DataFrame).
+    _sl = known_sigs.storageLevel
+    own_known = not (_sl.useMemory or _sl.useDisk or _sl.useOffHeap)
+    if own_known:
+        known_sigs = known_sigs.persist()
 
     def banded(sigs: DataFrame, idname: str) -> DataFrame:
         return sigs.select(
@@ -416,7 +431,7 @@ def incremental_minhash_dedup(
     )
     best_known = best_against(cand_known, known_sigs, "best_known")
     best_batch = best_against(cand_batch, new_sigs, "best_batch")
-    return (
+    decision = (
         new_sigs.select(F.col(id_col).alias("id_n"))
         .join(best_known, "id_n", "left")
         .join(best_batch, "id_n", "left")
@@ -430,6 +445,14 @@ def incremental_minhash_dedup(
             ).alias("kept"),
         )
     )
+    if not materialize:
+        return decision
+    decision = decision.persist()
+    decision.count()  # run the admission while the signature caches live
+    new_sigs.unpersist()
+    if own_known:
+        known_sigs.unpersist()
+    return decision
 
 
 # ------------------------------------------------------------- simhash
@@ -501,6 +524,13 @@ def simhash(
     from . import ensure_parallelism
 
     if token_hash == "xxhash64":
+        if bits != 64:
+            # round-4 advice: simhash_jvm hard-codes 64 bits (xxhash64's
+            # full output); silently returning a 64-bit fingerprint for
+            # bits=32 would diverge from the md5 path, which honors bits
+            raise ValueError(
+                f"token_hash='xxhash64' only supports bits=64, got {bits}"
+            )
         return simhash_jvm(df, text_col, id_col)
     if token_hash != "md5":
         raise ValueError(f"unknown token_hash {token_hash!r}")

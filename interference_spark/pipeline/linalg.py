@@ -98,16 +98,22 @@ JACOBI_SWEEPS = 10  # fixed — part of the cross-engine contract (see below)
 
 def round_robin_pairs(n: int) -> list[list[tuple[int, int]]]:
     """Deterministic parallel Jacobi ordering: the classic round-robin
-    tournament (circle method).  ``n-1`` rounds of ``n/2`` DISJOINT index
-    pairs — disjoint rotations commute, so one round applies as a single
-    two-sided block rotation.  Position 0 is fixed; round t seats player
-    ``1 + (j - 1 + t) % (n - 1)`` at position j."""
+    tournament (circle method).  ``m-1`` rounds of DISJOINT index pairs
+    (``m = n`` rounded up to even) — disjoint rotations commute, so one
+    round applies as a single two-sided block rotation.  Position 0 is
+    fixed; round t seats player ``1 + (j - 1 + t) % (m - 1)`` at
+    position j.  Odd ``n`` seats a phantom player ``n`` whose pairs are
+    dropped — each round then has one real index sitting out (a bye),
+    and every real pair still appears exactly once per sweep."""
+    m = n if n % 2 == 0 else n + 1
     rounds = []
-    for t in range(n - 1):
-        pos = [0] + [1 + ((j - 1 + t) % (n - 1)) for j in range(1, n)]
+    for t in range(m - 1):
+        pos = [0] + [1 + ((j - 1 + t) % (m - 1)) for j in range(1, m)]
         pairs = []
-        for i in range(n // 2):
-            x, y = pos[i], pos[n - 1 - i]
+        for i in range(m // 2):
+            x, y = pos[i], pos[m - 1 - i]
+            if x >= n or y >= n:
+                continue
             pairs.append((min(x, y), max(x, y)))
         rounds.append(pairs)
     return rounds
@@ -170,6 +176,14 @@ def jacobi_top_component(
     low = np.empty(n, dtype=bool)
     for _ in range(sweeps):
         for pairs in rounds:
+            # identity seed so an index with no pair this round (odd-n
+            # bye) mixes as c=1, s=0 against itself — i.e. not at all;
+            # for even n every slot is overwritten below (round-4 advice:
+            # np.empty left the bye's coefficients uninitialized)
+            partner[:] = np.arange(n)
+            cvec[:] = 1.0
+            svec[:] = 0.0
+            low[:] = True
             for p, q in pairs:
                 c, s = _jacobi_rotation(
                     float(a[p, p]), float(a[q, q]), float(a[p, q])

@@ -782,6 +782,11 @@ def semantic_decontaminate(
             )
         nb = np.floor(emat * emat * 1e14).astype(np.int64).sum(axis=1)
         sqrt_nb = np.sqrt(nb.astype(np.float64))  # (k,)
+        # zero-norm guard (round-4 advice): an all-zero vector's quantized
+        # norm is 0 → 0/0 = NaN, and Spark's NaN-is-greatest ordering
+        # would call the row contaminated; same denom==0 → 1.0 convention
+        # as semantic_dedup / _argmax_centroid_exact (cosine becomes 0)
+        sqrt_nb[sqrt_nb == 0.0] = 1.0
 
         @F.pandas_udf(T.DoubleType())
         def max_cos(vecs: pd.Series) -> pd.Series:
@@ -791,6 +796,7 @@ def semantic_decontaminate(
             X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
             na = np.floor(X * X * 1e14).astype(np.int64).sum(axis=1)
             sqrt_na = np.sqrt(na.astype(np.float64))
+            sqrt_na[sqrt_na == 0.0] = 1.0  # same zero-norm guard
             chunk = 1024  # bound the (rows, k, d) product block
             for s in range(0, len(X), chunk):
                 xb = X[s : s + chunk]
@@ -831,9 +837,13 @@ def semantic_decontaminate(
     dot = _fold(F.zip_with("__cv", "__ev", lambda x, y: F.floor(x * y * q)))
     na = _fold(F.transform("__cv", lambda x: F.floor(x * x * q)))
     nb = _fold(F.transform("__ev", lambda x: F.floor(x * x * q)))
-    cos = dot.cast("double") / (
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
-    )
+
+    # zero-norm guard (round-4 advice): denom==0 → 1.0, matching the
+    # vectorized path and the semantic_dedup convention bit for bit
+    def _sqrt1(norm: Column) -> Column:
+        return F.when(norm == 0, F.lit(1.0)).otherwise(F.sqrt(norm.cast("double")))
+
+    cos = dot.cast("double") / (_sqrt1(na) * _sqrt1(nb))
     return (
         pairs.select(id_col, cos.alias("__cos"))
         .groupBy(id_col)

@@ -881,6 +881,18 @@ def linear_quality_model(
     srow = sums.first()
     n_v, s1_v, s2_v = srow["n"], srow["s1"], srow["s2"]
     s11_v, s12_v, s22_v = srow["s11"], srow["s12"], srow["s22"]
+    # Empty/degenerate corpus (round-4 advice): count 0 makes every other
+    # aggregate NULL, and None would hit the det arithmetic with a
+    # TypeError before the singularity guard could say anything useful.
+    if not n_v or any(
+        srow[k] is None
+        for k in ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+    ):
+        raise ValueError(
+            "linear_quality_model: empty or degenerate corpus "
+            f"(n={n_v!r}) — the Gram matrix is singular; "
+            "fit requires at least a few docs with non-constant features"
+        )
     det_v = (
         n_v * (s11_v * s22_v - s12_v * s12_v)
         - s1_v * (s1_v * s22_v - s12_v * s2_v)

@@ -1356,3 +1356,122 @@ def test_semantic_decontaminate_thresholds(spark):
     assert not hi[3].contaminated and hi[3].max_eval_cos == pytest.approx(0.0, abs=1e-9)
     lo = {r.vec_id: r for r in semantic_decontaminate(corpus, ev, 0.5).collect()}
     assert lo[2].contaminated
+
+
+def test_jacobi_top_component_odd_dim(spark):
+    """Odd dimensions seat a bye per round (round-4 advice: the old
+    np.empty coefficient arrays left the unpaired index uninitialized) —
+    the solver must still match LAPACK and stay bit-deterministic."""
+    import numpy as np
+
+    from interference_spark.pipeline.linalg import (
+        jacobi_top_component,
+        round_robin_pairs,
+    )
+
+    for n in (3, 5, 7, 63):
+        rounds = round_robin_pairs(n)
+        assert len(rounds) == n  # odd n: n rounds of (n-1)/2 pairs + bye
+        seen = set()
+        for pairs in rounds:
+            flat = [x for pq in pairs for x in pq]
+            assert len(flat) == len(set(flat)) == n - 1  # one bye
+            seen.update(pairs)
+        assert len(seen) == n * (n - 1) // 2  # every pair once per sweep
+
+    rng = np.random.RandomState(11)
+    for n in (3, 5, 63):
+        m = rng.randn(n, n)
+        cov = (m @ m.T) / n
+        lam, v, tr = jacobi_top_component(cov)
+        evals, evecs = np.linalg.eigh(cov)
+        assert abs(lam - evals[-1]) <= 1e-10 * abs(evals[-1])
+        assert abs(abs(float(v @ evecs[:, -1])) - 1.0) <= 1e-10
+        lam2, v2, tr2 = jacobi_top_component(cov.copy())
+        assert lam == lam2 and tr == tr2 and (v == v2).all()
+
+
+def test_simhash_jvm_rejects_non_64_bits(spark):
+    """token_hash='xxhash64' hard-codes 64-bit fingerprints; asking for
+    any other width must fail loudly, not silently return 64 bits
+    (round-4 advice)."""
+    from interference_spark.pipeline.dedup import simhash
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bits=64"):
+        simhash(df, bits=32, token_hash="xxhash64")
+    # md5 keeps honoring bits; xxhash64 at the default width still works
+    assert simhash(df, bits=32).count() == 1
+    assert simhash(df, token_hash="xxhash64").count() == 1
+
+
+def test_linear_quality_model_empty_corpus_raises(spark):
+    """An empty corpus must raise the descriptive ValueError, not a
+    TypeError from None arithmetic on the NULL aggregates (round-4
+    advice)."""
+    from interference_spark.pipeline.text import linear_quality_model
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="empty or degenerate"):
+        linear_quality_model(empty)
+
+
+def test_semantic_decontaminate_zero_norm_guard(spark):
+    """All-zero corpus or eval vectors have quantized norm 0: the old
+    0/0 gave NaN, which Spark's NaN-is-greatest max then reported as
+    contaminated (round-4 advice).  The guard pins cosine to 0 and both
+    implementations must agree bit for bit."""
+    from interference_spark.pipeline.similarity import semantic_decontaminate
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (9, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    for impl in ("vectorized", "fold"):
+        out = {
+            r.vec_id: r
+            for r in semantic_decontaminate(corpus, ev, 0.5, impl=impl).collect()
+        }
+        assert out[1].max_eval_cos == 0.0 and not out[1].contaminated, impl
+        assert out[2].max_eval_cos == 1.0 and out[2].contaminated, impl
+
+
+def test_incremental_minhash_dedup_releases_caches(spark):
+    """The default (materialize=True) admission must not leave signature
+    caches behind — only the returned decision table stays persisted, and
+    a caller-cached registry keeps its storage level untouched (round-4
+    advice)."""
+    from interference_spark.pipeline.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    base = n_cached()
+    known = spark.createDataFrame(
+        [(10, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "epsilon zeta eta theta")], "doc_id long, text string"
+    )
+    out = incremental_minhash_dedup(new, minhash_signatures(known))
+    assert out.collect()[0].kept
+    assert n_cached() == base + 1  # just the decision table
+    out.unpersist()
+    assert n_cached() == base
+
+    # caller-owned cache: level untouched, still cached afterwards
+    reg = minhash_signatures(known).persist()
+    reg.count()
+    lvl = reg.storageLevel
+    out2 = incremental_minhash_dedup(new, reg)
+    assert reg.storageLevel == lvl
+    assert n_cached() == base + 2  # registry (caller's) + decision table
+    out2.unpersist()
+    reg.unpersist()

@@ -200,8 +200,10 @@ def test_incremental_minhash_band_shuffle_is_narrow(spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         known = docs.filter(F.col("doc_id") % 2 == 0)
         new = docs.filter(F.col("doc_id") % 2 == 1)
+        # materialize=False: lint the LAZY plan (the default eagerly runs
+        # the admission and returns a cached-table scan, hiding the shape)
         out = incremental_minhash_dedup(
-            new, minhash_signatures(known), threshold=0.4
+            new, minhash_signatures(known), threshold=0.4, materialize=False
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
     finally:
