@@ -6496,118 +6496,89 @@ def temperature_sample_by_lang(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # r4 swaps (verdict #2 — rotate the round-3 flagships in; every
-    # displaced entry is r3-driver-green and its family keeps ≥1 window
-    # row + local 3-SF oracle checks):
-    #   pivot_user_event_matrix   → dialect_custom_group_function (D14,
-    #                               executed grouped-agg pandas UDF)
-    #   train_split_leakage_safe  → quality_model_scores (one-pass
-    #                               distributed least squares)
-    #   dedup_exact               → dedup_semantic (SemDeDup, k-means
-    #                               unrolled in the oracle SQL)
-    #   boilerplate_ngrams        → dialect_left_join (LEFT/RIGHT/FULL
-    #                               outer-join dialect extension)
-    #   sim_ivf_exact             → process_stream_consume (D12 PROCESS
-    #                               STREAM back in the window)
-    #   stream_snapshot_filter    → stream_watermark_dedup (NEW r4
-    #                               operator: event-time dedup within
-    #                               watermark, verdict #7; the snapshot
-    #                               path stays covered by
-    #                               stream_into_materialize's filter)
-    #   dedup_incremental         → dedup_incremental_minhash (NEW r4
-    #                               operator: near-dup admission against
-    #                               a signature registry — supersets the
-    #                               exact-digest incremental path, which
-    #                               keeps its local 3-SF checks)
-    # r3 continued-session swaps part 3: text_token_count→tfidf_top_terms
-    # (same family, richer operator), exact_value_percentiles→
-    # kanonymity_audit (percentiles were driver-green in r1; the privacy
-    # family was previously unrepresented). Displaced entries keep their
-    # local 3-SF oracle checks.
-    # r3 continued-session swaps: mm_frame_sample→mm_image_dedup,
-    # exact_variance_by_type→approx_quantile_sketch,
-    # corpus_token_stats→stream_heavy_hitters,
-    # dedup_canonical_corpus→dedup_incremental,
-    # text_fingerprint→corpus_divergence_by_lang — each swap stays inside
-    # the same operator family, preferring the newer/richer operator; the
-    # displaced entries keep their local 3-SF oracle checks.
-    # dialect / TPC-H sentinels (kept: broad plan shapes + never-checked)
-    # r3 swaps: q1_pricing_summary→q9_product_profit and point_lookup→
-    # q21_waiting_suppliers — both displaced entries are r1+r2
-    # driver-green, both replacements are the newly-added final TPC-H
-    # shapes (Q9 adapted cost column, Q21 aggregate-rewritten
-    # semi/anti quantifiers) that have never had a driver row
-    "dialect_count_distinct",
-    "dialect_is_null",
-    "q9_product_profit",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "events_agg_by_type",
-    # analytic / incremental-view / training-export / schema extensions
-    # (r3: rotated in for r2-green dialect_group_agg, dialect_in_subquery,
-    # dialect_set_ops, dialect_scalar_funcs, dialect_multiway_join,
-    # dialect_window_count_sliding, rollup_pricing_subtotals,
-    # topk_per_group, q7_volume_shipping)
+    # r5 rotation — the BIG sweep: after r4's 50/50 green, 57 of 163
+    # entries had never held a driver row.  This window swaps 38 of them
+    # in (every one passes the local 3-SF oracle replica, re-verified at
+    # the driver's sf0.01 before shipping) and keeps only (a) entries
+    # first checked in r4 (one green round of evidence) and (b) one
+    # TPC-H sentinel.  Every displaced entry is r3+r4 driver-green and
+    # keeps its local oracle checks; every operator family keeps ≥1
+    # window row.  Displaced this round: dialect_count_distinct,
+    # dialect_is_null, q9_product_profit, q2_min_cost_supplier,
+    # events_agg_by_type, window_analytics_orders,
+    # event_funnel_conversion, incremental_rollup_events,
+    # incremental_rollup_distinct_users, graph_pagerank_copurchase,
+    # export_shuffled_shards, dedup_minhash_lsh, dedup_simhash,
+    # dedup_ngram_jaccard, dedup_embedding_neardup, dedup_clusters,
+    # corpus_curation_funnel, sim_cosine_topk, sim_quantized_topk,
+    # sim_lsh_multiprobe, text_quality, text_repetition, tfidf_top_terms,
+    # corpus_divergence_by_lang, lang_id, stream_heavy_hitters,
+    # decontaminate_ngrams, pii_redact, kanonymity_audit,
+    # approx_quantile_sketch, mm_video_frames, mm_resize, mm_jpeg_dedup,
+    # source_csv_agg, data_quality_report, json_extract_props,
+    # sessionize_users, stream_tumbling_keychange,
+    # stream_sliding_count_window, stream_into_materialize,
+    # stream_stream_join, process_within_consume.
+    # --- kept sentinels (r4-first-green + 1 TPC-H anchor) ---
     "dialect_custom_group_function",
     "dialect_left_join",
-    "window_analytics_orders",
-    "event_funnel_conversion",
-    "incremental_rollup_events",
-    "incremental_rollup_distinct_users",
-    # incremental_rollup_user_freq→graph_pagerank_copurchase: the
-    # incremental-rollup family keeps two sentinels; the graph family
-    # (triangles/PageRank) was unrepresented, and PageRank additionally
-    # driver-proves the exact-quantized ITERATIVE computation pattern
-    "graph_pagerank_copurchase",
-    "export_shuffled_shards",
-    # dedup family
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_neardup",
-    "dedup_clusters",
+    "q21_waiting_suppliers",
+    "quality_model_scores",
     "dedup_incremental_minhash",
     "dedup_semantic",
-    "corpus_curation_funnel",
-    # similarity family
-    "sim_cosine_topk",
-    "sim_quantized_topk",
-    "sim_lsh_multiprobe",
-    # text-analysis family
-    "text_quality",
-    "text_repetition",
-    "tfidf_top_terms",
-    "corpus_divergence_by_lang",
-    "lang_id",
-    "stream_heavy_hitters",
-    "decontaminate_ngrams",
-    "pii_redact",
-    "quality_model_scores",
-    # exact stats + privacy
-    "kanonymity_audit",
-    "approx_quantile_sketch",
-    # multimodal plumbing (mm_image_dedup→mm_jpeg_dedup: same family, the
-    # JPEG entry drives the richer codec — full entropy decode + IDCT —
-    # while the PNG codec stays window-covered via mm_video_frames'
-    # APNG parse and mm_resize's PNG re-encode)
-    "mm_video_frames",
-    "mm_resize",
-    "mm_jpeg_dedup",
-    # source formats + semi-structured + data-quality (source_json_agg→
-    # data_quality_report: csv + json-extract keep the source family
-    # covered; the constraint suite is a previously-unrepresented family)
-    "source_csv_agg",
-    "data_quality_report",
-    "json_extract_props",
-    # sessionization + streaming + PROCESS
-    "sessionize_users",
     "stream_watermark_dedup",
-    "stream_tumbling_keychange",
-    "stream_sliding_count_window",
-    "stream_into_materialize",
-    "stream_stream_join",
-    "process_within_consume",
     "process_stream_consume",
+    # --- events analytics / sessions / funnels (first driver rows) ---
+    "gapfill_hourly_events",
+    "cohort_retention_daily",
+    "event_transition_matrix",
+    "frequent_event_sequences",
+    "interarrival_percentiles",
+    "robust_outliers_by_type",
+    "decayed_user_activity",
+    "incremental_rollup_value_quantiles",
+    "asof_forward_attribution",
+    # --- exact stats / profiling / sketches ---
+    "exact_variance_by_type",
+    "skew_profile_users",
+    "sketch_join_size",
+    "sketch_f2_user_skew",
+    "graph_triangles_copurchase",
+    # --- training export / sampling / schema ---
+    "pack_training_sequences",
+    "stratified_sample_by_lang",
+    "temperature_sample_by_lang",
+    "weighted_sample_by_quality",
+    "train_split_dedup_safe",
+    "schema_evolution_add_column",
+    # --- dedup (registry/semantic kept above; + two never-checked) ---
+    "dedup_editdistance",
+    "dedup_canonical_corpus",
+    # --- text analysis ---
+    "text_fingerprint",
+    "text_token_count",
+    "text_repeated_passages",
+    "decontaminate_bloom",
+    "bigram_lift",
+    "lang_confusion_margin",
+    # --- similarity / embeddings (incl. the Jacobi top-PC flagship) ---
+    "decontaminate_semantic",
+    "embedding_top_pc",
+    "sim_ivf_search",
+    "sim_hard_negatives",
+    "sim_lsh_topk",
+    "embedding_label_centroids",
+    "embedding_int8_quant",
+    # --- multimodal ---
+    "mm_image_dedup",
+    "mm_audio_features",
+    "mm_frame_sample",
+    # --- sources ---
+    "source_json_agg",
+    # --- streaming ---
+    "stream_session_windows",
+    "stream_event_time_hourly",
+    "stream_enrich_join",
 ]
 
 
