@@ -1475,3 +1475,107 @@ def test_incremental_minhash_dedup_releases_caches(spark):
     assert n_cached() == base + 2  # registry (caller's) + decision table
     out2.unpersist()
     reg.unpersist()
+
+
+def _ref_bpe(word_freqs, n_merges):
+    """Independent textbook BPE (list-based, driver-side) to validate the
+    distributed fold implementation rule for rule."""
+    segs = {w: list(w) for w in word_freqs}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        # max count, ties -> lexicographically smallest (l, r)
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        rules.append((rank, best[0], best[1], best[0] + best[1], counts[best]))
+        for w, s in segs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == best[0] and x == best[1]:
+                    out[-1] = best[0] + best[1]
+                else:
+                    out.append(x)
+            segs[w] = out
+    return rules, segs
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE (JVM fold + pair-count shuffle + 1-row argmax)
+    must reproduce a driver-side textbook implementation rule for rule —
+    including greedy-leftmost runs (aaaa + (a,a) -> [aa, aa]) and the
+    deterministic tie-break."""
+    from interference_spark.pipeline.bpe import bpe_train, subword_stats
+
+    docs = [
+        "low low low lower lower",
+        "newest newest newest widest",
+        "aaaa aa low newest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    )
+    freqs = {}
+    for t in docs:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want_rules, want_segs = _ref_bpe(freqs, 6)
+
+    merges, words = bpe_train(df, n_merges=6)
+    got_rules = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    assert got_rules == want_rules
+    got_segs = {r.word: r.sym.split(" ") for r in words.collect()}
+    assert got_segs == want_segs
+
+    stats = {r.lang: r for r in subword_stats(df, words).collect()}
+    n_tok = sum(freqs.values())
+    n_sub = sum(len(want_segs[w]) * f for w, f in freqs.items())
+    assert stats["en"].n_tokens == n_tok
+    assert stats["en"].n_subwords == n_sub
+    assert stats["en"].subwords_per_token == n_sub / n_tok
+    words.unpersist()
+
+
+def test_bpe_train_early_stop_and_plan(spark):
+    """Single-char vocabulary exhausts pairs -> training stops early with
+    fewer rules; and the whole pipeline is JVM-only (no Python nodes in
+    the pair-count or fold plans)."""
+    from interference_spark.pipeline.bpe import (
+        _pair_counts,
+        bpe_train,
+        merge_fold,
+        word_table,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    merges, words = bpe_train(df, n_merges=5)
+    # only pair ever available is (a... none: all words are single chars
+    assert merges.count() == 0
+    assert {r.word: r.sym for r in words.collect()} == {"a": "a", "b": "b"}
+    words.unpersist()
+
+    wt = word_table(
+        spark.createDataFrame([(1, "abc abd")], "doc_id long, text string")
+    )
+    plan = (
+        _pair_counts(wt)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan, plan
+    assert "partial_sum" in plan or "partial sum" in plan, plan  # map-side combine
+    fplan = (
+        wt.withColumn("sym", merge_fold(F.col("sym"), "a", "b"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in fplan and "Arrow" not in fplan, fplan
