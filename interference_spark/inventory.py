@@ -4277,6 +4277,104 @@ def source_json_agg(spark, sf_dir):
 
 
 @query(
+    "source_orc_agg",
+    """SELECT l.l_returnflag AS ll_returnflag, count(l.l_orderkey) AS cnt,
+              CAST(sum(l.l_orderkey) AS BIGINT) AS sum_okey
+       FROM lineitem l GROUP BY l.l_returnflag""",
+)
+def source_orc_agg(spark, sf_dir):
+    """S11 connector breadth: lineitem round-trips through an ORC copy
+    registered via ``Engine.register_external``, then a dialect GROUP BY
+    runs over the ORC source (columnar like parquet: predicate/column
+    pushdown comes free — the scan reads 2 of 11 columns)."""
+    import os
+    import uuid
+
+    e = engine_for(spark, sf_dir)
+    name = f"LiOrc_{uuid.uuid4().hex[:8]}"
+    path = os.path.join(e.warehouse, f"orc_{uuid.uuid4().hex[:8]}")
+    (
+        e.table("lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    e.register_external(
+        name, path, format="orc",
+        schema="l_orderkey long, l_returnflag string",
+    )
+    return e.session().execute(
+        f"select l.l_returnflag, count(l.l_orderkey) cnt, "
+        f"sum(l.l_orderkey) sum_okey from {name} l group by l.l_returnflag"
+    )
+
+
+@query(
+    "source_text_agg",
+    """SELECT count(*) AS n_lines,
+              CAST(sum(length(text)) AS BIGINT) AS sum_len,
+              CAST(min(length(text)) AS BIGINT) AS min_len,
+              CAST(max(length(text)) AS BIGINT) AS max_len
+       FROM documents""",
+)
+def source_text_agg(spark, sf_dir):
+    """S11 connector breadth — the last of the five formats
+    (csv/json/orc/parquet/text all now have entries): document bodies
+    round-trip through line-oriented text files and aggregate back to the
+    same line count and exact length stats as the parquet source (the
+    equality proves the round-trip is lossless — the corpus is
+    newline-free by construction)."""
+    import os
+    import uuid
+
+    e = engine_for(spark, sf_dir)
+    name = f"DocTxt_{uuid.uuid4().hex[:8]}"
+    path = os.path.join(e.warehouse, f"txt_{uuid.uuid4().hex[:8]}")
+    e.table("documents").select("text").write.mode("overwrite").text(path)
+    e.register_external(name, path, format="text", schema="value string")
+    return e.table(name).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("sum_len"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )
+
+
+@query(
+    "decontaminate_substring",
+    """WITH ev AS (
+         SELECT substr(text, 1, 64) AS snip FROM documents
+         WHERE doc_id % 97 = 0 AND text <> ''
+       ), cp AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+       )
+       SELECT c.doc_id, CAST(count(e.snip) AS BIGINT) AS n_hits,
+              (count(e.snip) > 0) AS contaminated
+       FROM cp c LEFT JOIN ev e ON instr(c.text, e.snip) > 0
+       GROUP BY c.doc_id""",
+)
+def decontaminate_substring(spark, sf_dir):
+    """EXACT-substring eval-set decontamination
+    (`text.substring_decontaminate`) — the verbatim-leakage check the
+    13-gram pass approximates: a corpus doc is contaminated when any eval
+    snippet (here: the first 64 chars of each held-out doc, doc_id % 97)
+    occurs at ANY character offset — no token boundary, no shingle
+    alignment.  Snippets broadcast; JVM Contains predicates in
+    whole-stage codegen; per-doc hit counts.  The Aho-Corasick variant
+    (one automaton pass per doc, pattern-count-independent — the 10⁵+
+    pattern scale path) is property-tested equal."""
+    from .pipeline.text import substring_decontaminate
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.substring("text", 1, 64).alias("snippet")
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return substring_decontaminate(corpus, ev)
+
+
+@query(
     "json_extract_props",
     """SELECT e.event_type AS event_type,
               CAST(sum(CAST(e.props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,

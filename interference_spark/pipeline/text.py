@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -937,3 +938,122 @@ def linear_quality_model(
             ).alias("avg_pred"),
         )
     )
+
+
+# ----------------------------------------------- substring decontamination
+class AhoCorasick:
+    """Plain-Python Aho-Corasick automaton (trie + BFS failure links) for
+    the multi-pattern substring scan.  Public-knowledge algorithm (Aho &
+    Corasick 1975); built once per executor from the broadcast pattern
+    list, then every document is scanned ONCE regardless of pattern count
+    — the scale path `substring_decontaminate(impl="aho_corasick")` uses
+    it inside an Arrow-batched pandas UDF."""
+
+    __slots__ = ("goto", "fail", "out")
+
+    def __init__(self, patterns: list[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[set[int]] = [set()]
+        self.fail: list[int] = [0]
+        for pid, pat in enumerate(patterns):
+            node = 0
+            for ch in pat:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append(set())
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            if pat:
+                self.out[node].add(pid)
+        from collections import deque
+
+        dq = deque(self.goto[0].values())
+        while dq:
+            u = dq.popleft()
+            for ch, v in self.goto[u].items():
+                dq.append(v)
+                f = self.fail[u]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[v] = self.goto[f].get(ch, 0)
+                self.out[v] |= self.out[self.fail[v]]
+
+    def match_count(self, text: str) -> int:
+        """Number of DISTINCT patterns occurring in ``text`` (duplicate
+        pattern strings count once per pattern id, matching the
+        contains-join's row semantics)."""
+        node = 0
+        hits: set[int] = set()
+        for ch in text:
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            if self.out[node]:
+                hits |= self.out[node]
+        return len(hits)
+
+
+def substring_decontaminate(
+    corpus: DataFrame,
+    patterns: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern_col: str = "snippet",
+    impl: str = "contains",
+) -> DataFrame:
+    """EXACT-substring eval-set decontamination — the verbatim-leakage
+    check the n-gram pass approximates: a corpus doc is contaminated when
+    any eval snippet occurs inside it at ANY character offset (no token
+    boundary, no shingle alignment).  Returns one row per corpus doc:
+    ``(id, n_hits, contaminated)`` where ``n_hits`` counts the snippets
+    contained (duplicate snippet rows count separately under
+    ``impl="contains"`` and are deduplicated to pattern ids under
+    ``impl="aho_corasick"`` — pass distinct patterns for identical
+    results; empty snippets are dropped on both paths).
+
+    * ``impl="contains"`` (default, oracle-replayable): snippets
+      broadcast, JVM ``Contains`` predicate on a left join, per-doc
+      count — O(docs × patterns) character scans in whole-stage codegen.
+      Right for eval sets of 10²-10⁴ snippets.
+    * ``impl="aho_corasick"``: one automaton pass per document
+      regardless of pattern count — O(doc_len + matches).  The scale
+      path when the pattern set reaches 10⁵+ (every eval answer string,
+      canary corpus): built once from the broadcast list, applied in an
+      Arrow-batched pandas UDF; property-tested equal to the contains
+      path."""
+    pats = patterns.select(F.col(pattern_col).alias("__snip")).filter(
+        F.col("__snip") != ""
+    )
+    if impl == "contains":
+        hit = corpus.join(
+            F.broadcast(pats),
+            F.contains(F.col(text_col), F.col("__snip")),
+            "left",
+        )
+        return (
+            hit.groupBy(id_col)
+            .agg(F.count("__snip").alias("n_hits"))
+            .select(
+                id_col,
+                "n_hits",
+                (F.col("n_hits") > 0).alias("contaminated"),
+            )
+        )
+    if impl != "aho_corasick":
+        raise ValueError(f"unknown impl {impl!r}")
+    plist = [r["__snip"] for r in pats.collect()]
+    holder: list[AhoCorasick] = []  # built lazily once per executor
+
+    @F.pandas_udf("long")
+    def nhits(texts: pd.Series) -> pd.Series:
+        if not holder:
+            holder.append(AhoCorasick(plist))
+        ac = holder[0]
+        return texts.map(lambda t: ac.match_count(t or ""))
+
+    return corpus.select(
+        F.col(id_col), nhits(F.col(text_col)).alias("n_hits")
+    ).select(id_col, "n_hits", (F.col("n_hits") > 0).alias("contaminated"))

