@@ -6584,6 +6584,97 @@ def temperature_sample_by_lang(spark, sf_dir):
 
 
 # =====================================================================
+# Product quantization ANN (pipeline/pq.py): the compression half of
+# IVF-PQ — per-subspace quantized-L2 k-means codebooks + ADC top-k,
+# every iteration unrolled in the oracle (the IVF/SemDeDup discipline
+# applied to L2 distances).
+# =====================================================================
+
+
+def _pq_iter_cte(i: int, dsub: int) -> str:
+    """One unrolled PQ Lloyd iteration: per-(vector, subspace) argmin
+    assignment under quantized L2 against codebook set pc{i-1}, then
+    floor-quantized per-(sub, code, pos) means; empty codes keep their
+    previous centroid.  Expects ``ve`` (vec_id, pos, x) upstream."""
+    prev = f"pc{i - 1}"
+    return f"""pa{i} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT ve.vec_id, c.sub, c.code,
+           row_number() OVER (PARTITION BY ve.vec_id, c.sub
+             ORDER BY sum(CAST(floor((ve.x - c.cval) * (ve.x - c.cval) * 1e10)
+                               AS BIGINT)) ASC,
+                      c.code ASC) AS rn
+    FROM ve JOIN {prev} c ON ve.pos = c.pos
+    GROUP BY ve.vec_id, c.sub, c.code
+  ) WHERE rn = 1
+), pm{i} AS (
+  SELECT a.sub, a.code, ve.pos,
+         CAST(sum(CAST(floor(ve.x * 1e10) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1e10 AS cval
+  FROM pa{i} a JOIN ve ON ve.vec_id = a.vec_id
+       AND ve.pos >= a.sub * {dsub} AND ve.pos < (a.sub + 1) * {dsub}
+  GROUP BY a.sub, a.code, ve.pos
+), pc{i} AS (
+  SELECT c.sub, c.code, c.pos, coalesce(m.cval, c.cval) AS cval
+  FROM {prev} c LEFT JOIN pm{i} m
+    ON m.sub = c.sub AND m.code = c.code AND m.pos = c.pos
+)"""
+
+
+def _pq_oracle(
+    m: int = 8, k: int = 16, dim: int = 64, topk: int = 10
+) -> str:
+    dsub = dim // m
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), ve AS (
+  SELECT vec_id, i.i - 1 AS pos, e[i.i] AS x
+  FROM v CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), seeds AS (
+  SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM v ORDER BY vec_id LIMIT {k}
+), pc0 AS (
+  SELECT (i.i - 1) // {dsub} AS sub, s.code, i.i - 1 AS pos, s.e[i.i] AS cval
+  FROM seeds s CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), {_pq_iter_cte(1, dsub)}, {_pq_iter_cte(2, dsub)}, {_pq_iter_cte(3, dsub)},
+qv AS (
+  SELECT pos, x FROM ve WHERE vec_id = 0
+), tb AS (
+  SELECT c.sub, c.code,
+         sum(CAST(floor((q.x - c.cval) * (q.x - c.cval) * 1e10) AS BIGINT)) AS qd
+  FROM pc2 c JOIN qv q ON q.pos = c.pos GROUP BY c.sub, c.code
+)
+SELECT e.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist
+FROM pa3 e JOIN tb t ON t.sub = e.sub AND t.code = e.code
+GROUP BY e.vec_id
+ORDER BY adist ASC, e.vec_id ASC LIMIT {topk}"""
+
+
+@query("sim_pq_topk", _pq_oracle())
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (`pipeline/pq.py`) — the compression half
+    of IVF-PQ, the standard billion-scale ANN layout: 8 subspaces × 16
+    codes (4 bytes/vector replacing 64 floats), codebooks trained by two
+    quantized-L2 Lloyd iterations (one encode pass + one m·k·dsub-cell
+    combiner aggregate per iteration — the driver only ever holds 1024
+    centroid cells), then ADC top-10 for the vec_id-0 query: approximate
+    distance = 8 JVM array lookups + int adds per candidate, top-k via
+    TakeOrderedAndProject.  Every distance is an exact int64, ties total
+    — the oracle unrolls both training iterations, the final encoding,
+    and the ADC table, and the whole trajectory value-hashes."""
+    from .pipeline.pq import pq_encode, pq_search, pq_train
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    books = pq_train(emb, m=8, k=16, iters=2)
+    enc = pq_encode(emb, books)
+    return pq_search(enc, books, qvec, topk=10)
+
+
+# =====================================================================
 # BPE vocabulary training (pipeline/bpe.py): the tokenizer-construction
 # step of a training-data pipeline — an ITERATIVE distributed algorithm
 # whose oracle unrolls every iteration in SQL (the SemDeDup/k-means

@@ -1,0 +1,200 @@
+"""Product quantization (PQ) for approximate nearest neighbor — the
+compression half of the IVF-PQ pairing that is the de-facto standard for
+billion-scale ANN (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", public knowledge; no reference analogue — the reference
+has no vector operations at all).
+
+The embedding space is split into ``m`` contiguous subspaces; each
+subspace gets its own ``k``-centroid codebook (k-means under squared-L2),
+and a vector is stored as ``m`` small codes — at m=8, k=16 that is 8
+codes ≈ 4 bytes replacing 64 float32s (64×).  Query scoring is ADC
+(asymmetric distance computation): one ``m×k`` table of
+query-to-centroid partial distances, then every vector's approximate
+distance is ``m`` table lookups + adds — no float math per candidate.
+
+Determinism contract (what makes the driver's SQL oracle possible — the
+same discipline as the IVF/SemDeDup oracles, here applied to L2):
+
+* every partial distance is ``Σ_j floor((x_j-c_j)²·1e10)`` — an exact
+  int64; assignment argmin tie-breaks to the LOWEST code id;
+* codebook means are floor-quantized sums divided once (``qs/n/1e10``);
+  empty clusters keep their previous centroid;
+* ADC totals are sums of int64 table entries — order-free; top-k orders
+  by ``(adist ASC, id ASC)``.
+
+Scale shape: training state is ``m·k·dsub`` centroid doubles (driver /
+broadcast — 1024 doubles at 8×16×8); each Lloyd iteration is ONE
+vectorized assignment pass + ONE combiner aggregate collecting
+``m·k·dsub`` quantized cells.  Encoding is a single Arrow-batched pass
+emitting m codes/vector; the ADC scan is a projection + half-k-row
+top-k (TakeOrderedAndProject) — no shuffle wider than the final k rows.
+At 100 TB, pair with the IVF partition pruning in
+``pipeline/similarity.py`` (probe lists prune parquet directories) so
+the ADC scan touches only probed partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_QP = 1e10  # fixed-point scale shared with the IVF score/mean arithmetic
+
+
+Codebooks = list[list[tuple[int, list[float]]]]  # [sub][(code, centroid)]
+
+
+def _seed_codebooks(
+    df: DataFrame, m: int, k: int, vec_col: str, id_col: str
+) -> Codebooks:
+    """Codes 0..k-1 = the first k vectors in id order, sliced per
+    subspace (positional ids — PQ codes are indexes, not vector ids)."""
+    rows = df.orderBy(id_col).limit(k).collect()
+    d = len(rows[0][vec_col])
+    dsub = d // m
+    if m * dsub != d:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    return [
+        [
+            (code, [float(x) for x in r[vec_col]][s * dsub : (s + 1) * dsub])
+            for code, r in enumerate(rows)
+        ]
+        for s in range(m)
+    ]
+
+
+def _encode_udf(books: Codebooks) -> Column:
+    """Arrow-batched encoder: m argmin codes per vector under the exact
+    quantized-L2 distance (ties → lowest code)."""
+    C = np.stack(
+        [np.stack([np.asarray(v) for _, v in sub]) for sub in books]
+    )  # (m, k, dsub)
+    m, k, dsub = C.shape
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X.reshape(n, m, 1, dsub)
+        d = X - C[None, :, :, :]
+        qd = np.floor(d * d * _QP).astype(np.int64).sum(axis=3)  # (n, m, k)
+        codes = np.argmin(qd, axis=2)  # first occurrence = lowest code
+        return pd.Series([row.tolist() for row in codes])
+
+    return enc
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Codebooks:
+    """Per-subspace k-means codebooks (quantized-L2, fixed iteration
+    count, deterministic seeds/ties — the oracle unrolls this exactly).
+    All m subspaces train in the SAME jobs: one encode pass + one
+    (sub, code, pos) combiner aggregate per iteration."""
+    books = _seed_codebooks(df, m, k, vec_col, id_col)
+    dsub = len(books[0][0][1])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        enc = _encode_udf(books)
+        assigned = df.select(
+            enc(F.col(vec_col)).alias("codes"),
+            F.posexplode(vec_d).alias("pos", "x"),
+        ).select(
+            (F.col("pos") / dsub).cast("long").alias("sub"),
+            F.col("pos"),
+            F.element_at("codes", (F.col("pos") / dsub).cast("int") + 1).alias(
+                "code"
+            ),
+            "x",
+        )
+        cells = (
+            assigned.groupBy("sub", "code", "pos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("x") * _QP).cast("long")).alias("qs"),
+            )
+            .collect()
+        )
+        got: dict[tuple[int, int, int], float] = {
+            (r["sub"], r["code"], r["pos"]): r["qs"] / r["n"] / _QP
+            for r in cells
+        }
+        books = [
+            [
+                (
+                    code,
+                    [
+                        got.get((s, code, s * dsub + j), old[j])
+                        for j in range(dsub)
+                    ],
+                )
+                for code, old in sub
+            ]
+            for s, sub in enumerate(books)
+        ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: Codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes) — the stored PQ index: m int codes per vector."""
+    return df.select(
+        F.col(id_col), _encode_udf(books)(F.col(vec_col)).alias("codes")
+    )
+
+
+def adc_table(books: Codebooks, query_vec: list[float]) -> np.ndarray:
+    """(m, k) int64 table of query-to-centroid partial distances."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    m = len(books)
+    dsub = len(books[0][0][1])
+    out = np.empty((m, len(books[0])), dtype=np.int64)
+    for s, sub in enumerate(books):
+        qs = q[s * dsub : (s + 1) * dsub]
+        for code, cvec in sub:
+            d = qs - np.asarray(cvec)
+            out[s, code] = int(np.floor(d * d * _QP).astype(np.int64).sum())
+    return out
+
+
+def pq_search(
+    encoded: DataFrame,
+    books: Codebooks,
+    query_vec: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the PQ index: approximate distance = m JVM array
+    lookups + integer adds per candidate (codegen — the encode UDF never
+    runs at query time), then (adist ASC, id ASC) top-k →
+    TakeOrderedAndProject."""
+    table = adc_table(books, query_vec)
+    cols = [
+        F.element_at(
+            F.array(*[F.lit(int(v)) for v in table[s]]),
+            F.col("codes")[s].cast("int") + 1,
+        )
+        for s in range(len(books))
+    ]
+    adist = cols[0]
+    for c in cols[1:]:
+        adist = adist + c
+    return (
+        encoded.select(F.col(id_col), adist.alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(topk)
+    )

