@@ -6867,14 +6867,19 @@ _DRIVER_WINDOW = [
     "text_fingerprint",
     "text_token_count",
     "text_repeated_passages",
-    "decontaminate_bloom",
+    # NEW r5 operator — exact-substring verbatim-leakage check (took
+    # decontaminate_bloom's slot; the bloom variant keeps local checks
+    # and the decontaminate family keeps 2 window rows)
+    "decontaminate_substring",
     "bigram_lift",
     "lang_confusion_margin",
     # --- similarity / embeddings (incl. the Jacobi top-PC flagship) ---
     "decontaminate_semantic",
     "embedding_top_pc",
     "sim_ivf_search",
-    "sim_hard_negatives",
+    # NEW r5 operator — product-quantization ANN (took
+    # sim_hard_negatives' slot; hard negatives keep local checks)
+    "sim_pq_topk",
     "embedding_label_centroids",
     # --- BPE vocabulary training (NEW r5 — iterative merge training +
     # trained-tokenizer application, both fully value-oracled; took the
