@@ -6591,29 +6591,29 @@ def temperature_sample_by_lang(spark, sf_dir):
 # =====================================================================
 
 
-def _pq_iter_cte(i: int, dsub: int) -> str:
+def _pq_iter_cte(i: int, dsub: int, src: str = "ve") -> str:
     """One unrolled PQ Lloyd iteration: per-(vector, subspace) argmin
     assignment under quantized L2 against codebook set pc{i-1}, then
     floor-quantized per-(sub, code, pos) means; empty codes keep their
-    previous centroid.  Expects ``ve`` (vec_id, pos, x) upstream."""
+    previous centroid.  Expects ``{src}`` (vec_id, pos, x) upstream."""
     prev = f"pc{i - 1}"
     return f"""pa{i} AS (
   SELECT vec_id, sub, code FROM (
-    SELECT ve.vec_id, c.sub, c.code,
-           row_number() OVER (PARTITION BY ve.vec_id, c.sub
-             ORDER BY sum(CAST(floor((ve.x - c.cval) * (ve.x - c.cval) * 1e10)
+    SELECT sv.vec_id, c.sub, c.code,
+           row_number() OVER (PARTITION BY sv.vec_id, c.sub
+             ORDER BY sum(CAST(floor((sv.x - c.cval) * (sv.x - c.cval) * 1e10)
                                AS BIGINT)) ASC,
                       c.code ASC) AS rn
-    FROM ve JOIN {prev} c ON ve.pos = c.pos
-    GROUP BY ve.vec_id, c.sub, c.code
+    FROM {src} sv JOIN {prev} c ON sv.pos = c.pos
+    GROUP BY sv.vec_id, c.sub, c.code
   ) WHERE rn = 1
 ), pm{i} AS (
-  SELECT a.sub, a.code, ve.pos,
-         CAST(sum(CAST(floor(ve.x * 1e10) AS BIGINT)) AS DOUBLE)
+  SELECT a.sub, a.code, sv.pos,
+         CAST(sum(CAST(floor(sv.x * 1e10) AS BIGINT)) AS DOUBLE)
            / count(*) / 1e10 AS cval
-  FROM pa{i} a JOIN ve ON ve.vec_id = a.vec_id
-       AND ve.pos >= a.sub * {dsub} AND ve.pos < (a.sub + 1) * {dsub}
-  GROUP BY a.sub, a.code, ve.pos
+  FROM pa{i} a JOIN {src} sv ON sv.vec_id = a.vec_id
+       AND sv.pos >= a.sub * {dsub} AND sv.pos < (a.sub + 1) * {dsub}
+  GROUP BY a.sub, a.code, sv.pos
 ), pc{i} AS (
   SELECT c.sub, c.code, c.pos, coalesce(m.cval, c.cval) AS cval
   FROM {prev} c LEFT JOIN pm{i} m
@@ -6650,6 +6650,103 @@ SELECT e.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist
 FROM pa3 e JOIN tb t ON t.sub = e.sub AND t.code = e.code
 GROUP BY e.vec_id
 ORDER BY adist ASC, e.vec_id ASC LIMIT {topk}"""
+
+
+def _ivfpq_oracle(
+    n_coarse: int = 8,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    nprobe: int = 4,
+    topk: int = 10,
+) -> str:
+    """Full IVF-PQ replay: 2-iteration coarse k-means (shared
+    `_kmeans_iter_cte`; a3 = final assignment), per-vector residuals,
+    2-iteration residual-PQ codebooks (`_pq_iter_cte` over ``ver``;
+    pa3 = final encoding), exact-score probe ranking, per-probe
+    query-residual ADC tables, and the probed integer-sum top-k."""
+    dsub = dim // m
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), ve AS (
+  SELECT vec_id, i.i - 1 AS pos, e[i.i] AS x
+  FROM v CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), c0 AS (
+  SELECT s.vec_id AS cid, i.i - 1 AS pos, s.e[i.i] AS cval
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {n_coarse}) s
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), {_kmeans_iter_cte(1, "c0")}, {_kmeans_iter_cte(2, "c1")},
+{_kmeans_iter_cte(3, "c2")},
+ver AS (
+  SELECT ve.vec_id, ve.pos, ve.x - c.cval AS x
+  FROM ve JOIN a3 ON a3.vec_id = ve.vec_id
+  JOIN c2 c ON c.cid = a3.centroid AND c.pos = ve.pos
+), pseed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT DISTINCT vec_id FROM ver ORDER BY vec_id LIMIT {k})
+), pc0 AS (
+  SELECT r.pos // {dsub} AS sub, p.code, r.pos, r.x AS cval
+  FROM ver r JOIN pseed p USING (vec_id)
+), {_pq_iter_cte(1, dsub, "ver")}, {_pq_iter_cte(2, dsub, "ver")},
+{_pq_iter_cte(3, dsub, "ver")},
+qv AS (
+  SELECT pos, x FROM ve WHERE vec_id = 0
+), cqn AS (
+  SELECT cid, sum(CAST(floor(cval * cval * 1e10) AS BIGINT)) AS qn
+  FROM c2 GROUP BY cid
+), cqd AS (
+  SELECT c.cid, sum(CAST(floor(qv.x * c.cval * 1e10) AS BIGINT)) AS qd
+  FROM c2 c JOIN qv ON qv.pos = c.pos GROUP BY c.cid
+), pr AS (
+  SELECT cid FROM (
+    SELECT cqd.cid,
+           row_number() OVER (ORDER BY CAST(cqd.qd AS DOUBLE)
+             / (CASE WHEN cqn.qn = 0 THEN 1.0
+                     ELSE sqrt(CAST(cqn.qn AS DOUBLE)) END) DESC,
+             cqd.cid ASC) AS rn
+    FROM cqd JOIN cqn USING (cid)
+  ) WHERE rn <= {nprobe}
+), qres AS (
+  SELECT c.cid, c.pos, qv.x - c.cval AS x
+  FROM c2 c JOIN qv ON qv.pos = c.pos
+  WHERE c.cid IN (SELECT cid FROM pr)
+), tb AS (
+  SELECT q.cid, pcf.sub, pcf.code,
+         sum(CAST(floor((q.x - pcf.cval) * (q.x - pcf.cval) * 1e10)
+                  AS BIGINT)) AS qd
+  FROM qres q JOIN pc2 pcf ON pcf.pos = q.pos
+  GROUP BY 1, 2, 3
+)
+SELECT e.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist
+FROM pa3 e
+JOIN a3 ON a3.vec_id = e.vec_id
+JOIN tb t ON t.cid = a3.centroid AND t.sub = e.sub AND t.code = e.code
+GROUP BY e.vec_id
+ORDER BY adist ASC, e.vec_id ASC LIMIT {topk}"""
+
+
+@query("sim_ivfpq_topk", _ivfpq_oracle())
+def sim_ivfpq_topk(spark, sf_dir):
+    """Full IVF-PQ ANN (`pipeline/pq.ivfpq_build` / `ivfpq_search`) — the
+    billion-scale architecture end to end: the engine's exact-math coarse
+    quantizer partitions the space (8 cells; probe lists prune
+    partitions when the index is stored `ivf_write`-style), each vector's
+    RESIDUAL is product-quantized (8×16 codebooks — residual energy is
+    what PQ compresses well), and the query probes 4 cells with
+    per-probe query-residual ADC tables (the asymmetric part), scoring
+    candidates with broadcast-joined integer sums.  Coarse training,
+    assignment, residual codebooks, encoding, probe ranking, and ADC are
+    ALL unrolled in the oracle — the full index build + search
+    trajectory value-hashes."""
+    from .pipeline.pq import ivfpq_build, ivfpq_search
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cents, books, enc = ivfpq_build(emb, n_coarse=8, m=8, k=16, iters=2)
+    return ivfpq_search(enc, cents, books, qvec, nprobe=4, topk=10)
 
 
 @query("sim_pq_topk", _pq_oracle())

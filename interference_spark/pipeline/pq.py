@@ -198,3 +198,104 @@ def pq_search(
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(topk)
     )
+
+
+# --------------------------------------------------------------- IVF-PQ
+def ivfpq_build(
+    df: DataFrame,
+    n_coarse: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Full IVF-PQ index build — the billion-scale ANN architecture:
+    a coarse quantizer partitions the space (the engine's exact-math IVF
+    k-means, so probe lists prune partitions), and each vector's RESIDUAL
+    against its coarse centroid is product-quantized (residuals are what
+    PQ compresses well — their energy is a fraction of the raw vectors').
+
+    Returns ``(cents, books, encoded)``: the coarse centroid list, the
+    per-subspace residual codebooks, and the stored index
+    ``(id, cid, codes)`` — one small int + m codes per vector.  The
+    residual computation is a JVM ``zip_with`` against the broadcast
+    centroid table; no Python touches data outside the (Arrow-batched)
+    encode passes."""
+    from .similarity import _argmax_centroid_exact, ivf_train_exact
+
+    spark = df.sparkSession
+    cents = ivf_train_exact(
+        df, n_centroids=n_coarse, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    cdf = spark.createDataFrame(
+        [(cid, list(map(float, cv))) for cid, cv in cents],
+        "cid long, cvec array<double>",
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    resid = (
+        df.select(
+            F.col(id_col),
+            vec_d.alias("__v"),
+            _argmax_centroid_exact(F.col(vec_col), cents).alias("cid"),
+        )
+        .join(F.broadcast(cdf), "cid")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.zip_with("__v", "cvec", lambda a, b: a - b).alias("resid"),
+        )
+    )
+    books = pq_train(
+        resid, m=m, k=k, iters=iters, vec_col="resid", id_col=id_col
+    )
+    encoded = resid.select(
+        F.col(id_col),
+        "cid",
+        _encode_udf(books)(F.col("resid")).alias("codes"),
+    )
+    return cents, books, encoded
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    cents,
+    books: Codebooks,
+    query_vec: list[float],
+    nprobe: int = 4,
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probed ADC search over an IVF-PQ index: rank coarse centroids with
+    the same exact score as assignment, take ``nprobe``, build one
+    per-probe ADC table from the QUERY's residual against that centroid
+    (the asymmetric part — each probe has its own query residual), and
+    score only candidates in probed cells.  The per-probe tables join as
+    a broadcast (nprobe·m·k rows) onto the exploded codes — integer sums,
+    ``(adist ASC, id ASC)`` top-k.  With the index stored partitioned by
+    ``cid`` (as `similarity.ivf_write` does), the cid filter prunes
+    parquet directories and the scan never touches unprobed cells."""
+    from .similarity import probe_centroids_exact
+
+    spark = encoded.sparkSession
+    probes = probe_centroids_exact(cents, query_vec, nprobe)
+    cmap = dict(cents)
+    q = np.asarray(query_vec, dtype=np.float64)
+    rows = []
+    for cid in probes:
+        table = adc_table(books, list(q - np.asarray(cmap[cid])))
+        for s in range(table.shape[0]):
+            for code in range(table.shape[1]):
+                rows.append((cid, s, code, int(table[s, code])))
+    tdf = spark.createDataFrame(rows, "cid long, sub long, code long, qd long")
+    cand = encoded.filter(F.col("cid").isin([int(p) for p in probes]))
+    ex = cand.select(
+        F.col(id_col), "cid", F.posexplode("codes").alias("sub", "code")
+    )
+    return (
+        ex.join(F.broadcast(tdf), ["cid", "sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qd").alias("adist"))
+        .orderBy(F.asc("adist"), F.asc(id_col))
+        .limit(topk)
+    )

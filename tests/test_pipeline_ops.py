@@ -1712,3 +1712,57 @@ def test_pq_dim_not_divisible_raises(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, m=2, k=1)
+
+
+def test_ivfpq_build_search(spark):
+    """IVF-PQ contract: the index stores (cid, m codes) per vector; an
+    in-corpus query ranks itself first (its own cell is the top probe and
+    its codes minimize every entry of that cell's ADC table); search
+    touches only probed cells (candidates from unprobed cells are absent
+    — a cid IN filter the partitioned store turns into directory
+    pruning); and ADC totals match an independent numpy recomputation."""
+    import numpy as np
+
+    from interference_spark.pipeline.pq import (
+        adc_table,
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    rng = np.random.RandomState(13)
+    # two well-separated blobs so the coarse quantizer has real structure
+    blob = np.concatenate(
+        [rng.randn(30, 16) + 4.0, rng.randn(30, 16) - 4.0]
+    ).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in blob[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cents, books, enc = ivfpq_build(df, n_coarse=4, m=4, k=8, iters=2)
+    rows = {r.vec_id: r for r in enc.collect()}
+    assert len(rows) == 60
+    assert all(len(r.codes) == 4 for r in rows.values())
+
+    q = [float(x) for x in df.filter("vec_id = 7").first()["embedding"]]
+    got = ivfpq_search(enc, cents, books, q, nprobe=2, topk=5).collect()
+    assert got[0].vec_id == 7  # self is the minimum in its own cell
+
+    # only probed cells contribute candidates
+    from interference_spark.pipeline.similarity import probe_centroids_exact
+
+    probes = set(probe_centroids_exact(cents, q, 2))
+    all_hits = ivfpq_search(enc, cents, books, q, nprobe=2, topk=60).collect()
+    assert {rows[r.vec_id].cid for r in all_hits} <= probes
+    assert len(all_hits) < 60  # unprobed cells pruned
+
+    # ADC equals independent numpy table lookups
+    cmap = dict(cents)
+    qa = np.asarray(q)
+    tables = {
+        cid: adc_table(books, list(qa - np.asarray(cmap[cid])))
+        for cid in probes
+    }
+    for r in all_hits:
+        e = rows[r.vec_id]
+        want = int(sum(tables[e.cid][s][e.codes[s]] for s in range(4)))
+        assert r.adist == want

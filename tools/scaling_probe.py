@@ -67,7 +67,7 @@ def _embs(spark, n: int, dim: int = 64):
     )
 
 
-def probe(spark, sizes: list[int]) -> dict:
+def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
     from interference_spark.pipeline.dedup import (
         exact_dedup,
         incremental_minhash_dedup,
@@ -76,7 +76,10 @@ def probe(spark, sizes: list[int]) -> dict:
         simhash,
         simhash_pairs,
     )
+    from interference_spark.pipeline.bpe import bpe_train
+    from interference_spark.pipeline.pq import pq_encode, pq_search, pq_train
     from interference_spark.pipeline.similarity import semantic_decontaminate
+    from interference_spark.pipeline.text import substring_decontaminate
     from interference_spark.pipeline.sketch import kmv_distinct_count
     from interference_spark.pipeline.stats import (
         exact_group_percentiles,
@@ -123,9 +126,20 @@ def probe(spark, sizes: list[int]) -> dict:
         "simhash_jvm_fingerprints": lambda n: simhash(
             _docs(spark, n), token_hash="xxhash64"
         ),
+        # r5: exact-substring decontamination, contains path — fixed
+        # 100-snippet pattern side (eval sets do not grow with the
+        # corpus) → corpus-linear broadcast-contains scan
+        "decontaminate_substring": lambda n: substring_decontaminate(
+            _docs(spark, n).filter(F.col("doc_id") >= 100),
+            _docs(spark, 100).select(
+                F.substring("text", 1, 32).alias("snippet")
+            ),
+        ),
     }
     out: dict[str, dict] = {}
     for name, make in ops.items():
+        if only and name not in only:
+            continue
         out[name] = {}
         for n in sizes:
             n = n // 10 if name in pair_ops else n
@@ -137,20 +151,53 @@ def probe(spark, sizes: list[int]) -> dict:
             out[name][n] = round(dt, 3)  # keyed by the ACTUAL size used
             spark.catalog.clearCache()
         print(name, out[name], flush=True)
+
+    # r5 EAGER ops: training runs inside the call (bounded driver
+    # collects per iteration), so the probe times the whole callable,
+    # not a deferred plan write
+    def _bpe(n: int) -> None:
+        _merges, words = bpe_train(_docs(spark, n), n_merges=4)
+        words.unpersist()
+
+    def _pq(n: int) -> None:
+        emb = _embs(spark, n)
+        q = [float(x) for x in emb.first()["embedding"]]
+        books = pq_train(emb, m=8, k=16, iters=2)
+        pq_search(pq_encode(emb, books), books, q, topk=10).collect()
+
+    for name, fn in {
+        "bpe_train_4merges": _bpe,
+        "sim_pq_train_encode_search": _pq,
+    }.items():
+        if only and name not in only:
+            continue
+        out[name] = {}
+        for n in sizes:
+            fn(n)  # warm
+            t0 = time.perf_counter()
+            fn(n)
+            out[name][n] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+        print(name, out[name], flush=True)
     return out
 
 
 def main() -> None:
     from interference_spark import build_spark
 
-    sizes = [int(float(a)) for a in sys.argv[1:]] or [100_000, 1_000_000, 10_000_000]
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if args and args[0] == "--only":  # --only op1,op2 [sizes...]
+        only = set(args[1].split(","))
+        args = args[2:]
+    sizes = [int(float(a)) for a in args] or [100_000, 1_000_000, 10_000_000]
     spark = build_spark(
         app_name="scaling-probe",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
         extra_conf={"spark.driver.memory": "48g"},
     )
-    res = probe(spark, sizes)
+    res = probe(spark, sizes, only=only)
     print(json.dumps({"sizes": sizes, "seconds": res}))
     spark.stop()
 
