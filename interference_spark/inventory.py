@@ -6925,15 +6925,22 @@ _DRIVER_WINDOW = [
     # sessionize_users, stream_tumbling_keychange,
     # stream_sliding_count_window, stream_into_materialize,
     # stream_stream_join, process_within_consume.
-    # --- kept sentinels (r4-first-green + 1 TPC-H anchor) ---
+    # --- kept sentinels (r4-first-green + 1 TPC-H anchor).  Late-r5
+    # swap: dialect_left_join / quality_model_scores /
+    # dedup_incremental_minhash (each r4-driver-green + locally oracled)
+    # gave their slots to the three end-of-round entries that had never
+    # held a driver row — sim_ivfpq_topk, source_orc_agg,
+    # source_text_agg (all three re-verified vs DuckDB at the driver's
+    # sf0.01 before shipping); dialect/dedup keep window rows via
+    # dialect_custom_group_function / dedup_semantic+editdistance. ---
     "dialect_custom_group_function",
-    "dialect_left_join",
     "q21_waiting_suppliers",
-    "quality_model_scores",
-    "dedup_incremental_minhash",
     "dedup_semantic",
     "stream_watermark_dedup",
     "process_stream_consume",
+    "sim_ivfpq_topk",
+    "source_orc_agg",
+    "source_text_agg",
     # --- events analytics / sessions / funnels (first driver rows) ---
     "gapfill_hourly_events",
     "cohort_retention_daily",
