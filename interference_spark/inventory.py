@@ -1890,19 +1890,22 @@ def sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
-def _kmeans_iter_cte(n: int, cin: str) -> str:
+def _kmeans_iter_cte(n: int, cin: str, src: str = "ve") -> str:
     """One unrolled Lloyd iteration as DuckDB CTEs (shared by the IVF and
     SemDeDup oracles): quantized assignment scores against centroid set
     ``{cin}``, then floor-quantized means, producing centroid set c{n}.
-    Expects CTEs ``ve`` (vec_id, pos, x) upstream."""
+    Expects ``{src}`` (vec_id, pos, x) upstream — train-on-a-subset
+    oracles (the streaming-ingest replay) pass a restricted source and
+    then emit one extra iteration over the full table, whose a{n} is the
+    all-vector assignment (the unused m/c CTEs stay unevaluated)."""
     return f"""qn{n} AS (
   SELECT cid, sum(CAST(floor(cval * cval * 1e10) AS BIGINT)) AS qn
   FROM {cin} GROUP BY cid
 ), s{n} AS (
-  SELECT ve.vec_id, c.cid,
-         sum(CAST(floor(ve.x * c.cval * 1e10) AS BIGINT)) AS qd
-  FROM ve JOIN {cin} c ON ve.pos = c.pos
-  GROUP BY ve.vec_id, c.cid
+  SELECT sv.vec_id, c.cid,
+         sum(CAST(floor(sv.x * c.cval * 1e10) AS BIGINT)) AS qd
+  FROM {src} sv JOIN {cin} c ON sv.pos = c.pos
+  GROUP BY sv.vec_id, c.cid
 ), a{n} AS (
   SELECT vec_id, cid AS centroid FROM (
     SELECT s{n}.vec_id, s{n}.cid,
@@ -1912,10 +1915,10 @@ def _kmeans_iter_cte(n: int, cin: str) -> str:
     FROM s{n} JOIN qn{n} USING (cid)
   ) WHERE rn = 1
 ), m{n} AS (
-  SELECT a{n}.centroid AS cid, ve.pos,
-         CAST(sum(CAST(floor(ve.x * 1e10) AS BIGINT)) AS DOUBLE)
+  SELECT a{n}.centroid AS cid, sv.pos,
+         CAST(sum(CAST(floor(sv.x * 1e10) AS BIGINT)) AS DOUBLE)
            / count(*) / 1e10 AS cval
-  FROM a{n} JOIN ve USING (vec_id) GROUP BY a{n}.centroid, ve.pos
+  FROM a{n} JOIN {src} sv USING (vec_id) GROUP BY a{n}.centroid, sv.pos
 ), c{n} AS (
   SELECT c.cid, c.pos, coalesce(m{n}.cval, c.cval) AS cval
   FROM {cin} c LEFT JOIN m{n} ON c.cid = m{n}.cid AND c.pos = m{n}.pos
@@ -6749,6 +6752,112 @@ def sim_ivfpq_topk(spark, sf_dir):
     return ivfpq_search(enc, cents, books, qvec, nprobe=4, topk=10)
 
 
+def _ivfpq_stream_oracle(
+    n_coarse: int = 8, m: int = 8, k: int = 16, dim: int = 64
+) -> str:
+    """Streaming-ingest replay: the index is TRAINED on the snapshot only
+    (even vec_ids — ``ves``/``vers`` restrict every Lloyd mean), then ALL
+    vectors (snapshot + streamed) are assigned and encoded against the
+    frozen state via one extra assignment-only iteration over the full
+    table (a3 / pa3; the unused mean CTEs stay lazy).  Output = the final
+    stored index, one row per (vector, subspace)."""
+    dsub = dim // m
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), ve AS (
+  SELECT vec_id, i.i - 1 AS pos, e[i.i] AS x
+  FROM v CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), ves AS (
+  SELECT * FROM ve WHERE vec_id % 2 = 0
+), c0 AS (
+  SELECT s.vec_id AS cid, i.i - 1 AS pos, s.e[i.i] AS cval
+  FROM (SELECT vec_id, e FROM v WHERE vec_id % 2 = 0
+        ORDER BY vec_id LIMIT {n_coarse}) s
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) i
+), {_kmeans_iter_cte(1, "c0", "ves")}, {_kmeans_iter_cte(2, "c1", "ves")},
+{_kmeans_iter_cte(3, "c2", "ve")},
+ver AS (
+  SELECT ve.vec_id, ve.pos, ve.x - c.cval AS x
+  FROM ve JOIN a3 ON a3.vec_id = ve.vec_id
+  JOIN c2 c ON c.cid = a3.centroid AND c.pos = ve.pos
+), vers AS (
+  SELECT * FROM ver WHERE vec_id % 2 = 0
+), pseed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT DISTINCT vec_id FROM vers ORDER BY vec_id LIMIT {k})
+), pc0 AS (
+  SELECT r.pos // {dsub} AS sub, p.code, r.pos, r.x AS cval
+  FROM vers r JOIN pseed p USING (vec_id)
+), {_pq_iter_cte(1, dsub, "vers")}, {_pq_iter_cte(2, dsub, "vers")},
+{_pq_iter_cte(3, dsub, "ver")}
+SELECT e.vec_id, a3.centroid AS cid, e.sub, e.code
+FROM pa3 e JOIN a3 USING (vec_id)"""
+
+
+@query("stream_ivfpq_ingest", _ivfpq_stream_oracle())
+def stream_ivfpq_ingest(spark, sf_dir):
+    """Streaming ANN-index maintenance (`pipeline/pq.ivfpq_encode` +
+    Structured Streaming): the IVF-PQ index is trained once on a snapshot
+    (even vec_ids), written cid-partitioned (`ivfpq_write`), and the
+    remaining vectors arrive as TWO parquet micro-batches
+    (maxFilesPerTrigger=1) whose ``foreachBatch`` encodes against the
+    FROZEN coarse centroids + residual codebooks — per-row work against
+    broadcast state, no retraining, no shuffle — and appends straight
+    into the partitioned store.  The entry returns the final stored index
+    (one row per vector × subspace), so the oracle value-hashes the whole
+    composition: snapshot training, streamed encoding, and the store
+    layout that lets probes prune directories at serving time."""
+    import os
+    import uuid as _uuid
+
+    from .pipeline.pq import ivfpq_build, ivfpq_encode, ivfpq_write
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    snap = emb.filter("vec_id % 2 = 0")
+    cents, books, enc0 = ivfpq_build(snap, n_coarse=8, m=8, k=16, iters=2)
+
+    tag = _uuid.uuid4().hex[:8]
+    idx = os.path.join(e.warehouse, f"ivfpq_idx_{tag}")
+    src = os.path.join(e.warehouse, f"ivfpq_src_{tag}")
+    ck = src + "_ck"
+    ivfpq_write(enc0, idx)
+    # two single-file arrivals -> two micro-batches under maxFilesPerTrigger=1
+    emb.filter("vec_id % 4 = 1").coalesce(1).write.mode("append").parquet(src)
+    emb.filter("vec_id % 4 = 3").coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def ingest(batch, _bid):
+        ivfpq_encode(batch, cents, books).write.mode("append").partitionBy(
+            "cid"
+        ).parquet(idx)
+
+    q = (
+        sdf.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stored = spark.read.parquet(idx)
+    return stored.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        F.posexplode("codes").alias("sub", "code"),
+    ).select(
+        "vec_id", "cid", F.col("sub").cast("long").alias("sub"), "code"
+    )
+
+
 @query("sim_pq_topk", _pq_oracle())
 def sim_pq_topk(spark, sf_dir):
     """Product-quantization ANN (`pipeline/pq.py`) — the compression half
@@ -6936,11 +7045,15 @@ _DRIVER_WINDOW = [
     "dialect_custom_group_function",
     "q21_waiting_suppliers",
     "dedup_semantic",
-    "stream_watermark_dedup",
     "process_stream_consume",
     "sim_ivfpq_topk",
     "source_orc_agg",
     "source_text_agg",
+    # NEW late-r5 — streaming IVF-PQ index maintenance (snapshot-train +
+    # frozen-state micro-batch encode into the partitioned store); took
+    # stream_watermark_dedup's slot (r4-driver-green, keeps local
+    # oracles); streaming keeps 4 window rows.
+    "stream_ivfpq_ingest",
     # --- events analytics / sessions / funnels (first driver rows) ---
     "gapfill_hourly_events",
     "cohort_retention_daily",

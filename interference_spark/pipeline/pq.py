@@ -222,18 +222,37 @@ def ivfpq_build(
     residual computation is a JVM ``zip_with`` against the broadcast
     centroid table; no Python touches data outside the (Arrow-batched)
     encode passes."""
-    from .similarity import _argmax_centroid_exact, ivf_train_exact
+    from .similarity import ivf_train_exact
 
-    spark = df.sparkSession
     cents = ivf_train_exact(
         df, n_centroids=n_coarse, iters=iters, vec_col=vec_col, id_col=id_col
     )
-    cdf = spark.createDataFrame(
+    resid = _residuals(df, cents, vec_col, id_col)
+    books = pq_train(
+        resid, m=m, k=k, iters=iters, vec_col="resid", id_col=id_col
+    )
+    encoded = resid.select(
+        F.col(id_col),
+        "cid",
+        _encode_udf(books)(F.col("resid")).alias("codes"),
+    )
+    return cents, books, encoded
+
+
+def _residuals(
+    df: DataFrame, cents, vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, cid, resid) — coarse assignment under the exact quantized
+    score plus the vector's residual against its centroid, as a JVM
+    ``zip_with`` over the broadcast centroid table (no Python)."""
+    from .similarity import _argmax_centroid_exact
+
+    cdf = df.sparkSession.createDataFrame(
         [(cid, list(map(float, cv))) for cid, cv in cents],
         "cid long, cvec array<double>",
     )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    resid = (
+    return (
         df.select(
             F.col(id_col),
             vec_d.alias("__v"),
@@ -246,15 +265,57 @@ def ivfpq_build(
             F.zip_with("__v", "cvec", lambda a, b: a - b).alias("resid"),
         )
     )
-    books = pq_train(
-        resid, m=m, k=k, iters=iters, vec_col="resid", id_col=id_col
-    )
-    encoded = resid.select(
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    cents,
+    books: Codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against an ALREADY-TRAINED index — the incremental
+    ingest path: a new batch gets (cid, m codes) rows from the frozen
+    coarse centroids + residual codebooks, deterministically and without
+    any retraining or shuffle (assignment and encoding are per-row
+    against broadcast state), so a streaming ``foreachBatch`` can append
+    straight into the cid-partitioned store `ivfpq_write` lays out."""
+    resid = _residuals(df, cents, vec_col, id_col)
+    return resid.select(
         F.col(id_col),
         "cid",
         _encode_udf(books)(F.col("resid")).alias("codes"),
     )
-    return cents, books, encoded
+
+
+def ivfpq_write(encoded: DataFrame, path: str) -> None:
+    """Persist an IVF-PQ index PARTITIONED BY coarse cell — the layout
+    that makes a probe read ~nprobe/n_coarse of the index bytes: the
+    search's ``cid IN (...)`` becomes a partition filter (directory-level
+    pruning, zero files opened for unprobed cells).  The stored bytes are
+    (id, m codes) per vector — the 64× compression is what fits a 100 TB
+    corpus's index in a fraction of the space."""
+    encoded.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def ivfpq_search_stored(
+    spark,
+    path: str,
+    cents,
+    books: Codebooks,
+    query_vec: list[float],
+    nprobe: int = 4,
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probed ADC search over an ``ivfpq_write`` layout: `ivfpq_search`'s
+    cid filter lands on the partition column, so only the nprobe probed
+    directories are listed and read (asserted as ``PartitionFilters`` in
+    tests) — probe cost is capped by cell count, not corpus size."""
+    return ivfpq_search(
+        spark.read.parquet(path), cents, books, query_vec,
+        nprobe=nprobe, topk=topk, id_col=id_col,
+    )
 
 
 def ivfpq_search(

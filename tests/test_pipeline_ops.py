@@ -1766,3 +1766,59 @@ def test_ivfpq_build_search(spark):
         e = rows[r.vec_id]
         want = int(sum(tables[e.cid][s][e.codes[s]] for s in range(4)))
         assert r.adist == want
+
+
+def test_ivfpq_encode_matches_build(spark):
+    """ivfpq_encode against the trained state reproduces build's own
+    encoding for the training vectors, and assigns out-of-snapshot
+    vectors to valid cells with in-range codes — the frozen-state
+    incremental-ingest contract (no retraining drift)."""
+    from interference_spark.pipeline.pq import ivfpq_build, ivfpq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    snap = emb.filter("vec_id % 2 = 0")
+    cents, books, enc = ivfpq_build(snap, n_coarse=4, m=4, k=8, iters=1)
+    again = ivfpq_encode(snap, cents, books)
+    want = {r.vec_id: (r.cid, tuple(r.codes)) for r in enc.collect()}
+    got = {r.vec_id: (r.cid, tuple(r.codes)) for r in again.collect()}
+    assert got == want
+
+    valid = {cid for cid, _ in cents}
+    new = ivfpq_encode(emb.filter("vec_id % 2 = 1"), cents, books).collect()
+    assert new and all(
+        r.cid in valid and len(r.codes) == 4 and all(0 <= c < 8 for c in r.codes)
+        for r in new
+    )
+
+
+def test_ivfpq_stored_probe_prunes_partitions(spark, tmp_path):
+    """ivfpq_write + ivfpq_search_stored: the probe's cid IN-list becomes
+    a PARTITION filter over the cid-partitioned index (directory pruning
+    — the 100 TB probe path), and the pruned search returns exactly the
+    in-memory ivfpq_search results."""
+    import re
+
+    from interference_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_search,
+        ivfpq_search_stored,
+        ivfpq_write,
+    )
+    from interference_spark.pipeline.similarity import probe_centroids_exact
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cents, books, enc = ivfpq_build(emb, n_coarse=8, m=8, k=16, iters=1)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write(enc, path)
+
+    got = ivfpq_search_stored(spark, path, cents, books, qvec, nprobe=2, topk=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), plan
+    probes = probe_centroids_exact(cents, qvec, 2)
+    assert all(str(int(p)) in m.group(1) for p in probes), plan
+    want = ivfpq_search(enc, cents, books, qvec, nprobe=2, topk=5)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
