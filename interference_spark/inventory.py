@@ -7000,6 +7000,73 @@ def bpe_subword_stats(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+def _bpe_encode_oracle(k: int = _BPE_MERGES, mod: int = 101) -> str:
+    """Tokenizer-encode replay: vocabulary ids (base chars in binary
+    order, merges at B+rank-1, collisions keep min id), then the sampled
+    docs' words re-segmented by w{k} and flattened to per-document
+    position-indexed token ids."""
+    mr = "\nUNION ALL\n".join(
+        f"SELECT l || r AS token, CAST({i} AS BIGINT) AS mrank FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""WITH {_bpe_ctes(k)},
+chars AS (
+  SELECT DISTINCT unnest(str_split(word, '')) AS token FROM w0
+), cid AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+  FROM chars
+), nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cid),
+mr AS ({mr}),
+vocab AS (
+  SELECT token, CAST(min(token_id) AS BIGINT) AS token_id FROM (
+    SELECT token, token_id FROM cid
+    UNION ALL
+    SELECT mr.token, nb.b + mr.mrank - 1 AS token_id FROM mr CROSS JOIN nb
+  ) GROUP BY token
+), dw AS (
+  SELECT doc_id, j.j AS wpos, t.w[j.j] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % {mod} = 0) t
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS j) j
+  WHERE t.w[j.j] <> ''
+), ds AS (
+  SELECT u.doc_id, u.wpos, j2.j2 AS spos, u.s[j2.j2] AS token
+  FROM (SELECT dw.doc_id, dw.wpos, str_split(w{k}.sym, ' ') AS s
+        FROM dw JOIN w{k} USING (word)) u
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(u.s))) AS j2) j2
+)
+SELECT ds.doc_id,
+       CAST(row_number() OVER (PARTITION BY ds.doc_id
+                               ORDER BY ds.wpos, ds.spos) - 1
+            AS BIGINT) AS pos,
+       ds.token, vocab.token_id
+FROM ds JOIN vocab USING (token)"""
+
+
+@query("bpe_encode_ids", _bpe_encode_oracle())
+def bpe_encode_ids(spark, sf_dir):
+    """Corpus tokenization with the trained tokenizer
+    (`pipeline/bpe.bpe_vocab` + `bpe_encode`) — the step a training run
+    actually consumes: base characters get ids in binary order, the 8
+    learned merges get B+rank-1, and a 1-in-101 document sample (output
+    bound; the plan is corpus-wide) is flattened to position-indexed
+    token-id sequences.  The word-table and vocab joins broadcast at
+    scale; the only shuffle partitions by document.  Training, vocab
+    construction, segmentation, and position densification all replay in
+    the oracle, so the entire tokenizer — rules AND application —
+    value-hashes."""
+    from .pipeline.bpe import bpe_encode, bpe_train, bpe_vocab
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    merges, words = bpe_train(docs, n_merges=_BPE_MERGES)
+    out = bpe_encode(docs.filter("doc_id % 101 = 0"), words, bpe_vocab(merges, words))
+    rows = out.collect()
+    words.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves
@@ -7044,11 +7111,15 @@ _DRIVER_WINDOW = [
     # dialect_custom_group_function / dedup_semantic+editdistance. ---
     "dialect_custom_group_function",
     "q21_waiting_suppliers",
-    "dedup_semantic",
     "process_stream_consume",
     "sim_ivfpq_topk",
     "source_orc_agg",
     "source_text_agg",
+    # NEW late-r5 — tokenizer encode-to-ids (vocab ids + per-doc
+    # position-indexed sequences); took dedup_semantic's slot
+    # (r4-driver-green, keeps local oracles; dedup keeps
+    # editdistance + canonical_corpus window rows).
+    "bpe_encode_ids",
     # NEW late-r5 — streaming IVF-PQ index maintenance (snapshot-train +
     # frozen-state micro-batch encode into the partitioned store); took
     # stream_watermark_dedup's slot (r4-driver-green, keeps local

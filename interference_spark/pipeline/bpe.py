@@ -129,6 +129,90 @@ def bpe_train(
     return merges, cur
 
 
+def bpe_vocab(merges: DataFrame, words: DataFrame) -> DataFrame:
+    """Token-id table ``(token, token_id)`` for a trained tokenizer:
+    base characters (every distinct character of the word table) take ids
+    ``0..B-1`` in lexicographic (binary codepoint) order, learned merges
+    take ``B + merge_rank - 1``; a merged string that collides with an
+    existing token keeps the SMALLEST id (dedup by min — the mapping is a
+    function).  The id assignment runs through one unpartitioned
+    vocab-sized window — bounded by alphabet + n_merges, never by the
+    corpus."""
+    from pyspark.sql import Window
+
+    spark = words.sparkSession
+    chars = (
+        words.select(
+            F.explode(
+                F.filter(F.split("word", ""), lambda c: c != "")
+            ).alias("token")
+        )
+        .distinct()
+    )
+    b = chars.count()  # alphabet-bounded driver scalar
+    cid = chars.select(
+        "token",
+        (F.row_number().over(Window.orderBy("token")) - 1)
+        .cast("long")
+        .alias("token_id"),
+    )
+    mrows = [
+        (r["merged"], b + int(r["merge_rank"]) - 1)
+        for r in merges.collect()  # ≤ n_merges rows — driver-bounded
+    ]
+    mtok = spark.createDataFrame(
+        mrows or [("", -1)], "token string, token_id long"
+    )
+    if not mrows:
+        mtok = mtok.filter(F.lit(False))
+    return (
+        cid.unionByName(mtok)
+        .groupBy("token")
+        .agg(F.min("token_id").alias("token_id"))
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    words: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents to token-id sequences with a TRAINED tokenizer —
+    the last step of the pipeline: whitespace words join the (distinct,
+    corpus-small) segmented word table for their subword split, subwords
+    join the vocab for ids, and each document's global position index is
+    densified over (word position, subword position).  Both joins
+    broadcast at scale (word table ≪ corpus, vocab is alphabet-sized);
+    the only corpus-wide shuffle is the per-document window sort, which
+    partitions by document — embarrassingly parallel across docs."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    dw = docs.select(
+        F.col(doc_col), F.posexplode(toks).alias("wpos", "word")
+    )
+    seg = dw.join(words.select("word", "sym"), "word")
+    sub = seg.select(
+        F.col(doc_col),
+        "wpos",
+        F.posexplode(F.split("sym", " ")).alias("spos", "token"),
+    )
+    w = Window.partitionBy(doc_col).orderBy("wpos", "spos")
+    return (
+        sub.join(vocab, "token")
+        .select(
+            F.col(doc_col),
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+            "token",
+            "token_id",
+        )
+    )
+
+
 def subword_stats(
     docs: DataFrame,
     words: DataFrame,

@@ -1544,6 +1544,55 @@ def test_bpe_train_matches_reference(spark):
     words.unpersist()
 
 
+def test_bpe_vocab_and_encode(spark):
+    """bpe_vocab/bpe_encode contract against the textbook reference:
+    base chars get ids 0..B-1 in binary order, merges get B+rank-1
+    (string collisions keep the min id), and every encoded sequence is
+    the reference segmentation flattened in order with dense per-doc
+    positions."""
+    from interference_spark.pipeline.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = [
+        "low low low lower lower",
+        "newest newest newest widest",
+        "aaaa aa low newest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    )
+    freqs = {}
+    for t in docs:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    rules, segs = _ref_bpe(freqs, 6)
+
+    merges, words = bpe_train(df, n_merges=6)
+    vocab = {r.token: r.token_id for r in bpe_vocab(merges, words).collect()}
+    chars = sorted({c for w in freqs for c in w})
+    b = len(chars)
+    want_vocab = {c: i for i, c in enumerate(chars)}
+    for rank, _l, _r, merged, _c in rules:
+        want_vocab.setdefault(merged, b + rank - 1)
+    assert vocab == want_vocab
+
+    enc = bpe_encode(df, words, bpe_vocab(merges, words)).collect()
+    by_doc: dict[int, list] = {}
+    for r in enc:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(docs):
+        rows = sorted(by_doc[i], key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(len(rows)))  # dense
+        want = [tok for w in t.split() for tok in segs[w]]
+        assert [r.token for r in rows] == want
+        assert [r.token_id for r in rows] == [want_vocab[t_] for t_ in want]
+    words.unpersist()
+
+
 def test_bpe_train_early_stop_and_plan(spark):
     """Single-char vocabulary exhausts pairs -> training stops early with
     fewer rules; and the whole pipeline is JVM-only (no Python nodes in
