@@ -4929,6 +4929,54 @@ def text_repeated_passages(spark, sf_dir):
 
 
 @query(
+    "clean_repeated_passages",
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         FROM documents
+       ), ch AS (
+         SELECT doc_id, i.i AS cpos,
+                array_to_string(t.w[(i.i * 10 + 1):(i.i * 10 + 10)], ' ')
+                  AS chunk
+         FROM t CROSS JOIN LATERAL (
+           SELECT unnest(generate_series(0, len(t.w) // 10 - 1)) AS i
+         ) i
+       ), rep AS (
+         SELECT chunk FROM ch GROUP BY chunk
+         HAVING count(DISTINCT doc_id) >= 2
+       ), marked AS (
+         SELECT ch.doc_id, ch.cpos, ch.chunk,
+                rep.chunk IS NOT NULL AS is_rep
+         FROM ch LEFT JOIN rep USING (chunk)
+       ), per_doc AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(count(*) FILTER (WHERE is_rep) AS BIGINT) AS n_removed,
+                string_agg(chunk, ' ' ORDER BY cpos)
+                  FILTER (WHERE NOT is_rep) AS kept
+         FROM marked GROUP BY doc_id
+       )
+       SELECT t.doc_id,
+              coalesce(p.n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
+              coalesce(p.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+              trim(concat_ws(' ', coalesce(p.kept, ''),
+                array_to_string(t.w[(len(t.w) // 10 * 10 + 1):len(t.w)], ' ')
+              )) AS clean_text
+       FROM t LEFT JOIN per_doc p USING (doc_id)""",
+)
+def clean_repeated_passages(spark, sf_dir):
+    """Repeated-passage REMOVAL (`pipeline/text.remove_repeated_passages`)
+    — the cleanup `text_repeated_passages` detection feeds: every
+    document is rewritten with its cross-document-repeated 10-word
+    chunks cut out (tails and short docs pass through), plus per-doc
+    removed-chunk counts.  Detection's combiner groupBy + a broadcastable
+    repeated-chunk join + a per-document rebuild bounded by doc size —
+    the whole rewrite value-hashes, clean text included."""
+    from .pipeline.text import remove_repeated_passages
+
+    e = engine_for(spark, sf_dir)
+    return remove_repeated_passages(e.table("documents"))
+
+
+@query(
     "embedding_dim_stats",
     """WITH x AS (
          SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e

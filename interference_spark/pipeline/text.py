@@ -676,6 +676,84 @@ def repeated_passages(
     )
 
 
+def remove_repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply the `repeated_passages` signal: rewrite every document with
+    its cross-document-repeated chunks REMOVED (the Lee-et-al-style
+    "deduplicate training data" cleanup, at the same non-overlapping
+    ``chunk_words`` granularity as detection).  The sub-chunk tail is
+    always kept; chunk order is preserved; short docs (< one chunk) pass
+    through verbatim.  Returns ``(id, n_chunks, n_removed, clean_text)``.
+
+    Scale shape: detection's combiner groupBy on the chunk key, a
+    semi-join-shaped LEFT join marking each doc's chunks (repeated-chunk
+    table ≪ corpus — broadcastable), then a per-document rebuild
+    (collect_list of the doc's OWN ≤ tokens/chunk_words chunks — bounded
+    by document size, never by corpus).  Nothing corpus-sized reaches the
+    driver."""
+    cw = int(chunk_words)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks_expr = F.expr(
+        f"CASE WHEN size(__toks) >= {cw} THEN "
+        f"transform(sequence(0, CAST(floor(size(__toks) / {cw}) AS INT) - 1),"
+        f" i -> array_join(slice(__toks, i * {cw} + 1, {cw}), ' ')) "
+        "ELSE array() END"
+    )
+    tail_expr = F.expr(
+        f"array_join(slice(__toks, CAST(floor(size(__toks) / {cw}) AS INT)"
+        f" * {cw} + 1, size(__toks)), ' ')"
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+    ).select(
+        F.col(id_col),
+        chunks_expr.alias("__chunks"),
+        tail_expr.alias("__tail"),
+    )
+    chunked = base.select(
+        F.col(id_col), F.posexplode("__chunks").alias("cpos", "chunk")
+    )
+    rep = repeated_passages(
+        df, text_col, id_col, chunk_words, min_docs
+    ).select("chunk", F.lit(True).alias("__rep"))
+    marked = chunked.join(rep, "chunk", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count("__rep").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rep").isNull(),
+                            F.struct("cpos", "chunk"),
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("__kept"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.trim(
+                F.concat_ws(" ", F.coalesce("__kept", F.lit("")), "__tail")
+            ).alias("clean_text"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

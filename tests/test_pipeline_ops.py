@@ -1544,6 +1544,32 @@ def test_bpe_train_matches_reference(spark):
     words.unpersist()
 
 
+def test_remove_repeated_passages(spark):
+    """Chunk-granular removal semantics: a 10-word chunk shared by two
+    docs is cut from both, unique chunks and sub-chunk tails survive in
+    order, a doc that IS one repeated chunk becomes empty, and short
+    docs pass through verbatim."""
+    from interference_spark.pipeline.text import remove_repeated_passages
+
+    shared = "a b c d e f g h i j"  # exactly one chunk
+    uniq1 = "k l m n o p q r s t"
+    docs = [
+        (1, f"{shared} {uniq1} tail1 tail2"),  # shared cut, rest kept
+        (2, f"{shared}"),  # whole doc repeated -> empty
+        (3, "short doc"),  # < 10 words -> verbatim
+        (4, f"u v w x y z aa bb cc dd {shared} ee"),  # shared cut mid-doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_removed, r.clean_text)
+        for r in remove_repeated_passages(df).collect()
+    }
+    assert got[1] == (2, 1, f"{uniq1} tail1 tail2")
+    assert got[2] == (1, 1, "")
+    assert got[3] == (0, 0, "short doc")
+    assert got[4] == (2, 1, "u v w x y z aa bb cc dd ee")
+
+
 def test_bpe_vocab_and_encode(spark):
     """bpe_vocab/bpe_encode contract against the textbook reference:
     base chars get ids 0..B-1 in binary order, merges get B+rank-1
