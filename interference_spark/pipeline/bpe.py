@@ -203,7 +203,9 @@ def bpe_encode(
     )
     w = Window.partitionBy(doc_col).orderBy("wpos", "spos")
     return (
-        sub.join(vocab, "token")
+        # vocab is alphabet+merges-sized — ALWAYS the build side, even
+        # when the corpus side is small enough that stats would flip it
+        sub.join(F.broadcast(vocab), "token")
         .select(
             F.col(doc_col),
             (F.row_number().over(w) - 1).cast("long").alias("pos"),
