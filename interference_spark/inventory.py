@@ -6582,6 +6582,46 @@ def frequent_event_sequences(spark, sf_dir):
 
 
 @query(
+    "mix_token_budget",
+    """WITH d AS (
+         SELECT doc_id, lang,
+                CAST(len(list_filter(regexp_split_to_array(trim(text),
+                  '\\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+         FROM documents
+       ), c AS (
+         SELECT doc_id, lang, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY n_tokens DESC, doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         FROM d
+       ), b(lang, budget) AS (
+         VALUES ('en', CAST(4000 AS BIGINT)), ('de', 1500),
+                ('es', 1200), ('fr', 900)
+       )
+       SELECT c.doc_id, c.lang, c.n_tokens,
+              CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+       FROM c JOIN b USING (lang)
+       WHERE c.cum_tokens - c.n_tokens < b.budget""",
+)
+def mix_token_budget(spark, sf_dir):
+    """Token-budget mixture assembly (`pipeline/export.token_budget_mix`):
+    per-language budgets (en 4000 / de 1500 / es 1200 / fr 900 tokens;
+    zh unbudgeted → dropped) filled greedily longest-first — each budget
+    is met or exceeded by less than one document, the guarantee rate
+    sampling can't give ("train on N tokens of X").  One stratum
+    exchange + running sum, budgets broadcast; every count and cumsum is
+    an exact BIGINT, so the kept set value-hashes."""
+    from .pipeline.export import token_budget_mix
+
+    e = engine_for(spark, sf_dir)
+    return token_budget_mix(
+        e.table("documents"),
+        "lang",
+        {"en": 4000, "de": 1500, "es": 1200, "fr": 900},
+    )
+
+
+@query(
     "temperature_sample_by_lang",
     """WITH c AS (
          SELECT lang, count(*) AS c,

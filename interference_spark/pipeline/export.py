@@ -340,6 +340,63 @@ def temperature_sample(
     )
 
 
+def token_budget_mix(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assemble a training mixture against EXACT per-stratum token
+    budgets: within each stratum docs are ranked (longest first, id ties
+    ascending — substitute a quality score upstream by adding it as a
+    column and re-ranking) and greedily kept while the tokens BEFORE a
+    doc are under the stratum's budget, so the first doc crossing the
+    line is still included and every budget is met or exceeded by less
+    than one document.  Strata without a budget are dropped.  Returns
+    ``(id, stratum, n_tokens, cum_tokens)``.
+
+    Unlike rate sampling, the output token count is guaranteed, which is
+    what "train on 30B tokens of code, 10B of forum text" actually
+    requires.  Plan: one hash exchange on the stratum + a per-stratum
+    running sum; budgets broadcast.  At 100 TB a head stratum is one
+    window partition — rank on a coarse quality BUCKET first and cumsum
+    bucket totals (two bounded aggregates) to cut within the bucket,
+    keeping the exact-budget property without a serial stratum scan."""
+    from pyspark.sql import Window
+
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for stratum {k!r} must be >= 0, got {v}")
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    ).cast("long")
+    bdf = df.sparkSession.createDataFrame(
+        list(budgets.items()), f"{strata_col} string, __budget long"
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.desc("n_tokens"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = df.select(F.col(id_col), F.col(strata_col), ntok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return (
+        d.join(F.broadcast(bdf), strata_col)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            "__budget",
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("__budget"))
+        .drop("__budget")
+    )
+
+
 def group_sample_k(
     df: DataFrame,
     strata_col: str,

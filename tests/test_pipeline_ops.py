@@ -1544,6 +1544,40 @@ def test_bpe_train_matches_reference(spark):
     words.unpersist()
 
 
+def test_token_budget_mix(spark):
+    """Greedy-fill contract: docs rank longest-first (id ties ascending),
+    the doc that CROSSES the budget is included (budget met or exceeded
+    by < 1 doc), later docs are cut, an unbudgeted stratum disappears,
+    and a zero budget keeps nothing."""
+    import pytest as _pytest
+
+    from interference_spark.pipeline.export import token_budget_mix
+
+    rows = [
+        (1, "en", "w " * 10),  # 10 tokens
+        (2, "en", "w " * 10),  # ties with 1 -> id order
+        (3, "en", "w " * 4),  # crosses the 22-token budget -> kept
+        (4, "en", "w " * 3),  # after the cross -> cut
+        (5, "de", "w " * 5),
+        (6, "zh", "w " * 5),  # no budget -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.cum_tokens)
+        for r in token_budget_mix(
+            df, "lang", {"en": 22, "de": 5, "fr": 100, "empty": 0}
+        ).collect()
+    }
+    assert got == {
+        1: ("en", 10, 10),
+        2: ("en", 10, 20),
+        3: ("en", 4, 24),
+        5: ("de", 5, 5),
+    }
+    with _pytest.raises(ValueError, match="must be >= 0"):
+        token_budget_mix(df, "lang", {"en": -1})
+
+
 def test_remove_repeated_passages(spark):
     """Chunk-granular removal semantics: a 10-word chunk shared by two
     docs is cut from both, unique chunks and sub-chunk tails survive in
