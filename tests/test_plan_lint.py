@@ -225,3 +225,42 @@ def test_incremental_minhash_band_shuffle_is_narrow(spark):
     for i in bucket_ex:
         child = lines[i + 1] if i + 1 < len(lines) else ""
         assert "signature" not in child, f"{lines[i]}\n{child}"
+
+
+def test_mix_token_budget_broadcasts_budgets(spark):
+    """The budget table (one row per budgeted stratum) must broadcast onto
+    the corpus; the whole mix is JVM-only (no Python nodes) and carries
+    exactly one corpus exchange — the stratum window partitioning."""
+    df = inventory.QUERIES["mix_token_budget"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_clean_repeated_passages_plan(spark):
+    """Passage removal is pure JVM (chunking via higher-order functions,
+    no UDF) and never builds a cartesian; the repeated-chunk table joins
+    back as a real join, not a re-scan explosion."""
+    df = inventory.QUERIES["clean_repeated_passages"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_vocab_is_build_side(spark):
+    """The vocab join must build on the (alphabet+merges-sized) vocab —
+    pinned by hint so a small corpus slice can't flip it."""
+    from interference_spark.pipeline.bpe import bpe_encode, bpe_train, bpe_vocab
+
+    df = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "low widest aaaa")],
+        "doc_id long, text string",
+    )
+    merges, words = bpe_train(df, n_merges=2)
+    enc = bpe_encode(df, words, bpe_vocab(merges, words))
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin [token" in ln]
+    assert lines and all("BuildRight" in ln for ln in lines), plan[:3000]
+    words.unpersist()
