@@ -85,6 +85,12 @@ HEADLINE = [
     "event_funnel_conversion",
     "dedup_incremental",
     "quality_model_scores",
+    # r5 additions (cheap representatives of the round's new families;
+    # the heavier r5 ops — BPE training, PQ/IVF-PQ builds, streaming
+    # index ingest — are eager multi-job pipelines measured by
+    # tools/scaling_probe.py and stay driver-window-verified instead)
+    "mix_token_budget",
+    "clean_repeated_passages",
     # NOT benched (driver-window-verified for correctness; each costs
     # ~1.4-1.6 s of pure setup side effects, and the bench total is the
     # round's headline number): incremental_rollup_distinct_users,
