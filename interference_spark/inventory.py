@@ -7155,6 +7155,162 @@ def bpe_encode_ids(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+@query(
+    "quality_perplexity_lm",
+    """WITH trt AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+), big AS (
+  SELECT t[i] AS c, t[i+1] AS w
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM trt WHERE len(t) >= 2)
+), bigc AS (SELECT c, w, count(*) AS cw FROM big GROUP BY 1, 2
+), ctxc AS (SELECT c, count(*) AS cc FROM big GROUP BY 1
+), voc AS (
+  SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS tok FROM trt)
+), st AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE doc_id % 2 = 1 AND length(trim(text)) > 0
+), sb AS (
+  SELECT doc_id, t[i] AS c, t[i+1] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM st WHERE len(t) >= 2)
+), scored AS (
+  SELECT sb.doc_id,
+         CASE WHEN ctxc.cc IS NULL
+              THEN CAST(1 AS DOUBLE) / CAST(voc.v AS DOUBLE)
+              ELSE CAST(coalesce(bigc.cw, 0) + 1 AS DOUBLE)
+                   / CAST(ctxc.cc + voc.v AS DOUBLE)
+         END AS p
+  FROM sb LEFT JOIN bigc USING (c, w) LEFT JOIN ctxc USING (c) CROSS JOIN voc
+), q AS (
+  SELECT doc_id,
+         CAST(floor(ln(p) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS logq
+  FROM scored
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(-sum(logq) AS BIGINT) AS nll_micronats,
+       CAST(-sum(logq) AS DOUBLE)
+         / (CAST(1000000 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS nll_nats,
+       (CAST(-sum(logq) AS DOUBLE)
+         / (CAST(1000000 AS DOUBLE) * CAST(count(*) AS DOUBLE)))
+         <= CAST(3.4375 AS DOUBLE) AS kept
+FROM q GROUP BY doc_id""",
+)
+def quality_perplexity_lm(spark, sf_dir):
+    """CCNet-style LM perplexity filtering (`pipeline/lm.py`): train an
+    add-one-smoothed bigram LM on the trusted half of the corpus (even
+    doc_ids), score the other half's mean negative log-likelihood in
+    nats-per-bigram, and keep documents under a perplexity threshold.
+    Training is two combiner-friendly groupBy counts over the exploded
+    bigram stream; scoring is two keyed LEFT joins (AQE splits the
+    Zipf-skewed context key at scale).  Per-bigram log-probs quantize to
+    integer micronats by spec, so every aggregate is exact integer math —
+    partitioning and sum order can't perturb the value hash.  Threshold
+    3.4375 is dyadic (exact in binary), so the keep flag can't sit on a
+    rounding boundary."""
+    from .pipeline.lm import perplexity_filter, train_bigram_lm
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return perplexity_filter(
+        docs.filter(F.col("doc_id") % 2 == 1), lm, threshold_nats=3.4375
+    )
+
+
+@query(
+    "rank_bm25_topk",
+    """WITH tok AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0)
+), stats AS (
+  SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS sum_dl FROM tok
+), tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM tok WHERE term IN ('hash', 'stream', 'vector')
+  GROUP BY 1, 2, 3
+), dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1
+), j AS (
+  SELECT tf.doc_id,
+         (CAST(CAST(floor(ln(CAST(1 AS DOUBLE)
+             + (CAST(stats.n_docs - dft.dft AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / (CAST(dft.dft AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+           / CAST(1000000 AS DOUBLE))
+         * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+            / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+               * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * (CAST(tf.dl AS DOUBLE)
+                    / (CAST(stats.sum_dl AS DOUBLE)
+                       / CAST(stats.n_docs AS DOUBLE))))))
+         AS ts
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+)
+SELECT doc_id, count(*) AS n_terms_matched,
+       CAST(sum(CAST(ts AS DECIMAL(38,14))) AS DOUBLE) AS score
+FROM j GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 15""",
+)
+def rank_bm25_topk(spark, sf_dir):
+    """Okapi BM25 lexical retrieval (`pipeline/retrieval.py`): top-15
+    documents for a 3-term probe query — the query-based corpus-selection
+    primitive next to the embedding ANN operators.  The isin filter prunes
+    the token stream before the term-frequency shuffle, document
+    frequencies (query-sized) broadcast back, corpus stats are a 1-row
+    broadcast, and the ranking is TakeOrderedAndProject — no global sort.
+    The idf's ln is micronat-quantized by spec and the per-document sum
+    over query terms accumulates in DECIMAL(38,14), so the score is
+    order-independent and bit-identical across engines."""
+    from .pipeline.retrieval import bm25_topk
+
+    e = engine_for(spark, sf_dir)
+    return bm25_topk(e.table("documents"), ["vector", "hash", "stream"], k=15)
+
+
+@query(
+    "graph_components_copurchase",
+    """WITH RECURSIVE e0 AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), de AS (
+  SELECT pa AS src, pb AS dst FROM e0
+  UNION ALL SELECT pb, pa FROM e0
+), reach(id, lbl) AS (
+  SELECT src, src FROM de
+  UNION
+  SELECT de.src, r.lbl FROM de JOIN reach r ON r.id = de.dst
+)
+SELECT id AS part_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id""",
+)
+def graph_components_copurchase(spark, sf_dir):
+    """Connected components of the co-purchase graph: parts sharing an
+    order (support ≥ 2) are edges; every node gets its component's min
+    part id via the distributed min-label-propagation loop
+    (`pipeline/dedup.connected_components` — join + groupBy-min per
+    round, lineage cut with localCheckpoint, converges in diameter
+    rounds).  The oracle computes the same fixpoint with a recursive
+    transitive-closure CTE, so the iterative Spark loop is value-checked
+    against a declarative ground truth."""
+    from .pipeline.dedup import connected_components
+    from .pipeline.graph import co_occurrence_edges
+
+    e = engine_for(spark, sf_dir)
+    edges = co_occurrence_edges(
+        e.table("lineitem"), "l_orderkey", "l_partkey", min_support=2
+    )
+    labels = connected_components(edges, "pa", "pb")
+    return labels.select(
+        F.col("id").alias("part_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves

@@ -1,0 +1,155 @@
+"""Distributed n-gram language modeling for corpus quality filtering.
+
+The CCNet/RefinedWeb-style pipeline stage: train a smoothed bigram LM on a
+trusted slice of the corpus, score every candidate document's negative
+log-likelihood under it, and keep the documents below a perplexity
+threshold.  The classic implementation is a single-node KenLM binary; here
+both training and scoring are plain keyed DataFrame aggregations/joins, so
+the same code runs at 100 TB:
+
+* training is two ``groupBy`` counts over the exploded bigram stream
+  (combiner-friendly — bigram counts shrink massively map-side) plus a
+  one-row vocabulary count;
+* scoring is two keyed LEFT joins (candidate bigrams × LM tables).  The
+  bigram-count join is keyed on (context, word) and the context-count join
+  on context alone; the context key is Zipf-skewed at scale, which is
+  exactly what AQE skew-join splitting is for (enabled in the session
+  builder).  Neither join needs a broadcast to be correct, but a small LM
+  (the common case — the trusted slice is curated) broadcasts automatically
+  under the 10 MB threshold.
+
+Float-determinism contract (see inventory module docstring): per-bigram
+log-probabilities are *quantized to integer micronats* —
+``floor(ln(p) * 1e6)`` as BIGINT — which makes every downstream aggregate
+exact integer arithmetic, independent of partitioning and summation order.
+The quantization is part of the operator's specification, not an
+implementation detail: two engines computing the same spec agree bit for
+bit (the only cross-engine surface is ``ln`` itself, applied to
+bit-identical doubles, then floored at a granularity that makes a
+last-ulp disagreement land on an integer boundary with probability ~1e-9).
+
+Smoothing spec (add-one / Laplace over a closed vocabulary + OOV bucket):
+
+* ``V``  = distinct unigrams in the training slice + 1 (the OOV type);
+* ``p(w | c) = (count(c, w) + 1) / (count(c·) + V)``  when context ``c``
+  was seen starting at least one training bigram;
+* ``p(w | c) = 1 / V``  when ``c`` is unseen (uniform fallback).
+
+A document's score is the mean negative log-probability of its bigram
+stream in nats per bigram (``exp`` of it is the perplexity; thresholding
+in nats is equivalent and avoids a cross-engine ``exp``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1000000.0  # micronat quantization, part of the spec
+
+
+def _bigrams(df: DataFrame, text_col: str, extra_cols: list[str]) -> DataFrame:
+    """Explode each document into its (context, word) bigram stream.
+
+    The position-indexed ``transform`` over a ``slice`` runs entirely in
+    whole-stage codegen (no Python, no shuffle); documents with fewer than
+    two whitespace tokens contribute nothing.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.expr(
+        "transform(slice(__t, 1, size(__t) - 1),"
+        " (x, i) -> struct(x AS c, __t[i + 1] AS w))"
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("__t", toks)
+        .filter(F.size("__t") >= 2)
+        .select(*extra_cols, F.explode(pairs).alias("__p"))
+        .select(*extra_cols, F.col("__p.c").alias("c"), F.col("__p.w").alias("w"))
+    )
+
+
+@dataclass
+class BigramLM:
+    """A trained bigram LM as three DataFrames (no driver-side state, so
+    the model itself scales with the cluster: a 100 TB training slice
+    yields LM tables that stay distributed end to end)."""
+
+    bigram_counts: DataFrame  # (c, w, cw)
+    context_counts: DataFrame  # (c, cc)
+    vocab: DataFrame  # 1 row: (v) = distinct unigrams + 1
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text") -> BigramLM:
+    """Count-based add-one bigram LM over the whitespace token stream."""
+    big = _bigrams(df, text_col, [])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    vocab = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(toks).alias("tok"))
+        .agg((F.count_distinct("tok") + F.lit(1)).cast("long").alias("v"))
+    )
+    return BigramLM(
+        bigram_counts=big.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cw")),
+        context_counts=big.groupBy("c").agg(F.count(F.lit(1)).alias("cc")),
+        vocab=vocab,
+    )
+
+
+def perplexity_score(
+    df: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LM score: (id, n_bigrams, nll_micronats, nll_nats).
+
+    ``nll_micronats`` is the exact integer sum of quantized per-bigram
+    negative log-probs; ``nll_nats`` = nll_micronats / (1e6 · n_bigrams)
+    is the mean nats-per-bigram (monotone in perplexity).  Documents with
+    fewer than two tokens produce no bigrams and are absent from the
+    output — a filter stage treats absence as "not scorable".
+    """
+    sb = _bigrams(df, text_col, [id_col])
+    j = (
+        sb.join(lm.bigram_counts, ["c", "w"], "left")
+        .join(lm.context_counts, ["c"], "left")
+        .crossJoin(F.broadcast(lm.vocab))
+    )
+    p = F.when(
+        F.col("cc").isNull(),
+        F.lit(1.0) / F.col("v").cast("double"),
+    ).otherwise(
+        (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("cc") + F.col("v")).cast("double")
+    )
+    logq = F.floor(F.log(p) * F.lit(_MICRO)).cast("long")
+    per_doc = (
+        j.select(F.col(id_col), logq.alias("logq"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("logq")).cast("long").alias("nll_micronats"),
+        )
+    )
+    nll = F.col("nll_micronats").cast("double") / (
+        F.lit(_MICRO) * F.col("n_bigrams").cast("double")
+    )
+    return per_doc.withColumn("nll_nats", nll)
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm: BigramLM,
+    threshold_nats: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score + keep flag: ``kept`` ⇔ mean NLL ≤ ``threshold_nats``
+    (equivalently perplexity ≤ exp(threshold))."""
+    scored = perplexity_score(df, lm, text_col=text_col, id_col=id_col)
+    return scored.withColumn(
+        "kept", F.col("nll_nats") <= F.lit(float(threshold_nats))
+    )

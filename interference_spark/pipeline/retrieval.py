@@ -1,0 +1,116 @@
+"""Distributed lexical retrieval scoring (Okapi BM25) over a document
+corpus.
+
+Training-data curation uses this shape for query-based corpus selection
+("find documents relevant to these probe terms") and as the lexical side
+of hybrid retrieval next to the embedding ANN operators in
+``pipeline/similarity.py`` / ``pipeline/pq.py``.
+
+Scale shape: one explode of the token stream (codegen, no Python), a
+combiner-friendly ``groupBy(doc, term)`` term-frequency count restricted
+to the query's terms (the ``isin`` filter prunes the stream *before* the
+shuffle, so the aggregated volume is |matching tokens|, not corpus
+tokens), a per-term document-frequency aggregate the size of the query
+(broadcast back), and a corpus-stats 1-row broadcast.  Final ranking is
+``orderBy().limit(k)`` → TakeOrderedAndProject (distributed partial
+top-k, never a global sort).
+
+Float-determinism contract (see the inventory module docstring): the only
+transcendental, the idf's ``ln``, is quantized to integer micronats
+(``floor(ln(·)·1e6)`` as BIGINT) as part of the spec; per-(doc, term)
+scores are then deterministic products/quotients of bit-identical
+doubles, and the per-document sum over query terms accumulates in
+``DECIMAL(38,14)`` so partitioning and order can't perturb it.
+
+The idf uses the always-positive BM25+ style variant
+``ln(1 + (N - df + 0.5) / (df + 0.5))`` — on web-scale corpora stopword
+probe terms would otherwise go negative and *subtract* relevance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MICRO = 1000000.0
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for a bag-of-terms query.
+
+    Returns (id, n_terms_matched, score) for every document containing at
+    least one query term.  ``score`` sums the classic per-term
+    ``idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with the
+    determinism contract above.
+    """
+    terms = sorted(set(query_terms))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokenized = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), toks.alias("__t"))
+        .select(F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("term"))
+    )
+    stats = tokenized.groupBy().agg(
+        F.count_distinct(id_col).alias("n_docs"),
+        # dl is repeated once per token of its doc; recover sum(dl) as a
+        # plain token count — both are the same number.
+        F.count(F.lit(1)).alias("sum_dl"),
+    )
+    tf = (
+        tokenized.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    j = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf_q = F.floor(
+        F.log(
+            F.lit(1.0)
+            + ((F.col("n_docs") - F.col("dft")).cast("double") + F.lit(0.5))
+            / (F.col("dft").cast("double") + F.lit(0.5))
+        )
+        * F.lit(_MICRO)
+    ).cast("long")
+    tfn = (F.col("tf").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    term_score = (idf_q.cast("double") / F.lit(_MICRO)) * tfn
+    return (
+        j.select(F.col(id_col), term_score.alias("ts"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum(F.col("ts").cast("decimal(38,14)"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score (ties broken by ascending id —
+    deterministic output for the correctness gate)."""
+    scored = bm25_scores(
+        df, query_terms, text_col=text_col, id_col=id_col, k1=k1, b=b
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

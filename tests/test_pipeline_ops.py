@@ -1931,3 +1931,100 @@ def test_ivfpq_stored_probe_prunes_partitions(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_bigram_lm_textbook(spark):
+    """Hand-computed add-one bigram LM on a 2-doc corpus."""
+    import math
+
+    from interference_spark.pipeline.lm import (
+        perplexity_filter,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    # train bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; contexts: a->3, b->2
+    # vocab = {a,b,c} + OOV = 4
+    lm = train_bigram_lm(train)
+    assert {(r.c, r.w, r.cw) for r in lm.bigram_counts.collect()} == {
+        ("a", "b", 3),
+        ("b", "a", 1),
+        ("b", "c", 1),
+    }
+    assert {(r.c, r.cc) for r in lm.context_counts.collect()} == {
+        ("a", 3),
+        ("b", 2),
+    }
+    assert lm.vocab.first()["v"] == 4
+
+    score = spark.createDataFrame(
+        [(1, "a b x"), (3, "zz yy"), (5, "solo"), (7, "  ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in perplexity_filter(score, lm, 10.0).collect()}
+    # doc 1: p(b|a) = (3+1)/(3+4), p(x|b) = (0+1)/(2+4)
+    q = lambda p: math.floor(math.log(p) * 1e6)
+    want1 = -(q(4 / 7) + q(1 / 6))
+    assert out[1].n_bigrams == 2 and out[1].nll_micronats == want1
+    assert out[1].nll_nats == want1 / (1e6 * 2.0)
+    # doc 3: one bigram, unseen context -> uniform 1/V
+    assert out[3].n_bigrams == 1
+    assert out[3].nll_micronats == -q(1 / 4)
+    # <2 tokens / blank: not scorable, absent
+    assert 5 not in out and 7 not in out
+    assert out[1].kept and out[3].kept
+
+
+def test_bm25_hand_check(spark):
+    """BM25 on a 3-doc corpus against a direct numpy-free recomputation."""
+    import math
+
+    from interference_spark.pipeline.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "x x y z"), (1, "x q q"), (2, "q q q q")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, ["x", "q"], k=10).collect()}
+    n, sum_dl = 3, 11
+    avgdl = sum_dl / n
+
+    def idf(dft):
+        return math.floor(math.log(1.0 + (n - dft + 0.5) / (dft + 0.5)) * 1e6) / 1e6
+
+    def ts(tf, dl, dft):
+        return idf(dft) * (
+            (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+        )
+
+    # doc0: x tf=2 dl=4; doc1: x tf=1, q tf=2, dl=3; doc2: q tf=4 dl=4
+    assert out[0].n_terms_matched == 1
+    assert out[1].n_terms_matched == 2
+    assert abs(out[0].score - ts(2, 4, 2)) < 1e-9
+    assert abs(out[1].score - (ts(1, 3, 2) + ts(2, 3, 2))) < 1e-9
+    assert abs(out[2].score - ts(4, 4, 2)) < 1e-9
+    # ranking: doc1 matches both terms and tops the list
+    ranked = sorted(out.values(), key=lambda r: (-r.score, r.doc_id))
+    assert ranked[0].doc_id == 1
+
+
+def test_bm25_prunes_before_shuffle(spark):
+    """The query-term isin filter must run BEFORE the tf aggregation's
+    exchange — the shuffle carries |matching tokens|, not the corpus."""
+    from interference_spark.pipeline.retrieval import bm25_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bm25_scores(docs, ["vector", "hash"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pre, _, post = plan.partition("Exchange")
+    assert "vector" in plan
+    # every exchange-side aggregate sees the already-filtered stream: the
+    # isin Filter appears below (after, in tree print order) the first
+    # exchange of the tf aggregation
+    assert "Filter" in post

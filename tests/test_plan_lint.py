@@ -264,3 +264,26 @@ def test_bpe_encode_vocab_is_build_side(spark):
     lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin [token" in ln]
     assert lines and all("BuildRight" in ln for ln in lines), plan[:3000]
     words.unpersist()
+
+
+def test_perplexity_lm_plan(spark):
+    """LM scoring stays JVM-only (bigram explode via HOFs, no UDF), the
+    1-row vocab attaches as a broadcast (never a cartesian), and the
+    scoring joins are real hash joins."""
+    df = inventory.QUERIES["quality_perplexity_lm"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]  # 1-row vocab
+
+
+def test_bm25_plan(spark):
+    """BM25: df/stats broadcast back (no shuffle join for query-sized
+    sides), ranking is a distributed partial top-k, all JVM."""
+    df = inventory.QUERIES["rank_bm25_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
