@@ -7311,6 +7311,71 @@ def graph_components_copurchase(spark, sf_dir):
     )
 
 
+@query(
+    "stream_lm_ingest",
+    """WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), big AS (
+  SELECT t[i] AS c, t[i+1] AS w
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM t WHERE len(t) >= 2)
+)
+SELECT c, w, CAST(count(*) AS BIGINT) AS cnt
+FROM big GROUP BY c, w""",
+)
+def stream_lm_ingest(spark, sf_dir):
+    """Streaming LM maintenance (`pipeline/lm.bigram_count_deltas`):
+    bigram counts are an ADDITIVE sketch, so keeping the LM current under
+    ingestion is an append-only delta store — the snapshot half (even
+    doc_ids) is counted once, the other half arrives as two parquet
+    micro-batches whose ``foreachBatch`` appends each batch's
+    map-side-combined count delta (batch-sized work, no state store, no
+    retraining), and readers merge deltas with one keyed sum
+    (`merge_bigram_counts` — the compaction job at scale).  The entry
+    returns the merged counts, so the oracle is simply the full-corpus
+    bigram count: snapshot + streamed deltas must reproduce the batch
+    answer exactly."""
+    import os
+    import uuid as _uuid
+
+    from .pipeline.lm import bigram_count_deltas, merge_bigram_counts
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    tag = _uuid.uuid4().hex[:8]
+    store = os.path.join(e.warehouse, f"lm_counts_{tag}")
+    src = os.path.join(e.warehouse, f"lm_src_{tag}")
+    ck = src + "_ck"
+
+    bigram_count_deltas(docs.filter("doc_id % 2 = 0")).write.mode(
+        "append"
+    ).parquet(store)
+    # two single-file arrivals -> two micro-batches under maxFilesPerTrigger=1
+    docs.filter("doc_id % 4 = 1").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 4 = 3").coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def ingest(batch, _bid):
+        bigram_count_deltas(batch).write.mode("append").parquet(store)
+
+    q = (
+        sdf.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return merge_bigram_counts(spark.read.parquet(store))
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves
@@ -7375,8 +7440,11 @@ _DRIVER_WINDOW = [
     "event_transition_matrix",
     "frequent_event_sequences",
     "interarrival_percentiles",
-    "robust_outliers_by_type",
-    "decayed_user_activity",
+    # NEW r5 operators — LM perplexity filtering + BM25 retrieval (took
+    # the slots of robust_outliers_by_type / decayed_user_activity; the
+    # events family keeps 7 first-time window rows + local oracles)
+    "quality_perplexity_lm",
+    "rank_bm25_topk",
     "incremental_rollup_value_quantiles",
     "asof_forward_attribution",
     # --- exact stats / profiling / sketches ---
@@ -7388,7 +7456,10 @@ _DRIVER_WINDOW = [
     # --- training export / sampling / schema ---
     "pack_training_sequences",
     "stratified_sample_by_lang",
-    "temperature_sample_by_lang",
+    # NEW r5 operator — co-purchase connected components vs a recursive
+    # transitive-closure oracle (took temperature_sample_by_lang's slot;
+    # the sampling family keeps 3 window rows + local oracles)
+    "graph_components_copurchase",
     "weighted_sample_by_quality",
     "train_split_dedup_safe",
     "schema_evolution_add_column",

@@ -140,6 +140,32 @@ def perplexity_score(
     return per_doc.withColumn("nll_nats", nll)
 
 
+def bigram_count_deltas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One micro-batch's additive LM-count delta: (c, w, cw) over just
+    this batch's documents.
+
+    Bigram counts are an additive sketch — merging two count tables is a
+    ``groupBy(c, w).sum`` — which makes streaming LM maintenance an
+    append-only store of per-batch deltas (LSM-style): each micro-batch
+    computes a map-side-combined count over its own rows (batch-sized
+    work, no state store, no retraining) and appends; readers merge with
+    one keyed aggregation, and a periodic compaction job rewrites the
+    deltas into one table when they accumulate.  The same shape carries
+    any additive statistic at 100 TB."""
+    return (
+        _bigrams(df, text_col, [])
+        .groupBy("c", "w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+
+
+def merge_bigram_counts(deltas: DataFrame) -> DataFrame:
+    """Compact a delta store into current LM counts (one keyed sum)."""
+    return deltas.groupBy("c", "w").agg(
+        F.sum("cw").cast("long").alias("cnt")
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     lm: BigramLM,

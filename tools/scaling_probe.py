@@ -67,6 +67,22 @@ def _embs(spark, n: int, dim: int = 64):
     )
 
 
+def _lm_perplexity(spark, n: int):
+    from interference_spark.pipeline.lm import perplexity_filter, train_bigram_lm
+
+    docs = _docs(spark, n)
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return perplexity_filter(
+        docs.filter(F.col("doc_id") % 2 == 1), lm, threshold_nats=4.2
+    )
+
+
+def _bm25(spark, n: int):
+    from interference_spark.pipeline.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, n), ["w3", "w17", "w42"], k=15)
+
+
 def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
     from interference_spark.pipeline.dedup import (
         exact_dedup,
@@ -135,6 +151,14 @@ def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
                 F.substring("text", 1, 32).alias("snippet")
             ),
         ),
+        # r5: bigram-LM perplexity scoring — train on the even half,
+        # score the odd half; two counting shuffles + two keyed joins,
+        # all corpus-linear
+        "lm_perplexity": lambda n: _lm_perplexity(spark, n),
+        # r5: BM25 over a 3-term probe query — the isin filter prunes the
+        # token stream before the tf shuffle, so the aggregated volume is
+        # |matching tokens|, not corpus tokens
+        "rank_bm25": lambda n: _bm25(spark, n),
     }
     out: dict[str, dict] = {}
     for name, make in ops.items():
