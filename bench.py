@@ -91,6 +91,8 @@ HEADLINE = [
     # tools/scaling_probe.py and stay driver-window-verified instead)
     "mix_token_budget",
     "clean_repeated_passages",
+    "rank_bm25_topk",
+    "text_novelty_ngrams",
     # NOT benched (driver-window-verified for correctness; each costs
     # ~1.4-1.6 s of pure setup side effects, and the bench total is the
     # round's headline number): incremental_rollup_distinct_users,

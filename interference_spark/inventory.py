@@ -7376,6 +7376,48 @@ def stream_lm_ingest(spark, sf_dir):
     return merge_bigram_counts(spark.read.parquet(store))
 
 
+@query(
+    "text_novelty_ngrams",
+    """WITH ref AS (
+  SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0) t,
+       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) s
+), cand AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+        FROM documents WHERE doc_id % 2 = 1 AND length(trim(text)) > 0) t,
+       LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS i) s
+)
+SELECT cand.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM cand LEFT JOIN ref ON cand.g = ref.g
+GROUP BY cand.doc_id""",
+)
+def text_novelty_ngrams(spark, sf_dir):
+    """N-gram novelty scoring (`pipeline/text.ngram_novelty`): fraction
+    of each candidate document's distinct word trigrams unseen in the
+    reference half of the corpus — the memorization-risk / content-
+    freshness signal next to the decontamination family.  Reference
+    grams are one combiner distinct; membership is a gram-keyed LEFT
+    join (broadcast under the threshold, bloom-prefilter at web scale);
+    novelty is an exact int/int double division, so the value hash is
+    partition-independent."""
+    from .pipeline.text import ngram_novelty
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    return ngram_novelty(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        n=3,
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves

@@ -392,6 +392,58 @@ def _bloom_probe(g: Column, seed: str, m_bits: int) -> tuple[Column, Column]:
     return word, mask
 
 
+def ngram_novelty(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of a document's DISTINCT word ``n``-grams that never occur
+    in ``ref_df`` — high novelty flags genuinely new content, near-zero
+    novelty flags paraphrases/boilerplate of what the model has already
+    seen (the memorization-risk signal next to the decontamination ops).
+
+    Returns (id, n_grams, n_novel, novelty) with ``novelty`` an exact
+    int/int double division.  Documents with fewer than ``n`` tokens have
+    no grams and are absent.
+
+    Scale shape: the reference side is one combiner-friendly distinct
+    over exploded grams; the membership check is a gram-keyed LEFT join
+    (broadcast when the reference fits, shuffle hash beyond — and when
+    the reference is web-scale, :func:`bloom_contaminated_ids` is the
+    constant-size-broadcast variant of the same question).  The per-doc
+    reduction is a counting aggregate with map-side combine."""
+    ref_grams = (
+        ref_df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(_tokens(F.col(text_col)).alias("__t"))
+        .select(F.explode(ngrams_from_tokens(F.col("__t"), n)).alias("g"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    cand = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), _tokens(F.col(text_col)).alias("__t"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngrams_from_tokens(F.col("__t"), n))).alias("g"),
+        )
+    )
+    novel = F.sum(
+        F.when(F.col("__seen").isNull(), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        cand.join(ref_grams, "g", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"), novel.alias("n_novel"))
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
 def bloom_build(
     eval_df: DataFrame, text_col: str = "text", n: int = 8,
     m_bits: int = 1 << 18, k: int = 2,

@@ -2028,3 +2028,26 @@ def test_bm25_prunes_before_shuffle(spark):
     # isin Filter appears below (after, in tree print order) the first
     # exchange of the tf aggregation
     assert "Filter" in post
+
+
+def test_ngram_novelty_hand_check(spark):
+    """Trigram novelty against a tiny reference with known overlap."""
+    from interference_spark.pipeline.text import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id long, text string"
+    )  # ref trigrams: {a b c, b c d}
+    cand = spark.createDataFrame(
+        [
+            (1, "a b c x"),   # {a b c, b c x}: 1 of 2 novel
+            (3, "p q r s"),   # all 2 novel
+            (5, "a b c a b c"),  # distinct {a b c, b c a, c a b}: 2 of 3 novel
+            (7, "x y"),       # <3 tokens: absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(cand, ref, n=3).collect()}
+    assert out[1].n_grams == 2 and out[1].n_novel == 1 and out[1].novelty == 0.5
+    assert out[3].n_grams == 2 and out[3].n_novel == 2 and out[3].novelty == 1.0
+    assert out[5].n_grams == 3 and out[5].n_novel == 2
+    assert 7 not in out

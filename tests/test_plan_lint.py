@@ -287,3 +287,13 @@ def test_bm25_plan(spark):
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_plan(spark):
+    """Novelty scoring is JVM-only (gram explode via HOFs) and the
+    reference-membership join is a real equi-join, never a cartesian."""
+    df = inventory.QUERIES["text_novelty_ngrams"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
