@@ -6750,13 +6750,35 @@ def _ivfpq_oracle(
     dim: int = 64,
     nprobe: int = 4,
     topk: int = 10,
+    rerank_topk: int | None = None,
 ) -> str:
     """Full IVF-PQ replay: 2-iteration coarse k-means (shared
     `_kmeans_iter_cte`; a3 = final assignment), per-vector residuals,
     2-iteration residual-PQ codebooks (`_pq_iter_cte` over ``ver``;
     pa3 = final encoding), exact-score probe ranking, per-probe
-    query-residual ADC tables, and the probed integer-sum top-k."""
+    query-residual ADC tables, and the probed integer-sum top-k.
+    With ``rerank_topk``, the ADC top-``topk`` becomes a shortlist CTE
+    and the final answer is the exact decimal-accumulated cosine
+    re-rank of just those candidates (mirroring
+    `pipeline/pq.ivfpq_rerank`)."""
     dsub = dim // m
+    rerank_tail = "" if rerank_topk is None else f""",
+rr AS (
+  SELECT ve.vec_id, ve.pos, ve.x
+  FROM ve JOIN short ON short.vec_id = ve.vec_id
+), racc AS (
+  SELECT rr.vec_id,
+         sum(CAST(rr.x * qv.x AS DECIMAL(38,14))) AS dot_d,
+         sum(CAST(rr.x * rr.x AS DECIMAL(38,14))) AS n_e,
+         sum(CAST(qv.x * qv.x AS DECIMAL(38,14))) AS n_q
+  FROM rr JOIN qv USING (pos) GROUP BY rr.vec_id
+)
+SELECT vec_id,
+       CAST(dot_d AS DOUBLE)
+         / (sqrt(CAST(n_e AS DOUBLE)) * sqrt(CAST(n_q AS DOUBLE))) AS cosine
+FROM racc ORDER BY cosine DESC, vec_id ASC LIMIT {rerank_topk}"""
+    short_open = "" if rerank_topk is None else ", short AS (\n"
+    short_close = "" if rerank_topk is None else ")"
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -6810,12 +6832,12 @@ qv AS (
   FROM qres q JOIN pc2 pcf ON pcf.pos = q.pos
   GROUP BY 1, 2, 3
 )
-SELECT e.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist
+{short_open}SELECT e.vec_id, CAST(sum(t.qd) AS BIGINT) AS adist
 FROM pa3 e
 JOIN a3 ON a3.vec_id = e.vec_id
 JOIN tb t ON t.cid = a3.centroid AND t.sub = e.sub AND t.code = e.code
 GROUP BY e.vec_id
-ORDER BY adist ASC, e.vec_id ASC LIMIT {topk}"""
+ORDER BY adist ASC, e.vec_id ASC LIMIT {topk}{short_close}{rerank_tail}"""
 
 
 @query("sim_ivfpq_topk", _ivfpq_oracle())
@@ -7415,6 +7437,27 @@ def text_novelty_ngrams(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
         n=3,
+    )
+
+
+@query("sim_ivfpq_rerank", _ivfpq_oracle(topk=20, rerank_topk=10))
+def sim_ivfpq_rerank(spark, sf_dir):
+    """Two-stage ANN serving (`pipeline/pq.ivfpq_rerank`): the IVF-PQ
+    index shortlists 20 candidates by probed ADC distance (integer sums
+    over 4 probed cells), then ONLY those 20 full vectors are fetched
+    (id-keyed broadcast join) and re-ranked by exact decimal-accumulated
+    cosine — the standard compressed-scan + exact-tail architecture that
+    bounds exact math by shortlist size, not corpus size.  The oracle
+    replays the entire trajectory: coarse training, residual codebooks,
+    encoding, probe ranking, ADC shortlist, and the exact re-rank."""
+    from .pipeline.pq import ivfpq_build, ivfpq_rerank
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cents, books, enc = ivfpq_build(emb, n_coarse=8, m=8, k=16, iters=2)
+    return ivfpq_rerank(
+        enc, emb, cents, books, qvec, nprobe=4, shortlist=20, topk=10
     )
 
 

@@ -367,3 +367,41 @@ def ivfpq_search(
         .orderBy(F.asc("adist"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def ivfpq_rerank(
+    encoded: DataFrame,
+    emb: DataFrame,
+    cents,
+    books: Codebooks,
+    query_vec: list[float],
+    nprobe: int = 4,
+    shortlist: int = 20,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production two-stage ANN serving path: the compressed index
+    shortlists ``shortlist`` candidates by ADC distance
+    (:func:`ivfpq_search` — integer sums over probed cells only), then
+    ONLY those candidates' full vectors are fetched and re-ranked by
+    exact cosine.  The expensive exact math touches ``shortlist`` rows
+    regardless of corpus size; the full-vector fetch is an id-keyed join
+    against the embedding table (shortlist side broadcast — at 100 TB
+    the index scan reads codes, the re-rank reads O(shortlist) vectors,
+    and nothing else moves).  Scores reuse the oracle-grade
+    decimal-accumulated cosine, so the final ranking value-hashes."""
+    from .similarity import cosine_topk_exact_decimal
+
+    spark = emb.sparkSession
+    short = ivfpq_search(
+        encoded, cents, books, query_vec,
+        nprobe=nprobe, topk=shortlist, id_col=id_col,
+    ).select(id_col)
+    qdf = spark.createDataFrame(
+        [([float(x) for x in query_vec],)], f"{vec_col} array<double>"
+    )
+    cand = emb.join(F.broadcast(short), id_col)
+    return cosine_topk_exact_decimal(
+        cand, qdf, k=topk, vec_col=vec_col, id_col=id_col
+    )

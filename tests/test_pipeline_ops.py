@@ -2051,3 +2051,36 @@ def test_ngram_novelty_hand_check(spark):
     assert out[3].n_grams == 2 and out[3].n_novel == 2 and out[3].novelty == 1.0
     assert out[5].n_grams == 3 and out[5].n_novel == 2
     assert 7 not in out
+
+
+def test_ivfpq_rerank_exact_tail(spark):
+    """Re-rank output = exact cosine over exactly the ADC shortlist."""
+    from interference_spark.pipeline.pq import (
+        ivfpq_build,
+        ivfpq_rerank,
+        ivfpq_search,
+    )
+    from interference_spark.pipeline.similarity import (
+        cosine_topk_exact_decimal,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cents, books, enc = ivfpq_build(emb, n_coarse=8, m=8, k=16, iters=1)
+    got = ivfpq_rerank(
+        enc, emb, cents, books, qvec, nprobe=2, shortlist=15, topk=5
+    ).collect()
+    short_ids = {
+        r.vec_id
+        for r in ivfpq_search(
+            enc, cents, books, qvec, nprobe=2, topk=15
+        ).collect()
+    }
+    assert {r.vec_id for r in got} <= short_ids
+    qdf = emb.filter("vec_id = 0")
+    want = cosine_topk_exact_decimal(
+        emb.filter(emb.vec_id.isin(list(short_ids))), qdf, k=5
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in want
+    ]
