@@ -1,0 +1,163 @@
+"""Property-based checks for the round-5 curation operators: random tiny
+corpora must score identically under the Spark implementation and a direct
+pure-Python transcription of each operator's spec (the same spec the DuckDB
+oracles implement).  This probes edge shapes the synthetic corpus never
+hits — empty docs, single-token docs, all-OOV docs, repeated grams.
+"""
+
+import math
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORDS = ["a", "b", "c", "d"]
+
+doc_strategy = st.lists(st.sampled_from(WORDS), min_size=0, max_size=6).map(
+    " ".join
+)
+corpus_strategy = st.lists(doc_strategy, min_size=1, max_size=8)
+
+FUZZ = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _toks(text):
+    t = text.strip()
+    return t.split() if t else []
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+
+
+@given(train=corpus_strategy, score=corpus_strategy)
+@FUZZ
+def test_bigram_lm_matches_python_spec(spark, train, score):
+    from interference_spark.pipeline.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    # python reference: add-one bigram LM per pipeline/lm.py's spec
+    bigc, ctxc, vocab = {}, {}, set()
+    for d in train:
+        t = _toks(d)
+        vocab.update(t)
+        for c, w in zip(t, t[1:]):
+            bigc[(c, w)] = bigc.get((c, w), 0) + 1
+            ctxc[c] = ctxc.get(c, 0) + 1
+    v = len(vocab) + 1
+    want = {}
+    for i, d in enumerate(score):
+        t = _toks(d)
+        if len(t) < 2:
+            continue
+        q = 0
+        for c, w in zip(t, t[1:]):
+            if c in ctxc:
+                p = (bigc.get((c, w), 0) + 1) / (ctxc[c] + v)
+            else:
+                p = 1 / v
+            q += math.floor(math.log(p) * 1e6)
+        want[i] = (len(t) - 1, -q)
+
+    lm = train_bigram_lm(_df(spark, train))
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_micronats)
+        for r in perplexity_score(_df(spark, score), lm).collect()
+    }
+    assert got == want
+
+
+@given(docs=corpus_strategy, terms=st.sets(st.sampled_from(WORDS), min_size=1, max_size=3))
+@FUZZ
+def test_bm25_matches_python_spec(spark, docs, terms):
+    from interference_spark.pipeline.retrieval import bm25_scores
+
+    tokenized = [(_toks(d)) for d in docs]
+    nonempty = {i: t for i, t in enumerate(tokenized) if t}
+    n = len(nonempty)
+    sum_dl = sum(len(t) for t in nonempty.values())
+    want = {}
+    if n:
+        avgdl = sum_dl / n
+        dft = {
+            term: sum(1 for t in nonempty.values() if term in t)
+            for term in terms
+        }
+        for i, t in nonempty.items():
+            s, matched = 0.0, 0
+            for term in sorted(terms):
+                tf = t.count(term)
+                if not tf:
+                    continue
+                matched += 1
+                idf = (
+                    math.floor(
+                        math.log(1.0 + (n - dft[term] + 0.5) / (dft[term] + 0.5))
+                        * 1e6
+                    )
+                    / 1e6
+                )
+                s += idf * (
+                    (tf * (1.2 + 1.0))
+                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (len(t) / avgdl)))
+                )
+            if matched:
+                want[i] = matched
+    got = {
+        r.doc_id: r.n_terms_matched
+        for r in bm25_scores(_df(spark, docs), sorted(terms)).collect()
+    }
+    assert got == want
+    # scores agree to float tolerance (decimal accumulation rounds at 1e-14)
+    for r in bm25_scores(_df(spark, docs), sorted(terms)).collect():
+        t = nonempty[r.doc_id]
+        s = 0.0
+        for term in sorted(terms):
+            tf = t.count(term)
+            if not tf:
+                continue
+            idf = (
+                math.floor(
+                    math.log(1.0 + (n - dft[term] + 0.5) / (dft[term] + 0.5))
+                    * 1e6
+                )
+                / 1e6
+            )
+            s += idf * (
+                (tf * (1.2 + 1.0))
+                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (len(t) / sum_dl * n)))
+            )
+        assert abs(r.score - s) < 1e-9
+
+
+@given(cand=corpus_strategy, ref=corpus_strategy)
+@FUZZ
+def test_ngram_novelty_matches_python_spec(spark, cand, ref):
+    from interference_spark.pipeline.text import ngram_novelty
+
+    def grams(t, n=3):
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    ref_g = set()
+    for d in ref:
+        ref_g |= grams(_toks(d))
+    want = {}
+    for i, d in enumerate(cand):
+        g = grams(_toks(d))
+        if g:
+            want[i] = (len(g), len(g - ref_g))
+    out = ngram_novelty(_df(spark, cand), _df(spark, ref), n=3)
+    got = {r.doc_id: (r.n_grams, r.n_novel) for r in out.collect()}
+    assert got == want
