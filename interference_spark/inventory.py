@@ -7461,6 +7461,37 @@ def sim_ivfpq_rerank(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_rp_project",
+    """WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE len(embedding) = 64
+), js AS (SELECT unnest(generate_series(0, 15)) AS j)
+SELECT v.vec_id, CAST(js.j AS BIGINT) AS j,
+       list_reduce(
+         list_transform(generate_series(1, 64),
+           i -> v.e[i] * (CASE WHEN substr(md5('rp:' || CAST(i - 1 AS VARCHAR)
+                                 || ':' || CAST(js.j AS VARCHAR)), 1, 1)
+                               IN ('0','1','2','3','4','5','6','7')
+                          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+         (acc, x) -> acc + x) / sqrt(CAST(16 AS DOUBLE)) AS y
+FROM v CROSS JOIN js""",
+)
+def embedding_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction
+    (`pipeline/linalg.random_projection`): project the 64-dim embeddings
+    to 16 dims with a dense Achlioptas ±1 matrix whose entries derive
+    from md5 — no RNG state, so the oracle re-derives the identical
+    matrix and replays the identical index-ordered fold.  The projection
+    is a pure per-row codegen expression (zero shuffle, R is literals,
+    never data); the standard preprocessing step before LSH bucketing or
+    clustering when the ambient dimension is wasteful."""
+    from .pipeline.linalg import random_projection
+
+    e = engine_for(spark, sf_dir)
+    return random_projection(e.table("embeddings"), out_dim=16, in_dim=64)
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves

@@ -278,3 +278,62 @@ def label_centroids(
             "mean"
         ),
     )
+
+
+def _achlioptas_sign(i: int, j: int) -> float:
+    """Deterministic ±1 projection entry from md5("rp:i:j")'s first hex
+    nibble — reproducible by any engine with an md5(), no RNG state."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()
+    return 1.0 if h[0] in "01234567" else -1.0
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection with a dense Achlioptas ±1 matrix:
+    ``y_j = (Σ_i x_i · R_ij) / sqrt(out_dim)`` — the standard pre-LSH /
+    pre-clustering dimensionality reduction (pairwise distances preserved
+    within 1±ε for out_dim = O(log n / ε²)).
+
+    Returns one (id, j, y) row per output coordinate.
+
+    Scale + determinism: R is NOT data — it's ``in_dim × out_dim`` signs
+    derived from md5, embedded as literal arrays, so the projection is a
+    pure per-row JVM expression (whole-stage codegen, zero shuffle,
+    embarrassingly parallel at any corpus size).  Each ``y_j`` folds over
+    positions IN INDEX ORDER via ``aggregate``, making the float sum a
+    fixed op chain — bit-identical on any partitioning, and replayable by
+    an oracle that re-derives the same signs from the same md5.  Choose a
+    power-of-4 ``out_dim`` and the final ``/ sqrt(out_dim)`` is exact."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    xb = F.col("__x")
+    scale = float(np.sqrt(float(out_dim)))
+    cols = []
+    for j in range(out_dim):
+        rj = F.array(
+            *[F.lit(_achlioptas_sign(i, j)) for i in range(in_dim)]
+        )
+        acc = F.aggregate(
+            F.sequence(F.lit(1), F.lit(in_dim)),
+            F.lit(0.0),
+            lambda a, i: a
+            + F.element_at(xb, i) * F.element_at(rj, i),  # noqa: B023
+        )
+        cols.append(
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                (acc / F.lit(scale)).alias("y"),
+            )
+        )
+    return (
+        df.filter(F.size(F.col(vec_col)) == in_dim)
+        .select(F.col(id_col), x.alias("__x"))
+        .select(F.col(id_col), F.explode(F.array(*cols)).alias("__p"))
+        .select(F.col(id_col), F.col("__p.j").alias("j"), F.col("__p.y").alias("y"))
+    )

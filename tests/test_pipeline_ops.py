@@ -2084,3 +2084,35 @@ def test_ivfpq_rerank_exact_tail(spark):
     assert [(r.vec_id, r.cosine) for r in got] == [
         (r.vec_id, r.cosine) for r in want
     ]
+
+
+def test_random_projection_numpy_parity(spark):
+    """RP output equals the numpy matmul with the same md5-derived signs,
+    and approximately preserves pairwise distance on real embeddings."""
+    import numpy as np
+
+    from interference_spark.pipeline.linalg import (
+        _achlioptas_sign,
+        random_projection,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(20)
+    rows = emb.collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    R = np.array(
+        [[_achlioptas_sign(i, j) for j in range(16)] for i in range(64)]
+    )
+    got = random_projection(emb, out_dim=16, in_dim=64).collect()
+    Y = np.zeros((len(rows), 16))
+    ids = {r.vec_id: k for k, r in enumerate(rows)}
+    for r in got:
+        Y[ids[r.vec_id], r.j] = r.y
+    want = X @ R / np.sqrt(16.0)
+    assert np.allclose(Y, want, atol=1e-9)
+    # JL property: projected pairwise distances within ~2x on average
+    d0 = np.linalg.norm(X[0] - X[1:], axis=1)
+    d1 = np.linalg.norm(Y[0] - Y[1:], axis=1)
+    ratio = d1 / np.where(d0 == 0, 1, d0)
+    assert 0.5 < float(np.median(ratio)) < 2.0
