@@ -83,6 +83,15 @@ def _bm25(spark, n: int):
     return bm25_topk(_docs(spark, n), ["w3", "w17", "w42"], k=15)
 
 
+def _novelty(spark, n: int):
+    from interference_spark.pipeline.text import ngram_novelty
+
+    docs = _docs(spark, n)
+    return ngram_novelty(
+        docs.filter(F.col("doc_id") >= 1000), docs.filter(F.col("doc_id") < 1000)
+    )
+
+
 def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
     from interference_spark.pipeline.dedup import (
         exact_dedup,
@@ -159,6 +168,10 @@ def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
         # token stream before the tf shuffle, so the aggregated volume is
         # |matching tokens|, not corpus tokens
         "rank_bm25": lambda n: _bm25(spark, n),
+        # r5: trigram novelty vs a fixed 1k-doc reference (eval-style
+        # reference side does not grow with the corpus) — one reference
+        # distinct + a gram-keyed membership join, corpus-linear
+        "text_novelty": lambda n: _novelty(spark, n),
     }
     out: dict[str, dict] = {}
     for name, make in ops.items():
