@@ -83,7 +83,13 @@ class BigramLM:
 
 
 def train_bigram_lm(df: DataFrame, text_col: str = "text") -> BigramLM:
-    """Count-based add-one bigram LM over the whitespace token stream."""
+    """Count-based add-one bigram LM over the whitespace token stream.
+
+    Degenerate corpora stay well-defined (everything is lazy, so no
+    eager emptiness check burns a job): an EMPTY training slice yields
+    V = 1 (just the OOV type) and every context unseen, so each bigram
+    scores p = 1/V = 1 and every document gets nll 0 (kept) — the
+    uniform model over an OOV-only vocabulary, locked by test."""
     big = _bigrams(df, text_col, [])
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     vocab = (

@@ -2116,3 +2116,24 @@ def test_random_projection_numpy_parity(spark):
     d1 = np.linalg.norm(Y[0] - Y[1:], axis=1)
     ratio = d1 / np.where(d0 == 0, 1, d0)
     assert 0.5 < float(np.median(ratio)) < 2.0
+
+
+def test_bigram_lm_empty_train_is_uniform(spark):
+    """Empty training slice -> V=1, p=1/V=1 everywhere, nll 0: the
+    documented degenerate-but-defined behavior (no eager count job)."""
+    from interference_spark.pipeline.lm import (
+        perplexity_filter,
+        train_bigram_lm,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    lm = train_bigram_lm(empty)
+    out = perplexity_filter(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+        lm,
+        threshold_nats=0.5,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_bigrams == 2 and r.nll_micronats == 0
+    assert r.nll_nats == 0.0 and r.kept
