@@ -7492,6 +7492,49 @@ def embedding_rp_project(spark, sf_dir):
     return random_projection(e.table("embeddings"), out_dim=16, in_dim=64)
 
 
+@query(
+    "dedup_containment_report",
+    """WITH grams AS (
+         SELECT doc_id,
+                list_distinct([substring(text, i, 3)
+                               for i in generate_series(1, greatest(length(text)-2, 1))]) AS gs
+         FROM documents
+       ), sized AS (
+         SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+       ), pairs AS (
+         SELECT a.doc_id AS id_a, a.n AS na, b.doc_id AS id_b,
+                count(*) AS inter
+         FROM sized a JOIN sized b
+           ON a.g = b.g AND a.doc_id <> b.doc_id
+         GROUP BY 1, 2, 3
+       ), conts AS (
+         SELECT id_a, count(*) AS n_containers,
+                max(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)) AS best
+         FROM pairs
+         WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE)
+                 >= CAST(0.9 AS DOUBLE)
+         GROUP BY id_a
+       )
+       SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+              CAST(coalesce(c.n_containers, 0) AS BIGINT) AS n_containers,
+              coalesce(c.best, CAST(0 AS DOUBLE)) AS best_containment
+       FROM grams g LEFT JOIN conts c ON c.id_a = g.doc_id""",
+)
+def dedup_containment_report(spark, sf_dir):
+    """Asymmetric near-containment dedup signal
+    (`pipeline/dedup.ngram_containment_report`): per document, how many
+    others contain ≥ 90% of its distinct character trigrams and the best
+    containment — catches short-doc-quoted-in-long-doc subsumption that
+    symmetric Jaccard structurally misses.  Bounded one-row-per-doc
+    output (the pair space never leaves the aggregation); the max/count
+    aggregates are over exact int/int divisions, so the report
+    value-hashes on any partitioning."""
+    from .pipeline.dedup import ngram_containment_report
+
+    e = engine_for(spark, sf_dir)
+    return ngram_containment_report(e.table("documents"), n=3, threshold=0.9)
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves

@@ -896,6 +896,63 @@ def _bitmap_allpairs_jaccard(
 
 
 # ------------------------------------------------------ embedding cosine
+def ngram_containment_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric near-containment report: for every document, how many
+    OTHER documents contain ≥ ``threshold`` of its distinct character
+    n-grams, and the best such containment ``C(a→b) = |A∩B| / |A|``.
+
+    Containment catches what symmetric Jaccard structurally cannot: a
+    short document quoted inside a much longer one has high containment
+    but low Jaccard (the union is dominated by the long side) — the
+    SlimPajama-style "is this doc subsumed elsewhere" dedup mode.
+
+    Returns one bounded row per document (never the pair blowup):
+    ``(id, n_grams, n_containers, best_containment)`` with zero/0.0 for
+    uncontained docs.  ``best_containment`` is a max over exact int/int
+    double divisions — order-independent, oracle-safe.
+
+    Scale shape: the same gram-posting join as exact Jaccard; at real
+    corpus scale route candidate generation through the prefix-filtered
+    plan in :func:`ngram_jaccard_pairs` (containment admits the same
+    lossless prefix bound on the CONTAINED side: any pair with
+    C(a→b) ≥ t shares one of a's |A| − ⌈t·|A|⌉ + 1 rarest grams)."""
+    grams = df.select(
+        F.col(id_col), char_ngrams(F.col(text_col), n).alias("grams")
+    ).withColumn("na", F.size("grams"))
+    a = grams.select(
+        F.col(id_col).alias("id_a"), "na", F.explode("grams").alias("g")
+    )
+    b = grams.select(F.col(id_col).alias("id_b"), F.explode("grams").alias("g"))
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "na")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c = F.col("inter").cast("double") / F.col("na").cast("double")
+    rep = (
+        inter.withColumn("c", c)
+        .filter(F.col("c") >= F.lit(float(threshold)))
+        .groupBy("id_a")
+        .agg(
+            F.count(F.lit(1)).alias("n_containers"),
+            F.max("c").alias("best"),
+        )
+    )
+    return grams.join(rep, grams[id_col] == rep["id_a"], "left").select(
+        F.col(id_col),
+        F.col("na").cast("long").alias("n_grams"),
+        F.coalesce("n_containers", F.lit(0)).cast("long").alias("n_containers"),
+        F.coalesce("best", F.lit(0.0)).alias("best_containment"),
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2137,3 +2137,28 @@ def test_bigram_lm_empty_train_is_uniform(spark):
     r = out[0]
     assert r.n_bigrams == 2 and r.nll_micronats == 0
     assert r.nll_nats == 0.0 and r.kept
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """A short doc quoted inside a long one: containment fires, Jaccard
+    stays low — the asymmetric signal the report exists for."""
+    from interference_spark.pipeline.dedup import (
+        ngram_containment_report,
+        ngram_jaccard_pairs,
+    )
+
+    short = "abcdefgh"
+    long = short + "0123456789" * 8
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "zzzzyyyyxxxx")],
+        "doc_id long, text string",
+    )
+    rep = {r.doc_id: r for r in ngram_containment_report(docs, n=3, threshold=0.9).collect()}
+    # every trigram of `short` appears in `long` -> containment 1.0
+    assert rep[1].n_containers == 1 and rep[1].best_containment == 1.0
+    # the long doc is NOT contained in the short one
+    assert rep[2].n_containers == 0 and rep[2].best_containment == 0.0
+    assert rep[3].n_containers == 0
+    # symmetric jaccard misses the pair at the same bar
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.9, prefix_filter=False).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
