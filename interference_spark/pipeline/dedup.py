@@ -902,6 +902,7 @@ def ngram_containment_report(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Asymmetric near-containment report: for every document, how many
     OTHER documents contain ≥ ``threshold`` of its distinct character
@@ -917,27 +918,36 @@ def ngram_containment_report(
     uncontained docs.  ``best_containment`` is a max over exact int/int
     double divisions — order-independent, oracle-safe.
 
-    Scale shape: the same gram-posting join as exact Jaccard; at real
-    corpus scale route candidate generation through the prefix-filtered
-    plan in :func:`ngram_jaccard_pairs` (containment admits the same
-    lossless prefix bound on the CONTAINED side: any pair with
-    C(a→b) ≥ t shares one of a's |A| − ⌈t·|A|⌉ + 1 rarest grams)."""
+    Scale shape: with ``prefix_filter=True`` (the real-corpus path),
+    candidates come from the lossless prefix bound on the CONTAINED
+    side only — any pair with C(a→b) ≥ t shares one of a's
+    |A| − ⌈t·|A|⌉ + 1 globally RAREST grams (pigeonhole over the
+    rarity ordering), and the container needs |B| ≥ ⌈t·|A|⌉ — so common
+    grams never post the full pair space; survivors verify exactly with
+    ``array_intersect``.  The default naive posting join is cheaper at
+    bounded scale (no frequency pass) and identical in output (asserted
+    by test)."""
     grams = df.select(
         F.col(id_col), char_ngrams(F.col(text_col), n).alias("grams")
     ).withColumn("na", F.size("grams"))
-    a = grams.select(
-        F.col(id_col).alias("id_a"), "na", F.explode("grams").alias("g")
-    )
-    b = grams.select(F.col(id_col).alias("id_b"), F.explode("grams").alias("g"))
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b", "na")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if prefix_filter:
+        pairs = _containment_pairs_prefix(grams, id_col, threshold)
+    else:
+        a = grams.select(
+            F.col(id_col).alias("id_a"), "na", F.explode("grams").alias("g")
+        )
+        b = grams.select(
+            F.col(id_col).alias("id_b"), F.explode("grams").alias("g")
+        )
+        pairs = (
+            a.join(b, "g")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b", "na")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     c = F.col("inter").cast("double") / F.col("na").cast("double")
     rep = (
-        inter.withColumn("c", c)
+        pairs.withColumn("c", c)
         .filter(F.col("c") >= F.lit(float(threshold)))
         .groupBy("id_a")
         .agg(
@@ -950,6 +960,54 @@ def ngram_containment_report(
         F.col("na").cast("long").alias("n_grams"),
         F.coalesce("n_containers", F.lit(0)).cast("long").alias("n_containers"),
         F.coalesce("best", F.lit(0.0)).alias("best_containment"),
+    )
+
+
+def _containment_pairs_prefix(
+    grams: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Prefix-filtered containment candidates + exact verification:
+    (id_a, id_b, na, inter) for every a ≠ b sharing ≥ 1 gram of a's
+    rarity prefix, with ``inter`` the EXACT distinct-gram intersection.
+    Lossless: C(a→b) ≥ t ⇒ at most ⌈t·na⌉ − 1 of a's grams miss B, so
+    B hits one of a's first na − ⌈t·na⌉ + 1 grams in ANY fixed gram
+    ordering — rarity order just makes those posting lists short."""
+    from pyspark.sql import Window as W
+
+    exploded = grams.select(id_col, "na", F.explode("grams").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    ranked = exploded.join(freq, "g").withColumn(
+        "__rk",
+        F.row_number().over(W.partitionBy(id_col).orderBy("df_g", "g")),
+    )
+    prefix_len = F.col("na") - F.ceil(F.lit(threshold) * F.col("na")) + 1
+    pref = ranked.filter(F.col("__rk") <= prefix_len).select(
+        F.col(id_col).alias("id_a"), F.col("na").alias("__na"), "g"
+    )
+    allb = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("na").alias("nb"), "g"
+    )
+    cand = (
+        pref.join(allb, "g")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("nb") >= F.ceil(F.lit(threshold) * F.col("__na")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("grams").alias("ga"),
+        F.col("na").alias("na"),
+    )
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a", "id_b", "na",
+            F.size(F.array_intersect(F.col("ga"), F.col("gb"))).alias("inter"),
+        )
     )
 
 

@@ -2162,3 +2162,26 @@ def test_containment_vs_jaccard_asymmetry(spark):
     # symmetric jaccard misses the pair at the same bar
     jac = ngram_jaccard_pairs(docs, n=3, threshold=0.9, prefix_filter=False).collect()
     assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
+
+
+def test_containment_prefix_path_matches_naive(spark):
+    """The prefix-filtered candidate path is lossless: identical report
+    to the naive posting join on real documents."""
+    from interference_spark.pipeline.dedup import ngram_containment_report
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    naive = {
+        tuple(r)
+        for r in ngram_containment_report(
+            docs, n=3, threshold=0.8, prefix_filter=False
+        ).collect()
+    }
+    pref = {
+        tuple(r)
+        for r in ngram_containment_report(
+            docs, n=3, threshold=0.8, prefix_filter=True
+        ).collect()
+    }
+    assert naive == pref and len(naive) == 120
