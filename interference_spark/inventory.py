@@ -7535,6 +7535,44 @@ def dedup_containment_report(spark, sf_dir):
     return ngram_containment_report(e.table("documents"), n=3, threshold=0.9)
 
 
+@query(
+    "text_winnow_fingerprints",
+    """WITH base AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 8
+), hs AS (
+  SELECT doc_id,
+         [('0x' || substring(md5('win:' || substring(text, i, 5)), 1, 13))::BIGINT
+          for i in generate_series(1, length(text) - 4)] AS h
+  FROM base
+), fps AS (
+  SELECT doc_id,
+         list_distinct([list_min(h[j:j+3])
+                        for j in generate_series(1, len(h) - 3)]) AS f
+  FROM hs
+), e AS (SELECT doc_id, unnest(f) AS fp FROM fps
+), partners AS (
+  SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_partners
+  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id
+)
+SELECT f.doc_id, CAST(len(f.f) AS BIGINT) AS n_fps,
+       CAST(coalesce(p.n_partners, 0) AS BIGINT) AS n_partners
+FROM fps f LEFT JOIN partners p USING (doc_id)""",
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (`pipeline/text.winnow_fingerprints` — the
+    MOSS local-fingerprinting algorithm): per document, the distinct
+    window-minimum k-gram hashes kept (k=5, w=4 — any shared substring
+    of ≥ 8 chars guarantees a shared fingerprint) and how many other
+    documents share at least one.  Hashing and winnow selection are
+    per-row codegen HOFs over the engine-portable md5 hash family; only
+    the fingerprint posting join shuffles."""
+    from .pipeline.text import winnow_fingerprints
+
+    e = engine_for(spark, sf_dir)
+    return winnow_fingerprints(e.table("documents"), k=5, w=4)
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves

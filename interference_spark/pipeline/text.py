@@ -444,6 +444,66 @@ def ngram_novelty(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
+    MOSS algorithm): hash every character ``k``-gram, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum — guaranteeing
+    any shared substring of length ≥ ``k + w − 1`` yields at least one
+    SHARED fingerprint between two documents, with only ~2/(w+1) of all
+    positions retained.  The substring-granular near-dup candidate
+    generator between whole-doc hashing and O(pattern) substring scan.
+
+    Returns per eligible document (length ≥ k+w−1):
+    ``(id, n_fps, n_partners)`` — distinct fingerprints kept, and how
+    many other documents share at least one.
+
+    Scale shape: hashing + window minima are per-row HOFs in codegen
+    (zero shuffle, the md5-derived ``hash52`` family — engine-portable);
+    the partner count is one fingerprint-keyed posting join whose lists
+    winnowing itself keeps short (hot boilerplate fingerprints → salt or
+    df-cap, same playbook as the gram joins)."""
+    from .export import hash52
+
+    txt = F.col(text_col)
+    n_h = F.length(txt) - F.lit(k - 1)
+    hs = F.transform(
+        F.sequence(F.lit(1), n_h),
+        lambda i: hash52("win:", F.substring(txt, i, k)),
+    )
+    base = df.filter(F.length(txt) >= k + w - 1).select(
+        F.col(id_col), hs.alias("__h")
+    )
+    fps = base.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__h") - w),
+                lambda j: F.array_min(F.slice("__h", j + 1, w)),
+            )
+        ).alias("__f"),
+    )
+    e = fps.select(F.col(id_col), F.explode("__f").alias("fp"))
+    a = e.select(F.col(id_col).alias("id_a"), "fp")
+    b = e.select(F.col(id_col).alias("id_b"), "fp")
+    partners = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a")
+        .agg(F.count_distinct("id_b").alias("n_partners"))
+    )
+    return fps.join(partners, fps[id_col] == partners["id_a"], "left").select(
+        F.col(id_col),
+        F.size("__f").cast("long").alias("n_fps"),
+        F.coalesce("n_partners", F.lit(0)).cast("long").alias("n_partners"),
+    )
+
+
 def bloom_build(
     eval_df: DataFrame, text_col: str = "text", n: int = 8,
     m_bits: int = 1 << 18, k: int = 2,

@@ -2185,3 +2185,27 @@ def test_containment_prefix_path_matches_naive(spark):
         ).collect()
     }
     assert naive == pref and len(naive) == 120
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's core property: two docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; a doc with no shared
+    substring of that length has no partners."""
+    from interference_spark.pipeline.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "cccc " + shared + " dddd"),
+            (3, "totally unrelated content here"),
+            (4, "ab"),  # shorter than k+w-1: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in winnow_fingerprints(docs, k=5, w=4).collect()}
+    assert out[1].n_partners >= 1 and out[2].n_partners >= 1
+    assert out[3].n_partners == 0
+    assert 4 not in out
+    # density: winnowing keeps far fewer fingerprints than positions
+    assert 0 < out[1].n_fps < len("AAAA " + shared + " BBBB") - 4
