@@ -297,3 +297,21 @@ def test_ngram_novelty_plan(spark):
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_containment_report_plan(spark):
+    """Containment: pure JVM (gram HOFs), real equi-joins only."""
+    df = inventory.QUERIES["dedup_containment_report"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_winnow_fingerprints_plan(spark):
+    """Winnowing: hashing + window minima stay in codegen (no UDF); the
+    only join is the fingerprint posting equi-join."""
+    df = inventory.QUERIES["text_winnow_fingerprints"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
