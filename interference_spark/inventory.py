@@ -7573,6 +7573,84 @@ def text_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(e.table("documents"), k=5, w=4)
 
 
+_SWEEP_PAIR_CTE = """grams AS (
+         SELECT doc_id,
+                list_distinct([substring(text, i, 3)
+                               for i in generate_series(1, greatest(length(text)-2, 1))]) AS gs
+         FROM documents
+       ), sized AS (
+         SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM grams
+       ), p AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(count(*) AS DOUBLE)
+                  / CAST(a.n + b.n - count(*) AS DOUBLE) AS jac
+         FROM sized a JOIN sized b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         HAVING CAST(count(*) AS DOUBLE)
+                  / CAST(a.n + b.n - count(*) AS DOUBLE)
+                  >= CAST(0.5 AS DOUBLE)
+       )"""
+
+
+@query(
+    "dedup_threshold_sweep",
+    f"""WITH {_SWEEP_PAIR_CTE},
+       th AS (
+         SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                        CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                        CAST(0.9 AS DOUBLE)]) AS threshold
+       ), hit AS (
+         SELECT th.threshold, p.id_a, p.id_b
+         FROM p CROSS JOIN th WHERE p.jac >= th.threshold
+       ), np AS (
+         SELECT threshold, count(*) AS n_pairs FROM hit GROUP BY threshold
+       ), nd AS (
+         SELECT threshold, count(*) AS n_docs
+         FROM (SELECT DISTINCT threshold, d
+               FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM hit))
+         GROUP BY threshold
+       )
+       SELECT th.threshold,
+              CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+              CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+       FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)""",
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Dedup aggressiveness planning
+    (`pipeline/dedup.jaccard_threshold_sweep`): pair and affected-doc
+    counts at five candidate Jaccard bars from ONE pair computation —
+    the sweep broadcasts the threshold list over the scored pairs, so
+    choosing the corpus's dedup bar costs one pass, not five."""
+    from .pipeline.dedup import jaccard_threshold_sweep
+
+    e = engine_for(spark, sf_dir)
+    return jaccard_threshold_sweep(e.table("documents"), n=3)
+
+
+@query(
+    "dedup_cross_source_matrix",
+    f"""WITH {_SWEEP_PAIR_CTE}
+       SELECT least(da.source, db.source) AS source_a,
+              greatest(da.source, db.source) AS source_b,
+              count(*) AS n_pairs
+       FROM p
+       JOIN documents da ON da.doc_id = p.id_a
+       JOIN documents db ON db.doc_id = p.id_b
+       GROUP BY 1, 2""",
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Provenance analytics (`pipeline/dedup.cross_source_dup_matrix`):
+    near-dup pair counts per (source, source) cell at the 0.5 Jaccard
+    bar — which ingestion sources mirror each other vs only
+    self-duplicate.  Output bounded by the square of the source count;
+    the id→source re-attach is two keyed joins (broadcast-sized dims at
+    any corpus scale when the source table is the dimension)."""
+    from .pipeline.dedup import cross_source_dup_matrix
+
+    e = engine_for(spark, sf_dir)
+    return cross_source_dup_matrix(e.table("documents"), n=3, threshold=0.5)
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves

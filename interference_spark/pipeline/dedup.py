@@ -963,6 +963,86 @@ def ngram_containment_report(
     )
 
 
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Dedup aggressiveness planning: for each candidate threshold, how
+    many near-dup pairs fire and how many distinct documents they touch.
+    One pair computation (at ``min(thresholds)``) serves every
+    threshold — the sweep is a broadcast of the threshold list over the
+    scored pairs, so choosing a dedup bar costs one pass, not one pass
+    per candidate bar.
+
+    Returns ``(threshold, n_pairs, n_docs)``, one row per threshold."""
+    spark = df.sparkSession
+    ts = sorted(float(t) for t in thresholds)
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=ts[0], prefix_filter=False
+    )
+    th = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    hit = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = hit.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        hit.select(
+            "threshold",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("d"),
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        th.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Provenance analytics: near-dup pair counts per (source, source)
+    cell — which ingestion sources duplicate each other (mirror sites,
+    re-crawls, cross-posted content) vs which only self-duplicate.
+    Canonical ``source_a ≤ source_b`` orientation; output is bounded by
+    the square of the source count, never the pair space."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold, prefix_filter=False
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    sa = src.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa")
+    )
+    sb = src.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def _containment_pairs_prefix(
     grams: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

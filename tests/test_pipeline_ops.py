@@ -2209,3 +2209,27 @@ def test_winnowing_guarantee(spark):
     assert 4 not in out
     # density: winnowing keeps far fewer fingerprints than positions
     assert 0 < out[1].n_fps < len("AAAA " + shared + " BBBB") - 4
+
+
+def test_threshold_sweep_monotone_and_consistent(spark):
+    """Sweep counts are monotone non-increasing in the threshold and the
+    lowest bar agrees with a direct pair query at that bar."""
+    from interference_spark.pipeline.dedup import (
+        jaccard_threshold_sweep,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(150)
+    rows = sorted(
+        jaccard_threshold_sweep(docs, n=3).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_pairs >= hi.n_pairs and lo.n_docs >= hi.n_docs
+    direct = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, prefix_filter=False
+    ).count()
+    assert rows[0].n_pairs == direct
