@@ -178,6 +178,7 @@ def bpe_encode(
     vocab: DataFrame,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    oov: str = "drop",
 ) -> DataFrame:
     """Encode documents to token-id sequences with a TRAINED tokenizer —
     the last step of the pipeline: whitespace words join the (distinct,
@@ -186,26 +187,47 @@ def bpe_encode(
     densified over (word position, subword position).  Both joins
     broadcast at scale (word table ≪ corpus, vocab is alphabet-sized);
     the only corpus-wide shuffle is the per-document window sort, which
-    partitions by document — embarrassingly parallel across docs."""
+    partitions by document — embarrassingly parallel across docs.
+
+    ``oov`` controls words absent from the training word table (the
+    encode-new-documents case):
+
+    - ``"drop"`` (default, the oracle contract): unknown words are
+      skipped and positions densify over the gap — only valid when the
+      docs being encoded are the training corpus itself.
+    - ``"null"``: unknown words survive as one row each with the raw
+      word in ``token`` and a NULL ``token_id``, so the loss is visible
+      to the caller (filter ``token_id IS NULL`` for an OOV report)."""
     from pyspark.sql import Window
 
+    if oov not in ("drop", "null"):
+        raise ValueError(f"oov must be 'drop' or 'null', got {oov!r}")
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
     dw = docs.select(
         F.col(doc_col), F.posexplode(toks).alias("wpos", "word")
     )
-    seg = dw.join(words.select("word", "sym"), "word")
+    if oov == "drop":
+        seg = dw.join(words.select("word", "sym"), "word")
+        sym = F.col("sym")
+    else:
+        # OOV words keep a single position: their "segmentation" is the
+        # raw word itself, which then misses the vocab join below and
+        # surfaces as token_id NULL rather than silently vanishing.
+        seg = dw.join(words.select("word", "sym"), "word", "left")
+        sym = F.coalesce("sym", "word")
     sub = seg.select(
         F.col(doc_col),
         "wpos",
-        F.posexplode(F.split("sym", " ")).alias("spos", "token"),
+        F.posexplode(F.split(sym, " ")).alias("spos", "token"),
     )
     w = Window.partitionBy(doc_col).orderBy("wpos", "spos")
+    vjoin = "inner" if oov == "drop" else "left"
     return (
         # vocab is alphabet+merges-sized — ALWAYS the build side, even
         # when the corpus side is small enough that stats would flip it
-        sub.join(F.broadcast(vocab), "token")
+        sub.join(F.broadcast(vocab), "token", vjoin)
         .select(
             F.col(doc_col),
             (F.row_number().over(w) - 1).cast("long").alias("pos"),

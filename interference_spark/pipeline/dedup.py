@@ -978,6 +978,8 @@ def jaccard_threshold_sweep(
     per candidate bar.
 
     Returns ``(threshold, n_pairs, n_docs)``, one row per threshold."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
     spark = df.sparkSession
     ts = sorted(float(t) for t in thresholds)
     pairs = ngram_jaccard_pairs(

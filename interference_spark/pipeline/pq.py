@@ -53,6 +53,12 @@ def _seed_codebooks(
     """Codes 0..k-1 = the first k vectors in id order, sliced per
     subspace (positional ids — PQ codes are indexes, not vector ids)."""
     rows = df.orderBy(id_col).limit(k).collect()
+    if not rows:
+        raise ValueError("cannot seed PQ codebooks from an empty DataFrame")
+    if len(rows) < k:
+        raise ValueError(
+            f"need at least k={k} vectors to seed {k} PQ codes, got {len(rows)}"
+        )
     d = len(rows[0][vec_col])
     dsub = d // m
     if m * dsub != d:
@@ -107,7 +113,16 @@ def pq_train(
     """Per-subspace k-means codebooks (quantized-L2, fixed iteration
     count, deterministic seeds/ties — the oracle unrolls this exactly).
     All m subspaces train in the SAME jobs: one encode pass + one
-    (sub, code, pos) combiner aggregate per iteration."""
+    (sub, code, pos) combiner aggregate per iteration.
+
+    Spec bound: the codebook mean is computed as exact Python int
+    division ``qs / n`` on the quantized coordinate sum, and the DuckDB
+    oracle computes ``CAST(qs AS DOUBLE) / n``.  The two are
+    bit-identical only while ``|qs| <= 2^53`` — at the _QP=1e10 scale
+    that is ~9e5 unit-scale coordinates per (sub, code, pos) cell.
+    Beyond that the parity contract (like the k-means CTE family it
+    mirrors) requires re-quantizing the accumulator; that bound is part
+    of the spec, not an accident of this implementation."""
     books = _seed_codebooks(df, m, k, vec_col, id_col)
     dsub = len(books[0][0][1])
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))

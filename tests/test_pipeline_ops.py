@@ -1650,6 +1650,24 @@ def test_bpe_vocab_and_encode(spark):
         want = [tok for w in t.split() for tok in segs[w]]
         assert [r.token for r in rows] == want
         assert [r.token_id for r in rows] == [want_vocab[t_] for t_ in want]
+
+    # encode-new-docs: OOV words are dropped under the default contract
+    # but surfaced as NULL-token_id rows under oov="null"
+    new = spark.createDataFrame(
+        [(9, "low zzz newest", "en")], "doc_id long, text string, lang string"
+    )
+    dropped = bpe_encode(new, words, bpe_vocab(merges, words)).collect()
+    assert all(r.token_id is not None for r in dropped)
+    surfaced = sorted(
+        bpe_encode(new, words, bpe_vocab(merges, words), oov="null").collect(),
+        key=lambda r: r.pos,
+    )
+    assert [r.pos for r in surfaced] == list(range(len(surfaced)))
+    oov_rows = [r for r in surfaced if r.token_id is None]
+    assert [r.token for r in oov_rows] == ["zzz"]
+    assert len(surfaced) == len(dropped) + 1
+    with pytest.raises(ValueError, match="oov"):
+        bpe_encode(new, words, bpe_vocab(merges, words), oov="bogus")
     words.unpersist()
 
 
@@ -1799,18 +1817,23 @@ def test_pq_train_encode_search(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan[:1500]
 
-    # dead clusters: k=8 codebooks trained on 3 distinct vectors keep the
-    # unassigned codes' seed centroids (no NaNs, no crash)
+    # under-seeded corpora fail loudly (used to silently train <k codes)
     tiny = spark.createDataFrame(
         [(i, [float(i), 0.0, 0.0, 0.0]) for i in range(3)],
         "vec_id long, embedding array<float>",
     )
-    books3 = pq_train(tiny, m=2, k=8, iters=2)
-    # seeds are only 3 vectors -> codebook still built from what exists
+    with pytest.raises(ValueError, match="at least k=8"):
+        pq_train(tiny, m=2, k=8, iters=2)
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(tiny.filter("vec_id < 0"), m=2, k=2, iters=1)
+    # k == n is the boundary: every code seeds from a distinct vector
+    books3 = pq_train(tiny, m=2, k=3, iters=2)
     import math as _math
 
-    assert len(books3) == 2 and all(_math.isfinite(v) for sub in books3
-                                    for _, cv in sub for v in cv)
+    assert len(books3) == 2 and all(
+        len(sub) == 3 and all(_math.isfinite(v) for _, cv in sub for v in cv)
+        for sub in books3
+    )
 
 
 def test_pq_dim_not_divisible_raises(spark):
@@ -2233,3 +2256,5 @@ def test_threshold_sweep_monotone_and_consistent(spark):
         docs, n=3, threshold=0.5, prefix_filter=False
     ).count()
     assert rows[0].n_pairs == direct
+    with pytest.raises(ValueError, match="non-empty"):
+        jaccard_threshold_sweep(docs, thresholds=())

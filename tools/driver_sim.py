@@ -1,11 +1,12 @@
 """Local driver-sim: exact-value compare of queries() entries vs their
 DuckDB oracles, mirroring the round driver's gate. Usage:
-  python3 /tmp/driver_sim.py sf_dir name1 name2 ...
+  python3 tools/driver_sim.py sf_dir name1 name2 ...
 """
 import math
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entrymod
