@@ -17,6 +17,9 @@ from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# randomized DuckDB-oracle sweep: slow lane with the entry oracles
+pytestmark = pytest.mark.oracle
+
 SF_DIR = "/root/testdata/sf0.001"
 
 # (dialect rendering, duckdb rendering) per leaf predicate; literals drawn

@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 
+# the 186×-parametrized sweep dominates suite runtime — slow lane only
+pytestmark = pytest.mark.oracle
+
 SF_DIR = os.environ.get("IFS_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 ORACLES = entrymod.oracle_sql()

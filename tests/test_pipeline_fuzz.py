@@ -15,6 +15,9 @@ from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# randomized spec-oracle sweep: slow lane with the entry oracles
+pytestmark = pytest.mark.oracle
+
 WORDS = ["a", "b", "c", "d"]
 
 doc_strategy = st.lists(st.sampled_from(WORDS), min_size=0, max_size=6).map(

@@ -197,6 +197,7 @@ def test_kmv_exact_below_k(spark):
     assert kmv_distinct_count(df, "u", k=64).first().est_distinct == 40.0
 
 
+@pytest.mark.slow
 def test_sliding_window_dist_property(spark):
     """Randomized equivalence: distributed vs single-task frames across
     awkward shapes (empty, n=1, n≈rows, rows<n, many empty splits)."""
@@ -1202,6 +1203,7 @@ def test_jacobi_top_component_matches_lapack():
         assert lam == lam2 and tr == tr2 and (v == v2).all()
 
 
+@pytest.mark.slow
 def test_simhash_jvm_variant_properties(spark):
     """The all-JVM xxhash64 SimHash (the 100 TB scale path — not
     oracle-hashable since DuckDB can't recompute Spark's xxhash64) must
@@ -1251,6 +1253,7 @@ def test_simhash_jvm_variant_properties(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_minhash_jvm_variant_properties(spark):
     """The all-JVM xxhash64 MinHash (scale path; not oracle-hashable)
     must satisfy the MinHash contract: identical shingle sets produce

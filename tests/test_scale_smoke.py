@@ -13,6 +13,9 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+# million-row smokes: slow lane
+pytestmark = pytest.mark.slow
+
 
 def _elapsed(fn):
     t0 = time.perf_counter()
