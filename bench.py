@@ -4,6 +4,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Protocol: per query, 2 warmups then median-of-3 timed runs; per-query
+min/med/max recorded under "dispersion", and any concurrent JVM/pytest
+load on the host is detected and recorded under "concurrent_load" (host
+contention swung identical code 27.5->37.4 s across rounds 3-5).
+
 Also measures the ingest path (persist/append throughput) against the
 reference's published 100k objects/sec figure (BASELINE.md).
 """
@@ -100,9 +105,47 @@ HEADLINE = [
 ]
 
 
+def _concurrent_load() -> list[str]:
+    """Other JVMs / pytest runs sharing the box skew single-run timings
+    2-4x (measured r3-r5: identical query code swung 27.5->37.4 s under
+    host contention).  Report them so a noisy measurement is legible."""
+    hogs = []
+    # exclude ourselves and the shell/driver chain that launched us
+    skip = set()
+    pid = os.getpid()
+    while pid > 1 and pid not in skip:
+        skip.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                pid = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            break
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) in skip:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\x00", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        low = cmd.lower()
+        if any(k in low for k in ("java", "pytest", "bench.py", "spark")):
+            hogs.append(f"pid {pid}: {cmd.strip()[:160]}")
+    return hogs
+
+
 def main() -> None:
     from interference_spark import build_spark
     from interference_spark import inventory
+
+    hogs = _concurrent_load()
+    if hogs:
+        print(
+            "bench: WARNING — concurrent JVM/pytest load detected; timings "
+            "will read high:\n  " + "\n  ".join(hogs),
+            file=sys.stderr,
+        )
+    load1 = os.getloadavg()[0]
 
     spark = build_spark(
         app_name="ifs-bench",
@@ -112,6 +155,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
 
     # ingest benches run FIRST, on the fresh JVM: measured after the 30+
@@ -153,12 +197,22 @@ def main() -> None:
             # reads 1.5-3x noisy run over run
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(2):  # best-of-2: robust to transient host noise
+            # median-of-3: the headline number ignores a single outlier
+            # in EITHER direction (best-of-N hides sustained contention;
+            # mean lets one stall dominate).  Dispersion is recorded so a
+            # wide spread is visible instead of silently folded in.
+            runs = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            timings[name] = round(runs[1], 4)
+            dispersion[name] = {
+                "min": round(runs[0], 4),
+                "med": round(runs[1], 4),
+                "max": round(runs[2], 4),
+            }
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -171,9 +225,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "dispersion": dispersion,
                 "errors": errors,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "cpus": int(CPUS),
+                "protocol": "median-of-3 after 2 warmups, per-query gc+clearCache",
+                "loadavg_at_start": round(load1, 2),
+                "concurrent_load": hogs,
             }
         )
     )
