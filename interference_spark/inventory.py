@@ -7720,119 +7720,83 @@ def dedup_cluster_size_histogram(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # r5 rotation — the BIG sweep: after r4's 50/50 green, 57 of 163
-    # entries had never held a driver row.  This window swaps 38 of them
-    # in (every one passes the local 3-SF oracle replica, re-verified at
-    # the driver's sf0.01 before shipping) and keeps only (a) entries
-    # first checked in r4 (one green round of evidence) and (b) one
-    # TPC-H sentinel.  Every displaced entry is r3+r4 driver-green and
-    # keeps its local oracle checks; every operator family keeps ≥1
-    # window row.  Displaced this round: dialect_count_distinct,
-    # dialect_is_null, q9_product_profit, q2_min_cost_supplier,
-    # events_agg_by_type, window_analytics_orders,
-    # event_funnel_conversion, incremental_rollup_events,
-    # incremental_rollup_distinct_users, graph_pagerank_copurchase,
-    # export_shuffled_shards, dedup_minhash_lsh, dedup_simhash,
-    # dedup_ngram_jaccard, dedup_embedding_neardup, dedup_clusters,
-    # corpus_curation_funnel, sim_cosine_topk, sim_quantized_topk,
-    # sim_lsh_multiprobe, text_quality, text_repetition, tfidf_top_terms,
-    # corpus_divergence_by_lang, lang_id, stream_heavy_hitters,
-    # decontaminate_ngrams, pii_redact, kanonymity_audit,
-    # approx_quantile_sketch, mm_video_frames, mm_resize, mm_jpeg_dedup,
-    # source_csv_agg, data_quality_report, json_extract_props,
-    # sessionize_users, stream_tumbling_keychange,
-    # stream_sliding_count_window, stream_into_materialize,
-    # stream_stream_join, process_within_consume.
-    # --- kept sentinels (r4-first-green + 1 TPC-H anchor).  Late-r5
-    # swap: dialect_left_join / quality_model_scores /
-    # dedup_incremental_minhash (each r4-driver-green + locally oracled)
-    # gave their slots to the three end-of-round entries that had never
-    # held a driver row — sim_ivfpq_topk, source_orc_agg,
-    # source_text_agg (all three re-verified vs DuckDB at the driver's
-    # sf0.01 before shipping); dialect/dedup keep window rows via
-    # dialect_custom_group_function / dedup_semantic+editdistance. ---
+    # r6 rotation — close the driver-evidence gap: after r5's 50/50
+    # green, exactly 33 of 186 entries had never held a driver row
+    # (VERDICT r5 "What's missing").  This window rotates ALL 33 in,
+    # keeps the three family sentinels, and fills the remaining slots
+    # with r5-first-green entries (one driver round of evidence each)
+    # chosen for family coverage.  Every entry below passes the local
+    # 3-SF oracle replica and was re-verified against DuckDB at the
+    # driver's sf0.01 via tools/driver_sim.py before shipping.
+    # Displaced (each r5-driver-green, keeps local oracles every pytest
+    # run): gapfill_hourly_events, cohort_retention_daily,
+    # event_transition_matrix, frequent_event_sequences,
+    # interarrival_percentiles, incremental_rollup_value_quantiles,
+    # asof_forward_attribution, exact_variance_by_type,
+    # skew_profile_users, sketch_join_size, sketch_f2_user_skew,
+    # graph_triangles_copurchase, pack_training_sequences,
+    # stratified_sample_by_lang, weighted_sample_by_quality,
+    # train_split_dedup_safe, schema_evolution_add_column,
+    # dedup_editdistance, dedup_canonical_corpus, text_fingerprint,
+    # text_token_count, text_repeated_passages, bigram_lift,
+    # lang_confusion_margin, decontaminate_semantic, embedding_top_pc,
+    # sim_ivf_search, embedding_label_centroids, bpe_subword_stats,
+    # mm_audio_features, mm_frame_sample, source_json_agg,
+    # stream_session_windows, stream_event_time_hourly,
+    # stream_enrich_join.
+    # --- family sentinels (kept every round) ---
     "dialect_custom_group_function",
     "q21_waiting_suppliers",
     "process_stream_consume",
+    # --- the 33 never-driver-checked entries (first driver rows) ---
+    "chunk_documents_rag",
+    "clean_repeated_passages",
+    "corpus_token_stats",
+    "decayed_user_activity",
+    "decontaminate_bloom",
+    "decontaminate_report",
+    "dedup_cluster_size_histogram",
+    "dedup_containment_report",
+    "dedup_cross_source_matrix",
+    "dedup_threshold_sweep",
+    "embedding_dim_stats",
+    "embedding_int8_quant",
+    "embedding_rp_project",
+    "exact_value_percentiles",
+    "group_sample_5_per_lang",
+    "incremental_rollup_user_freq",
+    "mix_token_budget",
+    "mm_feature_extract",
+    "quality_tiers_by_lang",
+    "robust_outliers_by_type",
+    "sim_cosine_topk_exact",
+    "sim_hard_negatives",
+    "sim_ivfpq_rerank",
+    "sim_lsh_topk",
+    "sketch_kmv_overlap",
+    "stream_distinct",
+    "stream_event_time_sliding",
+    "stream_lm_ingest",
+    "table_profile_lineitem",
+    "temperature_sample_by_lang",
+    "text_novelty_ngrams",
+    "text_typicality",
+    "text_winnow_fingerprints",
+    # --- r5-first-green keepers (second round of evidence + family
+    # coverage: sources, BPE, PQ/IVF-PQ, LM, retrieval, graph,
+    # decontamination, multimodal, streaming-index) ---
     "sim_ivfpq_topk",
     "source_orc_agg",
     "source_text_agg",
-    # NEW late-r5 — tokenizer encode-to-ids (vocab ids + per-doc
-    # position-indexed sequences); took dedup_semantic's slot
-    # (r4-driver-green, keeps local oracles; dedup keeps
-    # editdistance + canonical_corpus window rows).
     "bpe_encode_ids",
-    # NEW late-r5 — streaming IVF-PQ index maintenance (snapshot-train +
-    # frozen-state micro-batch encode into the partitioned store); took
-    # stream_watermark_dedup's slot (r4-driver-green, keeps local
-    # oracles); streaming keeps 4 window rows.
+    "bpe_train_merges",
     "stream_ivfpq_ingest",
-    # --- events analytics / sessions / funnels (first driver rows) ---
-    "gapfill_hourly_events",
-    "cohort_retention_daily",
-    "event_transition_matrix",
-    "frequent_event_sequences",
-    "interarrival_percentiles",
-    # NEW r5 operators — LM perplexity filtering + BM25 retrieval (took
-    # the slots of robust_outliers_by_type / decayed_user_activity; the
-    # events family keeps 7 first-time window rows + local oracles)
     "quality_perplexity_lm",
     "rank_bm25_topk",
-    "incremental_rollup_value_quantiles",
-    "asof_forward_attribution",
-    # --- exact stats / profiling / sketches ---
-    "exact_variance_by_type",
-    "skew_profile_users",
-    "sketch_join_size",
-    "sketch_f2_user_skew",
-    "graph_triangles_copurchase",
-    # --- training export / sampling / schema ---
-    "pack_training_sequences",
-    "stratified_sample_by_lang",
-    # NEW r5 operator — co-purchase connected components vs a recursive
-    # transitive-closure oracle (took temperature_sample_by_lang's slot;
-    # the sampling family keeps 3 window rows + local oracles)
     "graph_components_copurchase",
-    "weighted_sample_by_quality",
-    "train_split_dedup_safe",
-    "schema_evolution_add_column",
-    # --- dedup (registry/semantic kept above; + two never-checked) ---
-    "dedup_editdistance",
-    "dedup_canonical_corpus",
-    # --- text analysis ---
-    "text_fingerprint",
-    "text_token_count",
-    "text_repeated_passages",
-    # NEW r5 operator — exact-substring verbatim-leakage check (took
-    # decontaminate_bloom's slot; the bloom variant keeps local checks
-    # and the decontaminate family keeps 2 window rows)
-    "decontaminate_substring",
-    "bigram_lift",
-    "lang_confusion_margin",
-    # --- similarity / embeddings (incl. the Jacobi top-PC flagship) ---
-    "decontaminate_semantic",
-    "embedding_top_pc",
-    "sim_ivf_search",
-    # NEW r5 operator — product-quantization ANN (took
-    # sim_hard_negatives' slot; hard negatives keep local checks)
     "sim_pq_topk",
-    "embedding_label_centroids",
-    # --- BPE vocabulary training (NEW r5 — iterative merge training +
-    # trained-tokenizer application, both fully value-oracled; took the
-    # slots of sim_lsh_topk / embedding_int8_quant, whose families keep
-    # 5 first-time window rows + local checks) ---
-    "bpe_train_merges",
-    "bpe_subword_stats",
-    # --- multimodal ---
+    "decontaminate_substring",
     "mm_image_dedup",
-    "mm_audio_features",
-    "mm_frame_sample",
-    # --- sources ---
-    "source_json_agg",
-    # --- streaming ---
-    "stream_session_windows",
-    "stream_event_time_hourly",
-    "stream_enrich_join",
 ]
 
 
