@@ -89,35 +89,88 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def select_disjoint(
+    cand: list[tuple[str, str, int]], want: int
+) -> list[tuple[str, str, int]]:
+    """Greedy symbol-disjoint batch selection (the standard scalable-BPE
+    trick): walk candidates in rank order, take a pair only if neither
+    symbol — nor the merged token of an already-taken pair — touches a
+    taken pair.  Disjointness makes the batch's merges independent: no
+    selected merge can create, destroy, or re-rank another selected
+    pair's occurrences, so applying them in rank order inside ONE pass is
+    exactly k sequential passes over this round's counts."""
+    sel: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for l, r, cnt in cand:
+        if l in used or r in used:
+            continue
+        sel.append((l, r, cnt))
+        used.update((l, r, l + r))
+        if len(sel) == want:
+            break
+    return sel
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    merges_per_round: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Train ``n_merges`` BPE merges over the corpus.
 
     Returns ``(merges, words)``: ``merges`` is the learned rule table
     ``(merge_rank, left, right, merged, pair_count)`` (≤ n_merges rows —
     training stops early if no adjacent pair remains), built on the
-    driver from the per-iteration argmax rows (bounded: one row per
-    iteration); ``words`` is the final segmented word table
-    ``(word, freq, sym)`` — persisted; caller unpersists when done."""
+    driver from the per-round top rows (bounded: ≤ ~8·merges_per_round
+    rows per round — the driver never holds data); ``words`` is the
+    final segmented word table ``(word, freq, sym)`` — persisted; caller
+    unpersists when done.
+
+    ``merges_per_round`` is the scale knob.  At 1 (default, the oracle
+    contract) each merge is its own count→argmax→fold round — textbook
+    sequential BPE, bit-replayable by the SQL oracle.  At k>1 each round
+    counts pairs ONCE and learns up to k symbol-disjoint top pairs
+    (see ``select_disjoint``), applying them as k chained folds in one
+    projection — a 32k-merge vocabulary costs ~32k/k count shuffles
+    instead of 32k.  Within a round the disjoint batch is order-
+    independent; ACROSS rounds the schedule can diverge from strict
+    sequential BPE exactly where a lower-ranked pair's count would have
+    been changed by a higher-ranked merge — the standard, accepted
+    approximation (each rule's ``pair_count`` is its count at the start
+    of its round)."""
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be >= 1, got {merges_per_round}"
+        )
     spark = docs.sparkSession
     cur = word_table(docs, text_col).persist()
     cur.count()
     rules: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        best = (
+    rank = 1
+    while rank <= n_merges:
+        want = min(merges_per_round, n_merges - rank + 1)
+        # fetch enough ranked candidates that the greedy disjoint filter
+        # usually finds `want` survivors; a short round (conflicts ate
+        # the tail) just re-counts sooner — never wrong, only slower
+        cap = 1 if want == 1 else max(32, 8 * want)
+        cand = (
             _pair_counts(cur)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(cap)
             .collect()
         )
-        if not best:
+        if not cand:
             break
-        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-        rules.append((rank, l, r, l + r, cnt))
-        nxt = cur.withColumn("sym", merge_fold(F.col("sym"), l, r)).persist()
+        sel = select_disjoint(
+            [(c["l"], c["r"], int(c["cnt"])) for c in cand], want
+        )
+        col = F.col("sym")
+        for l, r, cnt in sel:
+            rules.append((rank, l, r, l + r, cnt))
+            rank += 1
+            col = merge_fold(col, l, r)
+        nxt = cur.withColumn("sym", col).persist()
         nxt.count()
         cur.unpersist()
         cur = nxt

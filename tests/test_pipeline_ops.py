@@ -1507,6 +1507,97 @@ def _ref_bpe(word_freqs, n_merges):
     return rules, segs
 
 
+def _ref_bpe_batched(word_freqs, n_merges, k):
+    """Driver-side replica of the batched (merges_per_round=k) spec:
+    count once per round, rank by (-cnt, l, r), greedily take up to k
+    symbol-disjoint pairs (merged tokens also block), apply in rank
+    order."""
+    from interference_spark.pipeline.bpe import select_disjoint
+
+    segs = {w: list(w) for w in word_freqs}
+    rules = []
+    rank = 1
+    while rank <= n_merges:
+        counts = {}
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        cand = sorted(
+            ((l, r, c) for (l, r), c in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        want = min(k, n_merges - rank + 1)
+        for l, r, c in select_disjoint(cand, want):
+            rules.append((rank, l, r, l + r, c))
+            rank += 1
+            for w, s in segs.items():
+                out = []
+                for x in s:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                segs[w] = out
+    return rules, segs
+
+
+def test_bpe_batched_matches_replica(spark):
+    """merges_per_round=k must reproduce the driver-side replica of the
+    batched spec rule for rule, and k=1 must stay bit-identical to
+    textbook sequential BPE (the oracle contract)."""
+    import random
+
+    from interference_spark.pipeline.bpe import bpe_train, select_disjoint
+
+    rng = random.Random(11)
+    corpora = [
+        ["low low low lower lower", "newest newest newest widest",
+         "aaaa aa low newest"],
+    ]
+    for _ in range(2):
+        alphabet = "abcd"
+        corpora.append(
+            [
+                " ".join(
+                    "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                    for _ in range(rng.randint(1, 8))
+                )
+                for _ in range(3)
+            ]
+        )
+    for docs in corpora:
+        freqs = {}
+        for t in docs:
+            for w in t.split():
+                freqs[w] = freqs.get(w, 0) + 1
+        df = spark.createDataFrame(
+            [(i, t, "en") for i, t in enumerate(docs)],
+            "doc_id long, text string, lang string",
+        )
+        # k=1 batched replica == sequential textbook reference
+        assert _ref_bpe_batched(freqs, 6, 1) == _ref_bpe(freqs, 6)
+        for k in (2, 3):
+            want_rules, want_segs = _ref_bpe_batched(freqs, 6, k)
+            merges, words = bpe_train(df, n_merges=6, merges_per_round=k)
+            got_rules = [
+                (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+                for r in merges.orderBy("merge_rank").collect()
+            ]
+            assert got_rules == want_rules, (docs, k)
+            got_segs = {r.word: r.sym.split(" ") for r in words.collect()}
+            assert got_segs == want_segs, (docs, k)
+            words.unpersist()
+
+    # disjointness blocks shared symbols AND freshly merged tokens
+    cand = [("a", "b", 9), ("b", "c", 8), ("ab", "x", 7), ("c", "d", 6)]
+    assert select_disjoint(cand, 3) == [("a", "b", 9), ("c", "d", 6)]
+    with pytest.raises(ValueError, match="merges_per_round"):
+        bpe_train(spark.range(0).selectExpr("'' as text"), merges_per_round=0)
+
+
 def test_bpe_train_matches_reference(spark):
     """The distributed BPE (JVM fold + pair-count shuffle + 1-row argmax)
     must reproduce a driver-side textbook implementation rule for rule —
