@@ -7536,6 +7536,61 @@ def dedup_containment_report(spark, sf_dir):
 
 
 @query(
+    "dedup_exact_substring_pairs",
+    """WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), ga AS (
+  SELECT doc_id AS doc_a, p, md5(array_to_string(t[p:p+7], ' ')) AS gh
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(p)
+  WHERE len(t) >= 8 AND doc_id % 2 = 0
+), gb AS (
+  SELECT doc_id AS doc_b, p, md5(array_to_string(t[p:p+7], ' ')) AS gh
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(p)
+  WHERE len(t) >= 8 AND doc_id % 2 = 1
+), sh AS (
+  SELECT ga.doc_a, gb.doc_b, ga.p AS pa, gb.p AS pb, ga.gh
+  FROM ga JOIN gb USING (gh)
+), cnt AS (
+  SELECT doc_a, doc_b, count(DISTINCT gh) AS n_shared_grams
+  FROM sh GROUP BY 1, 2
+), isl AS (
+  SELECT doc_a, doc_b, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp,
+         pa - pb AS d
+  FROM sh
+), rl AS (
+  SELECT doc_a, doc_b, count(*) AS run
+  FROM isl GROUP BY doc_a, doc_b, d, grp
+), mx AS (
+  SELECT doc_a, doc_b, CAST(max(run) + 7 AS BIGINT) AS max_run_tokens
+  FROM rl GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, CAST(c.n_shared_grams AS BIGINT) AS n_shared_grams,
+       m.max_run_tokens
+FROM cnt c JOIN mx m USING (doc_a, doc_b)""",
+)
+def dedup_exact_substring_pairs(spark, sf_dir):
+    """Corpus↔corpus exact-substring dedup at k-token granularity
+    (`pipeline/dedup.exact_substring_pairs`) — the Lee-et-al exact
+    substring shape: documents in corpus A (even doc_id) that share any
+    verbatim ≥ 8-token run with corpus B (odd doc_id), with the shared-
+    shingle count and the exact longest-common-run length (diagonal
+    islands over shared positions).  One digest-keyed gram join — the
+    complete, linear-cost detector; the winnowing candidate filter is
+    the knob for trimming the shuffle at scale (guarantee k+w−1,
+    parity-tested)."""
+    from .pipeline.dedup import exact_substring_pairs
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    return exact_substring_pairs(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), k=8
+    )
+
+
+@query(
     "text_winnow_fingerprints",
     """WITH base AS (
   SELECT doc_id, text FROM documents WHERE length(text) >= 8
@@ -7797,6 +7852,9 @@ _DRIVER_WINDOW = [
     "sim_pq_topk",
     "decontaminate_substring",
     "mm_image_dedup",
+    # --- NEW r6 operators (window-listed in the same commit they land,
+    # per the no-new-backlog rule; sf0.01-simmed before shipping) ---
+    "dedup_exact_substring_pairs",
 ]
 
 

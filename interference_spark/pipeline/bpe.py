@@ -93,22 +93,58 @@ def select_disjoint(
     cand: list[tuple[str, str, int]], want: int
 ) -> list[tuple[str, str, int]]:
     """Greedy symbol-disjoint batch selection (the standard scalable-BPE
-    trick): walk candidates in rank order, take a pair only if neither
-    symbol — nor the merged token of an already-taken pair — touches a
-    taken pair.  Disjointness makes the batch's merges independent: no
-    selected merge can create, destroy, or re-rank another selected
-    pair's occurrences, so applying them in rank order inside ONE pass is
-    exactly k sequential passes over this round's counts."""
+    trick): walk candidates in rank order, take a pair only if its left,
+    right, AND merged token are all untouched by already-taken pairs
+    (including their merged tokens).  Full disjointness makes the
+    batch's merges independent — no selected merge can create, destroy,
+    or re-rank another selected pair's occurrences, and no merge's
+    output token can feed another rule in the same pass — so applying
+    them SIMULTANEOUSLY in one left fold equals applying them
+    sequentially in rank order."""
     sel: list[tuple[str, str, int]] = []
     used: set[str] = set()
     for l, r, cnt in cand:
-        if l in used or r in used:
+        if l in used or r in used or l + r in used:
             continue
         sel.append((l, r, cnt))
         used.update((l, r, l + r))
         if len(sel) == want:
             break
     return sel
+
+
+def merge_fold_batch(sym: Column, rules: list[tuple[str, str]]) -> Column:
+    """Apply a symbol-disjoint BATCH of merge rules in one greedy-
+    leftmost left fold.  The step is a CASE on the incoming symbol's
+    ``right`` match (each symbol matches at most one rule — rights are
+    disjoint), so per symbol it costs ≤ len(rules) cheap equality checks
+    and at most one accumulator-tail regexp — expression size is O(k),
+    unlike chaining ``merge_fold`` columns, which nests the whole input
+    expression per rule (exponential blow-up; Catalyst cannot
+    re-flatten it)."""
+    s = F.split(sym, " ")
+    init = F.element_at(s, 1)
+    rest = F.slice(s, 2, F.greatest(F.size(s) - F.lit(1), F.lit(0)))
+
+    def step(acc: Column, x: Column) -> Column:
+        append = F.concat(acc, F.lit(" "), x)
+        expr = append
+        # reversed so earlier-rank rules end up as OUTER branches (rank
+        # order is cosmetic here — rights are pairwise distinct)
+        for l, r in reversed(rules):
+            last = F.regexp_extract(acc, "[^ ]+$", 0)
+            wo_last = F.regexp_replace(acc, " ?[^ ]+$", "")
+            merged = F.concat(F.lit(l), x)
+            hit = F.when(wo_last == "", merged).otherwise(
+                F.concat(wo_last, F.lit(" "), merged)
+            )
+            expr = F.when(
+                x == F.lit(r),
+                F.when(last == F.lit(l), hit).otherwise(append),
+            ).otherwise(expr)
+        return expr
+
+    return F.when(F.size(s) == 1, sym).otherwise(F.aggregate(rest, init, step))
 
 
 def bpe_train(
@@ -131,9 +167,9 @@ def bpe_train(
     contract) each merge is its own count→argmax→fold round — textbook
     sequential BPE, bit-replayable by the SQL oracle.  At k>1 each round
     counts pairs ONCE and learns up to k symbol-disjoint top pairs
-    (see ``select_disjoint``), applying them as k chained folds in one
-    projection — a 32k-merge vocabulary costs ~32k/k count shuffles
-    instead of 32k.  Within a round the disjoint batch is order-
+    (see ``select_disjoint``), applying them all in ONE batched fold
+    (``merge_fold_batch``) — a 32k-merge vocabulary costs ~32k/k count
+    shuffles instead of 32k.  Within a round the disjoint batch is order-
     independent; ACROSS rounds the schedule can diverge from strict
     sequential BPE exactly where a lower-ranked pair's count would have
     been changed by a higher-ranked merge — the standard, accepted
@@ -165,11 +201,14 @@ def bpe_train(
         sel = select_disjoint(
             [(c["l"], c["r"], int(c["cnt"])) for c in cand], want
         )
-        col = F.col("sym")
         for l, r, cnt in sel:
             rules.append((rank, l, r, l + r, cnt))
             rank += 1
-            col = merge_fold(col, l, r)
+        if len(sel) == 1:
+            # the oracle-contract path: identical expression to r5
+            col = merge_fold(F.col("sym"), sel[0][0], sel[0][1])
+        else:
+            col = merge_fold_batch(F.col("sym"), [(l, r) for l, r, _ in sel])
         nxt = cur.withColumn("sym", col).persist()
         nxt.count()
         cur.unpersist()

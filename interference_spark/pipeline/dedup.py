@@ -1045,6 +1045,124 @@ def cross_source_dup_matrix(
     )
 
 
+def _token_gram_positions(
+    df: DataFrame, k: int, text_col: str, id_col: str, out_id: str
+) -> DataFrame:
+    """Per document: every k-token shingle as ``(out_id, p, gh)`` with
+    1-based token position ``p`` and ``gh`` = md5 of the space-joined
+    gram — the engine-portable digest both Spark and the SQL oracle
+    compute identically.  Pure per-row codegen (tokenize, slice, hash);
+    zero shuffle."""
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)),
+        lambda p: F.md5(F.array_join(F.slice(t, p, k), " ")),
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .filter(F.size(t) >= k)
+        .select(F.col(id_col).alias(out_id), F.posexplode(grams).alias("p0", "gh"))
+        .select(out_id, (F.col("p0") + 1).alias(f"p_{out_id}"), "gh")
+    )
+
+
+def exact_substring_pairs(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint_filter: bool = False,
+    w: int = 8,
+) -> DataFrame:
+    """Corpus↔corpus EXACT substring overlap at ``k``-token granularity
+    (the Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" shape, re-expressed as a distributed gram join instead of a
+    single-node suffix array): two documents share an exact run of
+    ≥ k consecutive tokens iff they share at least one k-token shingle —
+    so one hash-partitioned join on the shingle digest is a complete,
+    exact detector, and it is linear in corpus size (Σ posting lists),
+    not quadratic.
+
+    Returns one row per overlapping cross-corpus pair:
+    ``(doc_a, doc_b, n_shared_grams, max_run_tokens)`` where
+    ``n_shared_grams`` counts distinct shared shingles and
+    ``max_run_tokens`` is the length in tokens of the longest exact
+    common substring (diagonal islands over shared (p_a, p_b) positions:
+    consecutive shingle hits on the same p_a − p_b diagonal chain into
+    runs of m shingles = m + k − 1 tokens).
+
+    ``fingerprint_filter=True`` prepends a winnowing candidate filter
+    (window-min over each doc's shingle-hash sequence, window ``w``):
+    only doc pairs sharing a fingerprint reach the gram join.  This
+    trims the shuffle by ~(w+1)/2× but weakens the guarantee to overlaps
+    of ≥ k + w − 1 tokens (the winnowing bound) — the right trade at
+    100 TB where the interesting duplicated passages are much longer
+    than the threshold; keep the default for bit-exact ≥ k detection.
+
+    Scale shape: shingle hashing is per-row codegen; the join key is a
+    32-hex digest, so the shuffle carries narrow rows; hot boilerplate
+    shingles fatten posting lists — cap or df-filter them upstream, the
+    same playbook as the other gram joins."""
+    ga = _token_gram_positions(docs_a, k, text_col, id_col, "doc_a")
+    gb = _token_gram_positions(docs_b, k, text_col, id_col, "doc_b")
+    if fingerprint_filter:
+        fa = _winnow_gram_fps(ga, "doc_a", w)
+        fb = _winnow_gram_fps(gb, "doc_b", w)
+        cand = fa.join(fb, "fp").select("doc_a", "doc_b").distinct()
+        shared = (
+            ga.join(gb, "gh")
+            .join(cand, ["doc_a", "doc_b"], "leftsemi")
+        )
+    else:
+        shared = ga.join(gb, "gh")
+
+    counts = shared.groupBy("doc_a", "doc_b").agg(
+        F.countDistinct("gh").alias("n_shared_grams")
+    )
+    from pyspark.sql import Window
+
+    d = (F.col("p_doc_a") - F.col("p_doc_b")).alias("d")
+    win = Window.partitionBy("doc_a", "doc_b", "d").orderBy("p_doc_a")
+    runs = (
+        shared.select("doc_a", "doc_b", "p_doc_a", d)
+        .withColumn("grp", F.col("p_doc_a") - F.row_number().over(win))
+        .groupBy("doc_a", "doc_b", "d", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_a", "doc_b")
+        .agg((F.max("run") + F.lit(k - 1)).cast("long").alias("max_run_tokens"))
+    )
+    return counts.join(runs, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_shared_grams", "max_run_tokens"
+    )
+
+
+def _winnow_gram_fps(grams: DataFrame, id_name: str, w: int) -> DataFrame:
+    """Winnowing over a doc's POSITION-ORDERED shingle-hash sequence:
+    keep each w-window's minimum hash.  Any two docs sharing ≥ w
+    consecutive shingles (= k + w − 1 tokens) share a fingerprint —
+    the SWA guarantee transplanted from characters to token shingles."""
+    seq = (
+        grams.groupBy(id_name)
+        .agg(F.array_sort(F.collect_list(F.struct(f"p_{id_name}", "gh"))).alias("s"))
+        .select(id_name, F.transform("s", lambda x: x["gh"]).alias("h"))
+    )
+    return seq.select(
+        id_name,
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("h") >= w,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("h") - w),
+                        lambda j: F.array_min(F.slice("h", j + 1, w)),
+                    ),
+                ).otherwise(F.array(F.array_min("h")))
+            )
+        ).alias("fp"),
+    )
+
+
 def _containment_pairs_prefix(
     grams: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

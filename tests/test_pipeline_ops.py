@@ -2328,6 +2328,57 @@ def test_winnowing_guarantee(spark):
     assert 0 < out[1].n_fps < len("AAAA " + shared + " BBBB") - 4
 
 
+def test_exact_substring_pairs_runs_and_filter_parity(spark):
+    """Cross-corpus exact substring detection: the gram join finds
+    exactly the pairs sharing a >=k-token run, max_run_tokens is the
+    true longest common substring (diagonal islands — incl. the
+    repeated-token degenerate case), and the winnowing candidate filter
+    is lossless for overlaps >= k + w - 1 tokens."""
+    from interference_spark.pipeline.dedup import exact_substring_pairs
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    short = " ".join(f"t{i}" for i in range(5))  # 5 < k: must NOT fire
+    docs_a = spark.createDataFrame(
+        [
+            (0, f"a0 a1 a2 {shared} a3 a4"),
+            (2, f"b0 {short} b1 b2 b3 b4"),
+            (4, "a a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    docs_b = spark.createDataFrame(
+        [
+            (1, f"c0 c1 {shared} c2"),
+            (3, f"d0 {short} d1 d2 d3 d4 d5"),
+            (5, "a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared_grams, r.max_run_tokens)
+        for r in exact_substring_pairs(docs_a, docs_b, k=6).collect()
+    }
+    # 10-token run at k=6 -> 5 shared grams; 5-token run invisible;
+    # "a"*6 x "a"*5 -> one distinct gram, LCS = 5... below k, so absent
+    assert got == {(0, 1): (5, 10)}
+
+    # repeated-token degenerate case, k small enough to fire
+    got4 = {
+        (r.doc_a, r.doc_b): (r.n_shared_grams, r.max_run_tokens)
+        for r in exact_substring_pairs(docs_a, docs_b, k=4).collect()
+    }
+    assert got4[(4, 5)] == (1, 5)  # LCS "a a a a a" = 5 tokens, 1 gram
+
+    # winnow filter: lossless here (overlap 10 >= k + w - 1 = 6+3-1)
+    filt = {
+        (r.doc_a, r.doc_b): (r.n_shared_grams, r.max_run_tokens)
+        for r in exact_substring_pairs(
+            docs_a, docs_b, k=6, fingerprint_filter=True, w=3
+        ).collect()
+    }
+    assert filt == got
+
+
 def test_threshold_sweep_monotone_and_consistent(spark):
     """Sweep counts are monotone non-increasing in the threshold and the
     lowest bar agrees with a direct pair query at that bar."""

@@ -92,6 +92,81 @@ def _novelty(spark, n: int):
     )
 
 
+def _rich_docs(spark, n: int, vocab: int = 50_000, doc_words: int = 40):
+    """Docs over a LARGE pseudo-random word pool (8 lowercase chars each)
+    — enough pair diversity to sustain 1000+ BPE merges, unlike the
+    64-word probe corpus above."""
+    word = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: F.char(
+                F.lit(97)
+                + (
+                    (
+                        F.xxhash64(
+                            ((F.xxhash64(F.col("id") * 41 + F.col("pos")) % vocab + vocab) % vocab) * 37
+                            + j
+                        )
+                        % 26
+                        + 26
+                    )
+                    % 26
+                )
+            ),
+        ),
+        "",
+    )
+    return (
+        spark.range(n)
+        .select("id", F.explode(F.sequence(F.lit(1), F.lit(doc_words))).alias("pos"))
+        .select(F.col("id").alias("doc_id"), word.alias("word"))
+        .groupBy("doc_id")
+        .agg(F.array_join(F.collect_list("word"), " ").alias("text"))
+    )
+
+
+def probe_bpe_merges(
+    spark, merge_counts: list[int], merges_per_round: int = 32,
+    n_docs: int = 100_000,
+) -> dict:
+    """Round-count scaling of batched BPE training: fixed corpus, growing
+    n_merges.  Near-linear sec-vs-merges slope (and rounds ~= merges/k)
+    is the evidence that merges_per_round removes the per-merge
+    sequential-job ceiling."""
+    import interference_spark.pipeline.bpe as bpe_mod
+
+    docs = _rich_docs(spark, n_docs).persist()
+    docs.count()
+    out: dict[int, dict] = {}
+    orig = bpe_mod._pair_counts
+    for nm in merge_counts:
+        rounds = {"n": 0}
+
+        def counted(words):
+            rounds["n"] += 1
+            return orig(words)
+
+        bpe_mod._pair_counts = counted
+        try:
+            t0 = time.perf_counter()
+            merges, words = bpe_mod.bpe_train(
+                docs, n_merges=nm, merges_per_round=merges_per_round
+            )
+            learned = merges.count()
+            words.unpersist()
+            out[nm] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "rounds": rounds["n"],
+                "learned": int(learned),
+            }
+        finally:
+            bpe_mod._pair_counts = orig
+        print(f"bpe_merges {nm}: {out[nm]}", flush=True)
+        spark.catalog.clearCache()
+    docs.unpersist()
+    return out
+
+
 def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
     from interference_spark.pipeline.dedup import (
         exact_dedup,
@@ -224,6 +299,21 @@ def main() -> None:
 
     args = sys.argv[1:]
     only: set[str] | None = None
+    if args and args[0] == "--bpe-merges":  # --bpe-merges 128,512,1024 [k]
+        counts = [int(c) for c in args[1].split(",")]
+        k = int(args[2]) if len(args) > 2 else 32
+        spark = build_spark(
+            app_name="scaling-probe",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+            shuffle_partitions=int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            ),
+            extra_conf={"spark.driver.memory": "48g"},
+        )
+        res = probe_bpe_merges(spark, counts, merges_per_round=k)
+        print(json.dumps({"merges_per_round": k, "bpe_merges": res}))
+        spark.stop()
+        return
     if args and args[0] == "--only":  # --only op1,op2 [sizes...]
         only = set(args[1].split(","))
         args = args[2:]
