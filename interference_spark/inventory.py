@@ -2178,6 +2178,115 @@ def quality_model_scores(spark, sf_dir):
     return linear_quality_model(e.table("documents"))
 
 
+def _hash_kernel_oracle(d: int = 8, iters: int = 4) -> str:
+    """Unrolled SQL replay of `text.hash_kernel_classifier` (the same
+    generated-CTE pattern as the k-means/BPE oracles): featurize the
+    even-doc training slice, run `iters` quantized batch-GD steps as
+    chained (moments → weight-update) CTE pairs, then score every doc
+    with the final weights.  Every arithmetic op mirrors the Spark/
+    Python chain exactly ((S/n)/1e8, dyadic lr=0.5, left-assoc dot
+    product) so weights and scores are bit-identical."""
+    xcols = ",\n         ".join(
+        f"CAST(len(list_filter(t, w -> ('0x' || substr(md5('hk:' || w), 1, 13))"
+        f"::BIGINT % {d} = {j})) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS x{j}"
+        for j in range(d)
+    )
+
+    def pred(w: str, f: str) -> str:
+        return f"{w}.wb" + "".join(
+            f" + {w}.c{j} * {f}.x{j}" for j in range(d)
+        )
+
+    ctes = [
+        f"""tr AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t,
+         CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS y
+  FROM documents WHERE length(trim(text)) > 0 AND doc_id % 2 = 0
+)""",
+        f"""tf AS (
+  SELECT y,
+         {xcols}
+  FROM tr
+)""",
+        "wt0 AS (SELECT CAST(0 AS DOUBLE) AS wb, "
+        + ", ".join(f"CAST(0 AS DOUBLE) AS c{j}" for j in range(d))
+        + ")",
+    ]
+    for i in range(1, iters + 1):
+        p = pred("w", "f")
+        moments = ", ".join(
+            [
+                "count(*) AS n",
+                f"CAST(sum(floor(({p} - f.y) * 1e8)) AS BIGINT) AS sb",
+            ]
+            + [
+                f"CAST(sum(floor(f.x{j} * ({p} - f.y) * 1e8)) AS BIGINT) AS s{j}"
+                for j in range(d)
+            ]
+        )
+        ctes.append(
+            f"g{i} AS (SELECT {moments} FROM tf f CROSS JOIN wt{i-1} w)"
+        )
+        upd = ", ".join(
+            [
+                "w.wb - 0.5 * (CAST(g.sb AS DOUBLE) / CAST(g.n AS DOUBLE)"
+                " / 1e8) AS wb"
+            ]
+            + [
+                f"w.c{j} - 0.5 * (CAST(g.s{j} AS DOUBLE) / CAST(g.n AS DOUBLE)"
+                f" / 1e8) AS c{j}"
+                for j in range(d)
+            ]
+        )
+        ctes.append(
+            f"wt{i} AS (SELECT {upd} FROM g{i} g CROSS JOIN wt{i-1} w)"
+        )
+    ctes.append(
+        """sc AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+)"""
+    )
+    ctes.append(
+        f"""scf AS (
+  SELECT doc_id,
+         {xcols}
+  FROM sc
+)"""
+    )
+    p = pred("w", "f")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.doc_id, {p} AS qscore,
+       ({p}) >= CAST(0.5 AS DOUBLE) AS keep
+FROM scf f CROSS JOIN wt{iters} w"""
+    )
+
+
+@query("quality_hash_classifier", _hash_kernel_oracle())
+def quality_hash_classifier(spark, sf_dir):
+    """Trainable hash-kernel quality classifier
+    (`text.hash_kernel_classifier`): fastText-style linear model over
+    hashed token-bucket features (hashing trick, md5-derived portable
+    hash), trained in-engine with 4 fixed quantized batch-GD steps on
+    the even-doc_id labeled slice (is-English target) and then scoring
+    EVERY document with a keep flag at the 0.5 bar — the learned-filter
+    stage of the DCLM/CCNet curation pipeline.  Per GD step: one
+    combiner moment aggregate to a single bounded row; scoring: a pure
+    literal-weight projection (no join, no shuffle — plan-linted)."""
+    from .pipeline.text import hash_kernel_classifier
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    _w, scored = hash_kernel_classifier(
+        docs.filter("doc_id % 2 = 0"), docs, d=8, iters=4
+    )
+    return scored
+
+
 @query(
     "decontaminate_semantic",
     """WITH v AS (
@@ -7855,6 +7964,7 @@ _DRIVER_WINDOW = [
     # --- NEW r6 operators (window-listed in the same commit they land,
     # per the no-new-backlog rule; sf0.01-simmed before shipping) ---
     "dedup_exact_substring_pairs",
+    "quality_hash_classifier",
 ]
 
 

@@ -209,8 +209,14 @@ def bpe_train(
             col = merge_fold(F.col("sym"), sel[0][0], sel[0][1])
         else:
             col = merge_fold_batch(F.col("sym"), [(l, r) for l, r, _ in sel])
-        nxt = cur.withColumn("sym", col).persist()
-        nxt.count()
+        # localCheckpoint, not persist: persist keeps the full logical
+        # lineage, so after R rounds every job's plan embeds R nested
+        # fold trees and the DRIVER goes quadratic just re-rendering the
+        # plan string (measured: a 256-merge run spent 15 of 16 minutes
+        # in TreeNode.generateTreeString).  Checkpointing truncates the
+        # plan to the materialized blocks each round — O(1) plan size —
+        # which is the standard Spark shape for iterative algorithms.
+        nxt = cur.withColumn("sym", col).localCheckpoint(eager=True)
         cur.unpersist()
         cur = nxt
     merges = spark.createDataFrame(

@@ -1130,6 +1130,112 @@ def linear_quality_model(
     )
 
 
+def hash_kernel_classifier(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+    id_col: str = "doc_id",
+    d: int = 8,
+    iters: int = 4,
+    lr: float = 0.5,
+    threshold: float = 0.5,
+) -> tuple[list[float], DataFrame]:
+    """fastText-style quality classifier over HASHED n-gram features
+    (the hashing-trick kernel: every token hashes into one of ``d``
+    buckets via the engine-portable md5-derived ``hash52`` family, and a
+    document's feature vector is its normalized bucket-count histogram),
+    trained IN-ENGINE with ``iters`` fixed steps of quantized batch
+    gradient descent on squared loss — the DCLM/CCNet pipeline stage
+    that upgrades `linear_quality_model`'s two hand-picked surface
+    features to a learned lexical signal.
+
+    Determinism contract (the same playbook as the k-means/BPE/LM
+    oracles): each step's gradient moments are per-doc FLOOR-quantized
+    BIGINT sums (order-free on any partitioning), the weight update is a
+    fixed IEEE expression (``w − lr·(S/n/1e8)``, ``lr`` dyadic), and the
+    learned weights re-enter the plan as double literals — so a SQL
+    oracle unrolling the same ``iters`` steps reproduces every weight
+    and every downstream score bit for bit.  Squared loss, not
+    logistic: a sigmoid would drag in transcendentals whose last ULP
+    differs across engines.
+
+    Returns ``(weights, scored)`` where ``weights`` is
+    ``[bias, w_0..w_{d-1}]`` and ``scored`` is one row per scored doc:
+    ``(id, qscore, keep)`` with ``keep = qscore >= threshold``.
+
+    100 TB shape: featurization is per-row codegen (tokenize → hash →
+    bucket histogram; no shuffle, no UDF); each GD step is ONE
+    map-side-combined moment aggregate to a single (d+2)-column row —
+    the only thing the driver ever holds; scoring is a pure projection
+    with literal weights (no join at all, stronger than a broadcast).
+    ``d`` is the capacity knob — production fastText uses 2^18+ buckets
+    and the shape is unchanged: the moment row grows to d+2 columns,
+    still one combiner aggregate per step."""
+    from .export import hash52
+
+    if d < 1 or iters < 1:
+        raise ValueError(f"need d >= 1 and iters >= 1, got d={d} iters={iters}")
+
+    def featurize(df: DataFrame, with_id: bool) -> DataFrame:
+        t = F.split(F.trim(F.col(text_col)), r"\s+")
+        buckets = F.transform(t, lambda w: hash52("hk:", w) % d)
+        cols = [
+            (
+                F.size(F.filter(buckets, lambda b: b == j)).cast("double")
+                / F.size(t).cast("double")
+            ).alias(f"x{j}")
+            for j in range(d)
+        ]
+        lead = [F.col(id_col)] if with_id else [
+            F.when(F.col(label_col) == positive, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y")
+        ]
+        return df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            *lead, *cols
+        )
+
+    tf = featurize(train, with_id=False)
+    w = [0.0] * (d + 1)  # [bias, w_0..w_{d-1}]
+    for _ in range(iters):
+        pred = F.lit(w[0])
+        for j in range(d):
+            pred = pred + F.lit(w[j + 1]) * F.col(f"x{j}")
+        e = pred - F.col("y")
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(e * F.lit(1e8))).cast("long").alias("sb"),
+        ] + [
+            F.sum(F.floor(F.col(f"x{j}") * e * F.lit(1e8)))
+            .cast("long")
+            .alias(f"s{j}")
+            for j in range(d)
+        ]
+        row = tf.agg(*aggs).first()  # ONE bounded row per step
+        n = row["n"]
+        if not n:
+            raise ValueError(
+                "hash_kernel_classifier: empty training slice — nothing to fit"
+            )
+        # mirror the oracle's op chain exactly: (S / n) / 1e8, then w - lr*g
+        w[0] = w[0] - lr * (row["sb"] / n / 1e8)
+        for j in range(d):
+            w[j + 1] = w[j + 1] - lr * (row[f"s{j}"] / n / 1e8)
+
+    sf_feats = featurize(score, with_id=True)
+    spred = F.lit(w[0])
+    for j in range(d):
+        spred = spred + F.lit(w[j + 1]) * F.col(f"x{j}")
+    scored = sf_feats.select(
+        F.col(id_col),
+        spred.alias("qscore"),
+        (spred >= F.lit(threshold)).alias("keep"),
+    )
+    return w, scored
+
+
 # ----------------------------------------------- substring decontamination
 class AhoCorasick:
     """Plain-Python Aho-Corasick automaton (trie + BFS failure links) for

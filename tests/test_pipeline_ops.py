@@ -2328,6 +2328,86 @@ def test_winnowing_guarantee(spark):
     assert 0 < out[1].n_fps < len("AAAA " + shared + " BBBB") - 4
 
 
+def test_hash_kernel_classifier_matches_replica(spark):
+    """The quantized batch-GD fit must reproduce a pure-Python replica of
+    the spec (hash52 bucketing, floor-quantized moments, (S/n)/1e8 update
+    chain) weight for weight and score for score; classes must separate
+    when their vocabularies differ; empty training slice raises."""
+    import hashlib
+    import math
+
+    from interference_spark.pipeline.text import hash_kernel_classifier
+
+    def h52(word):
+        return int(hashlib.md5(f"hk:{word}".encode()).hexdigest()[:13], 16)
+
+    def replica(train_rows, score_rows, d, iters, lr, threshold):
+        def feats(text):
+            toks = text.strip().split()
+            xs = [0.0] * d
+            for t in toks:
+                xs[h52(t) % d] += 1.0
+            return [x / len(toks) for x in xs]
+
+        tf = [(feats(t), 1.0 if lang == "en" else 0.0)
+              for t, lang in train_rows if t.strip()]
+        w = [0.0] * (d + 1)
+        n = len(tf)
+        for _ in range(iters):
+            sb = 0
+            ss = [0] * d
+            for xs, y in tf:
+                e = w[0]
+                for j in range(d):
+                    e = e + w[j + 1] * xs[j]
+                e = e - y
+                sb += math.floor(e * 1e8)
+                for j in range(d):
+                    ss[j] += math.floor(xs[j] * e * 1e8)
+            w[0] = w[0] - lr * (sb / n / 1e8)
+            for j in range(d):
+                w[j + 1] = w[j + 1] - lr * (ss[j] / n / 1e8)
+        out = {}
+        for i, t in score_rows:
+            if not t.strip():
+                continue
+            xs = feats(t)
+            s = w[0]
+            for j in range(d):
+                s = s + w[j + 1] * xs[j]
+            out[i] = (s, s >= threshold)
+        return w, out
+
+    rng_words_en = ["the", "cat", "sat", "mat", "dog"]
+    rng_words_xx = ["zor", "blk", "qrt", "vnm", "wpl"]
+    rows = []
+    for i in range(20):
+        pool = rng_words_en if i % 2 == 0 else rng_words_xx
+        lang = "en" if i % 2 == 0 else "xx"
+        rows.append((i, " ".join(pool[(i + j) % 5] for j in range(6)), lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.filter("doc_id < 16")
+    w, scored = hash_kernel_classifier(
+        train, df, d=4, iters=3, lr=0.5, threshold=0.5
+    )
+    want_w, want_scores = replica(
+        [(t, lang) for _, t, lang in rows[:16]],
+        [(i, t) for i, t, _ in rows],
+        d=4, iters=3, lr=0.5, threshold=0.5,
+    )
+    assert w == want_w  # bit-identical quantized fit
+    got = {r.doc_id: (r.qscore, r.keep) for r in scored.collect()}
+    assert got == want_scores
+    # the learned filter separates the two vocabularies
+    assert all(got[i][1] for i in range(0, 20, 2))
+    assert not any(got[i][1] for i in range(1, 20, 2))
+
+    with pytest.raises(ValueError, match="empty training"):
+        hash_kernel_classifier(df.filter("doc_id < 0"), df, d=2, iters=1)
+    with pytest.raises(ValueError, match="d >= 1"):
+        hash_kernel_classifier(train, df, d=0)
+
+
 def test_exact_substring_pairs_runs_and_filter_parity(spark):
     """Cross-corpus exact substring detection: the gram join finds
     exactly the pairs sharing a >=k-token run, max_run_tokens is the

@@ -315,3 +315,24 @@ def test_winnow_fingerprints_plan(spark):
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_hash_kernel_classifier_plans(spark):
+    """Hash-kernel classifier: each GD step is ONE moment aggregate
+    (single Exchange to a 1-row result); scoring is a pure literal-weight
+    projection — no join, no shuffle, no Python anywhere."""
+    df = inventory.QUERIES["quality_hash_classifier"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_exact_substring_pairs_plan(spark):
+    """Cross-corpus substring dedup: gram hashing is codegen HOFs (no
+    UDF) and the shingle join is a real equi-join on the digest."""
+    df = inventory.QUERIES["dedup_exact_substring_pairs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
