@@ -98,6 +98,11 @@ HEADLINE = [
     "clean_repeated_passages",
     "rank_bm25_topk",
     "text_novelty_ngrams",
+    # r6 additions: cross-corpus exact-substring dedup + the trained
+    # hash-kernel quality filter (training is eager driver-bounded
+    # moments; the benched plan is train + score end-to-end)
+    "dedup_exact_substring_pairs",
+    "quality_hash_classifier",
     # NOT benched (driver-window-verified for correctness; each costs
     # ~1.4-1.6 s of pure setup side effects, and the bench total is the
     # round's headline number): incremental_rollup_distinct_users,

@@ -164,3 +164,48 @@ def test_ngram_novelty_matches_python_spec(spark, cand, ref):
     out = ngram_novelty(_df(spark, cand), _df(spark, ref), n=3)
     got = {r.doc_id: (r.n_grams, r.n_novel) for r in out.collect()}
     assert got == want
+
+
+@given(a=corpus_strategy, b=corpus_strategy, k=st.integers(2, 3))
+@FUZZ
+def test_exact_substring_pairs_matches_python_spec(spark, a, b, k):
+    from interference_spark.pipeline.dedup import exact_substring_pairs
+
+    def grams(t):
+        return [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+
+    want = {}
+    for i, da in enumerate(a):
+        ta = _toks(da)
+        ga = grams(ta)
+        for j, db in enumerate(b):
+            tb = _toks(db)
+            gb = grams(tb)
+            shared = set(ga) & set(gb)
+            if not shared:
+                continue
+            # longest common run = longest diagonal chain of gram hits
+            best = 0
+            for pa in range(len(ga)):
+                for pb in range(len(gb)):
+                    if ga[pa] != gb[pb]:
+                        continue
+                    run = 1
+                    while (
+                        pa + run < len(ga)
+                        and pb + run < len(gb)
+                        and ga[pa + run] == gb[pb + run]
+                    ):
+                        run += 1
+                    best = max(best, run)
+            want[(i, 1000 + j)] = (len(shared), best + k - 1)
+
+    db_b = spark.createDataFrame(
+        [(1000 + j, d) for j, d in enumerate(b)], "doc_id long, text string"
+    )
+    out = exact_substring_pairs(_df(spark, a), db_b, k=k)
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared_grams, r.max_run_tokens)
+        for r in out.collect()
+    }
+    assert got == want
