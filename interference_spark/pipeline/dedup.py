@@ -1058,6 +1058,12 @@ def _token_gram_positions(
         F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)),
         lambda p: F.md5(F.array_join(F.slice(t, p, k), " ")),
     )
+    # shingle hashing is the CPU-heavy per-row stage; a small-file input
+    # (one parquet split) would run it on one core, so spread it first.
+    # No-op cost on real inputs: properly partitioned corpora skip this.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     return (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .filter(F.size(t) >= k)

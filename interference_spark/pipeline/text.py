@@ -1181,23 +1181,40 @@ def hash_kernel_classifier(
     def featurize(df: DataFrame, with_id: bool) -> DataFrame:
         t = F.split(F.trim(F.col(text_col)), r"\s+")
         buckets = F.transform(t, lambda w: hash52("hk:", w) % d)
-        cols = [
-            (
-                F.size(F.filter(buckets, lambda b: b == j)).cast("double")
-                / F.size(t).cast("double")
-            ).alias(f"x{j}")
-            for j in range(d)
-        ]
         lead = [F.col(id_col)] if with_id else [
             F.when(F.col(label_col) == positive, F.lit(1.0))
             .otherwise(F.lit(0.0))
             .alias("y")
         ]
-        return df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-            *lead, *cols
+        # two-step projection on purpose: the md5 bucket array is hashed
+        # ONCE per row behind an alias the second projection references d
+        # times.  Inlining it into each x_j (one flat select) costs d md5
+        # passes per token — codegen subexpression elimination skips
+        # lambda-bearing expressions, and CollapseProject leaves a
+        # non-cheap multi-referenced alias alone, so the boundary holds.
+        base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            *lead, buckets.alias("__b")
+        )
+        n = F.size("__b").cast("double")
+        keep = [id_col] if with_id else ["y"]
+
+        def bucket_eq(j: int):
+            # single-arg lambda on purpose: a second parameter (even a
+            # defaulted one) turns F.filter's callback into the
+            # (element, index) form and the index silently shadows j
+            return lambda b: b == j
+
+        return base.select(
+            *keep,
+            *[
+                (F.size(F.filter("__b", bucket_eq(j))).cast("double") / n)
+                .alias(f"x{j}")
+                for j in range(d)
+            ],
         )
 
-    tf = featurize(train, with_id=False)
+    # the training slice feeds `iters` moment passes — hash it once
+    tf = featurize(train, with_id=False).persist()
     w = [0.0] * (d + 1)  # [bias, w_0..w_{d-1}]
     for _ in range(iters):
         pred = F.lit(w[0])
@@ -1223,6 +1240,7 @@ def hash_kernel_classifier(
         w[0] = w[0] - lr * (row["sb"] / n / 1e8)
         for j in range(d):
             w[j + 1] = w[j + 1] - lr * (row[f"s{j}"] / n / 1e8)
+    tf.unpersist()
 
     sf_feats = featurize(score, with_id=True)
     spred = F.lit(w[0])
