@@ -7181,6 +7181,110 @@ WHERE word <> ''
 GROUP BY lang"""
 
 
+_BPE_FOLD = """list_reduce(str_split({src}, ' '), (acc, x) -> CASE
+             WHEN x = {c}.r AND regexp_extract(acc, '[^ ]+$') = {c}.l THEN
+               CASE WHEN regexp_replace(acc, ' ?[^ ]+$', '') = ''
+                    THEN {c}.l || x
+                    ELSE regexp_replace(acc, ' ?[^ ]+$', '')
+                         || ' ' || {c}.l || x END
+             ELSE acc || ' ' || x END)"""
+
+
+def _bpe_batched_iter_cte(i: int, n_merges: int, cap: int) -> str:
+    """One unrolled BATCHED round (merges_per_round=2): ranked pair
+    counts, the argmax rule a{i}, the next fully-disjoint candidate b{i}
+    within the same top-`cap` ranked fetch `pipeline/bpe.bpe_train`
+    collects (left, right, AND merged token untouched by a{i} —
+    `select_disjoint`'s rule), both gated on the merge budget consumed
+    by earlier rounds (a short round just re-counts next round, exactly
+    like the Spark loop), then both folds applied in rank order.
+    Every CTE is MATERIALIZED: the round chain references each
+    predecessor several times (joins + scalar budget subqueries) and
+    DuckDB's default inlining goes exponential across rounds (first
+    symptom: parquet file-handle exhaustion)."""
+    prev = f"bw{i - 1}"
+    fold_a = _BPE_FOLD.format(src="sym", c="a")
+    fold_b = _BPE_FOLD.format(src="s1", c="b")
+    return f"""bp{i} AS MATERIALIZED (
+  SELECT s[j] AS l, s[j + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, str_split(sym, ' ') AS s FROM {prev}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.s) - 1)) AS j) jj
+  GROUP BY 1, 2
+), br{i} AS MATERIALIZED (
+  SELECT l, r, cnt,
+         row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rk
+  FROM bp{i} QUALIFY rk <= {cap}
+), ba{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM br{i}
+  WHERE rk = 1 AND (SELECT took FROM btot{i - 1}) < {n_merges}
+), bb{i} AS MATERIALIZED (
+  SELECT c.l, c.r, c.cnt FROM br{i} c, ba{i} a
+  WHERE c.rk > 1
+    AND (SELECT took FROM btot{i - 1}) + 1 < {n_merges} + 1
+    AND (SELECT took FROM btot{i - 1}) + 2 <= {n_merges}
+    AND c.l NOT IN (a.l, a.r, a.l || a.r)
+    AND c.r NOT IN (a.l, a.r, a.l || a.r)
+    AND (c.l || c.r) NOT IN (a.l, a.r, a.l || a.r)
+  ORDER BY c.rk LIMIT 1
+), btot{i} AS MATERIALIZED (
+  SELECT (SELECT took FROM btot{i - 1})
+         + (SELECT count(*) FROM ba{i})
+         + (SELECT count(*) FROM bb{i}) AS took
+), bw{i} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN b.l IS NULL OR instr(s1, ' ') = 0 THEN s1
+              ELSE {fold_b} END AS sym
+  FROM (
+    SELECT word, freq,
+           CASE WHEN a.l IS NULL OR instr(sym, ' ') = 0 THEN sym
+                ELSE {fold_a} END AS s1
+    FROM {prev} LEFT JOIN ba{i} a ON TRUE
+  ) LEFT JOIN bb{i} b ON TRUE
+)"""
+
+
+def _bpe_batched_oracle(n_merges: int = 6, cap: int = 32) -> str:
+    """Full SQL replay of bpe_train(n_merges, merges_per_round=2): up to
+    n_merges rounds unrolled (a round can accept 1 rule when the
+    disjointness filter blocks its second pick, so the schedule is
+    gated, not fixed); merge_rank is the running acceptance count."""
+    w0 = _BPE_W0.replace("w0 AS", "bw0 AS MATERIALIZED")
+    ctes = [w0, "btot0 AS MATERIALIZED (SELECT 0 AS took)"] + [
+        _bpe_batched_iter_cte(i, n_merges, cap)
+        for i in range(1, n_merges + 1)
+    ]
+    rows = "\nUNION ALL\n".join(
+        f'SELECT (SELECT took FROM btot{i - 1}) + 1 AS merge_rank,'
+        f' l AS "left", r AS "right", l || r AS merged, cnt AS pair_count'
+        f" FROM ba{i}\nUNION ALL\n"
+        f'SELECT (SELECT took FROM btot{i - 1}) + 2 AS merge_rank,'
+        f' l AS "left", r AS "right", l || r AS merged, cnt AS pair_count'
+        f" FROM bb{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {','.join(ctes)}\n{rows}"
+
+
+@query("bpe_train_batched", _bpe_batched_oracle())
+def bpe_train_batched(spark, sf_dir):
+    """BATCHED BPE training (`pipeline/bpe.bpe_train` with
+    merges_per_round=2 — the r6 scale path that replaces one shuffle per
+    merge with one shuffle per ROUND of symbol-disjoint merges): 6 rules
+    learned in ~3 rounds.  The oracle unrolls every round with the same
+    gated schedule (rank-1 pick, then the lowest-ranked candidate whose
+    left/right/merged token are all untouched by the first — a short
+    round re-counts, exactly like the Spark loop) and applies both folds
+    in rank order, so the batched trajectory value-hashes end to end."""
+    from .pipeline.bpe import bpe_train
+
+    e = engine_for(spark, sf_dir)
+    merges, words = bpe_train(
+        e.table("documents"), n_merges=6, merges_per_round=2
+    )
+    words.unpersist()
+    return merges
+
+
 @query("bpe_train_merges", _bpe_train_oracle())
 def bpe_train_merges(spark, sf_dir):
     """Distributed BPE vocabulary training (`pipeline/bpe.bpe_train`):
@@ -7958,13 +8062,16 @@ _DRIVER_WINDOW = [
     "quality_perplexity_lm",
     "rank_bm25_topk",
     "graph_components_copurchase",
-    "sim_pq_topk",
     "decontaminate_substring",
     "mm_image_dedup",
     # --- NEW r6 operators (window-listed in the same commit they land,
-    # per the no-new-backlog rule; sf0.01-simmed before shipping) ---
+    # per the no-new-backlog rule; sf0.01-simmed before shipping).
+    # bpe_train_batched took sim_pq_topk's slot (r5-driver-green; the
+    # PQ family keeps sim_ivfpq_topk / sim_ivfpq_rerank /
+    # stream_ivfpq_ingest window rows + local oracles). ---
     "dedup_exact_substring_pairs",
     "quality_hash_classifier",
+    "bpe_train_batched",
 ]
 
 
