@@ -156,6 +156,10 @@ def main() -> None:
         app_name="ifs-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
+        # note: spark.sql.files.maxPartitionBytes stays at the 128 MB
+        # default on purpose — 1 MB splits were measured to help the
+        # biggest scan (q1 0.66 -> 0.42 s) but cost MORE in per-task
+        # overhead across the ~60 small queries (total 36.8 -> 40.5 s)
         extra_conf={"spark.driver.memory": os.environ.get("IFS_DRIVER_MEM", "48g")},
     )
 
