@@ -1322,17 +1322,28 @@ def q7_volume_shipping(spark, sf_dir):
     )
     # no forced broadcast on s2/c2: supplier and customer SCALE WITH the
     # data (unlike nation), so a hint that is safe at sf0.1 would OOM a
-    # 1000-executor cluster — AQE picks broadcast when the filtered dim
-    # actually fits, shuffle join otherwise
-    l2 = e.table("lineitem").join(s2, F.col("l_suppkey") == F.col("s_suppkey"))
+    # 1000-executor cluster.  But UNHINTED, the static planner's leaf
+    # estimates ran backwards here — it broadcast the column-pruned
+    # LINEITEM as the build side against ~2/25 of supplier (measured;
+    # the inflated join-output estimate on the dim side did it).  The
+    # shuffle_hash hint is correct at BOTH scales: each side partitions
+    # on the key and only the (small) filtered-dim partitions build hash
+    # tables — no data-sized broadcast ever, and measured faster than
+    # the fact-broadcast plan at sf0.1 (0.53 vs 0.82 s on this shape).
+    l2 = e.table("lineitem").join(
+        s2.hint("shuffle_hash"), F.col("l_suppkey") == F.col("s_suppkey")
+    )
     o2 = e.table("orders").select("o_orderkey", "o_custkey").join(
-        c2, F.col("o_custkey") == F.col("c_custkey")
+        c2.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")
     )
     pair = (
         (F.col("supp_nation") == names[0]) & (F.col("cust_nation") == names[1])
     ) | ((F.col("supp_nation") == names[1]) & (F.col("cust_nation") == names[0]))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
+        # the orderkey join stays UNHINTED: both sides are fact-sized, so
+        # sort-merge (spillable) is the right 100 TB strategy, and a
+        # measured shuffle_hash attempt here was slower at sf0.1 too
         l2.join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(

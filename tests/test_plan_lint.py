@@ -336,3 +336,14 @@ def test_exact_substring_pairs_plan(spark):
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_q7_never_broadcasts_a_fact_side(spark):
+    """q7's dim attachments must be shuffled-hash (small side builds per
+    partition): the unhinted static plan broadcast column-pruned
+    LINEITEM as a hash build, which is backwards at any scale."""
+    df = inventory.QUERIES["q7_volume_shipping"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") == 2, plan[:3000]
+    assert "BroadcastHashJoin [l_suppkey" not in plan, plan[:3000]
+    assert "BroadcastHashJoin [o_custkey" not in plan, plan[:3000]
