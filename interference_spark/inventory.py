@@ -7815,6 +7815,59 @@ def dedup_exact_substring_pairs(spark, sf_dir):
 
 
 @query(
+    "clean_cross_corpus_substrings",
+    """WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), ga AS (
+  SELECT DISTINCT md5(array_to_string(t[p:p+7], ' ')) AS gh
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(p)
+  WHERE len(t) >= 8 AND doc_id % 2 = 0
+), gb AS (
+  SELECT doc_id, p, md5(array_to_string(t[p:p+7], ' ')) AS gh
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(p)
+  WHERE len(t) >= 8 AND doc_id % 2 = 1
+), cov AS (
+  SELECT DISTINCT gb.doc_id, u.pos
+  FROM gb JOIN ga USING (gh), UNNEST(range(gb.p, gb.p + 8)) AS u(pos)
+), tb AS (
+  SELECT doc_id, u.pos, t[u.pos] AS w
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(pos)
+  WHERE doc_id % 2 = 1
+), kept AS (
+  SELECT tb.doc_id, string_agg(tb.w, ' ' ORDER BY tb.pos) AS clean_text
+  FROM tb ANTI JOIN cov USING (doc_id, pos)
+  GROUP BY tb.doc_id
+), nrem AS (
+  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM (SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1) b
+LEFT JOIN nrem r USING (doc_id)
+LEFT JOIN kept k USING (doc_id)""",
+)
+def clean_cross_corpus_substrings(spark, sf_dir):
+    """Cross-corpus exact-substring REMOVAL
+    (`pipeline/dedup.remove_cross_corpus_substrings`): rewrite corpus B
+    (odd doc_ids) with every token covered by an exact ≥ 8-token run
+    shared with corpus A (even doc_ids) removed — the cleanup half of
+    Lee-et-al exact-substring dedup, `dedup_exact_substring_pairs` being
+    the report half.  A contributes only distinct shingle digests;
+    coverage is a per-doc interval union (overlaps never double-remove);
+    the rebuild aggregates each doc's own kept tokens in position
+    order."""
+    from .pipeline.dedup import remove_cross_corpus_substrings
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    return remove_cross_corpus_substrings(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), k=8
+    )
+
+
+@query(
     "text_winnow_fingerprints",
     """WITH base AS (
   SELECT doc_id, text FROM documents WHERE length(text) >= 8

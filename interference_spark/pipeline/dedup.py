@@ -1143,6 +1143,78 @@ def exact_substring_pairs(
     )
 
 
+def remove_cross_corpus_substrings(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY the cross-corpus exact-substring signal: rewrite every
+    document of corpus B with the tokens covered by any exact ≥ k-token
+    run shared with corpus A removed (the second half of the Lee-et-al
+    exact-substring dedup — `exact_substring_pairs` is the report, this
+    is the cleanup).  A shared shingle at position p covers tokens
+    p..p+k−1; the removal is the union of covered intervals, so
+    overlapping runs never double-remove.  Docs shorter than k tokens or
+    with no shared run pass through verbatim (empty-text rows are
+    outside the contract, as in the rest of the gram family).
+
+    Returns one row per non-empty B doc:
+    ``(id, n_tokens, n_removed, clean_text)``.
+
+    Scale shape: A contributes only its DISTINCT shingle digests (a
+    semi-join-shaped reduction — never A's text); the digest join is the
+    same linear posting join as detection; interval expansion is ≤ k
+    rows per hit; and the rebuild aggregates each B doc's OWN kept
+    tokens (bounded by doc length).  Nothing corpus-sized on the driver,
+    no pair blow-up — coverage is per-doc, not per-pair."""
+    ga = _token_gram_positions(docs_a, k, text_col, id_col, "doc_a")
+    gb = _token_gram_positions(docs_b, k, text_col, id_col, "doc_b")
+    hits = gb.join(ga.select("gh").distinct(), "gh")
+    covered = hits.select(
+        "doc_b",
+        F.explode(
+            F.sequence(F.col("p_doc_b"), F.col("p_doc_b") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs_b.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_b"), t.alias("__t")
+    )
+    toks = base.select(
+        "doc_b", F.posexplode("__t").alias("p0", "w")
+    ).select("doc_b", (F.col("p0") + 1).alias("pos"), "w")
+    kept = (
+        toks.join(covered, ["doc_b", "pos"], "left_anti")
+        .groupBy("doc_b")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
+    )
+    nrem = covered.groupBy("doc_b").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    return (
+        base.select("doc_b", F.size("__t").alias("n_tokens"))
+        .join(nrem, "doc_b", "left")
+        .join(kept, "doc_b", "left")
+        .select(
+            F.col("doc_b").alias(id_col),
+            F.col("n_tokens").cast("long"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def _winnow_gram_fps(grams: DataFrame, id_name: str, w: int) -> DataFrame:
     """Winnowing over a doc's POSITION-ORDERED shingle-hash sequence:
     keep each w-window's minimum hash.  Any two docs sharing ≥ w

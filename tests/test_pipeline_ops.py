@@ -2459,6 +2459,38 @@ def test_exact_substring_pairs_runs_and_filter_parity(spark):
     assert filt == got
 
 
+def test_remove_cross_corpus_substrings_semantics(spark):
+    """Removal covers the UNION of shared-run intervals (overlapping
+    shingle hits never double-remove), non-matching and shorter-than-k
+    docs pass through verbatim, and a fully-covered doc empties."""
+    from interference_spark.pipeline.dedup import (
+        remove_cross_corpus_substrings,
+    )
+
+    docs_a = spark.createDataFrame(
+        [(0, "s1 s2 s3 s4")], "doc_id long, text string"
+    )
+    docs_b = spark.createDataFrame(
+        [
+            (1, "a b s1 s2 s3 s4 c"),  # overlapping hits -> tokens 3..6 out
+            (3, "p q r"),  # k-length but unshared -> verbatim
+            (5, "s1 s2 s3"),  # fully covered -> empty
+            (7, "aa bb"),  # shorter than k -> verbatim
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_cross_corpus_substrings(docs_a, docs_b, k=3).collect()
+    }
+    assert got == {
+        1: (7, 4, "a b c"),
+        3: (3, 0, "p q r"),
+        5: (3, 3, ""),
+        7: (2, 0, "aa bb"),
+    }
+
+
 def test_threshold_sweep_monotone_and_consistent(spark):
     """Sweep counts are monotone non-increasing in the threshold and the
     lowest bar agrees with a direct pair query at that bar."""
