@@ -1110,6 +1110,10 @@ def exact_substring_pairs(
     32-hex digest, so the shuffle carries narrow rows; hot boilerplate
     shingles fatten posting lists — cap or df-filter them upstream, the
     same playbook as the other gram joins."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 token, got {k}")
+    if fingerprint_filter and w < 1:
+        raise ValueError(f"winnow window w must be >= 1, got {w}")
     ga = _token_gram_positions(docs_a, k, text_col, id_col, "doc_a")
     gb = _token_gram_positions(docs_b, k, text_col, id_col, "doc_b")
     if fingerprint_filter:
@@ -1169,6 +1173,8 @@ def remove_cross_corpus_substrings(
     rows per hit; and the rebuild aggregates each B doc's OWN kept
     tokens (bounded by doc length).  Nothing corpus-sized on the driver,
     no pair blow-up — coverage is per-doc, not per-pair."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 token, got {k}")
     ga = _token_gram_positions(docs_a, k, text_col, id_col, "doc_a")
     gb = _token_gram_positions(docs_b, k, text_col, id_col, "doc_b")
     hits = gb.join(ga.select("gh").distinct(), "gh")

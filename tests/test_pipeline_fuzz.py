@@ -209,3 +209,42 @@ def test_exact_substring_pairs_matches_python_spec(spark, a, b, k):
         for r in out.collect()
     }
     assert got == want
+
+
+@given(a=corpus_strategy, b=corpus_strategy, k=st.integers(2, 3))
+@FUZZ
+def test_remove_cross_corpus_substrings_matches_python_spec(spark, a, b, k):
+    from interference_spark.pipeline.dedup import (
+        remove_cross_corpus_substrings,
+    )
+
+    a_grams = set()
+    for d in a:
+        t = _toks(d)
+        a_grams.update(
+            " ".join(t[i : i + k]) for i in range(len(t) - k + 1)
+        )
+    want = {}
+    for j, d in enumerate(b):
+        t = _toks(d)
+        if not t:
+            continue
+        covered = set()
+        for i in range(len(t) - k + 1):
+            if " ".join(t[i : i + k]) in a_grams:
+                covered.update(range(i, i + k))
+        kept = [w for i, w in enumerate(t) if i not in covered]
+        want[1000 + j] = (len(t), len(covered), " ".join(kept))
+    out = remove_cross_corpus_substrings(
+        _df(spark, a),
+        spark.createDataFrame(
+            [(1000 + j, d) for j, d in enumerate(b)],
+            "doc_id long, text string",
+        ),
+        k=k,
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in out.collect()
+    }
+    assert got == want
