@@ -277,6 +277,7 @@ def bpe_encode(
     text_col: str = "text",
     doc_col: str = "doc_id",
     oov: str = "drop",
+    with_word_index: bool = False,
 ) -> DataFrame:
     """Encode documents to token-id sequences with a TRAINED tokenizer —
     the last step of the pipeline: whitespace words join the (distinct,
@@ -295,7 +296,11 @@ def bpe_encode(
       docs being encoded are the training corpus itself.
     - ``"null"``: unknown words survive as one row each with the raw
       word in ``token`` and a NULL ``token_id``, so the loss is visible
-      to the caller (filter ``token_id IS NULL`` for an OOV report)."""
+      to the caller (filter ``token_id IS NULL`` for an OOV report).
+
+    ``with_word_index=True`` adds the source word index ``wpos`` to each
+    row — the extra column ``bpe_decode`` needs to restore word
+    boundaries (the dense global ``pos`` alone cannot)."""
     from pyspark.sql import Window
 
     if oov not in ("drop", "null"):
@@ -322,6 +327,7 @@ def bpe_encode(
     )
     w = Window.partitionBy(doc_col).orderBy("wpos", "spos")
     vjoin = "inner" if oov == "drop" else "left"
+    extra = [F.col("wpos").cast("long").alias("wpos")] if with_word_index else []
     return (
         # vocab is alphabet+merges-sized — ALWAYS the build side, even
         # when the corpus side is small enough that stats would flip it
@@ -329,8 +335,69 @@ def bpe_encode(
         .select(
             F.col(doc_col),
             (F.row_number().over(w) - 1).cast("long").alias("pos"),
+            *extra,
             "token",
             "token_id",
+        )
+    )
+
+
+def bpe_decode(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Invert ``bpe_encode(..., with_word_index=True)``: token-id
+    sequences back to whitespace-normalized text — the round-trip audit
+    a pipeline runs on an encoded corpus before shipping it to a
+    trainer.  Ids join the (broadcast, alphabet+merges-sized) vocab;
+    subwords concatenate with '' inside each word (``wpos``) and words
+    join with ' ' in order — BPE merges never cross the whitespace
+    boundary, so this reproduces the tokenizer's input exactly.
+
+    Returns ``(id, text, ids_match_tokens)`` where ``ids_match_tokens``
+    is False if any row's token_id resolved (via vocab) to a different
+    string than the token the encoder carried — the lossless check.
+
+    Shape: one broadcast id join + a per-document rebuild over the
+    doc's OWN rows (bounded by doc length, embarrassingly parallel)."""
+    if "wpos" not in encoded.columns:
+        raise ValueError(
+            "bpe_decode needs the word index: encode with "
+            "bpe_encode(..., with_word_index=True)"
+        )
+    v = vocab.select(F.col("token_id"), F.col("token").alias("__vtok"))
+    rows = encoded.join(F.broadcast(v), "token_id", "left").select(
+        F.col(doc_col),
+        "wpos",
+        "pos",
+        F.coalesce("__vtok", F.col("token")).alias("tok"),
+        (F.coalesce("__vtok", F.col("token")) == F.col("token")).alias("__ok"),
+    )
+    words = (
+        rows.groupBy(doc_col, "wpos")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                "",
+            ).alias("__word"),
+            F.min("__ok").alias("__ok"),
+        )
+    )
+    return (
+        words.groupBy(doc_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "__word"))),
+                    lambda x: x["__word"],
+                ),
+                " ",
+            ).alias("text"),
+            F.min("__ok").alias("ids_match_tokens"),
         )
     )
 

@@ -1770,6 +1770,22 @@ def test_bpe_vocab_and_encode(spark):
     assert len(surfaced) == len(dropped) + 1
     with pytest.raises(ValueError, match="oov"):
         bpe_encode(new, words, bpe_vocab(merges, words), oov="bogus")
+
+    # round-trip: encode with word index -> decode == normalized source
+    from interference_spark.pipeline.bpe import bpe_decode
+
+    enc_w = bpe_encode(
+        df, words, bpe_vocab(merges, words), with_word_index=True
+    )
+    dec = {r.doc_id: (r.text, r.ids_match_tokens)
+           for r in bpe_decode(enc_w, bpe_vocab(merges, words)).collect()}
+    for i, t in enumerate(docs):
+        assert dec[i] == (" ".join(t.split()), True)
+    with pytest.raises(ValueError, match="word index"):
+        bpe_decode(
+            bpe_encode(df, words, bpe_vocab(merges, words)),
+            bpe_vocab(merges, words),
+        )
     words.unpersist()
 
 
