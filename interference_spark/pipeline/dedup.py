@@ -1170,9 +1170,14 @@ def remove_cross_corpus_substrings(
     Scale shape: A contributes only its DISTINCT shingle digests (a
     semi-join-shaped reduction — never A's text); the digest join is the
     same linear posting join as detection; interval expansion is ≤ k
-    rows per hit; and the rebuild aggregates each B doc's OWN kept
-    tokens (bounded by doc length).  Nothing corpus-sized on the driver,
-    no pair blow-up — coverage is per-doc, not per-pair."""
+    rows per hit; and the explode → anti-join → rebuild pipeline runs
+    ONLY over TOUCHED documents (semi-join pruned — duplication hits
+    are sparse in a real corpus, and the 1M-doc probe measured the
+    rebuild-everything variant super-linear from exactly this).  The
+    untouched majority passes through as a pure whitespace-normalizing
+    projection — identical output to a zero-removal rebuild.  Nothing
+    corpus-sized on the driver, no pair blow-up — coverage is per-doc,
+    not per-pair."""
     if k < 1:
         raise ValueError(f"k must be >= 1 token, got {k}")
     ga = _token_gram_positions(docs_a, k, text_col, id_col, "doc_a")
@@ -1189,7 +1194,8 @@ def remove_cross_corpus_substrings(
     base = docs_b.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("doc_b"), t.alias("__t")
     )
-    toks = base.select(
+    touched = base.join(covered.select("doc_b").distinct(), "doc_b", "leftsemi")
+    toks = touched.select(
         "doc_b", F.posexplode("__t").alias("p0", "w")
     ).select("doc_b", (F.col("p0") + 1).alias("pos"), "w")
     kept = (
@@ -1208,16 +1214,31 @@ def remove_cross_corpus_substrings(
     nrem = covered.groupBy("doc_b").agg(
         F.count(F.lit(1)).alias("n_removed")
     )
-    return (
-        base.select("doc_b", F.size("__t").alias("n_tokens"))
-        .join(nrem, "doc_b", "left")
+    rebuilt = (
+        touched.select("doc_b", F.size("__t").alias("n_tokens"))
+        .join(nrem, "doc_b")
         .join(kept, "doc_b", "left")
         .select(
-            F.col("doc_b").alias(id_col),
-            F.col("n_tokens").cast("long"),
-            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            "doc_b",
+            "n_tokens",
+            "n_removed",
+            # a fully-covered doc has no kept rows at all
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
+    )
+    verbatim = base.join(
+        covered.select("doc_b").distinct(), "doc_b", "left_anti"
+    ).select(
+        "doc_b",
+        F.size("__t").alias("n_tokens"),
+        F.lit(0).alias("n_removed"),
+        F.array_join("__t", " ").alias("clean_text"),
+    )
+    return rebuilt.unionByName(verbatim).select(
+        F.col("doc_b").alias(id_col),
+        F.col("n_tokens").cast("long"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "clean_text",
     )
 
 
