@@ -248,3 +248,61 @@ def test_remove_cross_corpus_substrings_matches_python_spec(spark, a, b, k):
         for r in out.collect()
     }
     assert got == want
+
+
+@given(corpus=corpus_strategy, k=st.integers(1, 4), n_merges=st.integers(1, 6))
+@FUZZ
+def test_bpe_batched_matches_python_spec(spark, corpus, k, n_merges):
+    """Random corpora, batch sizes, and budgets: bpe_train's batched
+    schedule must reproduce the driver-side replica of the gated
+    symbol-disjoint spec (same selection, same counts, same final
+    segmentations)."""
+    from interference_spark.pipeline.bpe import bpe_train, select_disjoint
+
+    freqs = {}
+    for d in corpus:
+        for w in _toks(d):
+            freqs[w] = freqs.get(w, 0) + 1
+    if not freqs:
+        return
+
+    # replica of the batched spec (counts once per round, rank by
+    # (-cnt, l, r), greedy full-disjoint pick, rank-order application)
+    segs = {w: list(w) for w in freqs}
+    rules = []
+    rank = 1
+    while rank <= n_merges:
+        counts = {}
+        for w, f in freqs.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        cand = sorted(
+            ((l, r, c) for (l, r), c in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        for l, r, c in select_disjoint(cand, min(k, n_merges - rank + 1)):
+            rules.append((rank, l, r, l + r, c))
+            rank += 1
+            for w, s in segs.items():
+                out = []
+                for x in s:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                segs[w] = out
+
+    merges, words = bpe_train(
+        _df(spark, corpus), n_merges=n_merges, merges_per_round=k
+    )
+    got_rules = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    got_segs = {r.word: r.sym.split(" ") for r in words.collect()}
+    words.unpersist()
+    assert got_rules == rules, (corpus, k, n_merges)
+    assert got_segs == segs, (corpus, k, n_merges)
