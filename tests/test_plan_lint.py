@@ -347,3 +347,19 @@ def test_q7_never_broadcasts_a_fact_side(spark):
     assert plan.count("ShuffledHashJoin") == 2, plan[:3000]
     assert "BroadcastHashJoin [l_suppkey" not in plan, plan[:3000]
     assert "BroadcastHashJoin [o_custkey" not in plan, plan[:3000]
+
+
+@pytest.mark.slow
+def test_no_entry_plans_a_cartesian_product(spark):
+    """Inventory-wide structural sweep: no entry's physical plan may
+    contain a CartesianProduct — every intentional scalar cross join in
+    the codebase broadcasts a 1-row side (BroadcastNestedLoopJoin), and
+    a real cartesian anywhere is a dropped join condition that tiny-SF
+    value oracles can survive but 100 TB cannot."""
+    offenders = {}
+    for name in sorted(inventory.QUERIES):
+        df = inventory.QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = plan[:400]
+    assert not offenders, offenders
