@@ -351,15 +351,22 @@ def test_q7_never_broadcasts_a_fact_side(spark):
 
 @pytest.mark.slow
 def test_no_entry_plans_a_cartesian_product(spark):
-    """Inventory-wide structural sweep: no entry's physical plan may
-    contain a CartesianProduct — every intentional scalar cross join in
-    the codebase broadcasts a 1-row side (BroadcastNestedLoopJoin), and
-    a real cartesian anywhere is a dropped join condition that tiny-SF
-    value oracles can survive but 100 TB cannot."""
-    offenders = {}
+    """Inventory-wide structural sweep, two invariants per entry plan:
+
+    * no CartesianProduct — every intentional scalar cross join in the
+      codebase broadcasts a 1-row side (BroadcastNestedLoopJoin), and a
+      real cartesian anywhere is a dropped join condition that tiny-SF
+      value oracles can survive but 100 TB cannot;
+    * no BatchEvalPython — row-at-a-time Python UDFs are banned from
+      every plan (Arrow-batched pandas UDFs show as ArrowEvalPython /
+      MapInPandas and are the only sanctioned Python boundary)."""
+    cartesians, row_udfs = {}, {}
     for name in sorted(inventory.QUERIES):
         df = inventory.QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
-            offenders[name] = plan[:400]
-    assert not offenders, offenders
+            cartesians[name] = plan[:400]
+        if "BatchEvalPython" in plan:
+            row_udfs[name] = plan[:400]
+    assert not cartesians, cartesians
+    assert not row_udfs, row_udfs
