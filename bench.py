@@ -130,12 +130,35 @@ def _concurrent_load() -> list[str]:
             continue
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                cmd = fh.read().replace(b"\x00", b" ").decode(errors="replace")
+                argv = [
+                    a.decode(errors="replace")
+                    for a in fh.read().split(b"\x00")
+                    if a
+                ]
         except OSError:
             continue
-        low = cmd.lower()
-        if any(k in low for k in ("java", "pytest", "bench.py", "spark")):
-            hogs.append(f"pid {pid}: {cmd.strip()[:160]}")
+        if not argv:
+            continue
+        # match on the executable BASENAME and whole argv tokens — a
+        # substring match flagged every process whose path merely
+        # contained "spark"/"java" (node_modules javascript tooling, this
+        # repo's own /root/repo path on other shells) and tainted the
+        # recorded concurrent_load field with phantom contention
+        exe = os.path.basename(argv[0]).lower()
+        toks = {os.path.basename(a).lower() for a in argv[:4]}
+        if exe in ("java", "pytest", "spark-submit", "spark-class") or (
+            exe.startswith("python") and toks & {"pytest", "bench.py"}
+        ):
+            cmd = " ".join(argv)
+            # an idle matched pid is not contention — record its CPU
+            # clock ticks so the reader can tell a sleeper from a hog
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    st = fh.read().rsplit(")", 1)[1].split()
+                ticks = int(st[11]) + int(st[12])  # utime + stime
+            except (OSError, IndexError, ValueError):
+                ticks = -1
+            hogs.append(f"pid {pid} (cpu_ticks={ticks}): {cmd.strip()[:160]}")
     return hogs
 
 

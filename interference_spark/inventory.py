@@ -7292,7 +7292,6 @@ def bpe_train_batched(spark, sf_dir):
     merges, words = bpe_train(
         e.table("documents"), n_merges=6, merges_per_round=2
     )
-    words.unpersist()
     return merges
 
 
@@ -7311,7 +7310,6 @@ def bpe_train_merges(spark, sf_dir):
 
     e = engine_for(spark, sf_dir)
     merges, words = bpe_train(e.table("documents"), n_merges=_BPE_MERGES)
-    words.unpersist()
     return merges
 
 
@@ -7330,7 +7328,6 @@ def bpe_subword_stats(spark, sf_dir):
     merges, words = bpe_train(docs, n_merges=_BPE_MERGES)
     out = subword_stats(docs, words, by="lang")
     rows = out.collect()
-    words.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -7397,7 +7394,6 @@ def bpe_encode_ids(spark, sf_dir):
     merges, words = bpe_train(docs, n_merges=_BPE_MERGES)
     out = bpe_encode(docs.filter("doc_id % 101 = 0"), words, bpe_vocab(merges, words))
     rows = out.collect()
-    words.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 

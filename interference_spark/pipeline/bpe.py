@@ -160,8 +160,13 @@ def bpe_train(
     training stops early if no adjacent pair remains), built on the
     driver from the per-round top rows (bounded: ≤ ~8·merges_per_round
     rows per round — the driver never holds data); ``words`` is the
-    final segmented word table ``(word, freq, sym)`` — persisted; caller
-    unpersists when done.
+    final segmented word table ``(word, freq, sym)``, materialized via
+    ``localCheckpoint`` (see the in-loop comment: persist would keep the
+    full fold lineage and the driver goes quadratic re-rendering plans).
+    Release contract: ``unpersist()`` does NOT free localCheckpoint
+    blocks — Spark's ContextCleaner frees them asynchronously once the
+    DataFrame is garbage-collected, so callers just drop their
+    reference; there is no explicit release call to make.
 
     ``merges_per_round`` is the scale knob.  At 1 (default, the oracle
     contract) each merge is its own count→argmax→fold round — textbook

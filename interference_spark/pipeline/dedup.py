@@ -1045,6 +1045,21 @@ def cross_source_dup_matrix(
     )
 
 
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Shingle hashing is the CPU-heavy per-row stage; a small-file input
+    (one parquet split) would run it on one core, so spread it first.
+    The partition probe (``df.rdd.getNumPartitions()``) forces a full
+    logical→RDD translation, so callers run it ONCE per input corpus and
+    reuse the result — not once per gram pass — and only pay the
+    round-robin shuffle when the deficit is large (< half the cores:
+    a 20-partition input on 32 cores finishes within ~2× of ideal
+    without it, while 1-split parquet is the real 32× cliff)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, par // 2):
+        df = df.repartition(par)
+    return df
+
+
 def _token_gram_positions(
     df: DataFrame, k: int, text_col: str, id_col: str, out_id: str
 ) -> DataFrame:
@@ -1052,18 +1067,13 @@ def _token_gram_positions(
     1-based token position ``p`` and ``gh`` = md5 of the space-joined
     gram — the engine-portable digest both Spark and the SQL oracle
     compute identically.  Pure per-row codegen (tokenize, slice, hash);
-    zero shuffle."""
+    zero shuffle.  Callers pre-spread narrow inputs via
+    ``_spread_if_narrow`` (once per corpus, not once per call)."""
     t = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)),
         lambda p: F.md5(F.array_join(F.slice(t, p, k), " ")),
     )
-    # shingle hashing is the CPU-heavy per-row stage; a small-file input
-    # (one parquet split) would run it on one core, so spread it first.
-    # No-op cost on real inputs: properly partitioned corpora skip this.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
     return (
         df.filter(F.length(F.trim(F.col(text_col))) > 0)
         .filter(F.size(t) >= k)
@@ -1080,6 +1090,7 @@ def exact_substring_pairs(
     id_col: str = "doc_id",
     fingerprint_filter: bool = False,
     w: int = 8,
+    max_posting_len: int | None = None,
 ) -> DataFrame:
     """Corpus↔corpus EXACT substring overlap at ``k``-token granularity
     (the Lee et al. "Deduplicating Training Data Makes Language Models
@@ -1107,15 +1118,38 @@ def exact_substring_pairs(
     than the threshold; keep the default for bit-exact ≥ k detection.
 
     Scale shape: shingle hashing is per-row codegen; the join key is a
-    32-hex digest, so the shuffle carries narrow rows; hot boilerplate
-    shingles fatten posting lists — cap or df-filter them upstream, the
-    same playbook as the other gram joins."""
+    32-hex digest, so the shuffle carries narrow rows.  Hot boilerplate
+    shingles (one license header in 10% of docs) fatten posting lists
+    quadratically — the gh join emits |posting_a|·|posting_b| rows per
+    digest.  ``max_posting_len`` is the in-operator cap: shingles
+    occurring more than that many times on EITHER side are treated as
+    non-matching boilerplate (excluded from the join), the same df-filter
+    playbook as stopwords in the n-gram family.  The hot set is tiny by
+    construction (only digests above the cap), so the exclusion is a
+    broadcast anti-join, and the join cost bound becomes cap² per digest.
+    Default ``None`` keeps bit-exact ≥ k detection."""
     if k < 1:
         raise ValueError(f"k must be >= 1 token, got {k}")
     if fingerprint_filter and w < 1:
         raise ValueError(f"winnow window w must be >= 1, got {w}")
-    ga = _token_gram_positions(docs_a, k, text_col, id_col, "doc_a")
-    gb = _token_gram_positions(docs_b, k, text_col, id_col, "doc_b")
+    if max_posting_len is not None and max_posting_len < 1:
+        raise ValueError(f"max_posting_len must be >= 1, got {max_posting_len}")
+    ga = _token_gram_positions(
+        _spread_if_narrow(docs_a), k, text_col, id_col, "doc_a"
+    )
+    gb = _token_gram_positions(
+        _spread_if_narrow(docs_b), k, text_col, id_col, "doc_b"
+    )
+    if max_posting_len is not None:
+        hot = (
+            ga.groupBy("gh").agg(F.count(F.lit(1)).alias("pl"))
+            .unionByName(gb.groupBy("gh").agg(F.count(F.lit(1)).alias("pl")))
+            .filter(F.col("pl") > max_posting_len)
+            .select("gh")
+            .distinct()
+        )
+        ga = ga.join(F.broadcast(hot), "gh", "left_anti")
+        gb = gb.join(F.broadcast(hot), "gh", "left_anti")
     if fingerprint_filter:
         fa = _winnow_gram_fps(ga, "doc_a", w)
         fb = _winnow_gram_fps(gb, "doc_b", w)
@@ -1153,6 +1187,7 @@ def remove_cross_corpus_substrings(
     k: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_posting_len: int | None = None,
 ) -> DataFrame:
     """APPLY the cross-corpus exact-substring signal: rewrite every
     document of corpus B with the tokens covered by any exact ≥ k-token
@@ -1177,11 +1212,32 @@ def remove_cross_corpus_substrings(
     untouched majority passes through as a pure whitespace-normalizing
     projection — identical output to a zero-removal rebuild.  Nothing
     corpus-sized on the driver, no pair blow-up — coverage is per-doc,
-    not per-pair."""
+    not per-pair.  ``max_posting_len`` (same knob as
+    `exact_substring_pairs`): shingles occurring more than that many
+    times in corpus B are boilerplate, not contamination — they are
+    excluded from the hit set (broadcast anti-join on the tiny hot set),
+    so ubiquitous headers neither fatten the coverage explode nor get
+    stripped from every document.  The A side needs no cap: its digests
+    enter distinct()-collapsed, ≤ 1 row per gh."""
     if k < 1:
         raise ValueError(f"k must be >= 1 token, got {k}")
-    ga = _token_gram_positions(docs_a, k, text_col, id_col, "doc_a")
-    gb = _token_gram_positions(docs_b, k, text_col, id_col, "doc_b")
+    if max_posting_len is not None and max_posting_len < 1:
+        raise ValueError(f"max_posting_len must be >= 1, got {max_posting_len}")
+    # probe/spread each corpus ONCE (the probe forces plan→RDD
+    # translation); db is the single tokenization base reused by the
+    # gram pass AND the rebuild below
+    db = _spread_if_narrow(docs_b)
+    ga = _token_gram_positions(
+        _spread_if_narrow(docs_a), k, text_col, id_col, "doc_a"
+    )
+    gb = _token_gram_positions(db, k, text_col, id_col, "doc_b")
+    if max_posting_len is not None:
+        hot = (
+            gb.groupBy("gh").agg(F.count(F.lit(1)).alias("pl"))
+            .filter(F.col("pl") > max_posting_len)
+            .select("gh")
+        )
+        gb = gb.join(F.broadcast(hot), "gh", "left_anti")
     hits = gb.join(ga.select("gh").distinct(), "gh")
     covered = hits.select(
         "doc_b",
@@ -1191,7 +1247,7 @@ def remove_cross_corpus_substrings(
     ).distinct()
 
     t = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = docs_b.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+    base = db.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("doc_b"), t.alias("__t")
     )
     touched = base.join(covered.select("doc_b").distinct(), "doc_b", "leftsemi")

@@ -303,6 +303,5 @@ def test_bpe_batched_matches_python_spec(spark, corpus, k, n_merges):
         for r in merges.orderBy("merge_rank").collect()
     ]
     got_segs = {r.word: r.sym.split(" ") for r in words.collect()}
-    words.unpersist()
     assert got_rules == rules, (corpus, k, n_merges)
     assert got_segs == segs, (corpus, k, n_merges)

@@ -1597,8 +1597,7 @@ def test_bpe_batched_matches_replica(spark):
             assert got_rules == want_rules, (docs, k)
             got_segs = {r.word: r.sym.split(" ") for r in words.collect()}
             assert got_segs == want_segs, (docs, k)
-            words.unpersist()
-
+        
     # disjointness blocks shared symbols AND freshly merged tokens
     cand = [("a", "b", 9), ("b", "c", 8), ("ab", "x", 7), ("c", "d", 6)]
     assert select_disjoint(cand, 3) == [("a", "b", 9), ("c", "d", 6)]
@@ -1643,7 +1642,6 @@ def test_bpe_train_matches_reference(spark):
     assert stats["en"].n_tokens == n_tok
     assert stats["en"].n_subwords == n_sub
     assert stats["en"].subwords_per_token == n_sub / n_tok
-    words.unpersist()
 
 
 def test_token_budget_mix(spark):
@@ -1786,7 +1784,6 @@ def test_bpe_vocab_and_encode(spark):
             bpe_encode(df, words, bpe_vocab(merges, words)),
             bpe_vocab(merges, words),
         )
-    words.unpersist()
 
 
 def test_bpe_train_early_stop_and_plan(spark):
@@ -1808,7 +1805,6 @@ def test_bpe_train_early_stop_and_plan(spark):
     # only pair ever available is (a... none: all words are single chars
     assert merges.count() == 0
     assert {r.word: r.sym for r in words.collect()} == {"a": "a", "b": "b"}
-    words.unpersist()
 
     wt = word_table(
         spark.createDataFrame([(1, "abc abd")], "doc_id long, text string")
@@ -2513,6 +2509,76 @@ def test_remove_cross_corpus_substrings_semantics(spark):
         5: (3, 3, ""),
         7: (2, 0, "aa bb"),
     }
+
+
+def test_exact_substring_posting_cap(spark):
+    """max_posting_len: on a non-skewed corpus a generous cap is a no-op
+    (parity with the exact path); on a skewed corpus the hot boilerplate
+    shingle is excluded — pairs that only share boilerplate vanish,
+    pairs with a genuine overlap keep it (minus the capped grams); and
+    the removal half stops stripping the ubiquitous sentence while still
+    removing true contamination."""
+    from interference_spark.pipeline.dedup import (
+        exact_substring_pairs,
+        remove_cross_corpus_substrings,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs_a = spark.createDataFrame(
+        [(0, f"a0 a1 {shared} a2"), (2, "z0 z1 z2 z3 z4 z5")],
+        "doc_id long, text string",
+    )
+    docs_b = spark.createDataFrame(
+        [(1, f"b0 {shared} b1 b2"), (3, "y0 y1 y2 y3 y4 y5")],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_shared_grams, r.max_run_tokens)
+        for r in exact_substring_pairs(docs_a, docs_b, k=4).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): (r.n_shared_grams, r.max_run_tokens)
+        for r in exact_substring_pairs(
+            docs_a, docs_b, k=4, max_posting_len=100
+        ).collect()
+    }
+    assert capped == exact and exact  # parity when nothing is hot
+
+    # skew: one boilerplate sentence in many docs of both corpora
+    boiler = "this content is provided as is without warranty"
+    rows_a = [(0, f"a0 a1 {shared} a2")] + [
+        (10 + i, f"{boiler} filler{i}") for i in range(12)
+    ]
+    rows_b = [(1, f"b0 {shared} b1 b2")] + [
+        (100 + i, f"{boiler} other{i}") for i in range(12)
+    ]
+    skew_a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    skew_b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    uncapped = exact_substring_pairs(skew_a, skew_b, k=4).collect()
+    # boilerplate alone creates 12x12 cross pairs
+    assert len(uncapped) == 1 + 144
+    cap = {
+        (r.doc_a, r.doc_b): (r.n_shared_grams, r.max_run_tokens)
+        for r in exact_substring_pairs(
+            skew_a, skew_b, k=4, max_posting_len=8
+        ).collect()
+    }
+    assert cap == {(0, 1): (5, 8)}  # genuine overlap survives intact
+
+    cleaned = {
+        r.doc_id: r.clean_text
+        for r in remove_cross_corpus_substrings(
+            skew_a, skew_b, k=4, max_posting_len=8
+        ).collect()
+    }
+    assert cleaned[1] == "b0 b1 b2"  # true contamination still removed
+    for i in range(12):  # boilerplate docs pass through verbatim
+        assert cleaned[100 + i] == f"{boiler} other{i}"
+
+    with pytest.raises(ValueError, match="max_posting_len"):
+        exact_substring_pairs(docs_a, docs_b, k=4, max_posting_len=0)
+    with pytest.raises(ValueError, match="max_posting_len"):
+        remove_cross_corpus_substrings(docs_a, docs_b, k=4, max_posting_len=0)
 
 
 def test_threshold_sweep_monotone_and_consistent(spark):

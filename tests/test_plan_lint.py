@@ -263,7 +263,6 @@ def test_bpe_encode_vocab_is_build_side(spark):
     plan = enc._jdf.queryExecution().executedPlan().toString()
     lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin [token" in ln]
     assert lines and all("BuildRight" in ln for ln in lines), plan[:3000]
-    words.unpersist()
 
 
 def test_perplexity_lm_plan(spark):
