@@ -2298,6 +2298,30 @@ def quality_hash_classifier(spark, sf_dir):
     return scored
 
 
+@query("quality_hash_classifier_sparse", _hash_kernel_oracle())
+def quality_hash_classifier_sparse(spark, sf_dir):
+    """The PRODUCTION physical plan of the hash-kernel classifier
+    (`text._hash_kernel_sparse`, forced via ``impl="sparse"``): tokens
+    explode to (doc, bucket) rows, one groupBy builds each doc's sorted
+    sparse feature array, the weight vector rides in as a single
+    broadcast array row, and each GD step's moments come back as one
+    groupBy(bucket) combiner aggregate — per-step cost independent of
+    the bucket count ``d`` (measured flat to d=2^18; dense is
+    O(tokens·d) per row and stops planning near d=10^3).  Shares the
+    dense entry's oracle verbatim because the two plans are
+    BIT-IDENTICAL: the sparse fold adds the nonzero w·x terms in the
+    dense chain's ascending-bucket order, and skipped terms are exact
+    IEEE ±0.0 adds."""
+    from .pipeline.text import hash_kernel_classifier
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    _w, scored = hash_kernel_classifier(
+        docs.filter("doc_id % 2 = 0"), docs, d=8, iters=4, impl="sparse"
+    )
+    return scored
+
+
 @query(
     "decontaminate_semantic",
     """WITH v AS (

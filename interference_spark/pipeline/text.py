@@ -1141,6 +1141,7 @@ def hash_kernel_classifier(
     iters: int = 4,
     lr: float = 0.5,
     threshold: float = 0.5,
+    impl: str = "auto",
 ) -> tuple[list[float], DataFrame]:
     """fastText-style quality classifier over HASHED n-gram features
     (the hashing-trick kernel: every token hashes into one of ``d``
@@ -1165,18 +1166,47 @@ def hash_kernel_classifier(
     ``[bias, w_0..w_{d-1}]`` and ``scored`` is one row per scored doc:
     ``(id, qscore, keep)`` with ``keep = qscore >= threshold``.
 
-    100 TB shape: featurization is per-row codegen (tokenize → hash →
-    bucket histogram; no shuffle, no UDF); each GD step is ONE
-    map-side-combined moment aggregate to a single (d+2)-column row —
-    the only thing the driver ever holds; scoring is a pure projection
-    with literal weights (no join at all, stronger than a broadcast).
-    ``d`` is the capacity knob — production fastText uses 2^18+ buckets
-    and the shape is unchanged: the moment row grows to d+2 columns,
-    still one combiner aggregate per step."""
+    Two interchangeable physical plans behind ``impl`` (same numbers to
+    the last bit — the ordered-fold analysis below):
+
+    * ``"dense"`` — d named ``x_j`` columns, each an ``F.filter`` scan
+      of the per-row bucket array; each GD step is ONE map-side-combined
+      moment aggregate to a single (d+2)-column row; scoring is a pure
+      literal-weight projection (no join, no shuffle, no exchange).
+      Unbeatable at small d, but per-row featurization is
+      O(tokens × d) and the projection is d columns wide — at
+      fastText-scale d (2^18 buckets) that is ~32,000× the per-row work
+      and a 262k-column plan that will not even compile.
+    * ``"sparse"`` — the production shape: tokens explode to
+      ``(doc, bucket, cnt)`` rows, one groupBy builds each doc's SORTED
+      sparse feature array ONCE (persisted across the GD steps), the
+      per-doc prediction is an ordered ``F.aggregate`` fold with the
+      weight vector attached as a single broadcast array row, and each
+      GD step's moments come back as ONE groupBy(bucket) combiner
+      aggregate of ≤ d+1 narrow rows.  Per-step cost is independent of
+      ``d`` (measured flat d=8 → d=65536 — see SCALING.md round 7);
+      only the d-length weight vector itself touches the driver.
+
+    ``impl="auto"`` picks dense for d ≤ 64, sparse above.  The paths are
+    BIT-IDENTICAL, not approximately equal: the sparse fold adds the
+    non-zero ``w_j·x_j`` terms in the same ascending-j order as the
+    dense chain, and the terms it skips are exact IEEE ``±0.0`` adds
+    (identity on every reachable accumulator); the quantized moments are
+    integer sums, order-free by construction.  The replica test asserts
+    exact float equality of weights and scores across the two plans."""
     from .export import hash52
 
     if d < 1 or iters < 1:
         raise ValueError(f"need d >= 1 and iters >= 1, got d={d} iters={iters}")
+    if impl not in ("auto", "dense", "sparse"):
+        raise ValueError(f"impl must be auto|dense|sparse, got {impl!r}")
+    if impl == "auto":
+        impl = "dense" if d <= 64 else "sparse"
+    if impl == "sparse":
+        return _hash_kernel_sparse(
+            train, score, text_col, label_col, positive, id_col,
+            d, iters, lr, threshold,
+        )
 
     def featurize(df: DataFrame, with_id: bool) -> DataFrame:
         t = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -1213,34 +1243,39 @@ def hash_kernel_classifier(
             ],
         )
 
-    # the training slice feeds `iters` moment passes — hash it once
+    # the training slice feeds `iters` moment passes — hash it once;
+    # try/finally so a failure mid-loop (empty slice, executor error)
+    # doesn't leak the cached featurized slice for the session lifetime
     tf = featurize(train, with_id=False).persist()
     w = [0.0] * (d + 1)  # [bias, w_0..w_{d-1}]
-    for _ in range(iters):
-        pred = F.lit(w[0])
-        for j in range(d):
-            pred = pred + F.lit(w[j + 1]) * F.col(f"x{j}")
-        e = pred - F.col("y")
-        aggs = [
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(e * F.lit(1e8))).cast("long").alias("sb"),
-        ] + [
-            F.sum(F.floor(F.col(f"x{j}") * e * F.lit(1e8)))
-            .cast("long")
-            .alias(f"s{j}")
-            for j in range(d)
-        ]
-        row = tf.agg(*aggs).first()  # ONE bounded row per step
-        n = row["n"]
-        if not n:
-            raise ValueError(
-                "hash_kernel_classifier: empty training slice — nothing to fit"
-            )
-        # mirror the oracle's op chain exactly: (S / n) / 1e8, then w - lr*g
-        w[0] = w[0] - lr * (row["sb"] / n / 1e8)
-        for j in range(d):
-            w[j + 1] = w[j + 1] - lr * (row[f"s{j}"] / n / 1e8)
-    tf.unpersist()
+    try:
+        for _ in range(iters):
+            pred = F.lit(w[0])
+            for j in range(d):
+                pred = pred + F.lit(w[j + 1]) * F.col(f"x{j}")
+            e = pred - F.col("y")
+            aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(e * F.lit(1e8))).cast("long").alias("sb"),
+            ] + [
+                F.sum(F.floor(F.col(f"x{j}") * e * F.lit(1e8)))
+                .cast("long")
+                .alias(f"s{j}")
+                for j in range(d)
+            ]
+            row = tf.agg(*aggs).first()  # ONE bounded row per step
+            n = row["n"]
+            if not n:
+                raise ValueError(
+                    "hash_kernel_classifier: empty training slice — "
+                    "nothing to fit"
+                )
+            # mirror the oracle's op chain: (S / n) / 1e8, then w - lr*g
+            w[0] = w[0] - lr * (row["sb"] / n / 1e8)
+            for j in range(d):
+                w[j + 1] = w[j + 1] - lr * (row[f"s{j}"] / n / 1e8)
+    finally:
+        tf.unpersist()
 
     sf_feats = featurize(score, with_id=True)
     spred = F.lit(w[0])
@@ -1250,6 +1285,166 @@ def hash_kernel_classifier(
         F.col(id_col),
         spred.alias("qscore"),
         (spred >= F.lit(threshold)).alias("keep"),
+    )
+    return w, scored
+
+
+def _hash_kernel_sparse(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str,
+    label_col: str,
+    positive: str,
+    id_col: str,
+    d: int,
+    iters: int,
+    lr: float,
+    threshold: float,
+) -> tuple[list[float], DataFrame]:
+    """Sparse physical plan for `hash_kernel_classifier` — see its
+    docstring for the contract and the bit-identity argument.  Shapes:
+
+    * featurize ONCE: explode tokens → (doc, bucket) → two combiner
+      groupBys build each doc's bucket-ASCENDING sparse array
+      ``feats: array<struct<bucket,x>>`` (persisted across all steps);
+    * per GD step: the current weight vector rides in as ONE broadcast
+      array row (data, not a d-wide expression), the per-doc prediction
+      is an ordered left fold over ``feats`` (ascending bucket — the
+      same IEEE add order as the dense w0+w1x1+… chain), and the
+      moments return as one groupBy(bucket) integer aggregate: ≤ d
+      bucket rows plus a sentinel bucket −1 row carrying (Σ⌊e·1e8⌋, n);
+    * scoring: same broadcast-array fold, a pure projection per doc.
+
+    Nothing here scales with ``d`` except the weight vector itself."""
+    from .export import hash52
+
+    spark = train.sparkSession
+
+    def sparse_feats(df: DataFrame, with_id: bool) -> DataFrame:
+        t = F.split(F.trim(F.col(text_col)), r"\s+")
+        buckets = F.transform(t, lambda wd: hash52("hk:", wd) % d)
+        if with_id:
+            lead = [F.col(id_col).alias("__k")]
+        else:
+            # training docs need a grouping key but never output one —
+            # assigned per input row BEFORE the explode so every token
+            # of a doc shares it
+            lead = [
+                F.monotonically_increasing_id().alias("__k"),
+                F.when(F.col(label_col) == positive, F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias("y"),
+            ]
+        base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            *lead, buckets.alias("__b")
+        )
+        keys = ["__k"] if with_id else ["__k", "y"]
+        tok = base.select(
+            *keys,
+            F.size("__b").cast("double").alias("__n"),
+            F.explode("__b").alias("bucket"),
+        )
+        return (
+            tok.groupBy(*keys, "__n", F.col("bucket").cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(*keys, "__n")
+            .agg(F.array_sort(F.collect_list(F.struct("bucket", "c"))).alias("bc"))
+            .select(
+                *keys,
+                F.transform(
+                    "bc",
+                    lambda s: F.struct(
+                        s["bucket"].alias("bucket"),
+                        # same value as dense x_j: long→double cast, then
+                        # one double division by the token count
+                        (s["c"].cast("double") / F.col("__n")).alias("x"),
+                    ),
+                ).alias("feats"),
+            )
+        )
+
+    def fold_pred(bias: float) -> Column:
+        # ordered left fold, ascending bucket == the dense chain's
+        # ascending-j add order; terms absent here are exact ±0.0 adds
+        # in the dense chain (IEEE identity on every reachable acc)
+        return F.aggregate(
+            "feats",
+            F.lit(bias),
+            lambda acc, s: acc + F.element_at("w", s["bucket"] + 1) * s["x"],
+        )
+
+    def with_weights(df: DataFrame, wtail: list[float]) -> DataFrame:
+        # one broadcast array ROW, not d literal expressions — the plan
+        # stays O(1) in d.  At d=2^18 Spark warns about ~2 MB tasks (the
+        # weight vector rides with the plan); that is the irreducible
+        # cost of moving the model each step — an eager localCheckpoint
+        # of this row was measured SLOWER (one extra job per step) and
+        # still ships the same bytes, so live with the warning.
+        wdf = spark.createDataFrame([(wtail,)], "w array<double>")
+        return df.crossJoin(F.broadcast(wdf))
+
+    tfa = sparse_feats(train, with_id=False).persist()
+    w = [0.0] * (d + 1)  # [bias, w_0..w_{d-1}]
+    try:
+        for _ in range(iters):
+            # e behind its own projection: referenced by the sentinel AND
+            # the per-element lambda below — CollapseProject leaves a
+            # non-cheap multi-referenced alias alone, so the fold runs
+            # once per row, not once per array element
+            ped = with_weights(tfa, w[1:]).select(
+                "feats", (fold_pred(w[0]) - F.col("y")).alias("__e")
+            )
+            rows = (
+                ped.select(
+                    F.explode(
+                        F.concat(
+                            F.array(
+                                F.struct(
+                                    F.lit(-1).alias("bucket"),
+                                    F.floor(F.col("__e") * F.lit(1e8))
+                                    .cast("long")
+                                    .alias("q"),
+                                )
+                            ),
+                            F.transform(
+                                "feats",
+                                lambda s: F.struct(
+                                    s["bucket"].alias("bucket"),
+                                    F.floor(s["x"] * F.col("__e") * F.lit(1e8))
+                                    .cast("long")
+                                    .alias("q"),
+                                ),
+                            ),
+                        )
+                    ).alias("z")
+                )
+                .groupBy(F.col("z.bucket").alias("bucket"))
+                .agg(F.sum("z.q").alias("s"), F.count(F.lit(1)).alias("c"))
+                .collect()  # ≤ d+1 narrow rows — the only driver traffic
+            )
+            by_bucket = {r["bucket"]: r for r in rows}
+            sent = by_bucket.pop(-1, None)
+            if sent is None:
+                raise ValueError(
+                    "hash_kernel_classifier: empty training slice — "
+                    "nothing to fit"
+                )
+            n = sent["c"]
+            # identical op chain to the dense path: (S / n) / 1e8, w - lr*g
+            w[0] = w[0] - lr * (sent["s"] / n / 1e8)
+            for b, r in by_bucket.items():
+                w[b + 1] = w[b + 1] - lr * (r["s"] / n / 1e8)
+    finally:
+        tfa.unpersist()
+
+    scored = (
+        with_weights(sparse_feats(score, with_id=True), w[1:])
+        .select(F.col("__k").alias(id_col), fold_pred(w[0]).alias("qscore"))
+        .select(
+            id_col,
+            "qscore",
+            (F.col("qscore") >= F.lit(threshold)).alias("keep"),
+        )
     )
     return w, scored
 

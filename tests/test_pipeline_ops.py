@@ -2428,6 +2428,57 @@ def test_hash_kernel_classifier_matches_replica(spark):
         hash_kernel_classifier(train, df, d=0)
 
 
+def test_hash_kernel_sparse_bit_identical_to_dense(spark):
+    """The sparse (explode → groupBy-bucket) physical plan is the SAME
+    function as the dense d-column plan, to the last bit: identical
+    weights, identical scores, identical keep flags — because the
+    ordered fold adds the nonzero w·x terms in the dense chain's
+    ascending-bucket order and the skipped terms are exact IEEE ±0.0
+    adds.  Also: auto dispatch, impl validation, empty-train error."""
+    from interference_spark.pipeline.text import hash_kernel_classifier
+
+    rows = []
+    vocab = ["the", "cat", "zor", "blk", "sat", "qrt", "mat", "vnm"]
+    for i in range(24):
+        lang = "en" if i % 3 == 0 else "xx"
+        text = " ".join(vocab[(i * 7 + j) % 8] for j in range(1 + i % 9))
+        rows.append((i, text, lang))
+    rows.append((24, "   ", "en"))  # whitespace-only: both paths drop it
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.filter("doc_id < 18")
+
+    for d, iters in ((4, 3), (16, 2), (1, 1)):
+        wd, sd = hash_kernel_classifier(
+            train, df, d=d, iters=iters, impl="dense"
+        )
+        ws, ss = hash_kernel_classifier(
+            train, df, d=d, iters=iters, impl="sparse"
+        )
+        assert wd == ws, (d, iters)  # exact float equality, all d+1
+        got_d = {r.doc_id: (r.qscore, r.keep) for r in sd.collect()}
+        got_s = {r.doc_id: (r.qscore, r.keep) for r in ss.collect()}
+        assert got_d == got_s, (d, iters)
+        assert 24 not in got_s and len(got_s) == 24
+
+    # auto picks dense at small d, sparse above the cutover — and both
+    # dispatch targets remain the same numbers
+    w_auto, _ = hash_kernel_classifier(train, df, d=4, iters=2, impl="auto")
+    w_dense, _ = hash_kernel_classifier(train, df, d=4, iters=2, impl="dense")
+    assert w_auto == w_dense
+    w_auto_big, _ = hash_kernel_classifier(train, df, d=128, iters=1)
+    w_sparse_big, _ = hash_kernel_classifier(
+        train, df, d=128, iters=1, impl="sparse"
+    )
+    assert w_auto_big == w_sparse_big
+
+    with pytest.raises(ValueError, match="impl"):
+        hash_kernel_classifier(train, df, d=4, impl="gpu")
+    with pytest.raises(ValueError, match="empty training"):
+        hash_kernel_classifier(
+            df.filter("doc_id < 0"), df, d=4, iters=1, impl="sparse"
+        )
+
+
 def test_exact_substring_pairs_runs_and_filter_parity(spark):
     """Cross-corpus exact substring detection: the gram join finds
     exactly the pairs sharing a >=k-token run, max_run_tokens is the

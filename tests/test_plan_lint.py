@@ -327,6 +327,18 @@ def test_hash_kernel_classifier_plans(spark):
     assert "Exchange" not in plan, plan[:2000]
 
 
+def test_hash_kernel_sparse_plans(spark):
+    """Sparse classifier scoring: featurization is codegen HOFs plus two
+    combiner groupBys (no Python anywhere), the weight vector attaches
+    as a 1-row broadcast (BroadcastNestedLoopJoin — the sanctioned
+    scalar cross-join shape), and nothing plans a real cartesian."""
+    df = inventory.QUERIES["quality_hash_classifier_sparse"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
 def test_exact_substring_pairs_plan(spark):
     """Cross-corpus substring dedup: gram hashing is codegen HOFs (no
     UDF) and the shingle join is a real equi-join on the digest."""
