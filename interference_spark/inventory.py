@@ -7300,6 +7300,125 @@ def _bpe_batched_oracle(n_merges: int = 6, cap: int = 32) -> str:
     return f"WITH {','.join(ctes)}\n{rows}"
 
 
+def _bpe_batched_k_iter_cte(i: int, n_merges: int, k: int, cap: int) -> str:
+    """One unrolled batched round for ARBITRARY merges_per_round=k
+    (generalizes `_bpe_batched_iter_cte`'s hardwired a/b pick pair):
+    ranked pair counts, then k greedy pick CTEs — pick j is the lowest-
+    ranked candidate after pick j−1 whose left, right, AND merged token
+    are untouched by EVERY earlier accepted pick (`select_disjoint`'s
+    walk: skipped candidates stay skipped, so rank-monotonic chaining is
+    exact), each gated on the merge budget consumed so far — then the
+    word table with the accepted folds applied in rank order (sequential
+    == simultaneous under full disjointness).  All CTEs MATERIALIZED,
+    same DuckDB-inlining reason as the k=2 oracle."""
+    prev = f"bkw{i - 1}"
+    parts = [
+        f"""bkp{i} AS MATERIALIZED (
+  SELECT s[j] AS l, s[j + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, str_split(sym, ' ') AS s FROM {prev}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.s) - 1)) AS j) jj
+  GROUP BY 1, 2
+)""",
+        f"""bkr{i} AS MATERIALIZED (
+  SELECT l, r, cnt,
+         row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) AS rk
+  FROM bkp{i} QUALIFY rk <= {cap}
+)""",
+        f"""bk{i}p1 AS MATERIALIZED (
+  SELECT l, r, cnt, rk FROM bkr{i}
+  WHERE rk = 1 AND (SELECT took FROM bktot{i - 1}) < {n_merges}
+)""",
+    ]
+    for j in range(2, k + 1):
+        earlier = ", ".join(
+            f"bk{i}p{e} e{e}" for e in range(1, j)
+        )
+        disjoint = " AND ".join(
+            f"c.l NOT IN (e{e}.l, e{e}.r, e{e}.l || e{e}.r)"
+            f" AND c.r NOT IN (e{e}.l, e{e}.r, e{e}.l || e{e}.r)"
+            f" AND (c.l || c.r) NOT IN (e{e}.l, e{e}.r, e{e}.l || e{e}.r)"
+            for e in range(1, j)
+        )
+        parts.append(
+            f"""bk{i}p{j} AS MATERIALIZED (
+  SELECT c.l, c.r, c.cnt, c.rk FROM bkr{i} c, {earlier}
+  WHERE c.rk > e{j - 1}.rk
+    AND (SELECT took FROM bktot{i - 1}) + {j} <= {n_merges}
+    AND {disjoint}
+  ORDER BY c.rk LIMIT 1
+)""")
+    took = " + ".join(
+        [f"(SELECT took FROM bktot{i - 1})"]
+        + [f"(SELECT count(*) FROM bk{i}p{j})" for j in range(1, k + 1)]
+    )
+    parts.append(f"bktot{i} AS MATERIALIZED (SELECT {took} AS took)")
+    # folds applied innermost-first in rank order; each layer no-ops
+    # when its pick is absent or the word is already a single symbol
+    inner = prev
+    src = "sym"
+    layers = []
+    for j in range(1, k + 1):
+        fold = _BPE_FOLD.format(src=src, c=f"e{j}")
+        out = "sym" if j == k else f"s{j}"
+        layers.append((j, src, out, fold))
+        src = f"s{j}"
+    sql = f"SELECT word, freq, sym FROM {inner}"
+    for j, src_c, out_c, fold in layers:
+        sql = (
+            f"SELECT word, freq,\n"
+            f"       CASE WHEN e{j}.l IS NULL OR instr({src_c}, ' ') = 0"
+            f" THEN {src_c} ELSE {fold} END AS {out_c}\n"
+            f"FROM ({sql}) LEFT JOIN bk{i}p{j} e{j} ON TRUE"
+        )
+    parts.append(f"bkw{i} AS MATERIALIZED (\n  {sql}\n)")
+    return ",\n".join(parts)
+
+
+def _bpe_batched_k_oracle(n_merges: int, k: int) -> str:
+    """Full SQL replay of bpe_train(n_merges, merges_per_round=k) for
+    any k: up to n_merges rounds unrolled (every round can be shortened
+    by conflicts OR the remaining budget; the gated btot chain makes the
+    replay follow whichever schedule the data produces); merge_rank for
+    round i's pick j is took_{i-1} + j (picks are contiguous: a missing
+    pick j empties every later pick of the round via the cross join)."""
+    cap = max(32, 8 * k)  # the Spark loop's candidate-fetch cap
+    w0 = _BPE_W0.replace("w0 AS", "bkw0 AS MATERIALIZED")
+    ctes = [w0, "bktot0 AS MATERIALIZED (SELECT 0 AS took)"] + [
+        _bpe_batched_k_iter_cte(i, n_merges, k, cap)
+        for i in range(1, n_merges + 1)
+    ]
+    rows = "\nUNION ALL\n".join(
+        f'SELECT (SELECT took FROM bktot{i - 1}) + {j} AS merge_rank,'
+        f' l AS "left", r AS "right", l || r AS merged, cnt AS pair_count'
+        f" FROM bk{i}p{j}"
+        for i in range(1, n_merges + 1)
+        for j in range(1, k + 1)
+    )
+    return f"WITH {','.join(ctes)}\n{rows}"
+
+
+@query("bpe_train_batched_deep", _bpe_batched_k_oracle(n_merges=30, k=10))
+def bpe_train_batched_deep(spark, sf_dir):
+    """Deep batched-BPE schedule (merges_per_round=10, 30 rules): ≥4
+    gated rounds exercising every schedule edge the k=2 entry cannot —
+    CONFLICT-shortened rounds (on this corpus round 1 wants 10 and the
+    disjointness walk accepts 8 at every SF), late picks chained against
+    up to 9 earlier accepted picks, and a budget-shortened final round
+    (30 ≡ 2 mod 10).  The oracle (`_bpe_batched_k_oracle`) unrolls the
+    worst-case 30 rounds with the same greedy walk and budget gates
+    (rounds after exhaustion are empty by gating; per-round CTEs scan
+    the vocabulary-bounded word table, not the corpus), so the whole
+    trajectory value-hashes at every SF regardless of which schedule
+    the corpus produces."""
+    from .pipeline.bpe import bpe_train
+
+    e = engine_for(spark, sf_dir)
+    merges, words = bpe_train(
+        e.table("documents"), n_merges=30, merges_per_round=10
+    )
+    return merges
+
+
 @query("bpe_train_batched", _bpe_batched_oracle())
 def bpe_train_batched(spark, sf_dir):
     """BATCHED BPE training (`pipeline/bpe.bpe_train` with
@@ -7397,6 +7516,94 @@ SELECT ds.doc_id,
             AS BIGINT) AS pos,
        ds.token, vocab.token_id
 FROM ds JOIN vocab USING (token)"""
+
+
+def _bpe_encode_oov_oracle(
+    k: int = _BPE_MERGES, train_mod: int = 3, enc_mod: int = 101
+) -> str:
+    """Encode-new-documents replay (`bpe_encode(oov="null")`): the
+    tokenizer trains on the ``doc_id % train_mod = 0`` slice only, the
+    encode sample spans the WHOLE corpus, and words absent from the
+    training word table survive as one row each — raw word in ``token``,
+    NULL ``token_id`` — via LEFT joins on both the segmentation and the
+    vocab (an OOV word that happens to collide with an in-vocab token
+    string still gets that token's id, on both engines).
+
+    The driver corpus draws every document from one ~30-word pool, so
+    ANY training slice covers the full vocabulary and no natural OOV
+    exists; each encoded doc therefore carries one appended synthetic
+    word ``xoov<doc_id>`` (both engines append it identically) that the
+    tokenizer cannot have seen — guaranteeing the NULL-id path real
+    rows at every SF while the rest of the encode stays the trained
+    vocabulary."""
+    w0 = _BPE_W0.replace(
+        "FROM documents", f"FROM documents WHERE doc_id % {train_mod} = 0"
+    )
+    ctes = ",\n".join([w0] + [_bpe_iter_cte(i) for i in range(1, k + 1)])
+    mr = "\nUNION ALL\n".join(
+        f"SELECT l || r AS token, CAST({i} AS BIGINT) AS mrank FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""WITH {ctes},
+chars AS (
+  SELECT DISTINCT unnest(str_split(word, '')) AS token FROM w0
+), cid AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+  FROM chars
+), nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cid),
+mr AS ({mr}),
+vocab AS (
+  SELECT token, CAST(min(token_id) AS BIGINT) AS token_id FROM (
+    SELECT token, token_id FROM cid
+    UNION ALL
+    SELECT mr.token, nb.b + mr.mrank - 1 AS token_id FROM mr CROSS JOIN nb
+  ) GROUP BY token
+), dw AS (
+  SELECT doc_id, j.j AS wpos, t.w[j.j] AS word
+  FROM (SELECT doc_id,
+               regexp_split_to_array(
+                 trim(text || ' xoov' || CAST(doc_id AS VARCHAR)),
+                 '\\s+') AS w
+        FROM documents WHERE doc_id % {enc_mod} = 0) t
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS j) j
+  WHERE t.w[j.j] <> ''
+), ds AS (
+  SELECT u.doc_id, u.wpos, j2.j2 AS spos, u.s[j2.j2] AS token
+  FROM (SELECT dw.doc_id, dw.wpos,
+               str_split(COALESCE(wk.sym, dw.word), ' ') AS s
+        FROM dw LEFT JOIN w{k} wk USING (word)) u
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(u.s))) AS j2) j2
+)
+SELECT ds.doc_id,
+       CAST(row_number() OVER (PARTITION BY ds.doc_id
+                               ORDER BY ds.wpos, ds.spos) - 1
+            AS BIGINT) AS pos,
+       ds.token, vocab.token_id
+FROM ds LEFT JOIN vocab USING (token)"""
+
+
+@query("bpe_encode_oov", _bpe_encode_oov_oracle())
+def bpe_encode_oov(spark, sf_dir):
+    """Tokenizer encode on UNSEEN text (`pipeline/bpe.bpe_encode` with
+    ``oov="null"``): train on the doc_id % 3 = 0 third of the corpus,
+    encode a corpus-wide sample with one synthetic unseen word
+    (``xoov<doc_id>``) appended per doc — see the oracle's docstring for
+    why the append is needed on this corpus.  Unseen words come back as
+    one row each with a NULL token_id instead of silently vanishing
+    (the r5 ADVICE surfacing contract, now with driver evidence)."""
+    from .pipeline.bpe import bpe_encode, bpe_train, bpe_vocab
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    merges, words = bpe_train(
+        docs.filter("doc_id % 3 = 0"), n_merges=_BPE_MERGES
+    )
+    enc = docs.filter("doc_id % 101 = 0").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" xoov"), F.col("doc_id").cast("string")),
+    )
+    return bpe_encode(enc, words, bpe_vocab(merges, words), oov="null")
 
 
 @query("bpe_encode_ids", _bpe_encode_oracle())
