@@ -935,7 +935,26 @@ def q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape: aggregate → threshold filter → semi-join back into
     the fact tables → re-aggregate → top-k. The semi join keeps only
     qualifying orderkeys flowing into the 3-way join; top-100 runs as
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    Both orderkey attachments carry shuffle_hash hints — the r7 100×
+    scale probe (tools/scaling_probe.py --tpch) caught two cliffs the
+    sf0.1 plan audit could not:
+
+    * unhinted, the static planner BROADCAST the orders fact table (its
+      column-pruned size estimate — 4 of 9 columns of a zstd scan —
+      fell under the 10 MB threshold at every probe scale): a
+      driver-built data-sized hash relation, measured 4.2 s → 108.7 s
+      from 10× to 100× (26× for 10× data);
+    * with orders shuffle-hashed but the semi join left as sort-merge,
+      the 60M-row lineitem SORT dominated: 61.5 s at 100×.
+
+    Shuffle-hash on both builds per-partition hash tables from the
+    qualifying-orderkey set and from orders, reuses one orderkey
+    partitioning of lineitem across semi join and join, and sorts
+    nothing but the final top-100: 27.8 s at 100×, back on the
+    q1/q7/q8 ~linear band (and 1.9 → 1.4 s at sf0.1).  The customer
+    attachment stays broadcast: a real dimension."""
     e = engine_for(spark, sf_dir)
     c, o, l = e.table("customer"), e.table("orders"), e.table("lineitem")
     big = (
@@ -945,8 +964,8 @@ def q18_large_orders(spark, sf_dir):
         .select("l_orderkey")
     )
     return (
-        l.join(big, "l_orderkey", "left_semi")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        l.join(big.hint("shuffle_hash"), "l_orderkey", "left_semi")
+        .join(o.hint("shuffle_hash"), F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))

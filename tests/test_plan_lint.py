@@ -349,6 +349,19 @@ def test_exact_substring_pairs_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
 
 
+def test_q18_never_broadcasts_a_fact_side(spark):
+    """q18's orderkey joins must both be shuffled-hash: the static
+    planner's column-pruned estimate broadcast the ORDERS fact table
+    (measured 26x super-linear at the 100x scale probe), and a
+    sort-merge semi join pays a full fact-side sort.  Customer (a real
+    dim) stays broadcast."""
+    df = inventory.QUERIES["q18_large_orders"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") == 2, plan[:3000]
+    assert "BroadcastHashJoin [l_orderkey" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
 def test_q7_never_broadcasts_a_fact_side(spark):
     """q7's dim attachments must be shuffled-hash (small side builds per
     partition): the unhinted static plan broadcast column-pruned

@@ -294,6 +294,68 @@ def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
     return out
 
 
+def _tpch_scaled_dir(spark, base_dir: str, m: int, out_dir: str) -> None:
+    """Materialize a TPC-H-shaped directory at m× the base fact volume:
+    lineitem and orders replicated m times with l_orderkey/o_orderkey
+    remapped to ``key*m + replica`` (each replica of an order keeps its
+    own lineitems, so every join/group cardinality per order is
+    UNCHANGED and query results scale exactly linearly in m); dimension
+    tables copy through at 1× — the realistic shape: facts grow with
+    business volume, dims don't."""
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__r")
+    li = spark.read.parquet(f"{base_dir}/lineitem.parquet")
+    li.select("*", rep).withColumn(
+        "l_orderkey", F.col("l_orderkey") * m + F.col("__r")
+    ).drop("__r").write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{base_dir}/orders.parquet")
+    orders.select("*", rep).withColumn(
+        "o_orderkey", F.col("o_orderkey") * m + F.col("__r")
+    ).drop("__r").write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    for t in ("customer", "supplier", "part", "nation", "region"):
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.remove(dst)
+        shutil.copyfile(f"{base_dir}/{t}.parquet", dst)
+
+
+def probe_tpch(spark, base_dir: str, factors: list[int]) -> dict:
+    """Second-source scale evidence for the TPC-H heads (VERDICT r6 ask
+    #6): the bench is sf0.1-only and plan audits can't see sort/shuffle
+    cliffs — this times q1/q7/q8/q18 at 1×/10×/100× the sf0.1 fact
+    volume (60M lineitem rows at 100×) and reports per-point seconds, so
+    a super-linear slope is measured, not argued away."""
+    import tempfile
+
+    from interference_spark import inventory
+
+    heads = ("q1_pricing_summary", "q7_volume_shipping",
+             "q8_market_share", "q18_large_orders")
+    out: dict[str, dict] = {q: {} for q in heads}
+    for m in factors:
+        if m == 1:
+            d = base_dir
+        else:
+            d = os.path.join(tempfile.gettempdir(), f"ifs_tpch_x{m}")
+            t0 = time.perf_counter()
+            _tpch_scaled_dir(spark, base_dir, m, d)
+            print(f"generated {m}x dir in {time.perf_counter()-t0:.1f}s",
+                  flush=True)
+        for q in heads:
+            fn = inventory.QUERIES[q]
+            fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            out[q][m] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        print({q: out[q][m] for q in heads}, flush=True)
+    return out
+
+
 def main() -> None:
     from interference_spark import build_spark
 
@@ -312,6 +374,23 @@ def main() -> None:
         )
         res = probe_bpe_merges(spark, counts, merges_per_round=k)
         print(json.dumps({"merges_per_round": k, "bpe_merges": res}))
+        spark.stop()
+        return
+    if args and args[0] == "--tpch":  # --tpch [factors, default 1,10,100]
+        factors = (
+            [int(f) for f in args[1].split(",")] if len(args) > 1 else [1, 10, 100]
+        )
+        spark = build_spark(
+            app_name="scaling-probe-tpch",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+            shuffle_partitions=int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            ),
+            extra_conf={"spark.driver.memory": "48g"},
+        )
+        base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        res = probe_tpch(spark, base, factors)
+        print(json.dumps({"factors": factors, "tpch_seconds": res}))
         spark.stop()
         return
     if args and args[0] == "--only":  # --only op1,op2 [sizes...]
