@@ -294,6 +294,43 @@ def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
     return out
 
 
+def probe_substring_skew(spark, sizes: list[int], k: int = 8) -> dict:
+    """Hot-shingle skew probe for the exact-substring family (VERDICT r6
+    ask #3): a wide-vocab corpus where 10% of the docs of BOTH sides
+    share one verbatim boilerplate sentence — every one of its k-grams
+    is a hot posting whose uncapped join cost is |posting_a|·|posting_b|
+    (quadratic in corpus size), while max_posting_len excludes the tiny
+    hot digest set and restores the linear gram join.  Times
+    exact_substring_pairs uncapped vs capped at each size."""
+    from interference_spark.pipeline.dedup import exact_substring_pairs
+
+    boiler = " ".join(f"bp{i}" for i in range(2 * k))  # 2k-token sentence
+    out: dict[str, dict] = {"uncapped": {}, "capped": {}}
+    for n in sizes:
+        # doc_id % 10 IN (0, 1): one even and one odd residue, so the
+        # boilerplate lands in 10% of BOTH corpora (a %10==0 condition
+        # would put every boilerplate doc on the even/A side and the
+        # cross join would never see a hot pair)
+        docs = _rich_docs(spark, n).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 < 2,
+                F.concat(F.lit(boiler + " "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        for mode, cap in (("uncapped", None), ("capped", 64)):
+            df = exact_substring_pairs(a, b, k=k, max_posting_len=cap)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            out[mode][n] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+        print(n, {m: out[m][n] for m in out}, flush=True)
+    return out
+
+
 def _tpch_scaled_dir(spark, base_dir: str, m: int, out_dir: str) -> None:
     """Materialize a TPC-H-shaped directory at m× the base fact volume:
     lineitem and orders replicated m times with l_orderkey/o_orderkey
@@ -374,6 +411,24 @@ def main() -> None:
         )
         res = probe_bpe_merges(spark, counts, merges_per_round=k)
         print(json.dumps({"merges_per_round": k, "bpe_merges": res}))
+        spark.stop()
+        return
+    if args and args[0] == "--substring-skew":  # [sizes, default 100k,1M]
+        sizes = (
+            [int(float(s)) for s in args[1].split(",")]
+            if len(args) > 1
+            else [100_000, 1_000_000]
+        )
+        spark = build_spark(
+            app_name="scaling-probe-skew",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+            shuffle_partitions=int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            ),
+            extra_conf={"spark.driver.memory": "48g"},
+        )
+        res = probe_substring_skew(spark, sizes)
+        print(json.dumps({"sizes": sizes, "substring_skew_seconds": res}))
         spark.stop()
         return
     if args and args[0] == "--tpch":  # --tpch [factors, default 1,10,100]
