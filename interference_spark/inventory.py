@@ -8354,6 +8354,225 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     )
 
 
+@query(
+    "clean_c4_rules",
+    """WITH d AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+            AND substr(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')
+            AND NOT contains(lower(l), 'javascript')) AS kept,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       has_lorem, has_brace,
+       (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep_doc,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM d""",
+)
+def clean_c4_rules(spark, sf_dir):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2;
+    `pipeline/text.c4_clean`): keep lines ending in terminal punctuation
+    with ≥5 words and no "javascript"; flag lorem-ipsum / curly-brace /
+    under-3-kept-lines documents.  Pure HOF expressions over the line
+    array — whole-stage codegen, zero shuffle, embarrassingly parallel
+    at 100 TB.  The reference has no string surface at all (SURVEY §2.8);
+    this is driver-mandate cleaning territory."""
+    from .pipeline import ensure_parallelism
+    from .pipeline.text import c4_clean
+
+    e = engine_for(spark, sf_dir)
+    return c4_clean(ensure_parallelism(e.table("documents")))
+
+
+@query(
+    "quality_gopher_rules",
+    """WITH d AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS word_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_count,
+         CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ell_chars,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+            l -> substr(trim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines,
+            l -> ends_with(trim(l), '...'))) AS BIGINT) AS ell_lines,
+         CAST(len(list_filter(words,
+            w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         (CAST(list_contains(words, 'the') AS BIGINT)
+          + CAST(list_contains(words, 'be') AS BIGINT)
+          + CAST(list_contains(words, 'to') AS BIGINT)
+          + CAST(list_contains(words, 'of') AS BIGINT)
+          + CAST(list_contains(words, 'and') AS BIGINT)
+          + CAST(list_contains(words, 'that') AS BIGINT)
+          + CAST(list_contains(words, 'have') AS BIGINT)
+          + CAST(list_contains(words, 'with') AS BIGINT)) AS stop_hits
+  FROM d
+)
+SELECT doc_id, n_words,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS r_mean_word_len,
+       (10 * (3 * hash_count + ell_chars) <= 3 * n_words) AS r_symbol_ratio,
+       (10 * bullet_lines <= 9 * n_lines) AS r_bullet_lines,
+       (10 * ell_lines <= 3 * n_lines) AS r_ellipsis_lines,
+       (5 * alpha_words >= 4 * n_words) AS r_alpha_words,
+       (stop_hits >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+        AND (10 * (3 * hash_count + ell_chars) <= 3 * n_words)
+        AND (10 * bullet_lines <= 9 * n_lines)
+        AND (10 * ell_lines <= 3 * n_lines)
+        AND (5 * alpha_words >= 4 * n_words)
+        AND (stop_hits >= 2)) AS keep_doc
+FROM m""",
+)
+def quality_gopher_rules(spark, sf_dir):
+    """Gopher document-shape rules (Rae et al. 2021 App. A1.1;
+    `pipeline/text.gopher_quality_flags`): per-rule booleans + combined
+    keep flag.  Every ratio threshold is cross-multiplied into integer
+    comparisons (10·bullet ≤ 9·lines, 5·alpha ≥ 4·words, …) so the
+    value hash can never sit on a float rounding boundary, and the whole
+    operator is one codegen'd projection — zero shuffle at 100 TB."""
+    from .pipeline import ensure_parallelism
+    from .pipeline.text import gopher_quality_flags
+
+    e = engine_for(spark, sf_dir)
+    return gopher_quality_flags(ensure_parallelism(e.table("documents")))
+
+
+@query(
+    "corpus_heaps_law",
+    """WITH b AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+tok AS (
+  SELECT CAST(floor(CAST(doc_id * 10 AS DOUBLE) / CAST(n_ids AS DOUBLE)) AS BIGINT) AS bucket,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents, b WHERE length(trim(text)) > 0
+), fs AS (SELECT token, min(bucket) AS fb FROM tok GROUP BY 1
+), nv AS (SELECT fb, count(*) AS new_vocab FROM fs GROUP BY 1
+), pb AS (SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1)
+SELECT pb.bucket,
+       CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(nv.new_vocab, 0)) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_vocab
+FROM pb LEFT JOIN nv ON pb.bucket = nv.fb""",
+)
+def corpus_heaps_law(spark, sf_dir):
+    """Vocabulary-growth (Heaps' law) curve over 10 contiguous doc-id
+    prefixes (`pipeline/text.heaps_curve`): cumulative tokens vs
+    cumulative distinct vocabulary at each boundary — "how much new
+    vocabulary does more data buy".  Scale shape: NOT n_buckets
+    corpus-sized distincts; each token's first bucket is ONE
+    combiner-friendly groupBy(token).min, the rollup window runs over 10
+    rows.  All integers — exact at any scale."""
+    from .pipeline import ensure_parallelism
+    from .pipeline.text import heaps_curve
+
+    e = engine_for(spark, sf_dir)
+    return heaps_curve(ensure_parallelism(e.table("documents")), n_buckets=10)
+
+
+_RRF_ORACLE = """WITH tok AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0)
+), stats AS (
+  SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS sum_dl FROM tok
+), tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf
+  FROM tok WHERE term IN ('hash', 'stream', 'vector')
+  GROUP BY 1, 2, 3
+), dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1
+), j AS (
+  SELECT tf.doc_id,
+         (CAST(CAST(floor(ln(CAST(1 AS DOUBLE)
+             + (CAST(stats.n_docs - dft.dft AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / (CAST(dft.dft AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS DOUBLE)
+           / CAST(1000000 AS DOUBLE))
+         * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+            / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+               * (CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * (CAST(tf.dl AS DOUBLE)
+                    / (CAST(stats.sum_dl AS DOUBLE)
+                       / CAST(stats.n_docs AS DOUBLE))))))
+         AS ts
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+), bm AS (
+  SELECT doc_id, CAST(sum(CAST(ts AS DECIMAL(38,14))) AS DOUBLE) AS score
+  FROM j GROUP BY doc_id
+), lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 50)
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (
+  SELECT e AS qe FROM v WHERE vec_id = 0
+), s AS (
+  SELECT v.vec_id,
+         list_reduce([v.e[i] * q.qe[i] for i in generate_series(1, 64)],
+                     (a, x) -> a + x)
+         / (sqrt(list_reduce([v.e[i] * v.e[i] for i in generate_series(1, 64)],
+                             (a, x) -> a + x))
+            * sqrt(list_reduce([q.qe[i] * q.qe[i] for i in generate_series(1, 64)],
+                               (a, x) -> a + x))) AS cosine
+  FROM v, q WHERE v.vec_id <> 0
+), sem AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS sem_rank
+  FROM (SELECT * FROM s ORDER BY cosine DESC, vec_id LIMIT 50)
+), fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.lex_rank, sem.sem_rank,
+         coalesce(CAST(1 AS DOUBLE)
+                  / (CAST(60 AS DOUBLE) + CAST(lex.lex_rank AS DOUBLE)),
+                  CAST(0 AS DOUBLE))
+         + coalesce(CAST(1 AS DOUBLE)
+                    / (CAST(60 AS DOUBLE) + CAST(sem.sem_rank AS DOUBLE)),
+                    CAST(0 AS DOUBLE)) AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 15"""
+
+
+@query("rank_rrf_fusion", _RRF_ORACLE)
+def rank_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    the BM25 lexical ranking and the exact-cosine semantic ranking
+    (`pipeline/retrieval.rrf_fusion_topk`) — the standard RAG-curation
+    combiner next to `rank_bm25_topk` and `sim_cosine_topk`.  Each list
+    is cut to depth 50 by TakeOrderedAndProject (distributed partial
+    top-k); ranks come from a window over the depth-sized slice (O(depth),
+    never O(corpus)); the fusion joins two 50-row sets.  Fused score =
+    1/(60+lex_rank) + 1/(60+sem_rank), a fixed-order sum of exact
+    divisions — bit-identical across engines."""
+    from .pipeline.retrieval import rrf_fusion_topk
+
+    e = engine_for(spark, sf_dir)
+    emb = e.table("embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return rrf_fusion_topk(
+        e.table("documents"),
+        emb.filter(F.col("vec_id") != 0),
+        ["vector", "hash", "stream"],
+        qvec,
+        k=15,
+        depth=50,
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver presentation order.  The correctness driver oracles the FIRST 50
 # entries of queries() (insertion order), so the window below interleaves
@@ -8397,11 +8616,16 @@ _DRIVER_WINDOW = [
     "process_stream_consume",
     # --- the one entry with zero driver rows ---
     "clean_cross_corpus_substrings",
-    # --- NEW r7 operators ---
+    # --- NEW r7 operators (each pre-verified via tools/driver_sim.py at
+    # sf0.001/0.01/0.1 in the same commit that lands it) ---
     "quality_hash_classifier_sparse",
     "bpe_train_batched_deep",
     "bpe_encode_oov",
     "dedup_substring_pairs_capped",
+    "clean_c4_rules",
+    "quality_gopher_rules",
+    "corpus_heaps_law",
+    "rank_rrf_fusion",
     # --- the 35 r6-displaced entries (second driver round each) ---
     "gapfill_hourly_events",
     "cohort_retention_daily",
@@ -8438,14 +8662,17 @@ _DRIVER_WINDOW = [
     "stream_session_windows",
     "stream_event_time_hourly",
     "stream_enrich_join",
-    # --- r6-first-green keepers (second round + family coverage) ---
-    "corpus_token_stats",
+    # --- r6-first-green keepers (second round + family coverage; the
+    # four r7 text/retrieval additions displaced corpus_token_stats,
+    # dedup_threshold_sweep, text_winnow_fingerprints and
+    # embedding_rp_project — each r6-driver-green, each family still
+    # represented: stats by sketch_join_size/sketch_f2_user_skew, dedup
+    # by dedup_editdistance/dedup_canonical_corpus, text fingerprints by
+    # text_fingerprint/text_repeated_passages, embeddings by
+    # embedding_top_pc/embedding_label_centroids) ---
     "sim_ivfpq_rerank",
     "stream_event_time_sliding",
     "mm_feature_extract",
-    "dedup_threshold_sweep",
-    "text_winnow_fingerprints",
-    "embedding_rp_project",
 ]
 
 

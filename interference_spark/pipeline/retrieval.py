@@ -114,3 +114,82 @@ def bm25_topk(
         df, query_terms, text_col=text_col, id_col=id_col, k1=k1, b=b
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rrf_fusion_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: Sequence[str],
+    query_vec: Sequence[float],
+    k: int = 15,
+    depth: int = 50,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+    2009): fuse a lexical BM25 ranking and a semantic cosine ranking of
+    the same corpus with ``score(d) = Σ 1/(k_rrf + rank_list(d))``, the
+    standard hybrid-retrieval combiner in RAG data curation.
+
+    Scale shape: each list is produced by its own distributed scorer and
+    cut to ``depth`` with ``orderBy().limit()`` (TakeOrderedAndProject —
+    a distributed partial top-k, never a global sort); ranks are then
+    assigned by a window over the *depth-sized* slice (driver-bounded by
+    construction, so the single-partition window is O(depth), not O(corpus)),
+    and the fusion is a full-outer join of two depth-row sets (AQE
+    broadcasts one side).  Nothing corpus-sized crosses a single
+    partition.
+
+    Float determinism: BM25 scores are deterministic by ``bm25_scores``'s
+    contract, cosine by the strict left fold in ``similarity.dot`` —
+    ranks are therefore deterministic integers, and the fused score is a
+    fixed-order sum of two exact divisions (1/(k_rrf+rank)), bit-identical
+    across engines.
+
+    Returns (doc_id, lex_rank, sem_rank, rrf_score) — ranks NULL for
+    documents present in only one list — ordered by fused score.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine
+
+    lex_top = (
+        bm25_scores(docs, query_terms, text_col=text_col, id_col=doc_id_col)
+        .orderBy(F.col("score").desc(), F.col(doc_id_col).asc())
+        .limit(depth)
+    )
+    wl = Window.orderBy(F.col("score").desc(), F.col(doc_id_col).asc())
+    lex_r = lex_top.select(
+        F.col(doc_id_col),
+        F.row_number().over(wl).cast("long").alias("lex_rank"),
+    )
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sem_top = (
+        emb.select(
+            F.col(vec_id_col).alias(doc_id_col),
+            cosine(F.col(vec_col), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(doc_id_col).asc())
+        .limit(depth)
+    )
+    ws = Window.orderBy(F.col("cosine").desc(), F.col(doc_id_col).asc())
+    sem_r = sem_top.select(
+        F.col(doc_id_col),
+        F.row_number().over(ws).cast("long").alias("sem_rank"),
+    )
+
+    contrib = lambda rank: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank).cast("double")),
+        F.lit(0.0),
+    )
+    fused = lex_r.join(sem_r, doc_id_col, "full_outer").select(
+        F.col(doc_id_col),
+        F.col("lex_rank"),
+        F.col("sem_rank"),
+        (contrib("lex_rank") + contrib("sem_rank")).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(doc_id_col).asc()).limit(k)

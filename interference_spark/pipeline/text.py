@@ -1566,3 +1566,202 @@ def substring_decontaminate(
     return corpus.select(
         F.col(id_col), nhits(F.col(text_col)).alias("n_hits")
     ).select(id_col, "n_hits", (F.col("n_hits") > 0).alias("contaminated"))
+
+
+# ---------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, §2.2) and Gopher
+# document-shape rules (Rae et al. 2021, App. A1.1) — the two canonical
+# rule-based quality filters every large-scale text pipeline runs before
+# any learned filter.  Both are pure pyspark.sql.functions expressions
+# (HOFs over the line/word arrays — whole-stage codegen, zero shuffle,
+# embarrassingly parallel at 100 TB), and both are integer/boolean-exact:
+# every ratio threshold is cross-multiplied into integer comparisons so
+# the oracle can never sit on a float rounding boundary.
+# ---------------------------------------------------------------------
+
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style cleaning: keep only lines that end in terminal
+    punctuation, have ≥ ``min_words`` whitespace words, and don't mention
+    "javascript" (case-insensitive); flag documents containing
+    "lorem ipsum" or a curly brace, or retaining fewer than
+    ``min_kept_lines`` lines.  (C4's "≥3 sentences" page rule is applied
+    at kept-line granularity — documented divergence: we don't split
+    sentences within a line.)
+
+    Returns (doc_id, n_lines, n_kept, has_lorem, has_brace, keep_doc,
+    clean_text) for every document.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep_line(l: Column) -> Column:
+        t = F.trim(l)
+        last = t.substr(F.length(t), F.lit(1))
+        return (
+            (F.size(F.split(t, r"\s+")) >= min_words)
+            & last.isin(*_C4_TERMINAL)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    kept = F.filter(lines, _keep_line)
+    lower = F.lower(F.col(text_col))
+    has_lorem = F.contains(lower, F.lit("lorem ipsum"))
+    has_brace = F.contains(F.col(text_col), F.lit("{"))
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
+        ).alias("keep_doc"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100000,
+) -> DataFrame:
+    """Gopher document-shape rules as per-rule booleans plus the combined
+    keep flag.  Rules (thresholds from Rae et al. 2021, App. A1.1):
+    word count in [min_words, max_words]; mean word length in [3, 10];
+    ≤10% of words are hash/ellipsis symbols; ≤90% of lines start with a
+    bullet; ≤30% of lines end with an ellipsis; ≥80% of words contain an
+    alphabetic character; ≥2 of 8 canonical English stopwords present.
+    Every ratio is cross-multiplied into integer comparisons (e.g.
+    ``3·n ≤ Σ|w| ≤ 10·n`` for mean word length) — no float anywhere.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_words = F.size(words).cast("long")
+    word_chars = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    txt = F.col(text_col)
+    hash_count = (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))).cast("long")
+    # 3·(count of "...") — kept pre-divided so everything stays integer
+    ell_chars = (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))).cast("long")
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).substr(F.lit(1), F.lit(1)).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    ell_lines = F.size(
+        F.filter(lines, lambda l: F.endswith(F.trim(l), F.lit("...")))
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop_hits = sum(
+        (
+            F.array_contains(words, F.lit(s)).cast("long")
+            for s in _GOPHER_STOPWORDS
+        ),
+        F.lit(0).cast("long"),
+    )
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_word_len = (F.lit(3) * n_words <= word_chars) & (
+        word_chars <= F.lit(10) * n_words
+    )
+    # (hash + ellipsis)/words ≤ 0.1  ⇔  10·(3·hash + 3·ellipsis) ≤ 3·words
+    r_symbol_ratio = F.lit(10) * (F.lit(3) * hash_count + ell_chars) <= F.lit(3) * n_words
+    r_bullet_lines = F.lit(10) * bullet_lines <= F.lit(9) * n_lines
+    r_ellipsis_lines = F.lit(10) * ell_lines <= F.lit(3) * n_lines
+    r_alpha_words = F.lit(5) * alpha_words >= F.lit(4) * n_words
+    r_stopwords = stop_hits >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_bullet_lines.alias("r_bullet_lines"),
+        r_ellipsis_lines.alias("r_ellipsis_lines"),
+        r_alpha_words.alias("r_alpha_words"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count
+            & r_mean_word_len
+            & r_symbol_ratio
+            & r_bullet_lines
+            & r_ellipsis_lines
+            & r_alpha_words
+            & r_stopwords
+        ).alias("keep_doc"),
+    )
+
+
+def heaps_curve(
+    df: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: split the corpus into
+    ``n_buckets`` contiguous doc-id prefixes and report cumulative token
+    count vs cumulative distinct-vocabulary size at each prefix boundary —
+    the standard diagnostic for how much *new* vocabulary additional data
+    buys a tokenizer/LM.
+
+    Scale shape: cumulative-distinct is NOT computed per prefix (that
+    would be n_buckets corpus-sized distincts); instead each token's
+    FIRST bucket is a single combiner-friendly ``groupBy(token).min``,
+    and the per-bucket news are rolled up by a window over n_buckets
+    rows.  All counts are integers — exact at any scale.
+    """
+    bounds = df.groupBy().agg((F.max(id_col) + 1).cast("double").alias("n_ids"))
+    t = F.trim(F.col(text_col))
+    toks = (
+        df.filter(F.length(t) > 0)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.floor(
+                (F.col(id_col) * n_buckets).cast("double") / F.col("n_ids")
+            ).cast("long").alias("bucket"),
+            F.explode(F.split(t, r"\s+")).alias("token"),
+        )
+    )
+    first_seen = toks.groupBy("token").agg(F.min("bucket").alias("fb"))
+    new_vocab = first_seen.groupBy("fb").agg(
+        F.count(F.lit(1)).alias("new_vocab")
+    )
+    per_bucket = (
+        toks.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .join(new_vocab, F.col("bucket") == F.col("fb"), "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        F.col("bucket"),
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_vocab").over(w).alias("cum_vocab"),
+    )

@@ -2656,3 +2656,106 @@ def test_threshold_sweep_monotone_and_consistent(spark):
     assert rows[0].n_pairs == direct
     with pytest.raises(ValueError, match="non-empty"):
         jaccard_threshold_sweep(docs, thresholds=())
+
+
+# ---------------------------------------------------------------------
+# r7: C4 line cleaning, Gopher shape rules, Heaps' law curve, RRF fusion
+# ---------------------------------------------------------------------
+
+
+def test_c4_clean_line_rules(spark):
+    from interference_spark.pipeline.text import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines (≥5 words, terminal punct) → kept
+            (0, "this line has exactly six words.\n"
+                "another good line with seven words here!\n"
+                "a third qualifying line of words?"),
+            # too-short line + no terminal punct + javascript line
+            (1, "too short.\n"
+                "this line has no terminal punctuation at all\n"
+                "enable JavaScript to view this page."),
+            # lorem ipsum page-level flag
+            (2, "lorem ipsum dolor sit amet consectetur adipiscing."),
+            (3, ""),  # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in c4_clean(docs).collect()}
+    assert got[0]["n_kept"] == 3 and got[0]["keep_doc"]
+    assert got[0]["clean_text"].count("\n") == 2
+    assert got[1]["n_kept"] == 0 and not got[1]["keep_doc"]
+    assert got[2]["has_lorem"] and not got[2]["keep_doc"]
+    assert got[2]["n_kept"] == 1  # line itself qualifies; doc flag kills it
+    assert got[3]["n_kept"] == 0 and got[3]["clean_text"] == ""
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from interference_spark.pipeline.text import gopher_quality_flags
+
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with style and"] * 5
+    )  # 55 words, mean len in range, stopwords present
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, "too few words to pass the count rule."),
+            (2, " ".join(["###"] * 60)),  # symbols, no alpha, no stopwords
+            (3, "\n".join(["- bullet %d of the list with that thing" % i
+                           for i in range(10)])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_quality_flags(docs).collect()}
+    assert got[0]["keep_doc"], got[0]
+    assert not got[1]["r_word_count"]
+    assert not got[2]["r_symbol_ratio"] and not got[2]["r_alpha_words"]
+    assert not got[2]["r_stopwords"]
+    # all 10 lines bulleted → 10·10 > 9·10 fails the ≤90% rule
+    assert not got[3]["r_bullet_lines"]
+
+
+def test_heaps_curve_counts(spark):
+    from interference_spark.pipeline.text import heaps_curve
+
+    # bucket = floor(doc_id * 2 / 4): docs 0,1 → bucket 0; 2,3 → bucket 1
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (2, "c d"), (3, "a e")],
+        "doc_id long, text string",
+    )
+    rows = {r.bucket: r for r in heaps_curve(docs, n_buckets=2).collect()}
+    assert rows[0].cum_tokens == 4 and rows[0].cum_vocab == 3  # a b c
+    assert rows[1].cum_tokens == 8 and rows[1].cum_vocab == 5  # + d e
+
+
+def test_rrf_fusion_ranks_and_scores(spark):
+    from interference_spark.pipeline.retrieval import rrf_fusion_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector vector vector"),  # strongest lexical
+            (2, "vector hash"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (3, [0.9, 0.1]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = rrf_fusion_topk(
+        docs, emb, ["vector", "hash"], [1.0, 0.0], k=10, depth=10
+    ).collect()
+    by_id = {r.doc_id: r for r in got}
+    # doc 2: lexical rank 2 (one 'vector' + 'hash' term) and semantic rank 1
+    assert by_id[2].sem_rank == 1
+    assert by_id[3].lex_rank is None and by_id[3].sem_rank == 2
+    assert by_id[1].sem_rank == 3
+    for r in got:
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.sem_rank) if r.sem_rank else 0.0
+        )
+        assert abs(r.rrf_score - want) < 1e-15
+    # fused order: doc 2 (in both lists) first
+    assert got[0].doc_id == 2
