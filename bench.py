@@ -108,10 +108,20 @@ HEADLINE = [
     # moments; the benched plan is train + score end-to-end)
     "dedup_exact_substring_pairs",
     "quality_hash_classifier",
+    # r7 additions: rule-based cleaning (C4/Gopher — single-pass HOF
+    # projections, the cheap-scan family representatives), Heaps'-law
+    # vocabulary growth (one token-shuffle), and hybrid RRF retrieval
+    # (two bounded top-ks + a 50-row join)
+    "clean_c4_rules",
+    "quality_gopher_rules",
+    "corpus_heaps_law",
+    "rank_rrf_fusion",
     # NOT benched (driver-window-verified for correctness; each costs
     # ~1.4-1.6 s of pure setup side effects, and the bench total is the
     # round's headline number): incremental_rollup_distinct_users,
-    # sim_quantized_topk
+    # sim_quantized_topk; select_dsir_topn (~1.8 s — two full bigram-LM
+    # trainings by construction; the LM-scoring family is already
+    # represented by the benched quality_model_scores path)
 ]
 
 

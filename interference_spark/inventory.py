@@ -8481,6 +8481,87 @@ def corpus_heaps_law(spark, sf_dir):
     return heaps_curve(ensure_parallelism(e.table("documents")), n_buckets=10)
 
 
+@query(
+    "select_dsir_topn",
+    """WITH tt AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+), tbig AS (
+  SELECT t[i] AS c, t[i+1] AS w
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM tt WHERE len(t) >= 2)
+), tbc AS (SELECT c, w, count(*) AS cwt FROM tbig GROUP BY 1, 2
+), tcc AS (SELECT c, count(*) AS cct FROM tbig GROUP BY 1
+), tv AS (
+  SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) AS vt
+  FROM (SELECT unnest(t) AS tok FROM tt)
+), rt AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), rbig AS (
+  SELECT t[i] AS c, t[i+1] AS w
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM rt WHERE len(t) >= 2)
+), rbc AS (SELECT c, w, count(*) AS cwr FROM rbig GROUP BY 1, 2
+), rcc AS (SELECT c, count(*) AS ccr FROM rbig GROUP BY 1
+), rv AS (
+  SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) AS vr
+  FROM (SELECT unnest(t) AS tok FROM rt)
+), st AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), sb AS (
+  SELECT doc_id, t[i] AS c, t[i+1] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM st WHERE len(t) >= 2)
+), scored AS (
+  SELECT sb.doc_id,
+         CASE WHEN tcc.cct IS NULL
+              THEN CAST(1 AS DOUBLE) / CAST(tv.vt AS DOUBLE)
+              ELSE CAST(coalesce(tbc.cwt, 0) + 1 AS DOUBLE)
+                   / CAST(tcc.cct + tv.vt AS DOUBLE)
+         END AS pt,
+         CASE WHEN rcc.ccr IS NULL
+              THEN CAST(1 AS DOUBLE) / CAST(rv.vr AS DOUBLE)
+              ELSE CAST(coalesce(rbc.cwr, 0) + 1 AS DOUBLE)
+                   / CAST(rcc.ccr + rv.vr AS DOUBLE)
+         END AS pr
+  FROM sb LEFT JOIN tbc USING (c, w) LEFT JOIN tcc USING (c)
+          LEFT JOIN rbc USING (c, w) LEFT JOIN rcc USING (c)
+          CROSS JOIN tv CROSS JOIN rv
+), q AS (
+  SELECT doc_id,
+         CAST(floor(ln(pt) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+         - CAST(floor(ln(pr) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lw
+  FROM scored
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(lw) AS BIGINT) AS logw_micronats
+FROM q GROUP BY doc_id
+ORDER BY logw_micronats DESC, doc_id LIMIT 100""",
+)
+def select_dsir_topn(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023; `pipeline/lm.dsir_log_weights`):
+    train a target bigram LM on the English slice and a raw LM on the
+    whole corpus, weight every document by the integer-micronat
+    ``log p_target − log p_raw``, and select the top 100 — importance
+    resampling toward a target domain, the post-rule-filter selection
+    step of a modern pretraining pipeline.  Both LM trainings, the
+    four-way scoring join, and the exact integer weight sum replay in
+    the oracle; selection is TakeOrderedAndProject (never a global
+    sort)."""
+    from .pipeline.lm import dsir_log_weights, train_bigram_lm
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    target_lm = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    raw_lm = train_bigram_lm(docs)
+    w = dsir_log_weights(docs, target_lm, raw_lm)
+    return w.orderBy(
+        F.col("logw_micronats").desc(), F.col("doc_id").asc()
+    ).limit(100)
+
+
 _RRF_ORACLE = """WITH tok AS (
   SELECT doc_id, len(t) AS dl, unnest(t) AS term
   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -8626,6 +8707,7 @@ _DRIVER_WINDOW = [
     "quality_gopher_rules",
     "corpus_heaps_law",
     "rank_rrf_fusion",
+    "select_dsir_topn",
     # --- the 35 r6-displaced entries (second driver round each) ---
     "gapfill_hourly_events",
     "cohort_retention_daily",
@@ -8669,10 +8751,11 @@ _DRIVER_WINDOW = [
     # represented: stats by sketch_join_size/sketch_f2_user_skew, dedup
     # by dedup_editdistance/dedup_canonical_corpus, text fingerprints by
     # text_fingerprint/text_repeated_passages, embeddings by
-    # embedding_top_pc/embedding_label_centroids) ---
+    # embedding_top_pc/embedding_label_centroids; select_dsir_topn then
+    # displaced mm_feature_extract — multimodal keeps mm_audio_features
+    # and mm_frame_sample) ---
     "sim_ivfpq_rerank",
     "stream_event_time_sliding",
-    "mm_feature_extract",
 ]
 
 

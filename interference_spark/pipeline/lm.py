@@ -185,3 +185,75 @@ def perplexity_filter(
     return scored.withColumn(
         "kept", F.col("nll_nats") <= F.lit(float(threshold_nats))
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_lm: BigramLM,
+    raw_lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    ``log p_target(doc) − log p_raw(doc)`` under two bigram LMs — the
+    standard importance-resampling signal for tilting a raw crawl toward
+    a target domain.  Selection = top-n by weight (or Gumbel-top-k with
+    the weights as logits; deterministic top-n here).
+
+    One bigram explode, four keyed LEFT joins (two per LM — AQE splits
+    the Zipf-skewed context key at scale), two 1-row vocab broadcasts —
+    corpus-linear, nothing driver-sized.  Per-bigram log-probs quantize
+    to integer micronats by spec (the same contract as
+    ``perplexity_score``), so the document weight is an exact integer
+    sum: partitioning and order can't perturb it, and the oracle replays
+    it bit for bit.
+
+    Returns (id, n_bigrams, logw_micronats); documents with <2 tokens
+    have no bigrams and are absent (not scorable).
+    """
+    sb = _bigrams(df, text_col, [id_col])
+    j = (
+        sb.join(
+            target_lm.bigram_counts.withColumnRenamed("cw", "cwt"),
+            ["c", "w"],
+            "left",
+        )
+        .join(
+            target_lm.context_counts.withColumnRenamed("cc", "cct"),
+            ["c"],
+            "left",
+        )
+        .join(
+            raw_lm.bigram_counts.withColumnRenamed("cw", "cwr"),
+            ["c", "w"],
+            "left",
+        )
+        .join(
+            raw_lm.context_counts.withColumnRenamed("cc", "ccr"),
+            ["c"],
+            "left",
+        )
+        .crossJoin(F.broadcast(target_lm.vocab.withColumnRenamed("v", "vt")))
+        .crossJoin(F.broadcast(raw_lm.vocab.withColumnRenamed("v", "vr")))
+    )
+
+    def _logq(cw: str, cc: str, v: str):
+        p = F.when(
+            F.col(cc).isNull(),
+            F.lit(1.0) / F.col(v).cast("double"),
+        ).otherwise(
+            (F.coalesce(F.col(cw), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col(cc) + F.col(v)).cast("double")
+        )
+        return F.floor(F.log(p) * F.lit(_MICRO)).cast("long")
+
+    lw = _logq("cwt", "cct", "vt") - _logq("cwr", "ccr", "vr")
+    return (
+        j.select(F.col(id_col), lw.alias("lw"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lw").cast("long").alias("logw_micronats"),
+        )
+    )

@@ -2759,3 +2759,32 @@ def test_rrf_fusion_ranks_and_scores(spark):
         assert abs(r.rrf_score - want) < 1e-15
     # fused order: doc 2 (in both lists) first
     assert got[0].doc_id == 2
+
+
+def test_dsir_log_weights_prefer_target_like_docs(spark):
+    from interference_spark.pipeline.lm import dsir_log_weights, train_bigram_lm
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the cat ate the fish")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),      # verbatim target-like
+            (1, "xs qq zz rr ww vv"),           # nothing target-like
+            (2, "the cat"),                      # 1 bigram, target-seen
+        ],
+        "doc_id long, text string",
+    )
+    t_lm = train_bigram_lm(target)
+    r_lm = train_bigram_lm(raw)
+    got = {r.doc_id: r for r in dsir_log_weights(raw, t_lm, r_lm).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0].n_bigrams == 5 and got[2].n_bigrams == 1
+    # per-bigram mean weight: target-like text must beat the OOV doc
+    assert (got[0].logw_micronats / got[0].n_bigrams) > (
+        got[1].logw_micronats / got[1].n_bigrams
+    )
+    # a doc with <2 tokens is absent, not zero-weighted
+    single = spark.createDataFrame([(9, "one")], "doc_id long, text string")
+    assert dsir_log_weights(single, t_lm, r_lm).count() == 0

@@ -125,6 +125,36 @@ def _rich_docs(spark, n: int, vocab: int = 50_000, doc_words: int = 40):
     )
 
 
+def _line_docs(spark, n: int, lines: int = 8, words_per_line: int = 6):
+    """Multi-line synthetic docs (terminal-punctuated lines) so the
+    line-level C4/Gopher HOFs do real per-line work, not a 1-line no-op."""
+    words = [f"w{i}" for i in range(64)]
+    vocab = F.array(*[F.lit(w) for w in words])
+    line = lambda li: F.concat(  # noqa: E731
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words_per_line)),
+                lambda wi: F.element_at(
+                    vocab,
+                    (
+                        (F.xxhash64(F.col("id") * 977 + li * 31 + wi) % 64 + 64)
+                        % 64
+                        + 1
+                    ).cast("int"),
+                ),
+            ),
+            " ",
+        ),
+        F.lit("."),
+    )
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(lines)), line), "\n"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+
 def probe_bpe_merges(
     spark, merge_counts: list[int], merges_per_round: int = 32,
     n_docs: int = 100_000,
@@ -179,6 +209,10 @@ def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
     from interference_spark.pipeline.bpe import bpe_train
     from interference_spark.pipeline.pq import pq_encode, pq_search, pq_train
     from interference_spark.pipeline.similarity import semantic_decontaminate
+    from interference_spark.pipeline.retrieval import rrf_fusion_topk as _rrf
+    from interference_spark.pipeline.text import c4_clean as _c4
+    from interference_spark.pipeline.text import gopher_quality_flags as _gopher
+    from interference_spark.pipeline.text import heaps_curve as _heaps
     from interference_spark.pipeline.text import substring_decontaminate
     from interference_spark.pipeline.sketch import kmv_distinct_count
     from interference_spark.pipeline.stats import (
@@ -247,6 +281,22 @@ def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
         # reference side does not grow with the corpus) — one reference
         # distinct + a gram-keyed membership join, corpus-linear
         "text_novelty": lambda n: _novelty(spark, n),
+        # r7: rule-based cleaning — pure HOF projections over the
+        # line/word arrays, zero shuffle; the probe pins the scan slope
+        "clean_c4": lambda n: _c4(_line_docs(spark, n)),
+        "quality_gopher": lambda n: _gopher(_line_docs(spark, n)),
+        # r7: Heaps'-law curve over a 50k-word vocabulary — one
+        # combiner-friendly groupBy(token).min + a 10-row window
+        "corpus_heaps": lambda n: _heaps(_rich_docs(spark, n)),
+        # r7: hybrid RRF retrieval — two depth-bounded top-ks (BM25 +
+        # cosine), fusion joins two 50-row sets; corpus-linear scans
+        "rank_rrf_fusion": lambda n: _rrf(
+            _docs(spark, n),
+            _embs(spark, n),
+            ["w1", "w2", "w3"],
+            [float((i % 7) - 3) for i in range(64)],
+            depth=50,
+        ),
     }
     out: dict[str, dict] = {}
     for name, make in ops.items():
