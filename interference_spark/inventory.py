@@ -8394,7 +8394,8 @@ def clean_c4_rules(spark, sf_dir):
     "quality_gopher_rules",
     """WITH d AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '\\s+') AS words,
+         regexp_split_to_array(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words,
          string_split(text, chr(10)) AS lines
   FROM documents
 ), m AS (
@@ -8479,6 +8480,59 @@ def corpus_heaps_law(spark, sf_dir):
 
     e = engine_for(spark, sf_dir)
     return heaps_curve(ensure_parallelism(e.table("documents")), n_buckets=10)
+
+
+@query(
+    "corpus_zipf_slope",
+    """WITH tc AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0)
+  GROUP BY 1
+), top AS (
+  SELECT token, cnt FROM tc ORDER BY cnt DESC, token LIMIT 1000
+), r AS (
+  SELECT cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+  FROM top
+), q AS (
+  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS y
+  FROM r
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT n AS n_top,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept_micronats
+FROM m""",
+)
+def corpus_zipf_slope(spark, sf_dir):
+    """Zipf's-law corpus diagnostic (`pipeline/text.zipf_slope`): log-log
+    rank/frequency regression slope over the top-1000 tokens — ≈ −1 for
+    natural language, deviations flag synthetic/boilerplate corpora.
+    One combiner groupBy(token) + TakeOrderedAndProject top-k; ln values
+    quantize to integer micronats by spec, the five regression moments
+    are exact BIGINT sums (Σxy < 2^61 at any corpus size with the
+    top-1000 cap), and slope/intercept are one fixed IEEE expression
+    over those integers."""
+    from .pipeline import ensure_parallelism
+    from .pipeline.text import zipf_slope
+
+    e = engine_for(spark, sf_dir)
+    return zipf_slope(ensure_parallelism(e.table("documents")), top_n=1000)
 
 
 @query(
@@ -8708,6 +8762,7 @@ _DRIVER_WINDOW = [
     "corpus_heaps_law",
     "rank_rrf_fusion",
     "select_dsir_topn",
+    "corpus_zipf_slope",
     # --- the 35 r6-displaced entries (second driver round each) ---
     "gapfill_hourly_events",
     "cohort_retention_daily",
@@ -8753,9 +8808,10 @@ _DRIVER_WINDOW = [
     # text_fingerprint/text_repeated_passages, embeddings by
     # embedding_top_pc/embedding_label_centroids; select_dsir_topn then
     # displaced mm_feature_extract — multimodal keeps mm_audio_features
-    # and mm_frame_sample) ---
+    # and mm_frame_sample; corpus_zipf_slope then displaced
+    # stream_event_time_sliding — stream_event_time_hourly keeps the
+    # event-time/watermark family in the window) ---
     "sim_ivfpq_rerank",
-    "stream_event_time_sliding",
 ]
 
 

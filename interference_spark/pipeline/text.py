@@ -1647,8 +1647,13 @@ def gopher_quality_flags(
     alphabetic character; ≥2 of 8 canonical English stopwords present.
     Every ratio is cross-multiplied into integer comparisons (e.g.
     ``3·n ≤ Σ|w| ≤ 10·n`` for mean word length) — no float anywhere.
+
+    Word split regex-trims ALL whitespace (not ``F.trim``'s space-only):
+    multi-line documents start with ``\\n`` often enough that the
+    space-only trim would count a phantom empty first word, skewing the
+    mean-word-length and alpha ratios (caught by the hypothesis fuzz).
     """
-    t = F.trim(F.col(text_col))
+    t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     words = F.split(t, r"\s+")
     n_words = F.size(words).cast("long")
     word_chars = F.aggregate(
@@ -1764,4 +1769,68 @@ def heaps_curve(
         F.col("bucket"),
         F.sum("n_tokens").over(w).alias("cum_tokens"),
         F.sum("new_vocab").over(w).alias("cum_vocab"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit over the ``top_n`` most frequent tokens: the
+    log-log rank/frequency regression slope (≈ −1 for natural language —
+    deviations flag synthetic/boilerplate-heavy corpora, a standard
+    corpus-health diagnostic next to the Heaps' curve).
+
+    Scale shape: one combiner-friendly ``groupBy(token)`` count, a
+    distributed partial top-k (TakeOrderedAndProject — never a global
+    sort), then ranks + regression moments over the driver-bounded
+    top_n slice.  Float determinism: ln(rank) and ln(count) quantize to
+    integer MICRONATS by spec (the ``perplexity_score`` contract), the
+    five regression moments are exact BIGINT sums (top_n ≤ 1000 keeps
+    Σxy < 2^61 even at 100 TB token counts), and the slope/intercept are
+    one fixed IEEE expression over those integers — bit-identical across
+    engines.
+
+    Returns one row: (n_top, slope, intercept_micronats).
+    """
+    t = F.trim(F.col(text_col))
+    counts = (
+        df.filter(F.length(t) > 0)
+        .select(F.explode(F.split(t, r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = top.select(
+        F.col("cnt"), F.row_number().over(w).cast("long").alias("rnk")
+    )
+    micro = F.lit(1000000.0)
+    q = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * micro)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * micro)
+        .cast("long")
+        .alias("y"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        F.col("n").alias("n_top"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept_micronats"),
     )

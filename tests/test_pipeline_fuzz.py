@@ -305,3 +305,92 @@ def test_bpe_batched_matches_python_spec(spark, corpus, k, n_merges):
     got_segs = {r.word: r.sym.split(" ") for r in words.collect()}
     assert got_rules == rules, (corpus, k, n_merges)
     assert got_segs == segs, (corpus, k, n_merges)
+
+
+# ---------------------------------------------------------------------
+# r7: C4 line rules + Gopher shape rules vs direct python transcriptions
+# ---------------------------------------------------------------------
+
+_LINE_WORDS = ["the", "cat", "#", "...", "javascript", "-x", "•b", "w"]
+
+line_strategy = st.lists(
+    st.sampled_from(_LINE_WORDS), min_size=0, max_size=7
+).map(" ".join).flatmap(
+    lambda body: st.sampled_from(["", ".", "!", "?", '"', "x"]).map(
+        lambda tail: body + tail
+    )
+)
+multiline_doc = st.lists(line_strategy, min_size=1, max_size=5).map("\n".join)
+ml_corpus = st.lists(multiline_doc, min_size=1, max_size=6)
+
+
+def _c4_keep_line(l: str) -> bool:
+    t = l.strip()
+    last = t[-1] if t else ""
+    words = t.split() if t else [""]
+    # spark: size(split(trim, \s+)) — split('') = [''] so count >= 1
+    n = len(t.split()) if t.split() else 1
+    return n >= 5 and last in (".", "!", "?", '"') and "javascript" not in l.lower()
+
+
+@given(docs=ml_corpus)
+@FUZZ
+def test_c4_clean_matches_python_spec(spark, docs):
+    from interference_spark.pipeline.text import c4_clean
+
+    got = {r.doc_id: r for r in c4_clean(_df(spark, docs)).collect()}
+    for i, d in enumerate(docs):
+        lines = d.split("\n")
+        kept = [l for l in lines if _c4_keep_line(l)]
+        has_lorem = "lorem ipsum" in d.lower()
+        has_brace = "{" in d
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert r.n_kept == len(kept), (d, kept)
+        assert r.clean_text == "\n".join(kept)
+        assert r.keep_doc == (len(kept) >= 3 and not has_lorem and not has_brace)
+
+
+def _gopher_py(text: str) -> dict:
+    import re as _re0
+
+    t = text.strip()
+    # spark regex-trims all whitespace then splits; split('') = ['']
+    words = _re0.split(r"\s+", t) if t else [""]
+    n_words = len(words)
+    word_chars = sum(len(w) for w in words)
+    hash_count = text.count("#")
+    ell_chars = (len(text) - len(text.replace("...", ""))) 
+    lines = text.split("\n")
+    bullet = sum(1 for l in lines if l.strip()[:1] in ("-", "*", "•"))
+    ell_lines = sum(1 for l in lines if l.strip().endswith("..."))
+    import re as _re
+    alpha = sum(1 for w in words if _re.search("[A-Za-z]", w))
+    stops = sum(
+        1
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+        if s in words
+    )
+    return dict(
+        r_word_count=50 <= n_words <= 100000,
+        r_mean_word_len=3 * n_words <= word_chars <= 10 * n_words,
+        r_symbol_ratio=10 * (3 * hash_count + ell_chars) <= 3 * n_words,
+        r_bullet_lines=10 * bullet <= 9 * len(lines),
+        r_ellipsis_lines=10 * ell_lines <= 3 * len(lines),
+        r_alpha_words=5 * alpha >= 4 * n_words,
+        r_stopwords=stops >= 2,
+    )
+
+
+@given(docs=ml_corpus)
+@FUZZ
+def test_gopher_rules_match_python_spec(spark, docs):
+    from interference_spark.pipeline.text import gopher_quality_flags
+
+    got = {r.doc_id: r for r in gopher_quality_flags(_df(spark, docs)).collect()}
+    for i, d in enumerate(docs):
+        want = _gopher_py(d)
+        r = got[i]
+        for k, v in want.items():
+            assert getattr(r, k) == v, (k, d)
+        assert r.keep_doc == all(want.values())

@@ -2788,3 +2788,20 @@ def test_dsir_log_weights_prefer_target_like_docs(spark):
     # a doc with <2 tokens is absent, not zero-weighted
     single = spark.createDataFrame([(9, "one")], "doc_id long, text string")
     assert dsir_log_weights(single, t_lm, r_lm).count() == 0
+
+
+def test_zipf_slope_on_exact_power_law(spark):
+    from interference_spark.pipeline.text import zipf_slope
+
+    # counts 8,4,2,1 over ranks 1..4: not an exact log-log line (ln is
+    # quantized), but slope must be strongly negative and near
+    # -ln(2)/mean-slope of the decay; check sign, range, and n_top
+    docs = spark.createDataFrame(
+        [(0, "a " * 8 + "b " * 4 + "c " * 2 + "d")],
+        "doc_id long, text string",
+    )
+    row = zipf_slope(docs, top_n=10).collect()[0]
+    assert row.n_top == 4
+    assert -3.5 < row.slope < -0.5
+    # intercept is the fitted ln-count (micronats) at rank 1 > 0
+    assert row.intercept_micronats > 0

@@ -209,6 +209,8 @@ def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
     from interference_spark.pipeline.bpe import bpe_train
     from interference_spark.pipeline.pq import pq_encode, pq_search, pq_train
     from interference_spark.pipeline.similarity import semantic_decontaminate
+    from interference_spark.pipeline.lm import dsir_log_weights as _dsir_weights
+    from interference_spark.pipeline.lm import train_bigram_lm as _train_lm
     from interference_spark.pipeline.retrieval import rrf_fusion_topk as _rrf
     from interference_spark.pipeline.text import c4_clean as _c4
     from interference_spark.pipeline.text import gopher_quality_flags as _gopher
@@ -296,6 +298,14 @@ def probe(spark, sizes: list[int], only: set[str] | None = None) -> dict:
             ["w1", "w2", "w3"],
             [float((i % 7) - 3) for i in range(64)],
             depth=50,
+        ),
+        # r7: DSIR log-weights — two bigram-LM trainings (4 counting
+        # combines) + the 4-way scoring join; everything corpus-linear,
+        # vocab tables broadcast
+        "select_dsir": lambda n: _dsir_weights(
+            _docs(spark, n),
+            _train_lm(_docs(spark, n).filter(F.col("doc_id") % 2 == 0)),
+            _train_lm(_docs(spark, n)),
         ),
     }
     out: dict[str, dict] = {}
