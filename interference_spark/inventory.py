@@ -8390,9 +8390,7 @@ def clean_c4_rules(spark, sf_dir):
     return c4_clean(ensure_parallelism(e.table("documents")))
 
 
-@query(
-    "quality_gopher_rules",
-    """WITH d AS (
+_GOPHER_ORACLE = """WITH d AS (
   SELECT doc_id, text,
          regexp_split_to_array(
            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words,
@@ -8436,8 +8434,10 @@ SELECT doc_id, n_words,
         AND (10 * ell_lines <= 3 * n_lines)
         AND (5 * alpha_words >= 4 * n_words)
         AND (stop_hits >= 2)) AS keep_doc
-FROM m""",
-)
+FROM m"""
+
+
+@query("quality_gopher_rules", _GOPHER_ORACLE)
 def quality_gopher_rules(spark, sf_dir):
     """Gopher document-shape rules (Rae et al. 2021 App. A1.1;
     `pipeline/text.gopher_quality_flags`): per-rule booleans + combined
@@ -8450,6 +8450,57 @@ def quality_gopher_rules(spark, sf_dir):
 
     e = engine_for(spark, sf_dir)
     return gopher_quality_flags(ensure_parallelism(e.table("documents")))
+
+
+@query("stream_quality_gate", _GOPHER_ORACLE)
+def stream_quality_gate(spark, sf_dir):
+    """Quality gating at STREAMING ingest: the Gopher shape rules
+    (`pipeline/text.gopher_quality_flags`) applied as a stateless
+    projection inside `foreachBatch` — the production shape where
+    rule-based cleaning runs on arrival, not as a batch sweep.  The
+    snapshot half (even doc_ids) is flagged once batch-side; the other
+    half arrives as two single-file parquet micro-batches
+    (maxFilesPerTrigger=1) whose flags append to the same store.
+    Because the gate is stateless, streamed + snapshot flags must
+    reproduce the batch answer EXACTLY — the oracle is the batch Gopher
+    SQL over the full corpus, byte-identical to `quality_gopher_rules`'s."""
+    import os
+    import uuid as _uuid
+
+    from .pipeline.text import gopher_quality_flags
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    tag = _uuid.uuid4().hex[:8]
+    store = os.path.join(e.warehouse, f"qgate_{tag}")
+    src = os.path.join(e.warehouse, f"qgate_src_{tag}")
+    ck = src + "_ck"
+
+    gopher_quality_flags(docs.filter("doc_id % 2 = 0")).write.mode(
+        "append"
+    ).parquet(store)
+    docs.filter("doc_id % 4 = 1").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 4 = 3").coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def gate(batch, _bid):
+        gopher_quality_flags(batch).write.mode("append").parquet(store)
+
+    q = (
+        sdf.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(store)
 
 
 @query(
@@ -8763,6 +8814,7 @@ _DRIVER_WINDOW = [
     "rank_rrf_fusion",
     "select_dsir_topn",
     "corpus_zipf_slope",
+    "stream_quality_gate",
     # --- the 35 r6-displaced entries (second driver round each) ---
     "gapfill_hourly_events",
     "cohort_retention_daily",
@@ -8798,7 +8850,8 @@ _DRIVER_WINDOW = [
     "source_json_agg",
     "stream_session_windows",
     "stream_event_time_hourly",
-    "stream_enrich_join",
+    # (stream_enrich_join displaced by stream_quality_gate — r6-green
+    # once; streaming keeps 3 window slots incl. the new gate)
     # --- r6-first-green keepers (second round + family coverage; the
     # four r7 text/retrieval additions displaced corpus_token_stats,
     # dedup_threshold_sweep, text_winnow_fingerprints and
