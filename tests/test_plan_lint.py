@@ -394,3 +394,47 @@ def test_no_entry_plans_a_cartesian_product(spark):
             row_udfs[name] = plan[:400]
     assert not cartesians, cartesians
     assert not row_udfs, row_udfs
+
+
+def test_c4_gopher_rules_are_shuffle_free_projections(spark):
+    """The rule filters are pure codegen HOF projections: the only
+    allowed Exchange is the tiny-input parallelism guard (a single
+    RoundRobin repartition), never a keyed shuffle, and no Python."""
+    for name in ("clean_c4_rules", "quality_gopher_rules"):
+        df = inventory.QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan, (name, plan[:2000])
+        assert "hashpartitioning" not in plan, (name, plan[:2000])
+        assert plan.count("Exchange") <= 1, (name, plan[:2000])
+
+
+def test_rrf_fusion_plan_is_depth_bounded(spark):
+    """RRF: each list is cut by a distributed partial top-k before any
+    single-partition ranking window; the fusion join is broadcast-sized,
+    never sort-merge on a corpus-sized side."""
+    df = inventory.QUERIES["rank_rrf_fusion"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_zipf_slope_plan_partial_topk(spark):
+    """Zipf: the top-1000 cut is TakeOrderedAndProject (never a global
+    sort of the vocabulary) and everything is JVM-side."""
+    df = inventory.QUERIES["corpus_zipf_slope"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+
+
+def test_dsir_vocab_sides_broadcast(spark):
+    """DSIR: the two 1-row vocab tables must attach as broadcasts —
+    a shuffle join on a 1-row side would mean the planner lost the
+    size estimate."""
+    df = inventory.QUERIES["select_dsir_topn"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
