@@ -193,6 +193,7 @@ def dsir_log_weights(
     raw_lm: BigramLM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_lm: bool = True,
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document by
@@ -213,27 +214,33 @@ def dsir_log_weights(
     have no bigrams and are absent (not scorable).
     """
     sb = _bigrams(df, text_col, [id_col])
+    # Merge the two LMs into ONE lookup table per key shape (a vocab-sized
+    # full-outer join): the corpus-sized bigram stream attaches its counts
+    # through TWO joins instead of four.  With ``broadcast_lm`` (default)
+    # the merged lookups attach as explicit broadcasts, so the stream is
+    # never shuffled OR sorted for the joins — measured at 10M synthetic
+    # docs (400M bigrams): 4-plain-join 395 s, shuffle_hash-hinted 596 s
+    # (it shuffles the stream), static-SMJ ~170-270 s (it SORTS the
+    # stream; AQE left the sort-merge in place) — the broadcast plan is
+    # the only one that keeps the stream a straight pipelined scan.
+    # Set broadcast_lm=False when the bigram vocabulary outgrows executor
+    # memory (real web corpora with 1e9+ bigram types): the joins then
+    # shuffle on (c[,w]) and AQE's skew split handles the Zipf head.
+    bc = target_lm.bigram_counts.withColumnRenamed("cw", "cwt").join(
+        raw_lm.bigram_counts.withColumnRenamed("cw", "cwr"),
+        ["c", "w"],
+        "full_outer",
+    )
+    cc = target_lm.context_counts.withColumnRenamed("cc", "cct").join(
+        raw_lm.context_counts.withColumnRenamed("cc", "ccr"),
+        ["c"],
+        "full_outer",
+    )
+    if broadcast_lm:
+        bc, cc = F.broadcast(bc), F.broadcast(cc)
     j = (
-        sb.join(
-            target_lm.bigram_counts.withColumnRenamed("cw", "cwt"),
-            ["c", "w"],
-            "left",
-        )
-        .join(
-            target_lm.context_counts.withColumnRenamed("cc", "cct"),
-            ["c"],
-            "left",
-        )
-        .join(
-            raw_lm.bigram_counts.withColumnRenamed("cw", "cwr"),
-            ["c", "w"],
-            "left",
-        )
-        .join(
-            raw_lm.context_counts.withColumnRenamed("cc", "ccr"),
-            ["c"],
-            "left",
-        )
+        sb.join(bc, ["c", "w"], "left")
+        .join(cc, ["c"], "left")
         .crossJoin(F.broadcast(target_lm.vocab.withColumnRenamed("v", "vt")))
         .crossJoin(F.broadcast(raw_lm.vocab.withColumnRenamed("v", "vr")))
     )

@@ -429,12 +429,16 @@ def test_zipf_slope_plan_partial_topk(spark):
 
 
 def test_dsir_vocab_sides_broadcast(spark):
-    """DSIR: the two 1-row vocab tables must attach as broadcasts —
-    a shuffle join on a 1-row side would mean the planner lost the
-    size estimate."""
+    """DSIR: the two 1-row vocab tables attach as broadcasts, and the
+    corpus-sized bigram stream attaches its merged count lookups through
+    BroadcastHashJoins — NEVER a sort-merge that would sort the stream
+    (measured 2x at 10M docs; the only allowed SMJs are the two
+    vocab-sized LM-merge joins)."""
     df = inventory.QUERIES["select_dsir_topn"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert plan.count("SortMergeJoin") <= 2, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
