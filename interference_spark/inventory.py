@@ -8402,6 +8402,7 @@ _GOPHER_ORACLE = """WITH d AS (
          CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS word_chars,
          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_count,
          CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ell_chars,
+         CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS uni_ell,
          CAST(len(lines) AS BIGINT) AS n_lines,
          CAST(len(list_filter(lines,
             l -> substr(trim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS bullet_lines,
@@ -8422,14 +8423,16 @@ _GOPHER_ORACLE = """WITH d AS (
 SELECT doc_id, n_words,
        (n_words >= 50 AND n_words <= 100000) AS r_word_count,
        (3 * n_words <= word_chars AND word_chars <= 10 * n_words) AS r_mean_word_len,
-       (10 * (3 * hash_count + ell_chars) <= 3 * n_words) AS r_symbol_ratio,
+       (10 * hash_count <= n_words) AS r_hash_ratio,
+       (10 * (ell_chars + 3 * uni_ell) <= 3 * n_words) AS r_ellipsis_ratio,
        (10 * bullet_lines <= 9 * n_lines) AS r_bullet_lines,
        (10 * ell_lines <= 3 * n_lines) AS r_ellipsis_lines,
        (5 * alpha_words >= 4 * n_words) AS r_alpha_words,
        (stop_hits >= 2) AS r_stopwords,
        ((n_words >= 50 AND n_words <= 100000)
         AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
-        AND (10 * (3 * hash_count + ell_chars) <= 3 * n_words)
+        AND (10 * hash_count <= n_words)
+        AND (10 * (ell_chars + 3 * uni_ell) <= 3 * n_words)
         AND (10 * bullet_lines <= 9 * n_lines)
         AND (10 * ell_lines <= 3 * n_lines)
         AND (5 * alpha_words >= 4 * n_words)
@@ -8498,9 +8501,22 @@ def stream_quality_gate(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
-    finally:
         q.stop()
-    return spark.read.parquet(store)
+        flagged = spark.read.parquet(store)
+        rows = flagged.collect()
+        schema = flagged.schema
+    finally:
+        import shutil
+
+        q.stop()
+        # the flags are fully collected; drop the throwaway store, source
+        # and checkpoint dirs so repeated bench/correctness runs don't
+        # accumulate garbage in the warehouse (ADVICE r7; matches the
+        # wmdedup cleanup pattern above)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(
@@ -8557,17 +8573,21 @@ def corpus_heaps_law(spark, sf_dir):
   FROM q
 )
 SELECT n AS n_top,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-       (CAST(sy AS DOUBLE)
-        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-          * CAST(sx AS DOUBLE))
-       / CAST(n AS DOUBLE) AS intercept_micronats
+       CASE WHEN n > 1 THEN
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope,
+       CASE WHEN n > 1 THEN
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE)
+       END AS intercept_micronats
 FROM m""",
 )
 def corpus_zipf_slope(spark, sf_dir):

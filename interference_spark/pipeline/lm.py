@@ -187,13 +187,17 @@ def perplexity_filter(
     )
 
 
+_DSIR_BROADCAST_MAX_ROWS = 10_000_000
+
+
 def dsir_log_weights(
     df: DataFrame,
     target_lm: BigramLM,
     raw_lm: BigramLM,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | str = "auto",
+    broadcast_max_rows: int = _DSIR_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document by
@@ -216,16 +220,26 @@ def dsir_log_weights(
     sb = _bigrams(df, text_col, [id_col])
     # Merge the two LMs into ONE lookup table per key shape (a vocab-sized
     # full-outer join): the corpus-sized bigram stream attaches its counts
-    # through TWO joins instead of four.  With ``broadcast_lm`` (default)
-    # the merged lookups attach as explicit broadcasts, so the stream is
-    # never shuffled OR sorted for the joins — measured at 10M synthetic
-    # docs (400M bigrams): 4-plain-join 395 s, shuffle_hash-hinted 596 s
-    # (it shuffles the stream), static-SMJ ~170-270 s (it SORTS the
-    # stream; AQE left the sort-merge in place) — the broadcast plan is
-    # the only one that keeps the stream a straight pipelined scan.
-    # Set broadcast_lm=False when the bigram vocabulary outgrows executor
-    # memory (real web corpora with 1e9+ bigram types): the joins then
-    # shuffle on (c[,w]) and AQE's skew split handles the Zipf head.
+    # through TWO joins instead of four.  With broadcasting the merged
+    # lookups attach as explicit broadcasts, so the stream is never
+    # shuffled OR sorted for the joins — measured at 10M synthetic docs
+    # (400M bigrams): 4-plain-join 395 s, shuffle_hash-hinted 596 s (it
+    # shuffles the stream), static-SMJ ~170-270 s (it SORTS the stream;
+    # AQE left the sort-merge in place) — the broadcast plan is the only
+    # one that keeps the stream a straight pipelined scan.  But a real
+    # web corpus has 1e9+ bigram types: broadcasting that hard-fails on
+    # Spark's 8 GB broadcast cap / executor memory instead of degrading,
+    # so ``broadcast_lm="auto"`` (default) COUNTS the merged bigram
+    # lookup (one vocabulary-sized job — callers with materialized LM
+    # tables pay ~nothing; here it re-runs the two combiner-friendly
+    # LM aggregations once) and broadcasts only when it holds at most
+    # ``broadcast_max_rows`` rows.  The 10M default is ~0.6-1 GB as a
+    # broadcast hash relation (two short tokens + two longs per row) —
+    # comfortably inside the 8 GB cap and small next to the ≥8 GB
+    # executors it rides in; above it the joins shuffle on (c[,w]) and
+    # AQE's skew split handles the Zipf-skewed context head.  Both paths
+    # read the same lookup tables, so the quantized-micronat weights are
+    # bit-identical either way (locked by test + SCALING.md probe).
     bc = target_lm.bigram_counts.withColumnRenamed("cw", "cwt").join(
         raw_lm.bigram_counts.withColumnRenamed("cw", "cwr"),
         ["c", "w"],
@@ -236,7 +250,10 @@ def dsir_log_weights(
         ["c"],
         "full_outer",
     )
-    if broadcast_lm:
+    use_broadcast = broadcast_lm
+    if broadcast_lm == "auto":
+        use_broadcast = bc.count() <= broadcast_max_rows
+    if use_broadcast:
         bc, cc = F.broadcast(bc), F.broadcast(cc)
     j = (
         sb.join(bc, ["c", "w"], "left")

@@ -1642,11 +1642,13 @@ def gopher_quality_flags(
     """Gopher document-shape rules as per-rule booleans plus the combined
     keep flag.  Rules (thresholds from Rae et al. 2021, App. A1.1):
     word count in [min_words, max_words]; mean word length in [3, 10];
-    ≤10% of words are hash/ellipsis symbols; ≤90% of lines start with a
-    bullet; ≤30% of lines end with an ellipsis; ≥80% of words contain an
-    alphabetic character; ≥2 of 8 canonical English stopwords present.
-    Every ratio is cross-multiplied into integer comparisons (e.g.
-    ``3·n ≤ Σ|w| ≤ 10·n`` for mean word length) — no float anywhere.
+    hash-symbol-to-word ratio ≤0.1 and ellipsis-to-word ratio ≤0.1 (two
+    SEPARATE rules, as the paper states them; an ellipsis is ``...`` or
+    the unicode ``…``); ≤90% of lines start with a bullet; ≤30% of lines
+    end with an ellipsis; ≥80% of words contain an alphabetic character;
+    ≥2 of 8 canonical English stopwords present.  Every ratio is
+    cross-multiplied into integer comparisons (e.g. ``3·n ≤ Σ|w| ≤ 10·n``
+    for mean word length) — no float anywhere.
 
     Word split regex-trims ALL whitespace (not ``F.trim``'s space-only):
     multi-line documents start with ``\\n`` often enough that the
@@ -1665,6 +1667,8 @@ def gopher_quality_flags(
     hash_count = (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))).cast("long")
     # 3·(count of "...") — kept pre-divided so everything stays integer
     ell_chars = (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))).cast("long")
+    # count of the single-char unicode ellipsis "…"
+    uni_ell = (F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))).cast("long")
     lines = F.split(txt, "\n")
     n_lines = F.size(lines).cast("long")
     bullet_lines = F.size(
@@ -1690,8 +1694,13 @@ def gopher_quality_flags(
     r_mean_word_len = (F.lit(3) * n_words <= word_chars) & (
         word_chars <= F.lit(10) * n_words
     )
-    # (hash + ellipsis)/words ≤ 0.1  ⇔  10·(3·hash + 3·ellipsis) ≤ 3·words
-    r_symbol_ratio = F.lit(10) * (F.lit(3) * hash_count + ell_chars) <= F.lit(3) * n_words
+    # hash/words ≤ 0.1  ⇔  10·hash ≤ words
+    r_hash_ratio = F.lit(10) * hash_count <= n_words
+    # ellipses/words ≤ 0.1 with ell_count = ell_chars/3 + uni_ell
+    #   ⇔  10·(ell_chars + 3·uni_ell) ≤ 3·words
+    r_ellipsis_ratio = (
+        F.lit(10) * (ell_chars + F.lit(3) * uni_ell) <= F.lit(3) * n_words
+    )
     r_bullet_lines = F.lit(10) * bullet_lines <= F.lit(9) * n_lines
     r_ellipsis_lines = F.lit(10) * ell_lines <= F.lit(3) * n_lines
     r_alpha_words = F.lit(5) * alpha_words >= F.lit(4) * n_words
@@ -1701,7 +1710,8 @@ def gopher_quality_flags(
         n_words.alias("n_words"),
         r_word_count.alias("r_word_count"),
         r_mean_word_len.alias("r_mean_word_len"),
-        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_hash_ratio.alias("r_hash_ratio"),
+        r_ellipsis_ratio.alias("r_ellipsis_ratio"),
         r_bullet_lines.alias("r_bullet_lines"),
         r_ellipsis_lines.alias("r_ellipsis_lines"),
         r_alpha_words.alias("r_alpha_words"),
@@ -1709,7 +1719,8 @@ def gopher_quality_flags(
         (
             r_word_count
             & r_mean_word_len
-            & r_symbol_ratio
+            & r_hash_ratio
+            & r_ellipsis_ratio
             & r_bullet_lines
             & r_ellipsis_lines
             & r_alpha_words
@@ -1828,9 +1839,17 @@ def zipf_slope(
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    # n_top < 2 ⇒ the denominator n·Σx² − (Σx)² is exactly 0 (all x
+    # equal): ANSI mode would throw DIVIDE_BY_ZERO on a degenerate
+    # corpus, so the regression is NULL when there is no line to fit
+    # (guard mirrored in the corpus_zipf_slope oracle).
+    slope = F.when(
+        F.col("n") > 1, (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    )
     return m.select(
         F.col("n").alias("n_top"),
         slope.alias("slope"),
-        ((sy - slope * sx) / nd).alias("intercept_micronats"),
+        F.when(F.col("n") > 1, (sy - slope * sx) / nd).alias(
+            "intercept_micronats"
+        ),
     )

@@ -311,7 +311,7 @@ def test_bpe_batched_matches_python_spec(spark, corpus, k, n_merges):
 # r7: C4 line rules + Gopher shape rules vs direct python transcriptions
 # ---------------------------------------------------------------------
 
-_LINE_WORDS = ["the", "cat", "#", "...", "javascript", "-x", "•b", "w"]
+_LINE_WORDS = ["the", "cat", "#", "...", "…", "javascript", "-x", "•b", "w"]
 
 line_strategy = st.lists(
     st.sampled_from(_LINE_WORDS), min_size=0, max_size=7
@@ -360,7 +360,8 @@ def _gopher_py(text: str) -> dict:
     n_words = len(words)
     word_chars = sum(len(w) for w in words)
     hash_count = text.count("#")
-    ell_chars = (len(text) - len(text.replace("...", ""))) 
+    ell_chars = (len(text) - len(text.replace("...", "")))
+    uni_ell = text.count("…")
     lines = text.split("\n")
     bullet = sum(1 for l in lines if l.strip()[:1] in ("-", "*", "•"))
     ell_lines = sum(1 for l in lines if l.strip().endswith("..."))
@@ -374,7 +375,8 @@ def _gopher_py(text: str) -> dict:
     return dict(
         r_word_count=50 <= n_words <= 100000,
         r_mean_word_len=3 * n_words <= word_chars <= 10 * n_words,
-        r_symbol_ratio=10 * (3 * hash_count + ell_chars) <= 3 * n_words,
+        r_hash_ratio=10 * hash_count <= n_words,
+        r_ellipsis_ratio=10 * (ell_chars + 3 * uni_ell) <= 3 * n_words,
         r_bullet_lines=10 * bullet <= 9 * len(lines),
         r_ellipsis_lines=10 * ell_lines <= 3 * len(lines),
         r_alpha_words=5 * alpha >= 4 * n_words,

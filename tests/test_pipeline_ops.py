@@ -2704,16 +2704,23 @@ def test_gopher_rules_each_rule_fires(spark):
             (2, " ".join(["###"] * 60)),  # symbols, no alpha, no stopwords
             (3, "\n".join(["- bullet %d of the list with that thing" % i
                            for i in range(10)])),
+            # Rae A1.1 applies the two 0.1 symbol ratios SEPARATELY: 2
+            # unicode ellipses over 10 words trips ONLY the ellipsis rule
+            (4, "the cat… sat on that mat… with nine extra words"),
+            # and 2 hashes over 10 words trips ONLY the hash rule
+            (5, "the cat# sat on that mat# with nine extra words"),
         ],
         "doc_id long, text string",
     )
     got = {r.doc_id: r.asDict() for r in gopher_quality_flags(docs).collect()}
     assert got[0]["keep_doc"], got[0]
     assert not got[1]["r_word_count"]
-    assert not got[2]["r_symbol_ratio"] and not got[2]["r_alpha_words"]
+    assert not got[2]["r_hash_ratio"] and not got[2]["r_alpha_words"]
     assert not got[2]["r_stopwords"]
     # all 10 lines bulleted → 10·10 > 9·10 fails the ≤90% rule
     assert not got[3]["r_bullet_lines"]
+    assert not got[4]["r_ellipsis_ratio"] and got[4]["r_hash_ratio"]
+    assert not got[5]["r_hash_ratio"] and got[5]["r_ellipsis_ratio"]
 
 
 def test_heaps_curve_counts(spark):
@@ -2790,6 +2797,46 @@ def test_dsir_log_weights_prefer_target_like_docs(spark):
     assert dsir_log_weights(single, t_lm, r_lm).count() == 0
 
 
+def test_dsir_auto_broadcast_paths_bit_identical(spark):
+    """broadcast_lm='auto' (default) picks broadcast vs shuffled from the
+    merged bigram-lookup row count; the quantized-micronat weights must be
+    BIT-identical on every path (VERDICT r7 ask #6 / ADVICE r7)."""
+    from interference_spark.pipeline.lm import dsir_log_weights, train_bigram_lm
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the cat ate the fish")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "xs qq zz rr ww vv"),
+         (2, "the cat ate a fish on a mat")],
+        "doc_id long, text string",
+    )
+    t_lm, r_lm = train_bigram_lm(target), train_bigram_lm(raw)
+
+    def rows(**kw):
+        return sorted(
+            (r.doc_id, r.n_bigrams, r.logw_micronats)
+            for r in dsir_log_weights(raw, t_lm, r_lm, **kw).collect()
+        )
+
+    forced_bc = rows(broadcast_lm=True)
+    forced_shuffle = rows(broadcast_lm=False)
+    auto_small = rows()  # default auto: tiny vocab -> broadcast
+    auto_tripped = rows(broadcast_lm="auto", broadcast_max_rows=0)  # -> shuffled
+    assert forced_bc == forced_shuffle == auto_small == auto_tripped
+    assert len(forced_bc) == 3
+
+    # auto's broadcast decision produces the explicit-broadcast plan: the
+    # stream-side lookup joins carry the broadcast hint (plan-shape parity
+    # with broadcast_lm=True; at fixture scale AQE may broadcast the
+    # False path too, so the hinted plan is the only assertable shape)
+    bc_plan = dsir_log_weights(
+        raw, t_lm, r_lm, broadcast_lm="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan
+
+
 def test_zipf_slope_on_exact_power_law(spark):
     from interference_spark.pipeline.text import zipf_slope
 
@@ -2805,3 +2852,16 @@ def test_zipf_slope_on_exact_power_law(spark):
     assert -3.5 < row.slope < -0.5
     # intercept is the fitted ln-count (micronats) at rank 1 > 0
     assert row.intercept_micronats > 0
+
+
+def test_zipf_slope_degenerate_single_token_is_null(spark):
+    # n_top == 1 zeroes the regression denominator exactly; the guard
+    # must return NULL (not raise ANSI DIVIDE_BY_ZERO) — ADVICE r7
+    from interference_spark.pipeline.text import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(0, "same same same same")], "doc_id long, text string"
+    )
+    row = zipf_slope(docs, top_n=10).collect()[0]
+    assert row.n_top == 1
+    assert row.slope is None and row.intercept_micronats is None
