@@ -287,9 +287,7 @@ def main() -> None:
             timings[name] = round(min(vals), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline query wall-clock at sf (sum of per-query sec)",
                 "value": total,
                 "unit": "sec",
@@ -310,8 +308,22 @@ def main() -> None:
                 "loadavg_at_start": round(load1, 2),
                 "concurrent_load": hogs,
             }
-        )
-    )
+    print(json.dumps(payload))
+    # ALSO persist the full payload in-repo: every BENCH_r*.json the
+    # driver records is a tail-truncated stdout capture ("parsed": null)
+    # missing per-query numbers for half the benched queries, so the
+    # committed artifact under bench_results/ is the citable record
+    # (VERDICT r7 ask #2).  latest.json is overwritten per run; round
+    # snapshots are copied to bench_results/r<N>.json at commit time.
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "latest.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write bench_results/latest.json: {exc}",
+              file=sys.stderr)
     spark.stop()
 
 
