@@ -7647,6 +7647,182 @@ def bpe_encode_ids(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+# =====================================================================
+# Unigram-LM (SentencePiece-style) tokenizer training
+# (pipeline/unigram.py): the second classic subword algorithm next to
+# BPE — hard-EM (Viterbi) over candidate-piece likelihoods on the
+# distinct-word table.  The oracle unrolls every EM iteration in SQL:
+# the encoded integer DP (cost·64 + (64 − len), min-plus with a total
+# longest-piece tie-break) is the same fold in Spark's JVM `aggregate`
+# and DuckDB's `list_reduce`, costs are micronat-quantized by the
+# repo-wide contract, and counts are exact BIGINTs.
+# =====================================================================
+
+_UNI_INF = 10**12  # absent-piece sentinel cost
+_UNI_BIG = 4 * 10**15  # guarded-term sentinel (> any encoded DP value)
+
+
+def _unigram_cost_cte(name: str, src: str) -> str:
+    """Re-cost a (piece, cnt) table: cost = −⌊ln(cnt/Σcnt)·1e6⌋."""
+    return f"""{name} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(-floor(ln(CAST(cnt AS DOUBLE)
+              / CAST((SELECT CAST(sum(cnt) AS BIGINT) FROM {src}) AS DOUBLE))
+              * 1000000) AS BIGINT) AS cost
+  FROM {src}
+)"""
+
+
+def _unigram_seed_ctes(
+    max_len: int, seed_multi: int, min_count: int, max_word_len: int
+) -> str:
+    return f"""uw0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> '' AND length(word) <= {max_word_len}
+  GROUP BY word
+), usub0 AS (
+  SELECT substr(w.word, jj.j - ll.l + 1, ll.l) AS piece,
+         CAST(sum(w.freq) AS BIGINT) AS cnt
+  FROM (SELECT word, freq, length(word) AS n FROM uw0) w,
+       LATERAL (SELECT unnest(generate_series(1, w.n)) AS j) jj,
+       LATERAL (SELECT unnest(generate_series(1, {max_len})) AS l) ll
+  WHERE jj.j >= ll.l
+  GROUP BY 1
+), up0 AS (
+  SELECT piece, cnt FROM usub0 WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM usub0
+    WHERE length(piece) > 1 AND cnt >= {min_count}
+    ORDER BY cnt DESC, piece ASC LIMIT {seed_multi})
+), {_unigram_cost_cte("upc0", "up0")}"""
+
+
+def _unigram_iter_cte(i: int, max_len: int, max_word_len: int) -> str:
+    """One unrolled hard-EM iteration: dense per-word cost lists under
+    upc{i-1}, the encoded Viterbi DP, the boundary walk-back, piece
+    recounting with char add-one smoothing, and the re-costed pruned
+    vocabulary upc{i}.
+
+    The DP and the walk are POSITION-unrolled as chained lateral column
+    aliases (d1..dW, p1..pW with W = max_word_len) using only literal
+    list indices — deliberately NOT a ``list_reduce`` fold: DuckDB
+    1.0's list_reduce mis-evaluates list-typed accumulators
+    nondeterministically (measured on this exact DP: the same query
+    returned differently-segmented words across runs, including
+    segmentations that don't cover the word), while plain expressions,
+    list() aggregates, and single-level list_transform lambdas — the
+    constructs every stable oracle in this file already leans on — are
+    deterministic.  Steps past a word's length are no-op gated on n, so
+    one W-step chain replays every word exactly."""
+    prev = f"upc{i - 1}"
+    w = max_word_len
+    # DP steps as NESTED subqueries (one projection level per position,
+    # each d{j} computed once) — chained lateral aliases would be
+    # substituted textually and blow up 5^W in expression size
+    dp_inner = (
+        f"(SELECT word, freq, n, costs,"
+        f" [CAST(0 AS BIGINT)] AS d0 FROM ucl{i})"
+    )
+    for j in range(1, w + 1):
+        terms = ", ".join(
+            f"CASE WHEN {j} >= {l} THEN"
+            f" (CAST(floor(d{j - 1}[{j - l + 1}] / 64) AS BIGINT)"
+            f" + costs[{(j - 1) * max_len + l}]) * 64 + {64 - l}"
+            f" ELSE {_UNI_BIG} END"
+            for l in range(1, max_len + 1)
+        )
+        dp_inner = (
+            f"(SELECT *, CASE WHEN {j} <= n THEN list_append(d{j - 1},"
+            f" least({terms})) ELSE d{j - 1} END AS d{j}\n  FROM {dp_inner})"
+        )
+    walk_inner = (
+        f"(SELECT word, freq, n, d{w} AS dp,"
+        f" CAST(n AS BIGINT) AS p0 FROM {dp_inner})"
+    )
+    for k in range(1, w + 1):
+        walk_inner = (
+            f"(SELECT *, CASE WHEN p{k - 1} > 0 THEN p{k - 1}"
+            f" - (64 - (dp[CAST(p{k - 1} + 1 AS INT)] % 64))"
+            f" ELSE CAST(0 AS BIGINT) END AS p{k}\n  FROM {walk_inner})"
+        )
+    plist = ", ".join(f"p{k}" for k in range(0, w + 1))
+    return f"""ug{i} AS (
+  SELECT w.word, w.freq, w.n, jj.j, ll.l,
+         CASE WHEN jj.j >= ll.l
+              THEN substr(w.word, jj.j - ll.l + 1, ll.l) END AS piece
+  FROM (SELECT word, freq, length(word) AS n FROM uw0) w,
+       LATERAL (SELECT unnest(generate_series(1, w.n)) AS j) jj,
+       LATERAL (SELECT unnest(generate_series(1, {max_len})) AS l) ll
+), ucl{i} AS (
+  SELECT g.word, g.freq, g.n,
+         list(coalesce(c.cost, CAST({_UNI_INF} AS BIGINT))
+              ORDER BY g.j, g.l) AS costs
+  FROM ug{i} g LEFT JOIN {prev} c ON g.piece = c.piece
+  GROUP BY g.word, g.freq, g.n
+), useg{i} AS MATERIALIZED (
+  SELECT word, freq,
+    array_to_string(list_transform(generate_series(1, len(bnd) - 1),
+      bi -> substr(word, CAST(bnd[bi] + 1 AS INT),
+                   CAST(bnd[bi + 1] - bnd[bi] AS INT))), ' ') AS sym
+  FROM (
+    SELECT word, freq, list_sort(list_distinct([{plist}])) AS bnd
+    FROM {walk_inner})
+), ucnt{i} AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS vcnt
+  FROM (SELECT freq, unnest(str_split(sym, ' ')) AS piece FROM useg{i})
+  GROUP BY piece
+), up{i} AS (
+  SELECT c.piece,
+         CAST(CASE WHEN length(c.piece) = 1 THEN coalesce(v.vcnt, 0) + 1
+              ELSE v.vcnt END AS BIGINT) AS cnt
+  FROM {prev} c LEFT JOIN ucnt{i} v ON c.piece = v.piece
+  WHERE length(c.piece) = 1 OR v.vcnt IS NOT NULL
+), {_unigram_cost_cte(f"upc{i}", f"up{i}")}"""
+
+
+def _unigram_oracle(
+    iters: int = 2,
+    max_len: int = 4,
+    seed_multi: int = 200,
+    min_count: int = 2,
+    max_word_len: int = 24,
+) -> str:
+    ctes = [_unigram_seed_ctes(max_len, seed_multi, min_count, max_word_len)] + [
+        _unigram_iter_cte(i, max_len, max_word_len) for i in range(1, iters + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT piece, cnt, cost AS cost_micronats FROM upc{iters}"
+    )
+
+
+@query("unigram_lm_train", _unigram_oracle(iters=2))
+def unigram_lm_train(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) subword vocabulary training
+    (Kudo 2018; `pipeline/unigram.unigram_train`): seed = all single
+    chars + the top-200 weighted substrings of length ≤ 4, then TWO
+    hard-EM rounds — Viterbi-segment every distinct word under integer-
+    micronat piece costs, recount, add-one-smooth the chars, prune
+    multi-char pieces the segmentations dropped, re-cost.  The word
+    table (never the corpus) does the work; the vocab rides as a
+    broadcast; the DP/walk/rebuild folds are whole-stage codegen.  The
+    oracle unrolls seed + both EM rounds with the same encoded min-plus
+    DP (`_unigram_oracle`), so the whole training trajectory
+    value-hashes at every SF."""
+    from .pipeline.unigram import unigram_train
+
+    e = engine_for(spark, sf_dir)
+    pieces, _words = unigram_train(
+        e.table("documents"), iters=2, max_len=4, seed_multi=200
+    )
+    return pieces.select(
+        "piece", "cnt", F.col("cost").alias("cost_micronats")
+    )
+
+
 @query(
     "quality_perplexity_lm",
     """WITH trt AS (

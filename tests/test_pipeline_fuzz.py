@@ -396,3 +396,100 @@ def test_gopher_rules_match_python_spec(spark, docs):
         for k, v in want.items():
             assert getattr(r, k) == v, (k, d)
         assert r.keep_doc == all(want.values())
+
+
+# ---------------------------------------------------------------------
+# r8: unigram-LM (SentencePiece-style) tokenizer training vs a direct
+# python transcription of the hard-EM spec (the same spec the DuckDB
+# oracle unrolls in SQL)
+# ---------------------------------------------------------------------
+
+_UNI_WORDS = ["abab", "cat", "catcat", "ab", "a", "ccc", "abcat"]
+uni_doc = st.lists(st.sampled_from(_UNI_WORDS), min_size=0, max_size=5).map(
+    " ".join
+)
+uni_corpus = st.lists(uni_doc, min_size=1, max_size=5)
+
+_UNI_INF = 10**12
+_UNI_BIG = 4 * 10**15
+
+
+def _unigram_costs_py(counts):
+    tot = sum(counts.values())
+    return {
+        p: -math.floor(math.log(c / tot) * 1e6) for p, c in counts.items()
+    }
+
+
+def _unigram_viterbi_py(word, cost, max_len):
+    n = len(word)
+    dp = [0]  # dp[i] = encoded best for prefix length i
+    for j in range(1, n + 1):
+        best = _UNI_BIG
+        for l in range(1, max_len + 1):
+            if j >= l:
+                c = cost.get(word[j - l : j], _UNI_INF)
+                best = min(best, ((dp[j - l] // 64) + c) * 64 + (64 - l))
+        dp.append(best)
+    bnd = [n]
+    while bnd[0] > 0:
+        bl = 64 - (dp[bnd[0]] % 64)
+        bnd.insert(0, bnd[0] - bl)
+    return [word[bnd[i] : bnd[i + 1]] for i in range(len(bnd) - 1)]
+
+
+def _unigram_py(docs, iters, max_len=4, seed_multi=200, min_count=2):
+    import collections
+
+    freq = collections.Counter()
+    for d in docs:
+        for w in _toks(d):
+            freq[w] += 1
+    if not freq:
+        return {}
+    sub = collections.Counter()
+    for w, f in freq.items():
+        for j in range(1, len(w) + 1):
+            for l in range(1, max_len + 1):
+                if j >= l:
+                    sub[w[j - l : j]] += f
+    counts = {p: c for p, c in sub.items() if len(p) == 1}
+    counts.update(
+        dict(
+            sorted(
+                (
+                    (p, c)
+                    for p, c in sub.items()
+                    if len(p) > 1 and c >= min_count
+                ),
+                key=lambda t: (-t[1], t[0]),
+            )[:seed_multi]
+        )
+    )
+    cost = _unigram_costs_py(counts)
+    for _ in range(iters):
+        vc = collections.Counter()
+        for w, f in freq.items():
+            for p in _unigram_viterbi_py(w, cost, max_len):
+                vc[p] += f
+        counts = {}
+        for p in cost:
+            if len(p) == 1:
+                counts[p] = vc.get(p, 0) + 1
+            elif vc.get(p, 0) > 0:
+                counts[p] = vc[p]
+        cost = _unigram_costs_py(counts)
+    return {p: (counts[p], cost[p]) for p in counts}
+
+
+@given(docs=uni_corpus, iters=st.integers(1, 2))
+@FUZZ
+def test_unigram_train_matches_python_spec(spark, docs, iters):
+    from interference_spark.pipeline.unigram import unigram_train
+
+    pieces, _words = unigram_train(
+        _df(spark, docs), iters=iters, max_len=4, seed_multi=200
+    )
+    got = {r.piece: (r.cnt, r.cost) for r in pieces.collect()}
+    want = _unigram_py(docs, iters)
+    assert got == want, (docs, iters)

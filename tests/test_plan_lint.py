@@ -442,3 +442,15 @@ def test_dsir_vocab_sides_broadcast(spark):
     assert plan.count("SortMergeJoin") <= 2, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+
+
+def test_unigram_train_plan_jvm_only_broadcast_vocab(spark):
+    """Unigram-LM training: the whole trajectory (incl. the final
+    E-step's DP folds feeding the M-step counts) stays JVM-side — no
+    Python/Arrow, no cartesian on data (the only NL joins are 1-row
+    total-count broadcasts), vocab cost lookups attach as broadcasts."""
+    df = inventory.QUERIES["unigram_lm_train"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
