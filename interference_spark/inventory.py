@@ -2341,6 +2341,158 @@ def quality_hash_classifier_sparse(spark, sf_dir):
     return scored
 
 
+_LANGID_CLASSES = ["de", "en", "es", "fr", "zh"]  # the corpus label set
+
+
+def _lang_id_mc_oracle(
+    classes: list[str], d: int = 16, iters: int = 3
+) -> str:
+    """Unrolled SQL replay of `text.hash_kernel_multiclass`: featurize
+    the even-doc slice once, run `iters` quantized batch-GD steps for
+    ALL K one-vs-rest heads as chained (moments → weight-update) CTE
+    pairs — each g{i} carries the K·(d+1) sums of ONE pass, mirroring
+    the Spark plan's single moment aggregate — then score every doc and
+    take the argmax with ties toward the lexicographically largest
+    class (the same descending CASE chain as `_lang_id_oracle`; DuckDB
+    greatest can't take structs).  Every arithmetic op mirrors the
+    Spark/Python chain exactly, so heads, argmax, and best_score are
+    bit-identical."""
+    xcols = ",\n         ".join(
+        f"CAST(len(list_filter(t, w -> ('0x' || substr(md5('hk:' || w), 1, 13))"
+        f"::BIGINT % {d} = {j})) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS x{j}"
+        for j in range(d)
+    )
+
+    def pred(c: str, w: str, f: str) -> str:
+        return f"{w}.wb_{c}" + "".join(
+            f" + {w}.c_{c}_{j} * {f}.x{j}" for j in range(d)
+        )
+
+    ycols = ",\n         ".join(
+        f"CASE WHEN lang = '{c}' THEN CAST(1 AS DOUBLE)"
+        f" ELSE CAST(0 AS DOUBLE) END AS y_{c}"
+        for c in classes
+    )
+    ctes = [
+        f"""mtr AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t,
+         {ycols}
+  FROM documents WHERE length(trim(text)) > 0 AND doc_id % 2 = 0
+)""",
+        f"""mtf AS (
+  SELECT {', '.join(f'y_{c}' for c in classes)},
+         {xcols}
+  FROM mtr
+)""",
+        "mwt0 AS (SELECT "
+        + ", ".join(
+            f"CAST(0 AS DOUBLE) AS wb_{c}, "
+            + ", ".join(f"CAST(0 AS DOUBLE) AS c_{c}_{j}" for j in range(d))
+            for c in classes
+        )
+        + ")",
+    ]
+    for i in range(1, iters + 1):
+        moments = ["count(*) AS n"]
+        upd = []
+        for c in classes:
+            p = pred(c, "w", "f")
+            moments.append(
+                f"CAST(sum(floor(({p} - f.y_{c}) * 1e8)) AS BIGINT) AS sb_{c}"
+            )
+            moments += [
+                f"CAST(sum(floor(f.x{j} * ({p} - f.y_{c}) * 1e8)) AS BIGINT)"
+                f" AS s_{c}_{j}"
+                for j in range(d)
+            ]
+            upd.append(
+                f"w.wb_{c} - 0.5 * (CAST(g.sb_{c} AS DOUBLE)"
+                f" / CAST(g.n AS DOUBLE) / 1e8) AS wb_{c}"
+            )
+            upd += [
+                f"w.c_{c}_{j} - 0.5 * (CAST(g.s_{c}_{j} AS DOUBLE)"
+                f" / CAST(g.n AS DOUBLE) / 1e8) AS c_{c}_{j}"
+                for j in range(d)
+            ]
+        ctes.append(
+            f"mg{i} AS (SELECT {', '.join(moments)}"
+            f" FROM mtf f CROSS JOIN mwt{i - 1} w)"
+        )
+        ctes.append(
+            f"mwt{i} AS (SELECT {', '.join(upd)}"
+            f" FROM mg{i} g CROSS JOIN mwt{i - 1} w)"
+        )
+    ctes.append(
+        """msc AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+)"""
+    )
+    ctes.append(
+        f"""mscf AS (
+  SELECT doc_id,
+         {xcols}
+  FROM msc
+)"""
+    )
+    scores = ",\n         ".join(
+        f"{pred(c, 'w', 'f')} AS s_{c}" for c in classes
+    )
+    ctes.append(
+        f"""mscored AS (
+  SELECT f.doc_id,
+         {scores}
+  FROM mscf f CROSS JOIN mwt{iters} w
+)"""
+    )
+    ordered = sorted(classes, reverse=True)
+    branches = []
+    for i, c in enumerate(ordered[:-1]):
+        conds = " AND ".join(
+            f"s_{c} >= s_{o}" for o in ordered[i + 1 :]
+        )
+        branches.append(f"WHEN {conds} THEN '{c}'")
+    alls = ", ".join(f"s_{c}" for c in classes)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id,
+       CASE {' '.join(branches)} ELSE '{ordered[-1]}' END AS lang_pred,
+       greatest({alls}) AS best_score
+FROM mscored"""
+    )
+
+
+@query("lang_id_multiclass", _lang_id_mc_oracle(_LANGID_CLASSES))
+def lang_id_multiclass(spark, sf_dir):
+    """IN-ENGINE TRAINED language ID (`text.hash_kernel_multiclass`):
+    five one-vs-rest hash-kernel heads (d=16 buckets, the md5-portable
+    hashing trick) trained simultaneously with 3 quantized batch-GD
+    steps on the even-doc labeled slice — every step is ONE moment
+    aggregate carrying all K·(d+1) sums, so classes add no extra corpus
+    scans — then every document scored and argmax'd (ties toward the
+    lexicographically largest code, `lang_id`'s rule).  Upgrades the
+    marker-list heuristic to a learned lexical signal (VERDICT r7 ask
+    #7).  NOTE: the synthetic corpus draws every language's tokens from
+    ONE shared pool, so no lexical classifier can beat the majority
+    class here (the marker heuristic is equally blind: ~0.29 accuracy);
+    that the model LEARNS when signal exists is locked by the separable-
+    fixture test, and the agreement report vs labels + marker baseline
+    by `tests/test_pipeline_ops.py::test_lang_id_multiclass_agreement`.
+    The oracle unrolls featurization, all GD steps, scoring, and the
+    argmax, so the whole trained model value-hashes at every SF."""
+    from .pipeline.text import hash_kernel_multiclass
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    _w, pred = hash_kernel_multiclass(
+        docs.filter("doc_id % 2 = 0"), docs,
+        classes=_LANGID_CLASSES, d=16, iters=3,
+    )
+    return pred
+
+
 @query(
     "decontaminate_semantic",
     """WITH v AS (

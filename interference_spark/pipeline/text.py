@@ -1449,6 +1449,136 @@ def _hash_kernel_sparse(
     return w, scored
 
 
+def hash_kernel_multiclass(
+    train: DataFrame,
+    score: DataFrame,
+    classes: list[str],
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    d: int = 16,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> tuple[dict[str, list[float]], DataFrame]:
+    """One-vs-rest MULTICLASS hash-kernel classifier — in-engine trained
+    language ID replacing the marker-list heuristic (`lang_id`) with a
+    learned lexical signal, the fastText-style langid stage of a
+    curation pipeline.
+
+    Same determinism contract and feature map as
+    :func:`hash_kernel_classifier` (md5-derived ``hash52`` bucket
+    histogram, floor-quantized BIGINT gradient moments, dyadic ``lr``,
+    ``w − lr·(S/n/1e8)`` updates, squared loss — no transcendentals), but
+    K binary heads trained SIMULTANEOUSLY: every GD step is still ONE
+    map-side-combined moment aggregate returning a single bounded row —
+    the K·(d+1) sums share the one pass over the featurized slice, so
+    adding classes costs no extra scans (the scale property: at 100 TB
+    the corpus is read ``iters`` times total, not ``iters·K``).
+    Prediction = argmax over the K head scores with ties toward the
+    lexicographically largest class label (the same
+    ``greatest(struct(score, label))`` total rule as `lang_id`, so the
+    SQL oracle replays it verbatim).
+
+    The sparse plan of the binary classifier generalizes unchanged for
+    fastText-scale ``d`` — the weight BROADCAST becomes a K×d array and
+    the per-step moment aggregate returns ≤ K·(d+1) narrow rows; dense
+    is the right physical plan at langid-sized d (≤ 64) and is what this
+    function ships.
+
+    Returns ``(weights, predicted)``: ``weights`` maps class →
+    ``[bias, w_0..w_{d-1}]``; ``predicted`` is one row per scored doc
+    ``(id, lang_pred, best_score)``."""
+    from .export import hash52
+
+    if d < 1 or d > 64 or iters < 1:
+        raise ValueError(
+            f"need 1 <= d <= 64 (dense plan) and iters >= 1, "
+            f"got d={d} iters={iters}"
+        )
+    if not classes or len(set(classes)) != len(classes):
+        raise ValueError(f"classes must be non-empty and unique: {classes}")
+
+    def featurize(df: DataFrame, with_id: bool) -> DataFrame:
+        t = F.split(F.trim(F.col(text_col)), r"\s+")
+        buckets = F.transform(t, lambda w: hash52("hk:", w) % d)
+        if with_id:
+            lead = [F.col(id_col)]
+            keep = [id_col]
+        else:
+            lead = [
+                F.when(F.col(label_col) == c, F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias(f"y_{c}")
+                for c in classes
+            ]
+            keep = [f"y_{c}" for c in classes]
+        # same two-step projection as the binary path: hash the bucket
+        # array ONCE behind an alias the d x_j columns then reference
+        base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            *lead, buckets.alias("__b")
+        )
+        n = F.size("__b").cast("double")
+
+        def bucket_eq(j: int):
+            return lambda b: b == j
+
+        return base.select(
+            *keep,
+            *[
+                (F.size(F.filter("__b", bucket_eq(j))).cast("double") / n)
+                .alias(f"x{j}")
+                for j in range(d)
+            ],
+        )
+
+    tf = featurize(train, with_id=False).persist()
+    w = {c: [0.0] * (d + 1) for c in classes}
+    try:
+        for _ in range(iters):
+            aggs = [F.count(F.lit(1)).alias("n")]
+            for c in classes:
+                pred = F.lit(w[c][0])
+                for j in range(d):
+                    pred = pred + F.lit(w[c][j + 1]) * F.col(f"x{j}")
+                e = pred - F.col(f"y_{c}")
+                aggs.append(
+                    F.sum(F.floor(e * F.lit(1e8))).cast("long").alias(f"sb_{c}")
+                )
+                aggs += [
+                    F.sum(F.floor(F.col(f"x{j}") * e * F.lit(1e8)))
+                    .cast("long")
+                    .alias(f"s_{c}_{j}")
+                    for j in range(d)
+                ]
+            row = tf.agg(*aggs).first()  # ONE bounded row for ALL classes
+            n = row["n"]
+            if not n:
+                raise ValueError(
+                    "hash_kernel_multiclass: empty training slice — "
+                    "nothing to fit"
+                )
+            for c in classes:
+                w[c][0] = w[c][0] - lr * (row[f"sb_{c}"] / n / 1e8)
+                for j in range(d):
+                    w[c][j + 1] = w[c][j + 1] - lr * (row[f"s_{c}_{j}"] / n / 1e8)
+    finally:
+        tf.unpersist()
+
+    sf_feats = featurize(score, with_id=True)
+    heads = []
+    for c in classes:
+        s = F.lit(w[c][0])
+        for j in range(d):
+            s = s + F.lit(w[c][j + 1]) * F.col(f"x{j}")
+        heads.append(F.struct(s.alias("s"), F.lit(c).alias("l")))
+    best = F.greatest(*heads)
+    return w, sf_feats.select(
+        F.col(id_col),
+        best.getField("l").alias("lang_pred"),
+        best.getField("s").alias("best_score"),
+    )
+
+
 # ----------------------------------------------- substring decontamination
 class AhoCorasick:
     """Plain-Python Aho-Corasick automaton (trie + BFS failure links) for

@@ -2912,3 +2912,66 @@ def test_unigram_fertility_vs_bpe(spark):
         assert 1.0 <= r.subwords_per_token <= char_fert
     # unigram's learned pieces beat the char baseline by a clear margin
     assert u["en"].subwords_per_token < 0.75 * char_fert
+
+
+def test_multiclass_hash_kernel_learns_separable_fixture(spark):
+    """Three classes with disjoint vocabularies: the one-vs-rest
+    hash-kernel heads must separate them perfectly — the capability
+    check the signal-free synthetic corpus can't provide."""
+    from interference_spark.pipeline.text import hash_kernel_multiclass
+
+    vocab = {
+        "aa": ["gato", "perro", "casa"],
+        "bb": ["chien", "maison", "rue"],
+        "cc": ["hund", "haus", "stadt"],
+    }
+    rows, i = [], 0
+    for lang, toks in vocab.items():
+        for k in range(12):
+            rows.append(
+                (i, lang, " ".join(toks[(k + j) % 3] for j in range(6)))
+            )
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w, pred = hash_kernel_multiclass(
+        docs, docs, classes=["aa", "bb", "cc"], d=16, iters=3
+    )
+    assert set(w) == {"aa", "bb", "cc"} and all(len(v) == 17 for v in w.values())
+    j = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    assert j.filter("lang_pred = lang").count() == j.count() == 36
+
+
+def test_lang_id_multiclass_agreement(spark):
+    """Agreement report (VERDICT r7 ask #7): the trained langid entry vs
+    the true labels AND the marker-list baseline on the sf0.001 corpus.
+    The synthetic corpus has NO lexical language signal (one shared
+    token pool — the marker baseline itself scores ~0.29), so the
+    trained model's honest ceiling is the majority class; the report
+    asserts full coverage, the class-set contract, and that the
+    classifier is at least at that ceiling."""
+    import os
+
+    from interference_spark import inventory
+    from interference_spark.pipeline.text import lang_id
+
+    sf = os.environ.get("IFS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pred = inventory.QUERIES["lang_id_multiclass"](spark, sf)
+    n_docs = docs.filter("length(trim(text)) > 0").count()
+    j = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    assert j.count() == n_docs  # every non-empty doc gets a prediction
+    preds = {r.lang_pred for r in pred.select("lang_pred").distinct().collect()}
+    assert preds <= set(inventory._LANGID_CLASSES)
+    acc = j.filter("lang_pred = lang").count() / n_docs
+    base = (
+        docs.groupBy("lang").count().agg({"count": "max"}).first()[0] / n_docs
+    )
+    assert acc >= base - 0.02  # at (or above) the majority-class ceiling
+    mk = lang_id(docs).select("doc_id", F.col("lang_pred").alias("mk_pred"))
+    ag = j.join(mk, "doc_id")
+    agree = ag.filter("lang_pred = mk_pred").count() / n_docs
+    mk_acc = ag.filter("mk_pred = lang").count() / n_docs
+    # the report: classifier ≥ marker baseline on this corpus, and the
+    # two agree more often than chance (the baseline also leans 'en')
+    assert acc >= mk_acc
+    assert agree >= 0.5
