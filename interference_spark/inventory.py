@@ -3276,6 +3276,254 @@ def corpus_curation_funnel(spark, sf_dir):
     )
 
 
+_FUNNEL_V2_ORACLE = """WITH RECURSIVE fmut AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 17 = 0 THEN text || ' {code}'
+              WHEN doc_id % 17 = 1 THEN 'lorem ipsum ' || text
+              ELSE text END AS ctext
+  FROM documents
+), fc4 AS (
+  SELECT doc_id, lang, ctext,
+         (NOT contains(lower(ctext), 'lorem ipsum')
+          AND NOT contains(ctext, '{')) AS c4_ok
+  FROM fmut
+), fgm AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS word_chars,
+         CAST(length(ctext) - length(replace(ctext, '#', '')) AS BIGINT) AS hash_count,
+         CAST(length(ctext) - length(replace(ctext, '...', '')) AS BIGINT) AS ell_chars,
+         CAST(length(ctext) - length(replace(ctext, '…', '')) AS BIGINT) AS uni_ell,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+            l -> substr(trim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines,
+            l -> ends_with(trim(l), '...'))) AS BIGINT) AS ell_lines,
+         CAST(len(list_filter(words,
+            w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words
+  FROM (
+    SELECT doc_id, ctext,
+           regexp_split_to_array(
+             regexp_replace(ctext, '^\\s+|\\s+$', '', 'g'), '\\s+') AS words,
+           string_split(ctext, chr(10)) AS lines
+    FROM fc4 WHERE c4_ok)
+), fgop AS (
+  SELECT doc_id,
+         ((n_words >= 50 AND n_words <= 100000)
+          AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+          AND (10 * hash_count <= n_words)
+          AND (10 * (ell_chars + 3 * uni_ell) <= 3 * n_words)
+          AND (10 * bullet_lines <= 9 * n_lines)
+          AND (10 * ell_lines <= 3 * n_lines)
+          AND (5 * alpha_words >= 4 * n_words)) AS gopher_ok
+  FROM fgm
+), fs12 AS (
+  SELECT c.doc_id, c.lang, c.ctext AS text
+  FROM fc4 c JOIN fgop g ON c.doc_id = g.doc_id
+  WHERE c.c4_ok AND g.gopher_ok
+), fgrams AS (
+  SELECT doc_id,
+         list_distinct([substring(text, i, 3)
+                        for i in generate_series(1, greatest(length(text)-2, 1))]) AS gs
+  FROM fs12
+), fsized AS (
+  SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM fgrams
+), fpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fsized a JOIN fsized b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+  HAVING CAST(count(*) AS DOUBLE)
+         / CAST(a.n + b.n - count(*) AS DOUBLE) >= 0.8
+), fedges AS (
+  SELECT id_a AS u, id_b AS v FROM fpairs
+  UNION SELECT id_b, id_a FROM fpairs
+), freach(id, r) AS (
+  SELECT u, u FROM fedges
+  UNION
+  SELECT e.v, freach.r FROM freach JOIN fedges e ON e.u = freach.id
+), flabels AS (
+  SELECT id, min(r) AS cluster_id FROM freach GROUP BY id
+), fs123 AS (
+  SELECT s.* FROM fs12 s LEFT JOIN flabels l ON l.id = s.doc_id
+  WHERE coalesce(l.cluster_id, s.doc_id) = s.doc_id
+), ftt AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM fs123 WHERE lang = 'en' AND length(trim(text)) > 0
+), ftbig AS (
+  SELECT t[i] AS c, t[i+1] AS w
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM ftt WHERE len(t) >= 2)
+), ftbc AS (SELECT c, w, count(*) AS cwt FROM ftbig GROUP BY 1, 2
+), ftcc AS (SELECT c, count(*) AS cct FROM ftbig GROUP BY 1
+), ftv AS (
+  SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) AS vt
+  FROM (SELECT unnest(t) AS tok FROM ftt)
+), frt AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM fs123 WHERE length(trim(text)) > 0
+), frbig AS (
+  SELECT t[i] AS c, t[i+1] AS w
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM frt WHERE len(t) >= 2)
+), frbc AS (SELECT c, w, count(*) AS cwr FROM frbig GROUP BY 1, 2
+), frcc AS (SELECT c, count(*) AS ccr FROM frbig GROUP BY 1
+), frv AS (
+  SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) AS vr
+  FROM (SELECT unnest(t) AS tok FROM frt)
+), fsb AS (
+  SELECT doc_id, t[i] AS c, t[i+1] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM fs123 WHERE length(trim(text)) > 0) s,
+       LATERAL (SELECT unnest(generate_series(1, len(s.t)-1)) AS i)
+  WHERE len(t) >= 2
+), fscored AS (
+  SELECT fsb.doc_id,
+         CASE WHEN ftcc.cct IS NULL
+              THEN CAST(1 AS DOUBLE) / CAST(ftv.vt AS DOUBLE)
+              ELSE CAST(coalesce(ftbc.cwt, 0) + 1 AS DOUBLE)
+                   / CAST(ftcc.cct + ftv.vt AS DOUBLE)
+         END AS pt,
+         CASE WHEN frcc.ccr IS NULL
+              THEN CAST(1 AS DOUBLE) / CAST(frv.vr AS DOUBLE)
+              ELSE CAST(coalesce(frbc.cwr, 0) + 1 AS DOUBLE)
+                   / CAST(frcc.ccr + frv.vr AS DOUBLE)
+         END AS pr
+  FROM fsb LEFT JOIN ftbc USING (c, w) LEFT JOIN ftcc USING (c)
+           LEFT JOIN frbc USING (c, w) LEFT JOIN frcc USING (c)
+           CROSS JOIN ftv CROSS JOIN frv
+), fw AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(ln(pt) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+              - CAST(floor(ln(pr) * CAST(1000000 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS lw
+  FROM fscored GROUP BY doc_id
+), ftop AS (
+  SELECT doc_id FROM fw ORDER BY lw DESC, doc_id LIMIT 100
+)
+SELECT d.doc_id,
+       CASE WHEN NOT c.c4_ok THEN 'c4_rules'
+            WHEN g.gopher_ok IS NOT TRUE THEN 'gopher_rules'
+            WHEN coalesce(l.cluster_id, d.doc_id) <> d.doc_id
+              THEN 'near_duplicate'
+            WHEN t.doc_id IS NULL THEN 'dsir_low'
+            ELSE 'keep' END AS verdict
+FROM documents d
+JOIN fc4 c ON c.doc_id = d.doc_id
+LEFT JOIN fgop g ON g.doc_id = d.doc_id
+LEFT JOIN flabels l ON l.id = d.doc_id
+LEFT JOIN ftop t ON t.doc_id = d.doc_id"""
+
+
+@query("corpus_curation_funnel_v2", _FUNNEL_V2_ORACLE)
+def corpus_curation_funnel_v2(spark, sf_dir):
+    """Curation funnel upgraded to the round-7 state-of-the-art stages
+    (VERDICT r7 ask #5): every document gets its FIRST-FAILING-STAGE
+    verdict through C4 rules → Gopher shape rules → near-duplicate
+    clustering (char-trigram Jaccard ≥ 0.8 over the survivors, min-label
+    representatives) → DSIR top-100 selection (target = surviving
+    English docs, raw = all survivors).  Per-doc attribution, not just
+    counts, so the exact stage mix value-hashes.
+
+    Corpus-fit configuration (each documented, all mirrored in the
+    oracle): the synthetic corpus has no terminal-punctuation lines, so
+    the C4 stage runs with ``min_kept_lines=0`` — the gate reduces to
+    C4's document-level lorem-ipsum/curly-brace flags and downstream
+    stages consume the raw text; those flags never fire naturally here,
+    so 2/17 of documents get a deterministic adversarial mutation (a
+    ``{code}`` suffix / ``lorem ipsum`` prefix — the ``bpe_encode_oov``
+    injection precedent) to keep the stage non-vacuous; and the Gopher
+    gate uses the 7 shape rules, excluding the stopword rule (the
+    corpus vocabulary contains only one of the 8 canonical stopwords,
+    which would blank the corpus).  Every stage is non-vacuous at every
+    gate SF.  Composes four shipped operator families; the oracle
+    replays all four stages including both LM trainings and the
+    recursive-CTE clustering.  Scale shape: C4+Gopher are shuffle-free
+    projections, clustering and DSIR run on the (already filtered)
+    survivor set, selection is TakeOrderedAndProject."""
+    from .pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
+    from .pipeline.lm import dsir_log_weights, train_bigram_lm
+    from .pipeline.text import c4_clean, gopher_quality_flags
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    mut = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" {code}"))
+        )
+        .when(
+            F.col("doc_id") % 17 == 1,
+            F.concat(F.lit("lorem ipsum "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    c4 = c4_clean(mut, min_kept_lines=0).select(
+        "doc_id", F.col("keep_doc").alias("c4_ok")
+    )
+    gf = gopher_quality_flags(
+        mut.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+    )
+    gop = gf.select(
+        "doc_id",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_hash_ratio")
+            & F.col("r_ellipsis_ratio")
+            & F.col("r_bullet_lines")
+            & F.col("r_ellipsis_lines")
+            & F.col("r_alpha_words")
+        ).alias("gopher_ok"),
+    )
+    s12 = (
+        mut.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+        .join(gop.filter("gopher_ok"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "text")
+    )
+    pairs = ngram_jaccard_pairs(s12, n=3, threshold=0.8)
+    labels = dedup_clusters(s12, pairs).select(
+        F.col("doc_id").alias("l_id"), "cluster_id"
+    )
+    s123 = s12.join(
+        labels.filter("cluster_id = l_id").select(
+            F.col("l_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    t_lm = train_bigram_lm(s123.filter("lang = 'en'"))
+    r_lm = train_bigram_lm(s123)
+    top = (
+        dsir_log_weights(s123, t_lm, r_lm)
+        .orderBy(F.col("logw_micronats").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", F.lit(True).alias("in_top"))
+    )
+    verdict = (
+        F.when(~F.col("c4_ok"), "c4_rules")
+        .when(
+            ~F.coalesce(F.col("gopher_ok"), F.lit(False)), "gopher_rules"
+        )
+        .when(
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            != F.col("doc_id"),
+            "near_duplicate",
+        )
+        .when(F.col("in_top").isNull(), "dsir_low")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("doc_id")
+        .join(c4.select("doc_id", "c4_ok"), "doc_id")
+        .join(gop, "doc_id", "left")
+        .join(labels, F.col("doc_id") == F.col("l_id"), "left")
+        .join(top, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+    )
+
+
 @query(
     "mm_feature_extract",
     """SELECT doc_id AS media_id,
