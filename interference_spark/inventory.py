@@ -9263,6 +9263,142 @@ def select_dsir_topn(spark, sf_dir):
     ).limit(100)
 
 
+@query(
+    "stream_dsir_select",
+    """WITH tt AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+  WHERE doc_id % 2 = 0 AND lang = 'en' AND length(trim(text)) > 0
+), tbig AS (
+  SELECT t[i] AS c, t[i+1] AS w
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM tt WHERE len(t) >= 2)
+), tbc AS (SELECT c, w, count(*) AS cwt FROM tbig GROUP BY 1, 2
+), tcc AS (SELECT c, count(*) AS cct FROM tbig GROUP BY 1
+), tv AS (
+  SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) AS vt
+  FROM (SELECT unnest(t) AS tok FROM tt)
+), rt AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+), rbig AS (
+  SELECT t[i] AS c, t[i+1] AS w
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM rt WHERE len(t) >= 2)
+), rbc AS (SELECT c, w, count(*) AS cwr FROM rbig GROUP BY 1, 2
+), rcc AS (SELECT c, count(*) AS ccr FROM rbig GROUP BY 1
+), rv AS (
+  SELECT CAST(count(DISTINCT tok) + 1 AS BIGINT) AS vr
+  FROM (SELECT unnest(t) AS tok FROM rt)
+), st AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), sb AS (
+  SELECT doc_id, t[i] AS c, t[i+1] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM st WHERE len(t) >= 2)
+), scored AS (
+  SELECT sb.doc_id,
+         CASE WHEN tcc.cct IS NULL
+              THEN CAST(1 AS DOUBLE) / CAST(tv.vt AS DOUBLE)
+              ELSE CAST(coalesce(tbc.cwt, 0) + 1 AS DOUBLE)
+                   / CAST(tcc.cct + tv.vt AS DOUBLE)
+         END AS pt,
+         CASE WHEN rcc.ccr IS NULL
+              THEN CAST(1 AS DOUBLE) / CAST(rv.vr AS DOUBLE)
+              ELSE CAST(coalesce(rbc.cwr, 0) + 1 AS DOUBLE)
+                   / CAST(rcc.ccr + rv.vr AS DOUBLE)
+         END AS pr
+  FROM sb LEFT JOIN tbc USING (c, w) LEFT JOIN tcc USING (c)
+          LEFT JOIN rbc USING (c, w) LEFT JOIN rcc USING (c)
+          CROSS JOIN tv CROSS JOIN rv
+), q AS (
+  SELECT doc_id,
+         CAST(floor(ln(pt) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+         - CAST(floor(ln(pr) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lw
+  FROM scored
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(lw) AS BIGINT) AS logw_micronats
+FROM q GROUP BY doc_id""",
+)
+def stream_dsir_select(spark, sf_dir):
+    """DSIR data selection at STREAMING ingest (VERDICT r7 ask #8 — the
+    `stream_quality_gate` pattern applied to model-based selection):
+    both bigram LMs are trained ONCE on the even-doc snapshot and
+    FROZEN (localCheckpoint — train-then-freeze is the production
+    shape: the model must not drift as batches arrive), the snapshot is
+    scored batch-side, and the odd half arrives as two single-file
+    parquet micro-batches whose documents are scored inside
+    `foreachBatch` against the frozen broadcast LM lookups.  Scoring is
+    stateless given the frozen model, so streamed + snapshot scores
+    must reproduce the pure-batch answer EXACTLY — the oracle trains
+    both LMs on the snapshot slice in SQL and scores the full corpus,
+    and the integer-micronat weights value-hash."""
+    import os
+    import uuid as _uuid
+
+    from .pipeline.lm import BigramLM, dsir_log_weights, train_bigram_lm
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    snap = docs.filter("doc_id % 2 = 0")
+
+    def freeze(lm: BigramLM) -> BigramLM:
+        return BigramLM(
+            bigram_counts=lm.bigram_counts.localCheckpoint(eager=True),
+            context_counts=lm.context_counts.localCheckpoint(eager=True),
+            vocab=lm.vocab.localCheckpoint(eager=True),
+        )
+
+    t_lm = freeze(train_bigram_lm(snap.filter("lang = 'en'")))
+    r_lm = freeze(train_bigram_lm(snap))
+
+    tag = _uuid.uuid4().hex[:8]
+    store = os.path.join(e.warehouse, f"dsirsel_{tag}")
+    src = os.path.join(e.warehouse, f"dsirsel_src_{tag}")
+    ck = src + "_ck"
+
+    dsir_log_weights(snap, t_lm, r_lm, broadcast_lm=True).write.mode(
+        "append"
+    ).parquet(store)
+    docs.filter("doc_id % 4 = 1").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 4 = 3").coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def select_batch(batch, _bid):
+        dsir_log_weights(batch, t_lm, r_lm, broadcast_lm=True).write.mode(
+            "append"
+        ).parquet(store)
+
+    q = (
+        sdf.writeStream.foreachBatch(select_batch)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(store)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        import shutil
+
+        q.stop()
+        # scores are fully collected; drop the throwaway store/source/
+        # checkpoint dirs (the wmdedup/qgate cleanup pattern)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _RRF_ORACLE = """WITH tok AS (
   SELECT doc_id, len(t) AS dl, unnest(t) AS term
   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
