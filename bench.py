@@ -122,6 +122,17 @@ HEADLINE = [
     # sim_quantized_topk; select_dsir_topn (~1.8 s — two full bigram-LM
     # trainings by construction; the LM-scoring family is already
     # represented by the benched quality_model_scores path)
+    # r8 addition: the trained multiclass langid (one moment aggregate
+    # per GD step for all 5 heads + argmax scoring — the classifier
+    # family's multiclass representative next to quality_hash_classifier)
+    "lang_id_multiclass",
+    # NOT benched from r8 (driver-window-verified at 3 SFs):
+    # unigram_lm_train (iterative tokenizer training — the eager
+    # multi-job family deliberately kept out of the headline loop, same
+    # policy as bpe_train_merges/pq builds), corpus_curation_funnel_v2
+    # (composes clustering + two LM trainings — measured by its stages),
+    # stream_dsir_select (streaming side effects, like the other
+    # stream_* entries)
 ]
 
 

@@ -25,6 +25,20 @@ SF_DIR = os.environ.get("IFS_TEST_SF_DIR", "/root/testdata/sf0.001")
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 
+# IFS_ORACLE_SHARD="i/n" runs only every n-th entry starting at i — the
+# hook tools/run_suite.py uses to split this dominant sweep across
+# parallel pytest processes (each with its own JVM; VERDICT r7 ask #3).
+# Unset (the plain `pytest tests/` path) runs everything, so the default
+# suite semantics are unchanged.
+_SHARD = os.environ.get("IFS_ORACLE_SHARD")
+
+
+def _shard(names):
+    if not _SHARD:
+        return names
+    i, n = (int(x) for x in _SHARD.split("/"))
+    return [nm for k, nm in enumerate(names) if k % n == i]
+
 
 def _norm(v):
     if isinstance(v, float):
@@ -50,7 +64,7 @@ def duck(spark):
     return con
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", _shard(sorted(QUERIES)))
 def test_query_matches_oracle(name, spark, duck):
     df = QUERIES[name](spark, SF_DIR)
     scols = df.columns
@@ -73,7 +87,7 @@ def test_query_matches_oracle(name, spark, duck):
     assert got == want, f"{name}: values differ\nspark: {got[:3]}\nduck:  {want[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", _shard(sorted(ORACLES)))
 def test_oracle_schema_has_no_hugeint(name, duck):
     """Type-audit lint (round-4 verdict #8): the driver's value hash is
     type-tagged, so a DuckDB result column that widens to HUGEINT (int128 —
@@ -89,6 +103,10 @@ def test_oracle_schema_has_no_hugeint(name, duck):
     )
 
 
+@pytest.mark.skipif(
+    _SHARD is not None and not _SHARD.startswith("0"),
+    reason="unparametrized — runs in shard 0 only",
+)
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

@@ -453,11 +453,102 @@ def probe_tpch(spark, base_dir: str, factors: list[int]) -> dict:
     return out
 
 
+def _vocab_docs(spark, n: int, vocab: int):
+    """~40-token docs over a ``vocab``-word vocabulary: with uniform
+    random tokens the distinct-bigram count approaches the bigram
+    instance count (~39·n), which is what sizes DSIR's merged LM
+    lookup — the auto-broadcast decision input."""
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(40)),
+        lambda i: F.concat(
+            F.lit("v"),
+            (
+                (F.xxhash64(F.col("id") * 41 + i) % vocab + vocab) % vocab
+            ).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+
+
+def probe_dsir_auto(spark, n_docs: int, vocab: int) -> dict:
+    """DSIR broadcast_lm='auto' cutover probe (VERDICT r7 ask #6): build
+    a corpus whose merged bigram lookup EXCEEDS the 10M-row auto
+    threshold, confirm auto picks the shuffled plan while the forced
+    broadcast/shuffled paths produce BIT-IDENTICAL integer weights, and
+    record the wall times of all three."""
+    from interference_spark.pipeline.lm import (
+        _DSIR_BROADCAST_MAX_ROWS,
+        dsir_log_weights,
+        train_bigram_lm,
+    )
+
+    docs = _vocab_docs(spark, n_docs, vocab).persist()
+    docs.count()
+    t_lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    r_lm = train_bigram_lm(docs)
+    merged_rows = (
+        t_lm.bigram_counts.withColumnRenamed("cw", "cwt")
+        .join(
+            r_lm.bigram_counts.withColumnRenamed("cw", "cwr"),
+            ["c", "w"],
+            "full_outer",
+        )
+        .count()
+    )
+    out: dict = {
+        "n_docs": n_docs,
+        "vocab": vocab,
+        "merged_bigram_rows": merged_rows,
+        "auto_threshold": _DSIR_BROADCAST_MAX_ROWS,
+        "trips_cutover": merged_rows > _DSIR_BROADCAST_MAX_ROWS,
+    }
+    sums = {}
+    for label, kw in [
+        ("auto", {}),  # default: counts the lookup, then decides
+        ("forced_broadcast", {"broadcast_lm": True}),
+        ("forced_shuffled", {"broadcast_lm": False}),
+    ]:
+        t0 = time.perf_counter()
+        df = dsir_log_weights(docs, t_lm, r_lm, **kw)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("logw_micronats").alias("s"),
+            F.sum(
+                F.xxhash64("doc_id", "n_bigrams", "logw_micronats")
+            ).alias("h"),
+        ).first()
+        out[label] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": row["n"],
+        }
+        sums[label] = (row["n"], row["s"], row["h"])
+        print(f"dsir_auto {label}: {out[label]}", flush=True)
+    out["bit_identical"] = len(set(sums.values())) == 1
+    docs.unpersist()
+    return out
+
+
 def main() -> None:
     from interference_spark import build_spark
 
     args = sys.argv[1:]
     only: set[str] | None = None
+    if args and args[0] == "--dsir-auto":  # [n_docs [vocab]]
+        n_docs = int(float(args[1])) if len(args) > 1 else 300_000
+        vocab = int(float(args[2])) if len(args) > 2 else 100_000
+        spark = build_spark(
+            app_name="scaling-probe-dsir-auto",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+            shuffle_partitions=int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            ),
+            extra_conf={"spark.driver.memory": "48g"},
+        )
+        print(json.dumps({"dsir_auto": probe_dsir_auto(spark, n_docs, vocab)}))
+        spark.stop()
+        return
     if args and args[0] == "--bpe-merges":  # --bpe-merges 128,512,1024 [k]
         counts = [int(c) for c in args[1].split(",")]
         k = int(args[2]) if len(args) > 2 else 32
