@@ -515,8 +515,13 @@ def probe_dsir_auto(spark, n_docs: int, vocab: int) -> dict:
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("logw_micronats").alias("s"),
+            # pmod before summing: raw xxhash64 values span the full
+            # int64 range and a 300k-row sum overflows under ANSI
             F.sum(
-                F.xxhash64("doc_id", "n_bigrams", "logw_micronats")
+                F.pmod(
+                    F.xxhash64("doc_id", "n_bigrams", "logw_micronats"),
+                    F.lit(10**12),
+                )
             ).alias("h"),
         ).first()
         out[label] = {
