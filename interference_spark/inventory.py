@@ -2464,31 +2464,34 @@ FROM mscored"""
     )
 
 
-@query("lang_id_multiclass", _lang_id_mc_oracle(_LANGID_CLASSES))
+@query("lang_id_multiclass", _lang_id_mc_oracle(_LANGID_CLASSES, d=8))
 def lang_id_multiclass(spark, sf_dir):
     """IN-ENGINE TRAINED language ID (`text.hash_kernel_multiclass`):
-    five one-vs-rest hash-kernel heads (d=16 buckets, the md5-portable
-    hashing trick) trained simultaneously with 3 quantized batch-GD
-    steps on the even-doc labeled slice — every step is ONE moment
-    aggregate carrying all K·(d+1) sums, so classes add no extra corpus
-    scans — then every document scored and argmax'd (ties toward the
-    lexicographically largest code, `lang_id`'s rule).  Upgrades the
-    marker-list heuristic to a learned lexical signal (VERDICT r7 ask
-    #7).  NOTE: the synthetic corpus draws every language's tokens from
-    ONE shared pool, so no lexical classifier can beat the majority
-    class here (the marker heuristic is equally blind: ~0.29 accuracy);
-    that the model LEARNS when signal exists is locked by the separable-
-    fixture test, and the agreement report vs labels + marker baseline
-    by `tests/test_pipeline_ops.py::test_lang_id_multiclass_agreement`.
+    five one-vs-rest hash-kernel heads (d=8 buckets at the gate — the
+    md5-portable hashing trick; capacity is a knob, and the d=16
+    separable-fixture test covers the wider shape) trained
+    simultaneously with 3 quantized batch-GD steps on the even-doc
+    labeled slice — every step is ONE moment aggregate carrying all
+    K·(d+1) sums, so classes add no extra corpus scans — then every
+    document scored and argmax'd (ties toward the lexicographically
+    largest code, `lang_id`'s rule).  Upgrades the marker-list heuristic
+    to a learned lexical signal (VERDICT r7 ask #7).  NOTE: the
+    synthetic corpus draws every language's tokens from ONE shared pool,
+    so no lexical classifier can beat the majority class here (the
+    marker heuristic is equally blind: ~0.29 accuracy); that the model
+    LEARNS when signal exists is locked by the separable-fixture test,
+    and the agreement report vs labels + marker baseline by
+    `tests/test_pipeline_ops.py::test_lang_id_multiclass_agreement`.
     The oracle unrolls featurization, all GD steps, scoring, and the
     argmax, so the whole trained model value-hashes at every SF."""
+    from .pipeline import ensure_parallelism
     from .pipeline.text import hash_kernel_multiclass
 
     e = engine_for(spark, sf_dir)
-    docs = e.table("documents")
+    docs = ensure_parallelism(e.table("documents"))
     _w, pred = hash_kernel_multiclass(
         docs.filter("doc_id % 2 = 0"), docs,
-        classes=_LANGID_CLASSES, d=16, iters=3,
+        classes=_LANGID_CLASSES, d=8, iters=3,
     )
     return pred
 

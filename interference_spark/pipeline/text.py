@@ -1531,26 +1531,46 @@ def hash_kernel_multiclass(
             ],
         )
 
+    spark = train.sparkSession
+    wcols = [f"wb_{c}" for c in classes] + [
+        f"c_{c}_{j}" for c in classes for j in range(d)
+    ]
+    wschema = ", ".join(f"{col} double" for col in wcols)
+
+    def weight_row(wd: dict[str, list[float]]):
+        # weights ride as ONE broadcast row (the oracle's CROSS JOIN
+        # wt{i-1} shape), NOT as literals: literal weights change the
+        # plan every GD step and whole-stage codegen recompiles the
+        # K·(d+1)-expression moment aggregate each time — measured 2 s
+        # of pure compilation per step at K=5, d=16; with column
+        # references the plan is step-invariant and compiles once.
+        vals = tuple(wd[c][0] for c in classes) + tuple(
+            wd[c][j + 1] for c in classes for j in range(d)
+        )
+        return F.broadcast(spark.createDataFrame([vals], wschema))
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in classes:
+        pred = F.col(f"wb_{c}")
+        for j in range(d):
+            pred = pred + F.col(f"c_{c}_{j}") * F.col(f"x{j}")
+        e = pred - F.col(f"y_{c}")
+        aggs.append(
+            F.sum(F.floor(e * F.lit(1e8))).cast("long").alias(f"sb_{c}")
+        )
+        aggs += [
+            F.sum(F.floor(F.col(f"x{j}") * e * F.lit(1e8)))
+            .cast("long")
+            .alias(f"s_{c}_{j}")
+            for j in range(d)
+        ]
+
     tf = featurize(train, with_id=False).persist()
     w = {c: [0.0] * (d + 1) for c in classes}
     try:
         for _ in range(iters):
-            aggs = [F.count(F.lit(1)).alias("n")]
-            for c in classes:
-                pred = F.lit(w[c][0])
-                for j in range(d):
-                    pred = pred + F.lit(w[c][j + 1]) * F.col(f"x{j}")
-                e = pred - F.col(f"y_{c}")
-                aggs.append(
-                    F.sum(F.floor(e * F.lit(1e8))).cast("long").alias(f"sb_{c}")
-                )
-                aggs += [
-                    F.sum(F.floor(F.col(f"x{j}") * e * F.lit(1e8)))
-                    .cast("long")
-                    .alias(f"s_{c}_{j}")
-                    for j in range(d)
-                ]
-            row = tf.agg(*aggs).first()  # ONE bounded row for ALL classes
+            # ONE bounded row for ALL classes; plan identical every step
+            row = tf.crossJoin(weight_row(w)).agg(*aggs).first()
             n = row["n"]
             if not n:
                 raise ValueError(

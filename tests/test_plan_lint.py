@@ -454,3 +454,28 @@ def test_unigram_train_plan_jvm_only_broadcast_vocab(spark):
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_lang_id_multiclass_scoring_is_literal_projection(spark):
+    """Multiclass langid scoring: the returned plan (training already
+    folded into literal weights) is a pure JVM projection — no Python,
+    no cartesian, no KEY shuffle (argmax is per-row greatest(struct);
+    the only allowed Exchange is ensure_parallelism's round-robin input
+    repartition over the single local parquet file)."""
+    df = inventory.QUERIES["lang_id_multiclass"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
+
+
+def test_funnel_v2_plan_no_cartesian_no_python(spark):
+    """Funnel v2 composes four stages into one plan: everything JVM-side
+    and no cartesian anywhere (the DSIR vocab sides ride as 1-row
+    broadcast NL joins, the top-100 via TakeOrderedAndProject)."""
+    df = inventory.QUERIES["corpus_curation_funnel_v2"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
