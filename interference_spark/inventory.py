@@ -2308,9 +2308,10 @@ def quality_hash_classifier(spark, sf_dir):
     combiner moment aggregate to a single bounded row; scoring: a pure
     literal-weight projection (no join, no shuffle — plan-linted)."""
     from .pipeline.text import hash_kernel_classifier
+    from .pipeline import ensure_parallelism
 
     e = engine_for(spark, sf_dir)
-    docs = e.table("documents")
+    docs = ensure_parallelism(e.table("documents"))
     _w, scored = hash_kernel_classifier(
         docs.filter("doc_id % 2 = 0"), docs, d=8, iters=4
     )
@@ -2332,9 +2333,10 @@ def quality_hash_classifier_sparse(spark, sf_dir):
     dense chain's ascending-bucket order, and skipped terms are exact
     IEEE ±0.0 adds."""
     from .pipeline.text import hash_kernel_classifier
+    from .pipeline import ensure_parallelism
 
     e = engine_for(spark, sf_dir)
-    docs = e.table("documents")
+    docs = ensure_parallelism(e.table("documents"))
     _w, scored = hash_kernel_classifier(
         docs.filter("doc_id % 2 = 0"), docs, d=8, iters=4, impl="sparse"
     )
@@ -4128,9 +4130,10 @@ def text_repetition(spark, sf_dir):
     word / top-word / duplicate-bigram ratios. Explode → (doc, token) →
     doc two-level aggregate; both shuffles combiner-friendly."""
     from .pipeline.text import repetition_features
+    from .pipeline import ensure_parallelism
 
     e = engine_for(spark, sf_dir)
-    return repetition_features(e.table("documents"))
+    return repetition_features(ensure_parallelism(e.table("documents")))
 
 
 @query(
@@ -4153,9 +4156,10 @@ def decontaminate_ngrams(spark, sf_dir):
     the corpus side joins map-only (left-semi) — the 100 TB side never
     shuffles its text."""
     from .pipeline.text import contaminated_doc_ids
+    from .pipeline import ensure_parallelism
 
     e = engine_for(spark, sf_dir)
-    docs = e.table("documents")
+    docs = ensure_parallelism(e.table("documents"))
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     cand = docs.filter(F.col("doc_id") % 97 != 0)
     return contaminated_doc_ids(cand, ev, n=8)
@@ -4725,9 +4729,10 @@ def boilerplate_ngrams(spark, sf_dir):
     the ratio (the C4-style common-content signal, n-grams standing in for
     lines in this line-less corpus)."""
     from .pipeline.text import boilerplate_ngram_stats
+    from .pipeline import ensure_parallelism
 
     e = engine_for(spark, sf_dir)
-    return boilerplate_ngram_stats(e.table("documents"), n=3, min_docs=4)
+    return boilerplate_ngram_stats(ensure_parallelism(e.table("documents")), n=3, min_docs=4)
 
 
 @query(

@@ -117,10 +117,12 @@ def test_bloom_decontaminate_broadcasts_bitmap_only(spark):
 
 def test_repetition_features_no_shuffle(spark):
     """Per-doc repetition signals are per-row folds: the plan must contain
-    NO Exchange at all."""
+    no KEY shuffle (the only allowed Exchange is ensure_parallelism's
+    round-robin input split over the single local parquet file)."""
     df = inventory.QUERIES["text_repetition"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan[:2000]
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
 
 
 def test_incremental_dedup_prunes_registry_scan(spark):
@@ -324,7 +326,10 @@ def test_hash_kernel_classifier_plans(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
-    assert "Exchange" not in plan, plan[:2000]
+    # no KEY shuffle; ensure_parallelism's round-robin input split is the
+    # one allowed Exchange
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan, plan[:2000]
 
 
 def test_hash_kernel_sparse_plans(spark):
