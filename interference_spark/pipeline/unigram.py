@@ -276,7 +276,14 @@ def unigram_train(
     iterative-algorithm shape as ``bpe_train``."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    words = unigram_word_table(docs, text_col, max_word_len)
+    # materialize the word table ONCE: it is the root of the seed scan
+    # and of every EM round's grid join, and leaving it lazy re-runs the
+    # corpus-sized token explode+count per reference — measured 3×258 s
+    # of a 748 s run at 10M docs (SCALING.md); checkpointed it is
+    # vocabulary-sized and the corpus is touched exactly once.
+    words = unigram_word_table(docs, text_col, max_word_len).localCheckpoint(
+        eager=True
+    )
     pieces = piece_costs(
         seed_pieces(words, max_len, seed_multi, min_count)
     )

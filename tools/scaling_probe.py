@@ -535,11 +535,86 @@ def probe_dsir_auto(spark, n_docs: int, vocab: int) -> dict:
     return out
 
 
+def probe_unigram(spark, sizes: list[int]) -> dict:
+    """Unigram-LM tokenizer training end-to-end (eager hard-EM loop) at
+    growing corpus sizes — the word-table shape means cost is driven by
+    DISTINCT words (capped by the 50k probe vocabulary), so growth past
+    vocabulary saturation should flatten toward the word-count scan."""
+    from interference_spark.pipeline.unigram import unigram_train
+
+    out: dict = {}
+    for n in sizes:
+        t0 = time.perf_counter()
+        pieces, _seg = unigram_train(_rich_docs(spark, n), iters=2)
+        n_pieces = pieces.count()
+        out[n] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "pieces": int(n_pieces),
+        }
+        print(f"unigram_train {n}: {out[n]}", flush=True)
+        spark.catalog.clearCache()
+        # release the PREVIOUS size's localCheckpoint blocks before the
+        # next point: ContextCleaner frees them only after a GC notices
+        # the dropped references, and carried blocks measured a phantom
+        # 3.4x on the next point (278 s vs 82 s clean at 1M docs)
+        del pieces, _seg
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
+def probe_langid_mc(spark, sizes: list[int]) -> dict:
+    """Multiclass hash-kernel language ID end-to-end (3 GD steps for 5
+    heads + full-corpus scoring): per step ONE moment aggregate, so the
+    curve should track the featurize scan linearly."""
+    from interference_spark.pipeline.text import hash_kernel_multiclass
+
+    classes = ["de", "en", "es", "fr", "zh"]
+    out: dict = {}
+    for n in sizes:
+        docs = _rich_docs(spark, n).withColumn(
+            "lang",
+            F.element_at(
+                F.array(*[F.lit(c) for c in classes]),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).persist()
+        docs.count()
+        t0 = time.perf_counter()
+        _w, pred = hash_kernel_multiclass(
+            docs.filter(F.col("doc_id") % 2 == 0), docs,
+            classes=classes, d=8, iters=3,
+        )
+        pred.write.format("noop").mode("overwrite").save()
+        out[n] = {"sec": round(time.perf_counter() - t0, 2)}
+        print(f"langid_mc {n}: {out[n]}", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     from interference_spark import build_spark
 
     args = sys.argv[1:]
     only: set[str] | None = None
+    if args and args[0] in ("--unigram", "--langid-mc"):  # [sizes...]
+        sizes = (
+            [int(float(s)) for s in args[1].split(",")]
+            if len(args) > 1
+            else [100_000, 1_000_000]
+        )
+        spark = build_spark(
+            app_name="scaling-probe-r8",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+            shuffle_partitions=int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            ),
+            extra_conf={"spark.driver.memory": "48g"},
+        )
+        fn = probe_unigram if args[0] == "--unigram" else probe_langid_mc
+        print(json.dumps({args[0].lstrip("-"): fn(spark, sizes)}))
+        spark.stop()
+        return
     if args and args[0] == "--dsir-auto":  # [n_docs [vocab]]
         n_docs = int(float(args[1])) if len(args) > 1 else 300_000
         vocab = int(float(args[2])) if len(args) > 2 else 100_000
