@@ -8191,7 +8191,7 @@ def _unigram_iter_cte(i: int, max_len: int, max_word_len: int) -> str:
 ), {_unigram_cost_cte(f"upc{i}", f"up{i}")}"""
 
 
-def _unigram_oracle(
+def _unigram_ctes(
     iters: int = 2,
     max_len: int = 4,
     seed_multi: int = 200,
@@ -8201,10 +8201,46 @@ def _unigram_oracle(
     ctes = [_unigram_seed_ctes(max_len, seed_multi, min_count, max_word_len)] + [
         _unigram_iter_cte(i, max_len, max_word_len) for i in range(1, iters + 1)
     ]
+    return ",\n".join(ctes)
+
+
+def _unigram_oracle(iters: int = 2, **kw) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + _unigram_ctes(iters, **kw)
         + f"\nSELECT piece, cnt, cost AS cost_micronats FROM upc{iters}"
     )
+
+
+def _unigram_encode_oracle(iters: int = 2, mod: int = 101, **kw) -> str:
+    """Corpus-encode replay with the trained unigram vocabulary: final
+    pieces get ids in lexicographic order, the sampled docs' words join
+    their final-E-step segmentations (useg{iters} — every piece a
+    segmentation uses survives the last prune, since its Viterbi count
+    is ≥ 1), and subwords flatten to per-document position-indexed
+    token ids (same densification as the BPE encode oracle)."""
+    return f"""WITH {_unigram_ctes(iters, **kw)},
+uvocab AS (
+  SELECT piece AS token,
+         CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS token_id
+  FROM upc{iters}
+), udw AS (
+  SELECT doc_id, j.j AS wpos, t.w[j.j] AS word
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE doc_id % {mod} = 0) t
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS j) j
+  WHERE t.w[j.j] <> ''
+), uds AS (
+  SELECT u.doc_id, u.wpos, j2.j2 AS spos, u.s[j2.j2] AS token
+  FROM (SELECT udw.doc_id, udw.wpos, str_split(useg{iters}.sym, ' ') AS s
+        FROM udw JOIN useg{iters} USING (word)) u
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(u.s))) AS j2) j2
+)
+SELECT uds.doc_id,
+       CAST(row_number() OVER (PARTITION BY uds.doc_id
+                               ORDER BY uds.wpos, uds.spos) - 1
+            AS BIGINT) AS pos,
+       uds.token, uvocab.token_id
+FROM uds JOIN uvocab USING (token)"""
 
 
 @query("unigram_lm_train", _unigram_oracle(iters=2))
@@ -8229,6 +8265,37 @@ def unigram_lm_train(spark, sf_dir):
     return pieces.select(
         "piece", "cnt", F.col("cost").alias("cost_micronats")
     )
+
+
+@query("unigram_encode_ids", _unigram_encode_oracle(iters=2))
+def unigram_encode_ids(spark, sf_dir):
+    """Corpus tokenization with the TRAINED unigram-LM tokenizer — the
+    consume step that completes the family next to `bpe_encode_ids`:
+    final pieces get lexicographic ids, a 1-in-101 document sample
+    (output bound; the plan is corpus-wide) joins its words' final
+    Viterbi segmentations and flattens to position-indexed token-id
+    sequences via `pipeline/bpe.bpe_encode` — the encode machinery is
+    tokenizer-agnostic, taking any (word, sym) segmentation table, so
+    the unigram path reuses it verbatim (broadcast word/vocab joins, one
+    per-document window).  Training, vocabulary ids, segmentation, and
+    position densification all replay in the oracle."""
+    from pyspark.sql import Window
+
+    from .pipeline.bpe import bpe_encode
+    from .pipeline.unigram import unigram_train
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    pieces, words = unigram_train(docs, iters=2, max_len=4, seed_multi=200)
+    vocab = pieces.select(
+        F.col("piece").alias("token"),
+        (F.row_number().over(Window.orderBy("piece")) - 1)
+        .cast("long")
+        .alias("token_id"),
+    )
+    out = bpe_encode(docs.filter("doc_id % 101 = 0"), words, vocab)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(
@@ -9541,6 +9608,7 @@ _DRIVER_WINDOW = [
     "process_stream_consume",
     # --- NEW r8 operators ---
     "unigram_lm_train",
+    "unigram_encode_ids",
     "lang_id_multiclass",
     "corpus_curation_funnel_v2",
     "stream_dsir_select",
@@ -9587,7 +9655,9 @@ _DRIVER_WINDOW = [
     "robust_outliers_by_type",
     "sim_cosine_topk_exact",
     "sketch_kmv_overlap",
-    "stream_lm_ingest",
+    # (stream_lm_ingest deferred to r9 for the late-landing
+    # unigram_encode_ids — streaming keeps 6 window slots incl. the
+    # process_stream sentinel)
     "table_profile_lineitem",
     "text_novelty_ngrams",
 ]
