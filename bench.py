@@ -129,8 +129,10 @@ HEADLINE = [
     # NOT benched from r8 (driver-window-verified at 3 SFs):
     # unigram_lm_train (iterative tokenizer training — the eager
     # multi-job family deliberately kept out of the headline loop, same
-    # policy as bpe_train_merges/pq builds), corpus_curation_funnel_v2
-    # (composes clustering + two LM trainings — measured by its stages),
+    # policy as bpe_train_merges/pq builds), wordpiece_train_merges and
+    # wordpiece_encode_maxmatch (same eager iterative-training family —
+    # 8 argmax collects each), corpus_curation_funnel_v2 (composes
+    # clustering + two LM trainings — measured by its stages),
     # stream_dsir_select (streaming side effects, like the other
     # stream_* entries)
 ]

@@ -1,0 +1,282 @@
+"""Distributed WordPiece tokenizer training + MaxMatch inference — the
+third classic subword vocabulary algorithm next to BPE (``pipeline/
+bpe.py``) and unigram-LM (``pipeline/unigram.py``).  Public knowledge:
+Schuster & Nakajima 2012 ("Japanese and Korean voice search") define the
+likelihood-gain pair score; Wu et al. 2016 (GNMT) and BERT popularized
+the ``##`` continuation-marker vocabulary and the greedy
+longest-match-first ("MaxMatch") encoder.  No reference analogue — the
+reference has no text surface at all (`sql/NestedCondition.java:173-188`
+stops at LIKE-contains).
+
+Training is Sennrich-shaped iteration with a DIFFERENT argmax: where BPE
+merges the most-frequent adjacent pair, WordPiece merges the pair
+maximizing ``count(pair) / (count(left) · count(right))`` — the
+likelihood gain of the merge under a unigram LM.  Re-shaped for Spark
+exactly like ``bpe_train``:
+
+* State lives in the DISTINCT-WORD table ``(word, freq, sym)``; the
+  initial segmentation carries BERT's continuation markers (``hello`` →
+  ``h ##e ##l ##l ##o``), so a merged piece keeps its positional form
+  (``##l + ##o → ##lo``) and the learned vocabulary is directly a
+  MaxMatch vocabulary.  At 100 TB the word table is what shuffles,
+  never the corpus; corpus frequency enters every count as the exact
+  BIGINT ``freq`` weight.
+* One iteration = (1) symbol counts: ONE map-side-combined groupBy over
+  exploded symbols; (2) pair counts: ONE groupBy over exploded adjacent
+  pairs (the ``bpe._pair_counts`` shape); (3) score join: pair counts
+  join the vocab-sized symbol counts twice (both broadcast); (4) argmax
+  ``LIMIT 1`` to the driver (a single row); (5) the merge applied to
+  every word as a JVM higher-order ``aggregate`` fold (no Python).
+* The score is ONE fixed IEEE expression over exact BIGINTs —
+  ``CAST(cnt AS DOUBLE) / (CAST(lcnt AS DOUBLE) · CAST(rcnt AS
+  DOUBLE))`` — multiplication and division are exactly rounded, so
+  Spark and DuckDB produce bit-identical doubles and the argmax
+  tie-break (score DESC, left ASC, right ASC) is engine-independent.
+
+Inference is the REAL WordPiece encoder, not merge replay: greedy
+longest-match-first.  Per distinct word, a substring grid joins the
+(broadcast, vocab-sized) token table to produce ``best_len[j]`` = the
+longest vocabulary piece starting at position j (with the ``##`` form
+for j > 1); the greedy walk is then a single forward left fold over
+character positions with a STRING accumulator ``"<next-pos> <piece>
+<piece> …"`` (string, because DuckDB 1.0's ``list_reduce`` is only
+trustworthy with scalar accumulators — the lesson recorded in
+``pipeline/unigram.py``).  A position with no matching piece marks the
+whole word ``[UNK]`` — BERT's exact failure semantics.  Unlike unigram's
+Viterbi DP (min over backpointers, position-unrolled in the oracle),
+greedy MaxMatch needs no lookahead, so the SAME fold runs as Spark
+``aggregate`` and DuckDB ``list_reduce`` and the oracle replays encoding
+bit for bit at any word length.
+
+Marker collision note: a corpus word that itself contains ``#`` renders
+markers ambiguous to the EYE (``#`` at position 2 becomes ``###``) but
+never to the algorithm — both engines build and match the same strings.
+
+Determinism contract: all counts exact BIGINTs; the score is one
+exactly-rounded IEEE expression; the argmax tie-break is total; both
+folds are order-pinned left folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import _pair_counts
+
+_UNK = "[UNK]"
+
+
+def wordpiece_word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct whitespace tokens with corpus frequencies and the
+    ``##``-marked initial character segmentation (``hello`` →
+    ``h ##e ##l ##l ##o``).  One map-side-combined shuffle."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    marked = F.transform(
+        chars, lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c))
+    )
+    return words.withColumn("sym", F.array_join(marked, " "))
+
+
+def symbol_counts(words: DataFrame) -> DataFrame:
+    """Weighted occurrence counts ``(tok, scnt)`` of every symbol in the
+    current segmentations — one exploded map-side-combined groupBy;
+    result is vocabulary-sized."""
+    return (
+        words.select("freq", F.explode(F.split("sym", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.sum("freq").cast("long").alias("scnt"))
+    )
+
+
+def merge_fold_rule(sym: Column, left: str, right: str, merged: str) -> Column:
+    """Greedy-leftmost application of one merge rule with an EXPLICIT
+    merged literal — ``bpe.merge_fold`` generalized for WordPiece, where
+    ``merged = left + right[2:]`` (the right's ``##`` marker is
+    consumed), so ``merged`` is not simply ``left || right``.  Same
+    left-fold shape, same DuckDB ``list_reduce`` replay."""
+    s = F.split(sym, " ")
+    init = F.element_at(s, 1)
+    rest = F.slice(s, 2, F.greatest(F.size(s) - F.lit(1), F.lit(0)))
+
+    def step(acc: Column, x: Column) -> Column:
+        last = F.regexp_extract(acc, "[^ ]+$", 0)
+        wo_last = F.regexp_replace(acc, " ?[^ ]+$", "")
+        m = F.lit(merged)
+        return F.when(
+            (x == F.lit(right)) & (last == F.lit(left)),
+            F.when(wo_last == "", m).otherwise(F.concat(wo_last, F.lit(" "), m)),
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+
+    return F.when(F.size(s) == 1, sym).otherwise(F.aggregate(rest, init, step))
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` WordPiece merges over the corpus.
+
+    Returns ``(merges, words)``: ``merges`` is the learned rule table
+    ``(merge_rank, left, right, merged, pair_count, left_count,
+    right_count, score)`` built on the driver from one top row per
+    iteration (the driver never holds data); ``words`` the final
+    segmented word table ``(word, freq, sym)``.  Iterative-algorithm
+    shape identical to ``bpe_train``: each round's word table is
+    ``localCheckpoint``-materialized so plan depth stays O(1) (persist
+    would keep the full fold lineage — the driver goes quadratic
+    re-rendering plans; measured in ``bpe_train``'s in-loop comment)."""
+    spark = docs.sparkSession
+    cur = wordpiece_word_table(docs, text_col).persist()
+    cur.count()
+    rules: list[tuple[int, str, str, str, int, int, int, float]] = []
+    for rank in range(1, n_merges + 1):
+        sc = symbol_counts(cur)
+        pc = _pair_counts(cur)
+        lk = sc.select(F.col("tok").alias("l"), F.col("scnt").alias("lcnt"))
+        rk = sc.select(F.col("tok").alias("r"), F.col("scnt").alias("rcnt"))
+        score = F.col("cnt").cast("double") / (
+            F.col("lcnt").cast("double") * F.col("rcnt").cast("double")
+        )
+        top = (
+            pc.join(F.broadcast(lk), "l")
+            .join(F.broadcast(rk), "r")
+            .select("l", "r", "cnt", "lcnt", "rcnt", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        merged = t["l"] + t["r"][2:]
+        rules.append(
+            (
+                rank,
+                t["l"],
+                t["r"],
+                merged,
+                int(t["cnt"]),
+                int(t["lcnt"]),
+                int(t["rcnt"]),
+                float(t["score"]),
+            )
+        )
+        nxt = cur.withColumn(
+            "sym", merge_fold_rule(F.col("sym"), t["l"], t["r"], merged)
+        ).localCheckpoint(eager=True)
+        cur.unpersist()
+        cur = nxt
+    merges = spark.createDataFrame(
+        rules,
+        "merge_rank long, left string, right string, merged string, "
+        "pair_count long, left_count long, right_count long, score double",
+    )
+    return merges, cur
+
+
+def wordpiece_vocab(words0: DataFrame, merges: DataFrame) -> DataFrame:
+    """MaxMatch vocabulary ``(token,)``: every base symbol of the
+    INITIAL ``##``-marked word table (all word-initial characters and
+    all ``##``-marked continuation characters — full character
+    coverage over the training corpus) plus every learned merged piece.
+    Vocabulary-sized end to end."""
+    base = (
+        words0.select(F.explode(F.split("sym", " ")).alias("token")).distinct()
+    )
+    return base.unionByName(merges.select(F.col("merged").alias("token"))).distinct()
+
+
+def maxmatch_encode(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 10,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding of a distinct-word
+    table — ``(word, freq, sym)`` with ``sym`` the space-joined pieces
+    (``##`` forms after position 1), or ``[UNK]`` when any position has
+    no matching piece (BERT's whole-word failure semantics).
+
+    Shape: one substring-grid explode (≤ ``max_piece_len``·|word| slots
+    per DISTINCT word — never the corpus), one broadcast join against
+    the vocab, one groupBy(word) rebuilding the per-position
+    ``best_len`` array, then ONE whole-stage-codegen forward fold per
+    word.  ``max_piece_len`` caps candidate RAW length (the ``##``
+    marker is not counted); pieces longer than the cap are unreachable
+    by the encoder — callers pass a cap ≥ the longest trained piece."""
+    w = words.select("word", "freq", F.length("word").alias("n"))
+    grid = w.select(
+        "word",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("j"),
+    ).select(
+        "word",
+        "n",
+        "j",
+        F.explode(F.array(*[F.lit(i) for i in range(1, max_piece_len + 1)])).alias(
+            "l"
+        ),
+    )
+    piece = F.concat(
+        F.when(F.col("j") == 1, F.lit("")).otherwise(F.lit("##")),
+        F.col("word").substr(F.col("j").cast("int"), F.col("l").cast("int")),
+    )
+    cand = grid.filter(F.col("j") + F.col("l") - 1 <= F.col("n")).select(
+        "word", "j", "l", piece.alias("piece")
+    )
+    hits = (
+        cand.join(F.broadcast(vocab.select(F.col("token").alias("piece"))), "piece")
+        .groupBy("word", "j")
+        .agg(F.max("l").alias("maxl"))
+    )
+    spine = w.select(
+        "word", "freq", "n", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("j")
+    )
+    bl = (
+        spine.join(hits, ["word", "j"], "left")
+        .groupBy("word", "freq", "n")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("j", F.coalesce("maxl", F.lit(0)).alias("m"))
+                    )
+                ),
+                lambda s: s["m"],
+            ).alias("bl")
+        )
+    )
+
+    def _step(acc: Column, i: Column) -> Column:
+        pos = F.regexp_extract(acc, "^[0-9]+", 0).cast("int")
+        ln = F.element_at(F.col("bl"), pos)
+        np_ = (pos + ln).cast("string")
+        pc = F.concat(
+            F.when(pos == 1, F.lit("")).otherwise(F.lit("##")),
+            F.col("word").substr(pos, ln.cast("int")),
+        )
+        taken = F.concat(
+            np_, F.regexp_replace(acc, "^[0-9]+", ""), F.lit(" "), pc
+        )
+        return (
+            F.when(acc == F.lit("F"), acc)
+            .when(i < pos, acc)
+            .when(ln == 0, F.lit("F"))
+            .otherwise(taken)
+        )
+
+    folded = bl.withColumn(
+        "acc",
+        F.aggregate(F.sequence(F.lit(1), F.col("n")), F.lit("1"), _step),
+    )
+    sym = F.when(F.col("acc") == "F", F.lit(_UNK)).otherwise(
+        F.ltrim(F.regexp_replace(F.col("acc"), "^[0-9]+ ", ""))
+    )
+    return folded.select("word", "freq", sym.alias("sym"))

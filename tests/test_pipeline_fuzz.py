@@ -493,3 +493,125 @@ def test_unigram_train_matches_python_spec(spark, docs, iters):
     got = {r.piece: (r.cnt, r.cost) for r in pieces.collect()}
     want = _unigram_py(docs, iters)
     assert got == want, (docs, iters)
+
+
+# ---------------------------------------------------------------------
+# r8: WordPiece training + MaxMatch encode vs a direct python
+# transcription of the spec (the same spec the DuckDB oracle unrolls)
+# ---------------------------------------------------------------------
+
+
+def _wp_mark(word):
+    return [word[0]] + ["##" + c for c in word[1:]]
+
+
+def _wordpiece_py(docs, n_merges):
+    import collections
+
+    freq = collections.Counter()
+    for d in docs:
+        for w in _toks(d):
+            freq[w] += 1
+    syms = {w: _wp_mark(w) for w in freq}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        sc, pc = collections.Counter(), collections.Counter()
+        for w, f in freq.items():
+            s = syms[w]
+            for t in s:
+                sc[t] += f
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        scored = sorted(
+            (
+                (-float(c) / (float(sc[l]) * float(sc[r])), l, r, c)
+                for (l, r), c in pc.items()
+            )
+        )
+        neg, l, r, c = scored[0]
+        merged = l + r[2:]
+        rules.append((rank, l, r, merged, c, sc[l], sc[r], -neg))
+        for w, s in syms.items():
+            if len(s) == 1:
+                continue
+            acc = [s[0]]
+            for x in s[1:]:
+                if x == r and acc[-1] == l:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            syms[w] = acc
+    return rules, {w: " ".join(s) for w, s in syms.items()}
+
+
+def _maxmatch_py(word, vocab, max_piece_len):
+    out, pos, n = [], 0, len(word)
+    while pos < n:
+        best = 0
+        for l in range(1, min(max_piece_len, n - pos) + 1):
+            if ("" if pos == 0 else "##") + word[pos : pos + l] in vocab:
+                best = l
+        if best == 0:
+            return "[UNK]"
+        out.append(("" if pos == 0 else "##") + word[pos : pos + best])
+        pos += best
+    return " ".join(out)
+
+
+_WPF_WORDS = ["abab", "aab", "bb", "aba", "b", "abb", "ab"]
+wpf_doc = st.lists(st.sampled_from(_WPF_WORDS), min_size=0, max_size=5).map(
+    " ".join
+)
+wpf_corpus = st.lists(wpf_doc, min_size=1, max_size=5)
+
+
+@given(docs=wpf_corpus, n_merges=st.integers(1, 4))
+@FUZZ
+def test_wordpiece_train_matches_python_spec(spark, docs, n_merges):
+    from interference_spark.pipeline.wordpiece import wordpiece_train
+
+    merges, words = wordpiece_train(_df(spark, docs), n_merges=n_merges)
+    got_rules = [
+        (
+            int(r.merge_rank),
+            r.left,
+            r.right,
+            r.merged,
+            int(r.pair_count),
+            int(r.left_count),
+            int(r.right_count),
+            float(r.score),
+        )
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    got_syms = {r.word: r.sym for r in words.collect()}
+    want_rules, want_syms = _wordpiece_py(docs, n_merges)
+    assert got_rules == want_rules, (docs, n_merges)
+    assert got_syms == want_syms, (docs, n_merges)
+
+
+@given(train=wpf_corpus, enc=wpf_corpus, n_merges=st.integers(1, 3))
+@FUZZ
+def test_wordpiece_maxmatch_matches_python_spec(spark, train, enc, n_merges):
+    from interference_spark.pipeline.wordpiece import (
+        maxmatch_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+        wordpiece_word_table,
+    )
+
+    tdf = _df(spark, train)
+    merges, _w = wordpiece_train(tdf, n_merges=n_merges)
+    vocab = wordpiece_vocab(wordpiece_word_table(tdf), merges)
+    vset = {r.token for r in vocab.collect()}
+    enc_words = wordpiece_word_table(_df(spark, enc))
+    if enc_words.count() == 0:
+        return
+    got = {
+        r.word: r.sym
+        for r in maxmatch_encode(enc_words, vocab, max_piece_len=6).collect()
+    }
+    want = {w: _maxmatch_py(w, vset, 6) for w in got}
+    assert got == want, (train, enc, n_merges)

@@ -2914,6 +2914,68 @@ def test_unigram_fertility_vs_bpe(spark):
     assert u["en"].subwords_per_token < 0.75 * char_fert
 
 
+def test_wordpiece_argmax_is_likelihood_gain_not_frequency(spark):
+    """WordPiece's defining difference from BPE: the merge argmax is
+    cnt(pair)/(cnt(l)·cnt(r)), not raw pair frequency.  Fixture: 'ab'
+    appears 10 times, 'cd' 9 — BPE would merge (a,##b) first; WordPiece
+    must merge (c,##d) first (score 9/81 > 10/100) and keep the right's
+    ## marker out of the merged piece."""
+    from interference_spark.pipeline.wordpiece import wordpiece_train
+
+    docs = spark.createDataFrame(
+        [(0, "ab " * 10 + "cd " * 9)], "doc_id long, text string"
+    )
+    merges, words = wordpiece_train(docs, n_merges=2)
+    rows = {int(r.merge_rank): r for r in merges.collect()}
+    assert (rows[1].left, rows[1].right, rows[1].merged) == ("c", "##d", "cd")
+    assert rows[1].pair_count == 9 and rows[1].left_count == 9
+    assert rows[1].score == 9.0 / (9.0 * 9.0)
+    assert (rows[2].left, rows[2].right, rows[2].merged) == ("a", "##b", "ab")
+    got = {r.word: r.sym for r in words.collect()}
+    assert got == {"ab": "ab", "cd": "cd"}
+
+
+def test_wordpiece_maxmatch_longest_first_and_unk(spark):
+    """Greedy MaxMatch semantics: longest piece wins at each position
+    ('unaffable' → 'un ##aff ##able', never the shorter '##a' start);
+    a position with no matching piece yields whole-word [UNK] (BERT's
+    failure mode); single chars fall through to char pieces."""
+    from interference_spark.pipeline.wordpiece import maxmatch_encode
+
+    words = spark.createDataFrame(
+        [("unaffable", 2), ("unz", 1), ("u", 1)], "word string, freq long"
+    )
+    vocab = spark.createDataFrame(
+        [("un",), ("##aff",), ("##able",), ("##a",), ("u",), ("##n",)],
+        "token string",
+    )
+    got = {r.word: r.sym for r in maxmatch_encode(words, vocab).collect()}
+    assert got["unaffable"] == "un ##aff ##able"
+    assert got["unz"] == "[UNK]"  # no '##z' piece
+    assert got["u"] == "u"
+
+
+def test_wordpiece_fertility_vs_char_baseline(spark):
+    """Trained WordPiece segmentation covers every token and beats the
+    character-split fertility baseline on the fixture corpus — the
+    triad-completion check mirroring test_unigram_fertility_vs_bpe."""
+    from interference_spark.pipeline.bpe import subword_stats
+    from interference_spark.pipeline.wordpiece import wordpiece_train
+
+    corpus = [
+        (i, "en", "the cat sat on the mat " * 3 + "catcat ab abab")
+        for i in range(4)
+    ] + [(9, "en", "the mat cat sat abab")]
+    docs = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+    _merges, wp_words = wordpiece_train(docs, n_merges=8)
+    s = {r.lang: r for r in subword_stats(docs, wp_words).collect()}
+    char_fert = sum(len(w) for _, _, t in corpus for w in t.split()) / sum(
+        len(t.split()) for _, _, t in corpus
+    )
+    assert s["en"].n_tokens > 0
+    assert 1.0 <= s["en"].subwords_per_token < 0.75 * char_fert
+
+
 def test_multiclass_hash_kernel_learns_separable_fixture(spark):
     """Three classes with disjoint vocabularies: the one-vs-rest
     hash-kernel heads must separate them perfectly — the capability

@@ -461,6 +461,19 @@ def test_unigram_train_plan_jvm_only_broadcast_vocab(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
+def test_wordpiece_plans_jvm_only_broadcast_vocab(spark):
+    """WordPiece training returns a driver-built literal merge table
+    (nothing to lint there); the MaxMatch ENCODE plan must stay
+    JVM-side — no Python/Arrow, no cartesian — and attach the
+    vocabulary as a broadcast (the grid side is the only shuffled
+    input)."""
+    df = inventory.QUERIES["wordpiece_encode_maxmatch"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
 def test_lang_id_multiclass_scoring_is_literal_projection(spark):
     """Multiclass langid scoring: the returned plan (training already
     folded into literal weights) is a pure JVM projection — no Python,
