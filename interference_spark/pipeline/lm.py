@@ -146,6 +146,48 @@ def perplexity_score(
     return per_doc.withColumn("nll_nats", nll)
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    lm: BigramLM,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting high quality monolingual datasets from web crawl
+    data" — public knowledge): score every document against the trusted
+    LM and split each ``by``-group (language, in CCNet) into perplexity
+    TERCILES — ``head`` (lowest mean NLL, most Wikipedia-like),
+    ``middle``, ``tail``.  Downstream pipelines keep head+middle or
+    sample tail at a reduced rate.
+
+    Returns ``(id, by, n_bigrams, nll_micronats, nll_nats, bucket)``.
+    Bucketing is ``ntile(3)`` over (``by``, mean NLL, id) — the NLL is
+    derived from exact integer micronats, ties break on the id, and
+    Spark and DuckDB share ntile's remainder rule (first groups get the
+    extra row), so the assignment is engine-exact.  Shape: the scoring
+    joins of ``perplexity_score`` plus ONE per-group sort (the ntile
+    window) — groups are languages, so the sort is embarrassingly
+    parallel across them; at corpus scales where an exact per-language
+    sort is unwanted, the mergeable-histogram quantile sketch
+    (`pipeline/sketch.py`) yields approximate tercile CUTOFFS in one
+    pass instead."""
+    from pyspark.sql import Window
+
+    scored = perplexity_score(df, lm, text_col=text_col, id_col=id_col)
+    keyed = scored.join(df.select(id_col, by), id_col)
+    w = Window.partitionBy(by).orderBy("nll_nats", id_col)
+    t = F.ntile(3).over(w)
+    bucket = (
+        F.when(t == 1, F.lit("head"))
+        .when(t == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return keyed.select(
+        id_col, by, "n_bigrams", "nll_micronats", "nll_nats", bucket.alias("bucket")
+    )
+
+
 def bigram_count_deltas(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One micro-batch's additive LM-count delta: (c, w, cw) over just
     this batch's documents.

@@ -2914,6 +2914,49 @@ def test_unigram_fertility_vs_bpe(spark):
     assert u["en"].subwords_per_token < 0.75 * char_fert
 
 
+def test_perplexity_buckets_terciles_and_remainder_rule(spark):
+    """CCNet bucketing semantics: per-language ntile(3) over mean NLL —
+    head gets the LOWEST-perplexity docs, the remainder row lands in
+    head (ntile's first-groups rule), and bucket NLLs are monotone
+    head ≤ middle ≤ tail."""
+    from interference_spark.pipeline.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "en", "a b a b a b a b")], "doc_id long, lang string, text string"
+    )
+    # 7 docs, increasingly off-distribution => 3/2/2 split
+    score = spark.createDataFrame(
+        [
+            (0, "en", "a b a b a b"),
+            (1, "en", "a b a b"),
+            (2, "en", "a b"),
+            (3, "en", "a b b a"),
+            (4, "en", "b a b a"),
+            (5, "en", "z z z z"),
+            (6, "en", "z q z q"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    lm = train_bigram_lm(train)
+    rows = perplexity_buckets(score, lm).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert sorted(len(v) for v in by_bucket.values()) == [2, 2, 3]
+    assert len(by_bucket["head"]) == 3  # remainder row goes to head
+    assert max(r.nll_nats for r in by_bucket["head"]) <= min(
+        r.nll_nats for r in by_bucket["middle"]
+    )
+    assert max(r.nll_nats for r in by_bucket["middle"]) <= min(
+        r.nll_nats for r in by_bucket["tail"]
+    )
+    # the perfectly in-distribution docs sit in head, the OOV ones in tail
+    assert {r.doc_id for r in by_bucket["tail"]} == {5, 6}
+
+
 def test_wordpiece_argmax_is_likelihood_gain_not_frequency(spark):
     """WordPiece's defining difference from BPE: the merge argmax is
     cnt(pair)/(cnt(l)·cnt(r)), not raw pair frequency.  Fixture: 'ab'
