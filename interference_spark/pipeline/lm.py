@@ -146,6 +146,150 @@ def perplexity_score(
     return per_doc.withColumn("nll_nats", nll)
 
 
+def _trigrams(df: DataFrame, text_col: str, extra_cols: list[str]) -> DataFrame:
+    """Explode each document into its (c2, c1, w) trigram stream — the
+    3-token sibling of ``_bigrams``, same whole-stage-codegen transform;
+    documents with fewer than three tokens contribute nothing."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    trips = F.expr(
+        "transform(slice(__t, 1, size(__t) - 2),"
+        " (x, i) -> struct(x AS c2, __t[i + 1] AS c1, __t[i + 2] AS w))"
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("__t", toks)
+        .filter(F.size("__t") >= 3)
+        .select(*extra_cols, F.explode(trips).alias("__p"))
+        .select(
+            *extra_cols,
+            F.col("__p.c2").alias("c2"),
+            F.col("__p.c1").alias("c1"),
+            F.col("__p.w").alias("w"),
+        )
+    )
+
+
+@dataclass
+class BackoffLM:
+    """A trained stupid-backoff trigram LM (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the KenLM-style scoring
+    model CCNet-class pipelines actually use, in its count-based
+    no-discounting form).  Four DataFrames, no driver-side state."""
+
+    trigram_counts: DataFrame  # (c2, c1, w, ct)
+    bigram_counts: DataFrame  # (c, w, cb)
+    unigram_counts: DataFrame  # (w, cu)
+    totals: DataFrame  # 1 row: (n_tokens, v = distinct unigrams + 1)
+
+
+def train_backoff_lm(df: DataFrame, text_col: str = "text") -> BackoffLM:
+    """Count tables for stupid backoff: raw trigram/bigram/unigram
+    counts over the whitespace token stream plus the 1-row totals.
+    Three map-side-combined groupBys + one 1-row aggregate — nothing
+    corpus-sized ever lands on one node."""
+    tri = _trigrams(df, text_col, [])
+    big = _bigrams(df, text_col, [])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    stream = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.explode(toks).alias("w")
+    )
+    return BackoffLM(
+        trigram_counts=tri.groupBy("c2", "c1", "w").agg(
+            F.count(F.lit(1)).alias("ct")
+        ),
+        bigram_counts=big.groupBy("c", "w").agg(F.count(F.lit(1)).alias("cb")),
+        unigram_counts=stream.groupBy("w").agg(F.count(F.lit(1)).alias("cu")),
+        totals=stream.agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.count_distinct("w") + F.lit(1)).cast("long").alias("v"),
+        ),
+    )
+
+
+def backoff_score(
+    df: DataFrame,
+    lm: BackoffLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document stupid-backoff trigram score: ``(id, n_trigrams,
+    n_tri_hits, n_big_hits, n_uni_hits, n_oov, nll_micronats,
+    nll_nats)``.
+
+    Score per position (α = 0.4, Brants et al.'s recommended constant):
+
+    - trigram seen:            S = ct(c2,c1,w) / cb(c2,c1)
+    - else bigram seen:        S = 0.4 · (cb(c1,w) / cu(c1))
+    - else unigram seen:       S = 0.4 · (0.4 · (cu(w) / N))
+    - else (OOV, spec floor):  S = 0.4 · (0.4 · (1 / (N + V)))
+
+    Every count is an exact BIGINT; each S is a fixed-shape IEEE
+    expression (the 0.4 factors multiply innermost-first in BOTH
+    engines), and per-position log-scores quantize to integer micronats
+    before the per-doc sum — partitioning cannot perturb the value.
+    Shape: one trigram explode, five keyed LEFT joins against the LM
+    count tables (Zipf-skewed context keys — AQE skew-join territory;
+    the tables broadcast when the trusted slice is small), one doc-keyed
+    combine.  The per-position backoff-level flags aggregate into the
+    per-doc hit counts — the coverage diagnostic that tells a pipeline
+    whether its trusted slice is big enough for the trigram head to
+    carry the score.  Documents with fewer than three tokens are absent
+    (not scorable), matching ``perplexity_score``'s contract."""
+    st = _trigrams(df, text_col, [id_col])
+    b_ctx = lm.bigram_counts.select(
+        F.col("c").alias("c2"),
+        F.col("w").alias("c1"),
+        F.col("cb").alias("cb_ctx"),
+    )
+    b_low = lm.bigram_counts.select(
+        F.col("c").alias("c1"), "w", "cb"
+    )
+    u_ctx = lm.unigram_counts.select(
+        F.col("w").alias("c1"), F.col("cu").alias("cu_ctx")
+    )
+    j = (
+        st.join(lm.trigram_counts, ["c2", "c1", "w"], "left")
+        .join(b_ctx, ["c2", "c1"], "left")
+        .join(b_low, ["c1", "w"], "left")
+        .join(u_ctx, ["c1"], "left")
+        .join(lm.unigram_counts, ["w"], "left")
+        .crossJoin(F.broadcast(lm.totals))
+    )
+    a = F.lit(0.4)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p = (
+        F.when(F.col("ct").isNotNull(), d("ct") / d("cb_ctx"))
+        .when(F.col("cb").isNotNull(), a * (d("cb") / d("cu_ctx")))
+        .when(F.col("cu").isNotNull(), a * (a * (d("cu") / d("n_tokens"))))
+        .otherwise(
+            a * (a * (F.lit(1.0) / (F.col("n_tokens") + F.col("v")).cast("double")))
+        )
+    )
+    level = (
+        F.when(F.col("ct").isNotNull(), F.lit("tri"))
+        .when(F.col("cb").isNotNull(), F.lit("big"))
+        .when(F.col("cu").isNotNull(), F.lit("uni"))
+        .otherwise(F.lit("oov"))
+    )
+    logq = F.floor(F.log(p) * F.lit(_MICRO)).cast("long")
+    per_doc = (
+        j.select(F.col(id_col), logq.alias("logq"), level.alias("lvl"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("lvl") == "tri").cast("long")).alias("n_tri_hits"),
+            F.sum((F.col("lvl") == "big").cast("long")).alias("n_big_hits"),
+            F.sum((F.col("lvl") == "uni").cast("long")).alias("n_uni_hits"),
+            F.sum((F.col("lvl") == "oov").cast("long")).alias("n_oov"),
+            (-F.sum("logq")).cast("long").alias("nll_micronats"),
+        )
+    )
+    nll = F.col("nll_micronats").cast("double") / (
+        F.lit(_MICRO) * F.col("n_trigrams").cast("double")
+    )
+    return per_doc.withColumn("nll_nats", nll)
+
+
 def perplexity_buckets(
     df: DataFrame,
     lm: BigramLM,

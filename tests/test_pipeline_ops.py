@@ -2914,6 +2914,59 @@ def test_unigram_fertility_vs_bpe(spark):
     assert u["en"].subwords_per_token < 0.75 * char_fert
 
 
+def test_backoff_score_all_four_levels(spark):
+    """Stupid-backoff semantics: a fixture where one scored doc hits all
+    four levels — trigram head, bigram backoff (x0.4), unigram backoff
+    (x0.16), OOV floor — with hand-computed probabilities."""
+    import math
+
+    from interference_spark.pipeline.lm import backoff_score, train_backoff_lm
+
+    train = spark.createDataFrame(
+        # tokens: a b c a b d  -> trigrams: (a,b,c) (b,c,a) (c,a,b) (a,b,d)
+        [(0, "a b c a b d")],
+        "doc_id long, text string",
+    )
+    lm = train_backoff_lm(train)
+    # N = 6 tokens, V = 4 distinct + 1 = 5
+    score = spark.createDataFrame(
+        [
+            # (a,b,c): trigram seen, p = ct(1)/cb(a,b)=1/2
+            # (b,c,b): tri unseen, bigram (c,b) unseen, unigram b seen:
+            #          p = .4*(.4*(cu(b)=2 / N=6))
+            # (c,b,a): tri unseen, bigram (b,a) unseen, unigram a:
+            #          p = .4*(.4*(2/6))
+            # (b,a,z): tri unseen, bigram (a,z) unseen, z unseen -> OOV
+            #          floor: p = .4*(.4*(1/(N+V))) = .16/11
+            (1, "a b c b a z"),
+            # (d,a,b): tri unseen, bigram (a,b) SEEN cb=2, cu(a)=2:
+            #          p = .4*(2/2)
+            (2, "d a b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in backoff_score(score, lm).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1.n_tri_hits, r1.n_big_hits, r1.n_uni_hits, r1.n_oov) == (1, 0, 2, 1)
+    assert (r2.n_tri_hits, r2.n_big_hits, r2.n_uni_hits, r2.n_oov) == (0, 1, 0, 0)
+    v = 5  # distinct train unigrams {a,b,c,d} + 1
+    n = 6
+    assert v == 4 + 1
+
+    def q(p):
+        return math.floor(math.log(p) * 1e6)
+
+    want1 = -(
+        q(1.0 / 2.0)
+        + q(0.4 * (0.4 * (2.0 / n)))
+        + q(0.4 * (0.4 * (2.0 / n)))
+        + q(0.4 * (0.4 * (1.0 / (n + v))))
+    )
+    want2 = -q(0.4 * (2.0 / 2.0))
+    assert r1.nll_micronats == want1
+    assert r2.nll_micronats == want2
+
+
 def test_perplexity_buckets_terciles_and_remainder_rule(spark):
     """CCNet bucketing semantics: per-language ntile(3) over mean NLL —
     head gets the LOWEST-perplexity docs, the remainder row lands in

@@ -562,6 +562,43 @@ def probe_unigram(spark, sizes: list[int]) -> dict:
     return out
 
 
+def probe_wordpiece(spark, sizes: list[int]) -> dict:
+    """WordPiece training (8 likelihood-gain merges) + MaxMatch encode
+    of the trained word table at growing corpus sizes — like BPE/unigram
+    the corpus cost is the ONE word-table groupBy scan; everything after
+    (symbol counts, pair counts, argmax, folds, encode grid) is bounded
+    by DISTINCT words (capped by the 50k probe vocabulary), so the curve
+    should flatten toward the scan past vocabulary saturation."""
+    from interference_spark.pipeline.wordpiece import (
+        maxmatch_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+        wordpiece_word_table,
+    )
+
+    out: dict = {}
+    for n in sizes:
+        docs = _rich_docs(spark, n)
+        t0 = time.perf_counter()
+        merges, words = wordpiece_train(docs, n_merges=8)
+        t_train = time.perf_counter() - t0
+        vocab = wordpiece_vocab(wordpiece_word_table(docs), merges)
+        enc = maxmatch_encode(words.select("word", "freq"), vocab)
+        enc.write.format("noop").mode("overwrite").save()
+        out[n] = {
+            "train_sec": round(t_train, 2),
+            "total_sec": round(time.perf_counter() - t0, 2),
+            "merges": merges.count(),
+        }
+        print(f"wordpiece {n}: {out[n]}", flush=True)
+        # unigram-probe lesson: drop checkpoint references + GC between
+        # sizes or carried blocks distort the next point
+        del merges, words, vocab, enc
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
 def probe_langid_mc(spark, sizes: list[int]) -> dict:
     """Multiclass hash-kernel language ID end-to-end (3 GD steps for 5
     heads + full-corpus scoring): per step ONE moment aggregate, so the
@@ -597,7 +634,7 @@ def main() -> None:
 
     args = sys.argv[1:]
     only: set[str] | None = None
-    if args and args[0] in ("--unigram", "--langid-mc"):  # [sizes...]
+    if args and args[0] in ("--unigram", "--langid-mc", "--wordpiece"):  # [sizes...]
         sizes = (
             [int(float(s)) for s in args[1].split(",")]
             if len(args) > 1
@@ -611,7 +648,11 @@ def main() -> None:
             ),
             extra_conf={"spark.driver.memory": "48g"},
         )
-        fn = probe_unigram if args[0] == "--unigram" else probe_langid_mc
+        fn = {
+            "--unigram": probe_unigram,
+            "--langid-mc": probe_langid_mc,
+            "--wordpiece": probe_wordpiece,
+        }[args[0]]
         print(json.dumps({args[0].lstrip("-"): fn(spark, sizes)}))
         spark.stop()
         return
