@@ -133,8 +133,11 @@ HEADLINE = [
     # wordpiece_encode_maxmatch (same eager iterative-training family —
     # 8 argmax collects each), corpus_curation_funnel_v2 (composes
     # clustering + two LM trainings — measured by its stages),
-    # stream_dsir_select (streaming side effects, like the other
-    # stream_* entries)
+    # stream_dsir_select and stream_wordpiece_ingest (streaming side
+    # effects, like the other stream_* entries); mix_perplexity_buckets
+    # and quality_backoff_trigram stay out because the LM-scoring family
+    # is already represented by the benched quality_model_scores path
+    # (the select_dsir_topn rationale)
 ]
 
 
