@@ -131,8 +131,9 @@ HEADLINE = [
     # multi-job family deliberately kept out of the headline loop, same
     # policy as bpe_train_merges/pq builds), wordpiece_train_merges and
     # wordpiece_encode_maxmatch (same eager iterative-training family —
-    # 8 argmax collects each), corpus_curation_funnel_v2 (composes
-    # clustering + two LM trainings — measured by its stages),
+    # 8 argmax collects each), tokenizer_fertility_report (all THREE
+    # tokenizer trainings by construction), corpus_curation_funnel_v2
+    # (composes clustering + two LM trainings — measured by its stages),
     # stream_dsir_select and stream_wordpiece_ingest (streaming side
     # effects, like the other stream_* entries); mix_perplexity_buckets
     # and quality_backoff_trigram stay out because the LM-scoring family
