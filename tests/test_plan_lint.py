@@ -474,6 +474,29 @@ def test_wordpiece_plans_jvm_only_broadcast_vocab(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
+def test_perplexity_buckets_plan_jvm_broadcast_lm(spark):
+    """CCNet bucketing: scoring joins attach the (curated-small) LM as
+    broadcasts, the 1-row vocab rides as a broadcast NL join, the ntile
+    window is the only sort, and nothing drops to Python."""
+    df = inventory.QUERIES["mix_perplexity_buckets"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
+
+
+def test_backoff_trigram_plan_jvm_no_sort(spark):
+    """Stupid-backoff scoring: five LEFT joins broadcast at this SF, the
+    1-row totals ride as a broadcast NL join, the per-doc combine is a
+    hash aggregate — no window, no sort, no Python anywhere."""
+    df = inventory.QUERIES["quality_backoff_trigram"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+
+
 def test_lang_id_multiclass_scoring_is_literal_projection(spark):
     """Multiclass langid scoring: the returned plan (training already
     folded into literal weights) is a pure JVM projection — no Python,
