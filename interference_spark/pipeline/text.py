@@ -2003,3 +2003,47 @@ def zipf_slope(
             "intercept_micronats"
         ),
     )
+
+
+def collapse_stutter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse CONSECUTIVE duplicate whitespace tokens ("merge the the
+    table" → "merge the table") — the token-stutter normalization a
+    cleaning pipeline runs on OCR/ASR/scrape artifacts (repeated-word
+    stutter is the classic extraction glitch; cross-document and
+    within-document REPEATED-PASSAGE dedup live in `pipeline/dedup.py` —
+    this is the orthogonal, token-granularity case).
+
+    Returns ``(id, n_tokens, n_collapsed, clean_text)`` for every
+    document: ``clean_text`` keeps the FIRST token of each run and
+    single whitespace, ``n_collapsed`` counts dropped repeats.
+
+    Shape: ONE higher-order filter over the token array — a pure
+    whole-stage-codegen projection, zero shuffle, zero Python; at
+    100 TB the scan is the cost (the `c4_clean` family).  The oracle
+    replays it relationally (per-token lag window inside each document)
+    — same first-of-run semantics, exact row-for-row."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    t = F.col("__t")
+    # CASE (not boolean OR) guards the 1-based element_at: ANSI mode
+    # throws on index 0, and only CaseWhen guarantees the lazy branch
+    kept = F.filter(
+        t,
+        lambda x, i: F.when(i == 0, F.lit(True)).otherwise(
+            x != F.element_at(t, i)
+        ),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            F.col(id_col),
+            F.size("__t").cast("long").alias("n_tokens"),
+            (F.size("__t") - F.size(kept)).cast("long").alias("n_collapsed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )

@@ -2914,6 +2914,32 @@ def test_unigram_fertility_vs_bpe(spark):
     assert u["en"].subwords_per_token < 0.75 * char_fert
 
 
+def test_collapse_stutter_first_of_run_semantics(spark):
+    """Token-stutter collapse: runs reduce to their first token, counts
+    report tokens seen vs dropped, non-adjacent repeats survive, and
+    whitespace normalizes to single spaces."""
+    from interference_spark.pipeline.text import collapse_stutter
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a the the the b"),
+            (1, "x"),
+            (2, "  y  y  "),
+            (3, "a b a b"),  # non-adjacent repeats are NOT stutter
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in collapse_stutter(df).collect()}
+    assert (got[0].n_tokens, got[0].n_collapsed, got[0].clean_text) == (
+        6, 3, "a the b",
+    )
+    assert (got[1].n_tokens, got[1].n_collapsed, got[1].clean_text) == (1, 0, "x")
+    assert (got[2].n_tokens, got[2].n_collapsed, got[2].clean_text) == (2, 1, "y")
+    assert (got[3].n_tokens, got[3].n_collapsed, got[3].clean_text) == (
+        4, 0, "a b a b",
+    )
+
+
 def test_backoff_score_all_four_levels(spark):
     """Stupid-backoff semantics: a fixture where one scored doc hits all
     four levels — trigram head, bigram backoff (x0.4), unigram backoff
