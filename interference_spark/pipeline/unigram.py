@@ -42,9 +42,13 @@ unrolls every EM iteration (seed → DP → counts → re-cost) in SQL; the
 DP itself is POSITION-unrolled there as chained lateral column aliases
 with literal indices rather than a ``list_reduce`` fold — DuckDB 1.0's
 ``list_reduce`` mis-evaluates list-typed accumulators nondeterministically
-(measured; string accumulators like the BPE oracle's are fine), and the
-``max_word_len`` cap is what bounds that unroll — see
-``inventory._unigram_oracle``.
+(measured), and the ``max_word_len`` cap is what bounds that unroll —
+see ``inventory._unigram_oracle``.  Round-8 sharpened the diagnosis:
+even STRING accumulators are only safe when the lambda's captures are
+row-constant (the BPE folds capture ``b.l``/``b.r`` from a 1-row join);
+capturing per-row outer columns (``word``, a per-word array) is
+nondeterministic too — measured in ``inventory._wp_maxmatch_ctes``,
+whose greedy walk is a recursive CTE for exactly that reason.
 """
 
 from __future__ import annotations
