@@ -599,6 +599,67 @@ def probe_wordpiece(spark, sizes: list[int]) -> dict:
     return out
 
 
+def probe_backoff(spark, sizes: list[int]) -> dict:
+    """Stupid-backoff trigram LM end-to-end (train counts on the even
+    half, score the whole corpus through the 5-way LEFT-join chain):
+    training key spaces are the Zipf-truncated n-gram vocabularies, so
+    past vocabulary saturation the curve should track the two corpus
+    scans (count + score) linearly."""
+    from interference_spark.pipeline.lm import backoff_score, train_backoff_lm
+
+    out: dict = {}
+    for n in sizes:
+        docs = _rich_docs(spark, n).persist()
+        docs.count()
+        t0 = time.perf_counter()
+        lm = train_backoff_lm(docs.filter(F.col("doc_id") % 2 == 0))
+        backoff_score(docs, lm).write.format("noop").mode("overwrite").save()
+        out[n] = {"sec": round(time.perf_counter() - t0, 2)}
+        print(f"backoff {n}: {out[n]}", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
+def probe_ppl_buckets(spark, sizes: list[int]) -> dict:
+    """CCNet tercile bucketing end-to-end (bigram-LM scoring + the
+    per-language ntile window): the window adds one per-language sort
+    over the scored docs — with ~5 synthetic languages the sort is
+    5-way parallel and the scoring joins should dominate."""
+    from interference_spark.pipeline.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    out: dict = {}
+    for n in sizes:
+        docs = (
+            _rich_docs(spark, n)
+            .withColumn(
+                "lang",
+                F.element_at(
+                    F.array(*[F.lit(c) for c in langs]),
+                    (F.col("doc_id") % 5 + 1).cast("int"),
+                ),
+            )
+            .persist()
+        )
+        docs.count()
+        t0 = time.perf_counter()
+        lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+        perplexity_buckets(docs.filter(F.col("doc_id") % 2 == 1), lm).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[n] = {"sec": round(time.perf_counter() - t0, 2)}
+        print(f"ppl_buckets {n}: {out[n]}", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
 def probe_langid_mc(spark, sizes: list[int]) -> dict:
     """Multiclass hash-kernel language ID end-to-end (3 GD steps for 5
     heads + full-corpus scoring): per step ONE moment aggregate, so the
@@ -634,7 +695,13 @@ def main() -> None:
 
     args = sys.argv[1:]
     only: set[str] | None = None
-    if args and args[0] in ("--unigram", "--langid-mc", "--wordpiece"):  # [sizes...]
+    if args and args[0] in (
+        "--unigram",
+        "--langid-mc",
+        "--wordpiece",
+        "--backoff",
+        "--ppl-buckets",
+    ):  # [sizes...]
         sizes = (
             [int(float(s)) for s in args[1].split(",")]
             if len(args) > 1
@@ -652,6 +719,8 @@ def main() -> None:
             "--unigram": probe_unigram,
             "--langid-mc": probe_langid_mc,
             "--wordpiece": probe_wordpiece,
+            "--backoff": probe_backoff,
+            "--ppl-buckets": probe_ppl_buckets,
         }[args[0]]
         print(json.dumps({args[0].lstrip("-"): fn(spark, sizes)}))
         spark.stop()
