@@ -234,7 +234,18 @@ def backoff_score(
     per-doc hit counts — the coverage diagnostic that tells a pipeline
     whether its trusted slice is big enough for the trigram head to
     carry the score.  Documents with fewer than three tokens are absent
-    (not scorable), matching ``perplexity_score``'s contract."""
+    (not scorable), matching ``perplexity_score``'s contract.
+
+    Join strategy is deliberately LEFT TO Catalyst/AQE: curated trusted
+    slices broadcast their count tables; a web-scale trusted slice gets
+    sort-merge joins, whose sorts SPILL — the 10M-doc probe (SCALING.md
+    round-8 table) measured the tempting alternative, hinting the three
+    corpus-growing lookups ``shuffle_hash``, and it HARD-FAILS there
+    (``SparkOutOfMemoryError: not enough memory to build hash map`` —
+    a shuffled-hash build side cannot spill), while default SMJ scores
+    10M docs in ~516 s on the ~n·log n band.  Count-based stupid
+    backoff at corpus×corpus scale is a sort problem by nature; do not
+    re-add the hint."""
     st = _trigrams(df, text_col, [id_col])
     b_ctx = lm.bigram_counts.select(
         F.col("c").alias("c2"),

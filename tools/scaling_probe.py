@@ -607,14 +607,28 @@ def probe_backoff(spark, sizes: list[int]) -> dict:
     scans (count + score) linearly."""
     from interference_spark.pipeline.lm import backoff_score, train_backoff_lm
 
+    # NOTE (round-8 measurement): a shuffle_hash-hinted variant of the
+    # three corpus-growing joins was probed head-to-head at 10M docs and
+    # HARD-FAILED with SparkOutOfMemoryError ("not enough memory to
+    # build hash map") — a shuffled-hash build side cannot spill, and
+    # the trigram-count table per partition does not fit.  Default SMJ
+    # spills and lands on the ~n·log n band; the knob was removed from
+    # backoff_score as an attractive nuisance.
     out: dict = {}
     for n in sizes:
         docs = _rich_docs(spark, n).persist()
         docs.count()
         t0 = time.perf_counter()
         lm = train_backoff_lm(docs.filter(F.col("doc_id") % 2 == 0))
-        backoff_score(docs, lm).write.format("noop").mode("overwrite").save()
-        out[n] = {"sec": round(time.perf_counter() - t0, 2)}
+        r = backoff_score(docs, lm).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nll_micronats").alias("s"),
+            F.sum("n_oov").alias("o"),
+        ).first()
+        out[n] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "checksum": [int(r["n"]), int(r["s"]), int(r["o"])],
+        }
         print(f"backoff {n}: {out[n]}", flush=True)
         docs.unpersist()
         spark.catalog.clearCache()
