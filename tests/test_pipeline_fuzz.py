@@ -10,6 +10,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -493,6 +494,125 @@ def test_unigram_train_matches_python_spec(spark, docs, iters):
     got = {r.piece: (r.cnt, r.cost) for r in pieces.collect()}
     want = _unigram_py(docs, iters)
     assert got == want, (docs, iters)
+
+
+# ---------------------------------------------------------------------
+# r8: stupid-backoff trigram LM scoring vs a direct python transcription
+# of the spec (the same chain the DuckDB oracle replays)
+# ---------------------------------------------------------------------
+
+
+@given(train=corpus_strategy, score=corpus_strategy)
+@FUZZ
+def test_backoff_score_matches_python_spec(spark, train, score):
+    from interference_spark.pipeline.lm import backoff_score, train_backoff_lm
+
+    tric, bigc, unic = {}, {}, {}
+    n_tok = 0
+    for d in train:
+        t = _toks(d)
+        n_tok += len(t)
+        for w in t:
+            unic[w] = unic.get(w, 0) + 1
+        for c, w in zip(t, t[1:]):
+            bigc[(c, w)] = bigc.get((c, w), 0) + 1
+        for c2, c1, w in zip(t, t[1:], t[2:]):
+            tric[(c2, c1, w)] = tric.get((c2, c1, w), 0) + 1
+    v = len(unic) + 1
+    want = {}
+    for i, d in enumerate(score):
+        t = _toks(d)
+        if len(t) < 3:
+            continue
+        q = 0
+        hits = [0, 0, 0, 0]  # tri, big, uni, oov
+        for c2, c1, w in zip(t, t[1:], t[2:]):
+            if (c2, c1, w) in tric:
+                p = tric[(c2, c1, w)] / bigc[(c2, c1)]
+                hits[0] += 1
+            elif (c1, w) in bigc:
+                p = 0.4 * (bigc[(c1, w)] / unic[c1])
+                hits[1] += 1
+            elif w in unic:
+                p = 0.4 * (0.4 * (unic[w] / n_tok))
+                hits[2] += 1
+            else:
+                p = 0.4 * (0.4 * (1.0 / (n_tok + v)))
+                hits[3] += 1
+            q += math.floor(math.log(p) * 1e6)
+        want[i] = (len(t) - 2, *hits, -q)
+
+    lm = train_backoff_lm(_df(spark, train))
+    got = {
+        r.doc_id: (
+            r.n_trigrams,
+            r.n_tri_hits,
+            r.n_big_hits,
+            r.n_uni_hits,
+            r.n_oov,
+            r.nll_micronats,
+        )
+        for r in backoff_score(_df(spark, score), lm).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------
+# r8: CCNet perplexity terciles vs a python spec (scoring per the bigram
+# spec above; bucketing = ntile(3) over (nll_nats, doc_id) per language
+# with SQL's first-groups-get-the-remainder rule)
+# ---------------------------------------------------------------------
+
+
+@given(train=corpus_strategy, score=corpus_strategy)
+@FUZZ
+def test_perplexity_buckets_matches_python_spec(spark, train, score):
+    from interference_spark.pipeline.lm import (
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    bigc, ctxc, vocab = {}, {}, set()
+    for d in train:
+        t = _toks(d)
+        vocab.update(t)
+        for c, w in zip(t, t[1:]):
+            bigc[(c, w)] = bigc.get((c, w), 0) + 1
+            ctxc[c] = ctxc.get(c, 0) + 1
+    v = len(vocab) + 1
+    scored = []
+    for i, d in enumerate(score):
+        t = _toks(d)
+        if len(t) < 2:
+            continue
+        q = 0
+        for c, w in zip(t, t[1:]):
+            p = (bigc.get((c, w), 0) + 1) / (ctxc[c] + v) if c in ctxc else 1 / v
+            q += math.floor(math.log(p) * 1e6)
+        scored.append((i, -q / (1e6 * (len(t) - 1))))
+    # two synthetic languages split by doc parity
+    want = {}
+    for lang, rows in (
+        ("aa", [(i, s) for i, s in scored if i % 2 == 0]),
+        ("bb", [(i, s) for i, s in scored if i % 2 == 1]),
+    ):
+        rows.sort(key=lambda r: (r[1], r[0]))
+        n = len(rows)
+        base, rem = divmod(n, 3)
+        sizes = [base + (1 if g < rem else 0) for g in range(3)]
+        names = ["head", "middle", "tail"]
+        pos = 0
+        for g, sz in enumerate(sizes):
+            for i, _s in rows[pos : pos + sz]:
+                want[i] = names[g]
+            pos += sz
+
+    sdf = _df(spark, score).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "aa").otherwise("bb")
+    )
+    lm = train_bigram_lm(_df(spark, train))
+    got = {r.doc_id: r.bucket for r in perplexity_buckets(sdf, lm).collect()}
+    assert got == want
 
 
 # ---------------------------------------------------------------------
