@@ -280,3 +280,16 @@ def maxmatch_encode(
         F.ltrim(F.regexp_replace(F.col("acc"), "^[0-9]+ ", ""))
     )
     return folded.select("word", "freq", sym.alias("sym"))
+
+
+def wordpiece_detokenize(sym: Column) -> Column:
+    """Invert a MaxMatch segmentation string back to the raw word —
+    the round-trip audit before shipping an encoded corpus (the
+    ``bpe_decode`` counterpart at word granularity): continuation
+    markers splice out (``" ##"`` can never occur inside a piece —
+    pieces are whitespace-free), ``[UNK]`` decodes to NULL because the
+    original word is genuinely unrecoverable.  Pure string expression,
+    zero shuffle."""
+    return F.when(sym == _UNK, F.lit(None).cast("string")).otherwise(
+        F.replace(sym, F.lit(" ##"), F.lit(""))
+    )

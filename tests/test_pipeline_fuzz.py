@@ -729,9 +729,18 @@ def test_wordpiece_maxmatch_matches_python_spec(spark, train, enc, n_merges):
     enc_words = wordpiece_word_table(_df(spark, enc))
     if enc_words.count() == 0:
         return
-    got = {
-        r.word: r.sym
-        for r in maxmatch_encode(enc_words, vocab, max_piece_len=6).collect()
-    }
+    enc_df = maxmatch_encode(enc_words, vocab, max_piece_len=6)
+    got = {r.word: r.sym for r in enc_df.collect()}
     want = {w: _maxmatch_py(w, vset, 6) for w in got}
     assert got == want, (train, enc, n_merges)
+    # round-trip: detokenization must recover every non-UNK word exactly
+    from interference_spark.pipeline.wordpiece import wordpiece_detokenize
+
+    rt = {
+        r.word: r.back
+        for r in enc_df.select(
+            "word", wordpiece_detokenize(F.col("sym")).alias("back")
+        ).collect()
+    }
+    for w, back in rt.items():
+        assert back == (None if got[w] == "[UNK]" else w), (w, got[w], back)
