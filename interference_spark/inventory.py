@@ -8510,7 +8510,7 @@ def tokenizer_fertility_report(spark, sf_dir):
     generators share no CTE names), so the whole report value-hashes."""
     from functools import reduce
 
-    from .pipeline.bpe import bpe_train
+    from .pipeline.bpe import bpe_train, subword_stats
     from .pipeline.unigram import unigram_train
     from .pipeline.wordpiece import wordpiece_train
 
@@ -8519,32 +8519,16 @@ def tokenizer_fertility_report(spark, sf_dir):
     _mb, bw = bpe_train(docs, n_merges=_WP_MERGES)
     _pu, uw = unigram_train(docs, iters=2, max_len=4, seed_multi=200)
     _mw, ww = wordpiece_train(docs, n_merges=_WP_MERGES)
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-    inst = (
-        docs.select("lang", F.explode(toks).alias("word"))
-        .filter(F.length("word") <= 24)
-    )
-    outs = []
-    for name, wt in (("bpe", bw), ("unigram", uw), ("wordpiece", ww)):
-        nsub = wt.select("word", F.size(F.split("sym", " ")).alias("n_sub"))
-        outs.append(
-            inst.join(nsub, "word")
-            .groupBy("lang")
-            .agg(
-                F.count(F.lit(1)).alias("n_tokens"),
-                F.sum("n_sub").cast("long").alias("n_subwords"),
-            )
-            .select(
-                F.lit(name).alias("tokenizer"),
-                "lang",
-                "n_tokens",
-                "n_subwords",
-                (
-                    F.col("n_subwords").cast("double")
-                    / F.col("n_tokens").cast("double")
-                ).alias("subwords_per_token"),
-            )
+    outs = [
+        subword_stats(docs, wt, max_word_len=24).select(
+            F.lit(name).alias("tokenizer"),
+            "lang",
+            "n_tokens",
+            F.col("n_subwords").cast("long").alias("n_subwords"),
+            "subwords_per_token",
         )
+        for name, wt in (("bpe", bw), ("unigram", uw), ("wordpiece", ww))
+    ]
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
@@ -8594,8 +8578,10 @@ def wordpiece_encode_maxmatch(spark, sf_dir):
     e = engine_for(spark, sf_dir)
     docs = e.table("documents")
     train_docs = docs.filter(F.col("doc_id") % 2 == 0)
-    merges, _words = wordpiece_train(train_docs, n_merges=_WP_MERGES)
-    vocab = wordpiece_vocab(wordpiece_word_table(train_docs), merges)
+    merges, words = wordpiece_train(train_docs, n_merges=_WP_MERGES)
+    # vocab derives from the TRAINED word table — no training-corpus
+    # re-scan; the full-corpus word table below is the encode input
+    vocab = wordpiece_vocab(words, merges)
     return maxmatch_encode(wordpiece_word_table(docs), vocab, max_piece_len=10)
 
 
@@ -10043,11 +10029,17 @@ def stream_wordpiece_ingest(spark, sf_dir):
     docs = e.table("documents")
     snap = docs.filter("doc_id % 2 = 0")
 
-    merges, _w = wordpiece_train(snap, n_merges=_WP_MERGES)
-    vocab = wordpiece_vocab(wordpiece_word_table(snap), merges)
+    merges, words = wordpiece_train(snap, n_merges=_WP_MERGES)
+    # MATCH vocabulary: trained pieces only — [UNK] is an OUTPUT of
+    # MaxMatch failure, never a matchable piece (a corpus word spelled
+    # "[UNK]..." must segment through its characters; letting the
+    # 5-char sentinel match would diverge from the oracle's wv and
+    # from BERT semantics).  The ID table adds [UNK] so failed words'
+    # tokens still resolve to an id.
+    vocab_tokens = wordpiece_vocab(words, merges).localCheckpoint(eager=True)
     unk = spark.createDataFrame([("[UNK]",)], "token string")
     vocab_ids = (
-        vocab.unionByName(unk)
+        vocab_tokens.unionByName(unk)
         .distinct()
         .select(
             "token",
@@ -10057,7 +10049,6 @@ def stream_wordpiece_ingest(spark, sf_dir):
         )
         .localCheckpoint(eager=True)  # frozen: id table must not drift
     )
-    vocab_tokens = vocab_ids.select("token")
 
     def encode_batch(batch):
         seg = maxmatch_encode(

@@ -412,17 +412,23 @@ def subword_stats(
     words: DataFrame,
     text_col: str = "text",
     by: str = "lang",
+    max_word_len: int | None = None,
 ) -> DataFrame:
     """Apply a trained segmentation to the corpus and report per-group
     compression: token instances, subword instances, and the
     subwords-per-token ratio (one exact division — both engines divide
     the same two BIGINTs).  The corpus joins the (small relative to
     corpus) word table on the token — at scale a broadcast or bucketed
-    join; counts are exact integer sums."""
+    join; counts are exact integer sums.  ``max_word_len`` optionally
+    drops longer instances from the stream — pass the unigram trainer's
+    junk-word cap when comparing tokenizers whose word tables differ in
+    coverage (``inventory.tokenizer_fertility_report``)."""
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
     inst = docs.select(F.col(by), F.explode(toks).alias("word"))
+    if max_word_len is not None:
+        inst = inst.filter(F.length("word") <= max_word_len)
     nsub = words.select(
         "word", F.size(F.split("sym", " ")).alias("n_sub")
     )

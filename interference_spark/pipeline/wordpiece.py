@@ -182,15 +182,25 @@ def wordpiece_train(
     return merges, cur
 
 
-def wordpiece_vocab(words0: DataFrame, merges: DataFrame) -> DataFrame:
+def wordpiece_vocab(words: DataFrame, merges: DataFrame) -> DataFrame:
     """MaxMatch vocabulary ``(token,)``: every base symbol of the
-    INITIAL ``##``-marked word table (all word-initial characters and
-    all ``##``-marked continuation characters — full character
-    coverage over the training corpus) plus every learned merged piece.
-    Vocabulary-sized end to end."""
-    base = (
-        words0.select(F.explode(F.split("sym", " ")).alias("token")).distinct()
+    initial ``##``-marking (all word-initial characters and all
+    ``##``-marked continuation characters — full character coverage
+    over the training corpus) plus every learned merged piece.
+
+    Base symbols derive from the ``word`` column directly (the same
+    indexed transform ``wordpiece_word_table`` applies), so ANY word
+    table works — in particular the trained table ``wordpiece_train``
+    returns — and building the vocabulary never re-scans the corpus.
+    Vocabulary-sized end to end.  The ``[UNK]`` sentinel is
+    deliberately NOT part of this table: it is an OUTPUT of MaxMatch
+    failure, never a matchable piece (a corpus word spelled
+    ``[UNK]...`` must segment through its characters)."""
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    marked = F.transform(
+        chars, lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c))
     )
+    base = words.select(F.explode(marked).alias("token")).distinct()
     return base.unionByName(merges.select(F.col("merged").alias("token"))).distinct()
 
 
@@ -209,8 +219,14 @@ def maxmatch_encode(
     the vocab, one groupBy(word) rebuilding the per-position
     ``best_len`` array, then ONE whole-stage-codegen forward fold per
     word.  ``max_piece_len`` caps candidate RAW length (the ``##``
-    marker is not counted); pieces longer than the cap are unreachable
-    by the encoder — callers pass a cap ≥ the longest trained piece."""
+    marker is not counted) and is PART OF THE ENCODER SPEC: trained
+    pieces longer than the cap exist in the vocabulary but are
+    unreachable, and the encoder deterministically falls back to
+    shorter matches (merged-piece length can grow up to 2^n_merges in
+    the pathological chain, so callers wanting full reachability
+    derive the cap from ``max(length(merged))`` of the merge table —
+    the entry oracles pin the cap at a literal instead, identically on
+    both engines)."""
     w = words.select("word", "freq", F.length("word").alias("n"))
     grid = w.select(
         "word",

@@ -3077,6 +3077,28 @@ def test_wordpiece_maxmatch_longest_first_and_unk(spark):
     assert got["u"] == "u"
 
 
+def test_wordpiece_unk_sentinel_is_not_matchable(spark):
+    """[UNK] is an OUTPUT of MaxMatch failure, never a matchable piece:
+    a corpus word literally spelled '[UNK]x' must segment through its
+    characters, not swallow the 5-char sentinel (the stream ingest
+    entry's id table adds [UNK], but its MATCH vocabulary must not —
+    regression for a review-caught divergence from the oracle)."""
+    from interference_spark.pipeline.wordpiece import (
+        maxmatch_encode,
+        wordpiece_train,
+        wordpiece_vocab,
+        wordpiece_word_table,
+    )
+
+    docs = spark.createDataFrame([(0, "[UNK]x [UNK]x")], "doc_id long, text string")
+    merges, words = wordpiece_train(docs, n_merges=0)
+    vocab = wordpiece_vocab(words, merges)
+    assert "[UNK]" not in {r.token for r in vocab.collect()}
+    got = {r.word: r.sym for r in maxmatch_encode(
+        wordpiece_word_table(docs), vocab).collect()}
+    assert got["[UNK]x"] == "[ ##U ##N ##K ##] ##x"
+
+
 def test_wordpiece_fertility_vs_char_baseline(spark):
     """Trained WordPiece segmentation covers every token and beats the
     character-split fertility baseline on the fixture corpus — the

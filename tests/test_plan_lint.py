@@ -495,6 +495,10 @@ def test_backoff_trigram_plan_jvm_no_sort(spark):
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+    # the name is the contract: assert it, don't just promise it
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "Sort " not in plan, plan[:2000]
 
 
 def test_lang_id_multiclass_scoring_is_literal_projection(spark):
