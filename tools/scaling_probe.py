@@ -573,7 +573,6 @@ def probe_wordpiece(spark, sizes: list[int]) -> dict:
         maxmatch_encode,
         wordpiece_train,
         wordpiece_vocab,
-        wordpiece_word_table,
     )
 
     out: dict = {}
@@ -582,7 +581,9 @@ def probe_wordpiece(spark, sizes: list[int]) -> dict:
         t0 = time.perf_counter()
         merges, words = wordpiece_train(docs, n_merges=8)
         t_train = time.perf_counter() - t0
-        vocab = wordpiece_vocab(wordpiece_word_table(docs), merges)
+        # vocab from the TRAINED word table — no second corpus scan
+        # (recorded r8 curve predates this; it paid one extra scan)
+        vocab = wordpiece_vocab(words, merges)
         enc = maxmatch_encode(words.select("word", "freq"), vocab)
         enc.write.format("noop").mode("overwrite").save()
         out[n] = {
