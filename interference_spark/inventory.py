@@ -7583,20 +7583,23 @@ _BPE_W0 = """w0 AS (
 )"""
 
 
-def _bpe_iter_cte(i: int) -> str:
+def _bpe_iter_cte(i: int, pfx: str = "") -> str:
     """One unrolled BPE iteration: pair counts over w{i-1}, the argmax
     merge rule b{i}, and the re-segmented word table w{i} (the same
     greedy-leftmost fold `pipeline/bpe.merge_fold` runs JVM-side).  The
-    LEFT JOIN keeps words intact if no pair remains (training stopped)."""
-    prev = f"w{i - 1}"
-    return f"""p{i} AS (
+    LEFT JOIN keeps words intact if no pair remains (training stopped).
+    ``pfx`` renames the CTE family (``{pfx}w0`` → ``{pfx}p1`` …) so two
+    independent BPE trainings — e.g. character- and byte-level in the
+    fertility capstone — can unroll in ONE oracle without name capture."""
+    prev = f"{pfx}w{i - 1}"
+    return f"""{pfx}p{i} AS (
   SELECT s[j] AS l, s[j + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
   FROM (SELECT freq, str_split(sym, ' ') AS s FROM {prev}) t,
        LATERAL (SELECT unnest(generate_series(1, len(t.s) - 1)) AS j) jj
   GROUP BY 1, 2
-), b{i} AS (
-  SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
-), w{i} AS (
+), {pfx}b{i} AS (
+  SELECT l, r, cnt FROM {pfx}p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+), {pfx}w{i} AS (
   SELECT word, freq,
          CASE WHEN b.l IS NULL OR instr(sym, ' ') = 0 THEN sym ELSE
            list_reduce(str_split(sym, ' '), (acc, x) -> CASE
@@ -7606,7 +7609,7 @@ def _bpe_iter_cte(i: int) -> str:
                     ELSE regexp_replace(acc, ' ?[^ ]+$', '')
                          || ' ' || b.l || x END
              ELSE acc || ' ' || x END) END AS sym
-  FROM {prev} LEFT JOIN b{i} b ON TRUE
+  FROM {prev} LEFT JOIN {pfx}b{i} b ON TRUE
 )"""
 
 
@@ -8056,6 +8059,223 @@ def bpe_encode_ids(spark, sf_dir):
 
 
 # =====================================================================
+# Byte-level BPE with regex pre-tokenization (pipeline/byte_bpe.py):
+# the GPT-2 tokenizer (Radford et al. 2019) — text splits into
+# pre-tokens by the lookahead-free GPT-2 regex (identical in Java regex
+# and RE2 — the RE2 constraint is what the oracle needs), pre-tokens
+# map to UTF-8 bytes as printable stand-in characters, and the SAME
+# shared BPE loop (`bpe.train_from_words`) learns merges over the
+# 256-symbol byte alphabet.  The corpus is pure lowercase ASCII, so
+# 1/13 of documents get a deterministic adversarial mutation (the
+# curation-funnel precedent) carrying contractions, digits, punctuation,
+# multi-byte UTF-8 (é — …), a double space, a newline, and a tab — every
+# pre-tokenizer branch and the multi-byte byte mapping are non-vacuous
+# at every SF.
+# =====================================================================
+
+_BB_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_BB_PAT_SQL = _BB_PAT.replace("'", "''")
+_BB_MUT = " it's  42 — héllo… \ntab\tend"
+_BB_MUT_SQL = "' it''s  42 — héllo… ' || chr(10) || 'tab' || chr(9) || 'end'"
+_BB_MERGES = 8
+
+
+def _bb_mutate(docs):
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat("text", F.lit(_BB_MUT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _bb_prefix(pfx: str = "", mutate: bool = True) -> str:
+    """Shared oracle CTEs: the GPT-2 byte → stand-in-char table
+    (`byte_bpe.bytes_to_unicode` — printable latin-1 bytes map to
+    themselves, the 68 others to chr(256+k) in ascending byte order),
+    the (optionally mutated) corpus, and the byte-level {pfx}w0 word
+    table (distinct pre-tokens, corpus freq, space-joined stand-in
+    chars) that the `_bpe_iter_cte(pfx=…)` chain then trains over."""
+    src = "bbm" if mutate else "documents"
+    mut_cte = (
+        f""", bbm AS (
+  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+    THEN text || {_BB_MUT_SQL} ELSE text END AS text
+  FROM documents
+)"""
+        if mutate
+        else ""
+    )
+    return f"""bbmap AS (
+  SELECT b, printf('%02X', b) AS hx, c FROM (
+    SELECT b, chr(CAST(b AS INT)) AS c FROM range(256) t(b)
+    WHERE (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+       OR (b BETWEEN 174 AND 255)
+    UNION ALL
+    SELECT b, chr(256 + CAST(row_number() OVER (ORDER BY b) AS INT) - 1)
+           AS c
+    FROM range(256) t(b)
+    WHERE NOT ((b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+               OR (b BETWEEN 174 AND 255))
+  ) u
+){mut_cte}, {pfx}w0 AS (
+  SELECT word, freq, array_to_string(list(c ORDER BY j), ' ') AS sym
+  FROM (
+    SELECT wf.word, wf.freq, g.j, bm.c
+    FROM (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(text, '{_BB_PAT_SQL}'))
+            AS word FROM {src})
+      GROUP BY word
+    ) wf,
+    LATERAL (SELECT unnest(generate_series(1,
+             octet_length(encode(wf.word)))) AS j) g,
+    bbmap bm
+    WHERE bm.hx = substr(hex(encode(wf.word)), 2*g.j - 1, 2)
+  ) GROUP BY word, freq
+)"""
+
+
+def _byte_bpe_ctes(
+    k: int = _BB_MERGES, pfx: str = "", mutate: bool = True
+) -> str:
+    return ",\n".join(
+        [_bb_prefix(pfx, mutate)]
+        + [_bpe_iter_cte(i, pfx) for i in range(1, k + 1)]
+    )
+
+
+def _byte_bpe_train_oracle(k: int = _BB_MERGES) -> str:
+    rows = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS BIGINT) AS merge_rank, l AS "left",'
+        f' r AS "right", l || r AS merged, cnt AS pair_count FROM b{i}'
+        for i in range(1, k + 1)
+    )
+    return f"WITH {_byte_bpe_ctes(k)}\n{rows}"
+
+
+def _byte_bpe_encode_oracle(k: int = _BB_MERGES, mod: int = 11) -> str:
+    """Byte-level encode replay: vocabulary ids (256 byte stand-ins at
+    their BYTE value, merges at 256+rank-1, collisions keep min id),
+    sampled mutated docs' pre-tokens re-segmented by w{k} (every
+    pre-token hits — the sample's vocabulary is the training
+    vocabulary), flattened to per-document position-indexed ids."""
+    mr = "\nUNION ALL\n".join(
+        f"SELECT l || r AS token, CAST(256 + {i} - 1 AS BIGINT) AS token_id"
+        f" FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""WITH {_byte_bpe_ctes(k)},
+vocab AS (
+  SELECT token, CAST(min(token_id) AS BIGINT) AS token_id FROM (
+    SELECT c AS token, CAST(b AS BIGINT) AS token_id FROM bbmap
+    UNION ALL
+    {mr}
+  ) GROUP BY token
+), dw AS (
+  SELECT doc_id, j.j AS wpos, t.w[j.j] AS word
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_BB_PAT_SQL}') AS w
+        FROM bbm WHERE doc_id % {mod} = 0) t
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS j) j
+), ds AS (
+  SELECT u.doc_id, u.wpos, j2.j2 AS spos, u.s[j2.j2] AS token
+  FROM (SELECT dw.doc_id, dw.wpos, str_split(w{k}.sym, ' ') AS s
+        FROM dw JOIN w{k} USING (word)) u
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(u.s))) AS j2) j2
+)
+SELECT ds.doc_id,
+       CAST(row_number() OVER (PARTITION BY ds.doc_id
+                               ORDER BY ds.wpos, ds.spos) - 1
+            AS BIGINT) AS pos,
+       ds.token, vocab.token_id
+FROM ds JOIN vocab USING (token)"""
+
+
+@query("byte_bpe_train_merges", _byte_bpe_train_oracle())
+def byte_bpe_train_merges(spark, sf_dir):
+    """Byte-level BPE training (`pipeline/byte_bpe.byte_bpe_train`;
+    Radford et al. 2019): 8 merge rules learned over the byte-alphabet
+    pre-token table of the (adversarially mutated) corpus.  Same
+    distributed shape as `bpe_train_merges` — the byte mapping and every
+    merge round touch only the DISTINCT pre-token table; the corpus is
+    scanned once — and the oracle reuses the identical unrolled
+    iteration CTEs over a byte-level w0, so the full training trajectory
+    value-hashes."""
+    from .pipeline.byte_bpe import byte_bpe_train
+
+    e = engine_for(spark, sf_dir)
+    merges, words = byte_bpe_train(
+        _bb_mutate(e.table("documents")), n_merges=_BB_MERGES
+    )
+    return merges
+
+
+@query("byte_bpe_encode_ids", _byte_bpe_encode_oracle())
+def byte_bpe_encode_ids(spark, sf_dir):
+    """Byte-level corpus tokenization (`pipeline/byte_bpe.byte_bpe_vocab`
+    + `byte_bpe_encode`): byte stand-ins take ids 0..255 at their byte
+    value (the GPT-2 base-alphabet convention — no corpus scan), merges
+    take 256+rank-1, and a 1-in-11 document sample is flattened to
+    position-indexed token-id sequences.  Encode is TOTAL — unseen
+    pre-tokens fall back to their byte segmentation, so there is no OOV
+    mode.  Word-table and vocab joins broadcast; the only shuffle
+    partitions by document."""
+    from .pipeline.byte_bpe import (
+        byte_bpe_encode,
+        byte_bpe_train,
+        byte_bpe_vocab,
+    )
+
+    e = engine_for(spark, sf_dir)
+    docs = _bb_mutate(e.table("documents"))
+    merges, words = byte_bpe_train(docs, n_merges=_BB_MERGES)
+    out = byte_bpe_encode(
+        docs.filter("doc_id % 11 = 0"), words, byte_bpe_vocab(merges)
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "byte_bpe_roundtrip",
+    f"""SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0
+            THEN text || {_BB_MUT_SQL} ELSE text END AS text
+FROM documents WHERE doc_id % 7 = 0 AND length(text) > 0""",
+)
+def byte_bpe_roundtrip(spark, sf_dir):
+    """EXACT byte-level round trip (`byte_bpe_decode(byte_bpe_encode(x))
+    == x`, byte for byte — not whitespace-normalized: the GPT-2
+    pre-tokenizer branches cover every character class, so pre-token
+    concatenation IS the input).  The entry trains the 8-merge
+    tokenizer, encodes a 1-in-7 mutated-doc sample, decodes it back
+    (stand-in chars → hex → `unhex` → UTF-8), and returns (doc_id,
+    text); the oracle is the INDEPENDENT expectation — the mutated input
+    itself — so the value hash proves losslessness through the whole
+    train→vocab→encode→decode stack, including the newline/tab/
+    multi-byte mutation path.  The encoder's fuzzed round-trip property
+    lives in tests/test_byte_bpe.py; this is its driver-gated twin."""
+    from .pipeline.byte_bpe import (
+        byte_bpe_decode,
+        byte_bpe_encode,
+        byte_bpe_train,
+        byte_bpe_vocab,
+    )
+
+    e = engine_for(spark, sf_dir)
+    docs = _bb_mutate(e.table("documents")).filter("length(text) > 0")
+    merges, words = byte_bpe_train(docs, n_merges=_BB_MERGES)
+    enc = byte_bpe_encode(
+        docs.filter("doc_id % 7 = 0"), words, byte_bpe_vocab(merges)
+    )
+    out = byte_bpe_decode(enc)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# =====================================================================
 # Unigram-LM (SentencePiece-style) tokenizer training
 # (pipeline/unigram.py): the second classic subword algorithm next to
 # BPE — hard-EM (Viterbi) over candidate-piece likelihoods on the
@@ -8463,12 +8683,15 @@ def _wp_encode_oracle(k: int = _WP_MERGES, max_piece_len: int = 10) -> str:
 
 
 def _triad_fertility_oracle(k: int = _WP_MERGES) -> str:
-    """All three tokenizer trainings unrolled in ONE oracle (the BPE,
-    unigram, and WordPiece CTE generators share no names), then one
-    fertility block per tokenizer over the SAME instance stream.  The
-    instance stream applies unigram's 24-char junk-word cap to ALL
-    three tokenizers so coverage is identical and the ratios
-    comparable (the cap is part of the entry spec)."""
+    """All FOUR tokenizer trainings unrolled in ONE oracle (the BPE,
+    unigram, and WordPiece CTE generators share no names; byte-BPE
+    reuses the BPE iteration CTEs under the ``bb`` prefix), then one
+    fertility block per tokenizer.  The three word-level tokenizers
+    share the SAME whitespace-word instance stream with unigram's
+    24-char junk-word cap applied uniformly; the byte-level row scores
+    its own unit — the GPT-2 PRE-token (space-only pre-tokens excluded,
+    same 24-char cap) — since byte merges never see bare words.  Both
+    caps are part of the entry spec."""
     fert = "\nUNION ALL\n".join(
         f"""SELECT '{name}' AS tokenizer, lang,
        CAST(count(*) AS BIGINT) AS n_tokens,
@@ -8481,36 +8704,56 @@ FROM finst JOIN f{tag} USING (word) GROUP BY lang"""
     return f"""WITH {_bpe_ctes(k)},
 {_unigram_ctes(2)},
 {_wp_ctes(k)},
+{_byte_bpe_ctes(k, pfx="bb", mutate=False)},
 finst AS (
   SELECT lang, word
   FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
         FROM documents)
   WHERE word <> '' AND length(word) <= 24
+), binst AS (
+  SELECT lang, word
+  FROM (SELECT lang, unnest(regexp_extract_all(text, '{_BB_PAT_SQL}'))
+        AS word FROM documents)
+  WHERE trim(word) <> '' AND length(word) <= 24
 ), fb AS (
   SELECT word, CAST(len(str_split(sym, ' ')) AS BIGINT) AS n_sub FROM w{k}
 ), fu AS (
   SELECT word, CAST(len(str_split(sym, ' ')) AS BIGINT) AS n_sub FROM useg2
 ), fw AS (
   SELECT word, CAST(len(str_split(sym, ' ')) AS BIGINT) AS n_sub FROM wp{k}
+), fbb AS (
+  SELECT word, CAST(len(str_split(sym, ' ')) AS BIGINT) AS n_sub FROM bbw{k}
 )
-{fert}"""
+{fert}
+UNION ALL
+SELECT 'byte_bpe' AS tokenizer, lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       CAST(CAST(sum(n_sub) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS subwords_per_token
+FROM binst JOIN fbb USING (word) GROUP BY lang"""
 
 
 @query("tokenizer_fertility_report", _triad_fertility_oracle(_WP_MERGES))
 def tokenizer_fertility_report(spark, sf_dir):
-    """Tokenizer-triad capstone: train all three classic subword
-    tokenizers on the same corpus — BPE (frequency argmax), unigram-LM
-    (hard-EM pruning), WordPiece (likelihood-gain argmax) — and report
-    per-language fertility (subwords per token) side by side, the
-    comparison a pipeline runs before picking its tokenizer.  One
-    instance stream (unigram's 24-char junk-word cap applied uniformly
-    so all three cover the same tokens — part of the spec), one
-    broadcast-sized segmentation join + combiner groupBy per tokenizer.
-    All THREE training trajectories unroll in the single oracle (the
-    generators share no CTE names), so the whole report value-hashes."""
+    """Tokenizer capstone: train all FOUR classic subword tokenizers on
+    the same corpus — BPE (frequency argmax), unigram-LM (hard-EM
+    pruning), WordPiece (likelihood-gain argmax), and byte-level BPE
+    (GPT-2 pre-tokens over the byte alphabet) — and report per-language
+    fertility (subwords per token) side by side, the comparison a
+    pipeline runs before picking its tokenizer.  The three word-level
+    tokenizers share one instance stream (unigram's 24-char junk-word
+    cap applied uniformly so they cover the same tokens — part of the
+    spec); the byte row scores its own unit, the GPT-2 pre-token
+    (space-only pre-tokens excluded, same cap).  One broadcast-sized
+    segmentation join + combiner groupBy per tokenizer.  All FOUR
+    training trajectories unroll in the single oracle (byte-BPE rides
+    the shared iteration CTEs under the ``bb`` prefix), so the whole
+    report value-hashes."""
     from functools import reduce
 
     from .pipeline.bpe import bpe_train, subword_stats
+    from .pipeline.byte_bpe import byte_bpe_train, byte_subword_stats
     from .pipeline.unigram import unigram_train
     from .pipeline.wordpiece import wordpiece_train
 
@@ -8519,6 +8762,7 @@ def tokenizer_fertility_report(spark, sf_dir):
     _mb, bw = bpe_train(docs, n_merges=_WP_MERGES)
     _pu, uw = unigram_train(docs, iters=2, max_len=4, seed_multi=200)
     _mw, ww = wordpiece_train(docs, n_merges=_WP_MERGES)
+    _mbb, bbw = byte_bpe_train(docs, n_merges=_WP_MERGES)
     outs = [
         subword_stats(docs, wt, max_word_len=24).select(
             F.lit(name).alias("tokenizer"),
@@ -8528,6 +8772,16 @@ def tokenizer_fertility_report(spark, sf_dir):
             "subwords_per_token",
         )
         for name, wt in (("bpe", bw), ("unigram", uw), ("wordpiece", ww))
+    ] + [
+        # 4th row (VERDICT r8 ask #2): byte-level BPE, scored on its own
+        # unit — the GPT-2 pre-token (see byte_subword_stats)
+        byte_subword_stats(docs, bbw, max_word_len=24).select(
+            F.lit("byte_bpe").alias("tokenizer"),
+            "lang",
+            "n_tokens",
+            F.col("n_subwords").cast("long").alias("n_subwords"),
+            "subwords_per_token",
+        )
     ]
     return reduce(lambda a, b: a.unionByName(b), outs)
 

@@ -180,12 +180,29 @@ def bpe_train(
     been changed by a higher-ranked merge — the standard, accepted
     approximation (each rule's ``pair_count`` is its count at the start
     of its round)."""
+    return train_from_words(
+        word_table(docs, text_col), n_merges, merges_per_round
+    )
+
+
+def train_from_words(
+    words: DataFrame,
+    n_merges: int = 8,
+    merges_per_round: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """The BPE training loop over an already-built ``(word, freq, sym)``
+    table — the alphabet-agnostic core shared by character-level
+    ``bpe_train`` and byte-level ``byte_bpe.byte_bpe_train`` (the loop
+    never inspects symbols, only splits/joins on the ``' '`` separator,
+    so any alphabet whose symbols contain no literal space works).
+    Contract (ranks, tie-breaks, batching, localCheckpoint lineage
+    truncation) is exactly ``bpe_train``'s — see its docstring."""
     if merges_per_round < 1:
         raise ValueError(
             f"merges_per_round must be >= 1, got {merges_per_round}"
         )
-    spark = docs.sparkSession
-    cur = word_table(docs, text_col).persist()
+    spark = words.sparkSession
+    cur = words.persist()
     cur.count()
     rules: list[tuple[int, str, str, str, int]] = []
     rank = 1

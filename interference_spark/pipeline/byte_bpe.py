@@ -1,0 +1,293 @@
+"""Byte-level BPE with regex pre-tokenization (Radford et al. 2019,
+"Language Models are Unsupervised Multitask Learners" — the GPT-2
+tokenizer; public knowledge).  The tokenizer frontier pipelines actually
+run: text is split by a GPT-2-style regex into PRE-TOKENS (contractions,
+space-prefixed letter/digit/punctuation runs, whitespace runs), each
+pre-token is mapped to its UTF-8 BYTES, each byte to a printable stand-in
+character (``bytes_to_unicode`` — the table that makes ``Ġ`` the space
+marker), and BPE merges are learned over that 256-symbol byte alphabet.
+Consequences the character-level tokenizer (``pipeline/bpe.py``) cannot
+offer:
+
+* **No OOV, ever** — every string is a byte sequence and all 256 byte
+  symbols are in the base vocabulary, so encode is total and
+  ``byte_bpe_decode(byte_bpe_encode(x)) == x`` EXACTLY (not
+  whitespace-normalized: the pre-tokenizer's branches cover every
+  character class, so the pre-token concatenation is the input).
+* Merges never cross pre-token boundaries (the regex is the merge
+  firewall GPT-2 uses instead of whitespace).
+
+Pre-tokenizer spec: the GPT-2 pattern WITHOUT its ``\\s+(?!\\S)``
+lookahead branch —
+
+    ``'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+``
+
+RE2 (DuckDB's regex engine, hence the driver oracle) does not support
+lookahead, so this repo's spec drops it; the only divergence from GPT-2
+is that an interior whitespace RUN keeps its last space instead of
+donating it to the following token ("a  b" → ["a", "  ", "b"] here vs
+["a", " ", " b"] in GPT-2).  Tokenization stays exhaustive and lossless
+— the property the round-trip entry proves — and Java regex (Spark) and
+RE2 (DuckDB) produce identical token streams for this pattern
+(cross-engine parity is fuzz-locked in ``tests/test_byte_bpe.py``).
+
+Distributed shape mirrors ``pipeline/bpe.py``: training state lives in
+the DISTINCT pre-token table ``(word, freq, sym)`` — the byte mapping
+runs once per distinct pre-token, never per corpus occurrence — and the
+merge loop itself is ``bpe.train_from_words`` (alphabet-agnostic: byte
+stand-in characters contain no literal space, the ``sym`` separator).
+Encode touches the corpus once: pre-token explode → broadcast word-table
+join (byte-split fallback makes it total) → broadcast vocab join → one
+per-document window sort.  No reference analogue (the reference has no
+text processing; its SQL surface stops at LIKE-contains,
+``sql/NestedCondition.java:173-188``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: GPT-2 split pattern, lookahead-free (see module docstring).  One
+#: string, valid and IDENTICAL in Java regex and RE2.
+GPT2_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's byte → stand-in-character table: bytes that are printable
+    in latin-1 ([33,126] ∪ [161,172] ∪ [174,255]) map to themselves,
+    the remaining 68 (controls, space, DEL, NBSP, SHY) map to
+    ``chr(256+k)`` in ascending byte order — so 0x20 → ``Ġ`` (chr 288),
+    0x0A → ``Ċ``.  Every stand-in is one printable codepoint and none is
+    a literal space, which is what makes space-joined ``sym`` safe."""
+    printable = (
+        list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    )
+    table = {b: chr(b) for b in printable}
+    k = 0
+    for b in range(256):
+        if b not in table:
+            table[b] = chr(256 + k)
+            k += 1
+    return table
+
+
+@lru_cache(maxsize=1)
+def _hex_to_char() -> tuple[tuple[str, str], ...]:
+    """(uppercase hex pair, stand-in char) for all 256 bytes — the key
+    shape both engines produce (`hex(encode(s))` is uppercase in Spark
+    AND DuckDB)."""
+    return tuple(
+        (f"{b:02X}", c) for b, c in sorted(bytes_to_unicode().items())
+    )
+
+
+def _hex_map() -> Column:
+    """256-entry literal map hex-pair → stand-in char (constant;
+    evaluated against vocab-sized tables, not the corpus)."""
+    items: list[Column] = []
+    for hx, c in _hex_to_char():
+        items += [F.lit(hx), F.lit(c)]
+    return F.create_map(*items)
+
+
+def _char_to_hex_map() -> Column:
+    """The inverse literal map, for decode."""
+    items: list[Column] = []
+    for hx, c in _hex_to_char():
+        items += [F.lit(c), F.lit(hx)]
+    return F.create_map(*items)
+
+
+def pre_tokens(col: Column) -> Column:
+    """The pre-token array of a text column (codegen regex, no UDF)."""
+    return F.regexp_extract_all(col, F.lit(GPT2_SPLIT_PATTERN), 0)
+
+
+def byte_sym(col: Column) -> Column:
+    """A pre-token's byte-level segmentation start state: UTF-8 bytes as
+    space-joined stand-in characters (``hex(encode(…))`` sliced into
+    pairs, each mapped through the 256-entry table — all JVM-side)."""
+    pairs = F.regexp_extract_all(
+        F.hex(F.encode(col, "UTF-8")), F.lit(".."), 0
+    )
+    m = _hex_map()
+    return F.array_join(
+        F.transform(pairs, lambda h: F.element_at(m, h)), " "
+    )
+
+
+def byte_word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct pre-tokens with corpus frequencies and byte-level start
+    segmentation ``(word, freq, sym)`` — the byte-level sibling of
+    ``bpe.word_table``.  One map-side-combined shuffle (the pre-token
+    groupBy); the byte mapping runs on the distinct table only."""
+    words = (
+        docs.select(F.explode(pre_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.withColumn("sym", byte_sym(F.col("word")))
+
+
+def byte_bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    merges_per_round: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Train byte-level BPE merges: the byte word table through the
+    shared ``bpe.train_from_words`` loop (ranks, exact-BIGINT counts,
+    count DESC / left ASC / right ASC tie-break, symbol-disjoint
+    batching, localCheckpoint lineage truncation — all identical to the
+    character-level trainer, so the SQL oracle unrolls the same way).
+    Returns ``(merges, words)``."""
+    from .bpe import train_from_words
+
+    return train_from_words(
+        byte_word_table(docs, text_col), n_merges, merges_per_round
+    )
+
+
+def byte_bpe_vocab(merges: DataFrame) -> DataFrame:
+    """Token-id table ``(token, token_id)``: the 256 byte stand-ins take
+    ids 0..255 in BYTE order (the GPT-2 convention — no corpus scan
+    needed, unlike the character-level ``bpe_vocab``), merges take
+    ``256 + merge_rank - 1``; a merged string that collides (two rule
+    pairs can concatenate to the same string) keeps the smallest id."""
+    spark = merges.sparkSession
+    base = spark.createDataFrame(
+        [(c, b) for b, c in sorted(bytes_to_unicode().items())],
+        "token string, token_id long",
+    )
+    m = merges.select(
+        F.col("merged").alias("token"),
+        (F.lit(256) + F.col("merge_rank") - 1).cast("long").alias("token_id"),
+    )
+    return (
+        base.unionByName(m)
+        .groupBy("token")
+        .agg(F.min("token_id").alias("token_id"))
+    )
+
+
+def byte_bpe_encode(
+    docs: DataFrame,
+    words: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    with_word_index: bool = False,
+) -> DataFrame:
+    """Encode documents to byte-level token-id sequences.  Total — no
+    OOV mode knob: pre-tokens missing from the trained word table fall
+    back to their raw byte segmentation (``byte_sym``), whose symbols
+    are always in the base vocabulary.  Shape: pre-token explode →
+    word-table join (broadcast at scale: distinct pre-tokens ≪ corpus)
+    → broadcast vocab join → one per-document window sort
+    (embarrassingly parallel across docs).  ``with_word_index`` adds
+    ``wpos`` (pre-token index) for ``byte_bpe_decode``."""
+    from pyspark.sql import Window
+
+    dw = docs.select(
+        F.col(doc_col),
+        F.posexplode(pre_tokens(F.col(text_col))).alias("wpos", "word"),
+    )
+    seg = dw.join(words.select("word", "sym"), "word", "left").select(
+        F.col(doc_col),
+        "wpos",
+        F.coalesce("sym", byte_sym(F.col("word"))).alias("sym"),
+    )
+    sub = seg.select(
+        F.col(doc_col),
+        "wpos",
+        F.posexplode(F.split("sym", " ")).alias("spos", "token"),
+    )
+    w = Window.partitionBy(doc_col).orderBy("wpos", "spos")
+    extra = (
+        [F.col("wpos").cast("long").alias("wpos")] if with_word_index else []
+    )
+    return sub.join(F.broadcast(vocab), "token").select(
+        F.col(doc_col),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        *extra,
+        "token",
+        "token_id",
+    )
+
+
+def byte_subword_stats(
+    docs: DataFrame,
+    words: DataFrame,
+    by: str = "lang",
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """Per-group fertility of a trained byte-level segmentation —
+    ``bpe.subword_stats`` with the PRE-TOKEN as the token unit (the
+    byte tokenizer's own unit; space-only pre-tokens are excluded so
+    the unit stays comparable to whitespace words, and ``max_word_len``
+    caps the RAW pre-token length, mirroring the unigram junk-word cap
+    when tokenizers are compared side by side).  One corpus explode, a
+    broadcast-sized segmentation join, exact integer sums."""
+    inst = docs.select(
+        F.col(by), F.explode(pre_tokens(F.col("text"))).alias("word")
+    ).filter(F.trim(F.col("word")) != "")
+    if max_word_len is not None:
+        inst = inst.filter(F.length("word") <= max_word_len)
+    nsub = words.select("word", F.size(F.split("sym", " ")).alias("n_sub"))
+    return (
+        inst.join(nsub, "word")
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .select(
+            by,
+            "n_tokens",
+            "n_subwords",
+            (
+                F.col("n_subwords").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("subwords_per_token"),
+        )
+    )
+
+
+def byte_bpe_decode(
+    encoded: DataFrame,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Invert ``byte_bpe_encode`` EXACTLY: per document, token strings
+    concatenate in ``pos`` order (pre-tokens carry their own spaces —
+    no separator), stand-in characters map back to hex, ``unhex`` +
+    UTF-8 decode restores the original text byte for byte.  One
+    doc-keyed combine; the per-character reverse mapping is bounded by
+    document length and runs entirely JVM-side.  Unlike the
+    character-level ``bpe_decode`` this needs no vocab join and no
+    ``wpos``: the byte stand-ins self-delimit."""
+    rev = _char_to_hex_map()
+    bu = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token"))),
+            lambda x: x["token"],
+        ),
+        "",
+    )
+    per_doc = encoded.groupBy(doc_col).agg(bu.alias("__bu"))
+    hexstr = F.array_join(
+        F.transform(
+            F.filter(F.split("__bu", ""), lambda c: c != ""),
+            lambda c: F.element_at(rev, c),
+        ),
+        "",
+    )
+    return per_doc.select(
+        F.col(doc_col),
+        F.decode(F.unhex(hexstr), "UTF-8").alias("text"),
+    )
