@@ -343,6 +343,59 @@ def perplexity_buckets(
     )
 
 
+def perplexity_bucket_cutoffs(
+    df: DataFrame,
+    lm: BigramLM,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lo: float = 2.0,
+    hi: float = 6.0,
+    bins: int = 256,
+) -> DataFrame:
+    """``perplexity_buckets`` without the per-language sort — the
+    documented dominant-language escape hatch, shipped as an operator
+    (VERDICT r8 ask #3).  Tercile CUTOFFS come from the mergeable
+    fixed-width histogram sketch (``sketch.hist_group_quantiles`` at
+    q = 1/3, 2/3 over the ``[lo, hi)`` NLL domain — dyadic bin width,
+    so the interpolation is engine-exact), then every document gets its
+    bucket by a stateless comparison against the broadcast per-language
+    cutoffs.  Same output shape as ``perplexity_buckets``; boundary
+    semantics differ by spec — ``nll ≤ cutoff`` (sketch boundary)
+    instead of ntile's exact rank split, the standard accuracy trade.
+
+    Scale shape: the scoring joins + ONE map-side-combined groupBy
+    whose shuffle carries at most ``languages × bins`` histogram rows —
+    no per-language sort, so a 45%%-English 100 TB corpus no longer
+    funnels one giant partition through an ntile window; the histogram
+    partials merge additively wherever the data lives."""
+    from .sketch import hist_group_quantiles
+
+    scored = perplexity_score(df, lm, text_col=text_col, id_col=id_col)
+    keyed = scored.join(df.select(id_col, by), id_col)
+    q1, q2 = 1 / 3, 2 / 3
+    cuts = hist_group_quantiles(
+        keyed, (by,), "nll_nats", qs=(q1, q2), lo=lo, hi=hi, bins=bins
+    ).select(
+        by,
+        F.col(f"q_{str(q1)[2:]}").alias("cut_head"),
+        F.col(f"q_{str(q2)[2:]}").alias("cut_middle"),
+    )
+    bucket = (
+        F.when(F.col("nll_nats") <= F.col("cut_head"), F.lit("head"))
+        .when(F.col("nll_nats") <= F.col("cut_middle"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return keyed.join(F.broadcast(cuts), by).select(
+        id_col,
+        by,
+        "n_bigrams",
+        "nll_micronats",
+        "nll_nats",
+        bucket.alias("bucket"),
+    )
+
+
 def bigram_count_deltas(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One micro-batch's additive LM-count delta: (c, w, cw) over just
     this batch's documents.

@@ -3036,6 +3036,63 @@ def test_perplexity_buckets_terciles_and_remainder_rule(spark):
     assert {r.doc_id for r in by_bucket["tail"]} == {5, 6}
 
 
+def test_perplexity_bucket_cutoffs_matches_exact_terciles(spark):
+    """The sketch-cutoff variant (r9): same output shape as the ntile
+    bucketing, monotone buckets, and — on a fixture whose NLL values sit
+    in distinct histogram bins — the SAME assignment as the exact
+    terciles.  Cross-language independence included (one language's
+    scores must not shift another's cutoffs)."""
+    from interference_spark.pipeline.lm import (
+        perplexity_bucket_cutoffs,
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "en", "a b a b a b a b"), (101, "fr", "c d c d c d")],
+        "doc_id long, lang string, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (0, "en", "a b a b a b"),
+            (1, "en", "a b a b"),
+            (2, "en", "a b"),
+            (3, "en", "a b b a"),
+            (4, "en", "b a b a"),
+            (5, "en", "z z z z"),
+            (6, "en", "z q z q"),
+            (7, "fr", "c d c d"),
+            (8, "fr", "d c"),
+            (9, "fr", "z z z"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    lm = train_bigram_lm(train)
+    # the [2,6) default is corpus-calibrated; this toy fixture's NLLs sit
+    # around 0.5-1.7 nats, so pass the domain explicitly (dyadic width)
+    got = {
+        r.doc_id: r
+        for r in perplexity_bucket_cutoffs(
+            score, lm, lo=0.0, hi=8.0
+        ).collect()
+    }
+    exact = {r.doc_id: r for r in perplexity_buckets(score, lm).collect()}
+    assert set(got) == set(exact)
+    assert got[0].bucket == "head" and got[5].bucket == "tail"
+    for lang in ("en", "fr"):
+        g = sorted(
+            (r for r in got.values() if r.lang == lang),
+            key=lambda r: r.nll_nats,
+        )
+        order = {"head": 0, "middle": 1, "tail": 2}
+        ranks = [order[r.bucket] for r in g]
+        assert ranks == sorted(ranks), g  # monotone in NLL
+    # distinct-bin fixture: sketch assignment == exact ntile assignment
+    assert {d: r.bucket for d, r in got.items()} == {
+        d: r.bucket for d, r in exact.items()
+    }
+
+
 def test_wordpiece_argmax_is_likelihood_gain_not_frequency(spark):
     """WordPiece's defining difference from BPE: the merge argmax is
     cnt(pair)/(cnt(l)·cnt(r)), not raw pair frequency.  Fixture: 'ab'
