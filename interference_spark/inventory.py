@@ -9290,6 +9290,95 @@ def stream_lm_ingest(spark, sf_dir):
 
 
 @query(
+    "stream_backoff_ingest",
+    """WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT CAST(3 AS INT) AS n, t[i] AS g1, t[i+1] AS g2, t[i+2] AS g3,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT t, unnest(generate_series(1, len(t)-2)) AS i
+      FROM t WHERE len(t) >= 3)
+GROUP BY 2, 3, 4
+UNION ALL
+SELECT CAST(2 AS INT) AS n, t[i] AS g1, t[i+1] AS g2,
+       CAST(NULL AS VARCHAR) AS g3, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+      FROM t WHERE len(t) >= 2)
+GROUP BY 2, 3
+UNION ALL
+SELECT CAST(1 AS INT) AS n, w AS g1, CAST(NULL AS VARCHAR) AS g2,
+       CAST(NULL AS VARCHAR) AS g3, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(t) AS w FROM t)
+GROUP BY 2""",
+)
+def stream_backoff_ingest(spark, sf_dir):
+    """Streaming maintenance of the FULL stupid-backoff trigram LM
+    (`pipeline/lm.backoff_count_deltas` / `merge_backoff_counts` —
+    VERDICT r8 ask #4: `stream_lm_ingest`'s shape at trigram order).
+    The model is its trigram/bigram/unigram count triple in ONE unified
+    additive table, so keeping it current under ingestion is the same
+    LSM-style append-only delta store: the even-doc snapshot is counted
+    once, the odd half arrives as two parquet micro-batches whose
+    ``foreachBatch`` appends each batch's three map-side-combined count
+    deltas (batch-sized work, no state store, no retraining), and
+    readers compact with one keyed sum.  The entry returns the merged
+    triple; the oracle is the full-corpus count triple, so streamed +
+    snapshot deltas must reproduce the batch answer EXACTLY — and
+    `backoff_lm_from_counts` reconstructs the complete scoring model
+    (totals included) from this table alone, scoring bit-equal to a
+    fresh `train_backoff_lm` (locked in tests/test_pipeline_ops.py)."""
+    import os
+    import uuid as _uuid
+
+    from .pipeline.lm import backoff_count_deltas, merge_backoff_counts
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    tag = _uuid.uuid4().hex[:8]
+    store = os.path.join(e.warehouse, f"bko_counts_{tag}")
+    src = os.path.join(e.warehouse, f"bko_src_{tag}")
+    ck = src + "_ck"
+
+    backoff_count_deltas(docs.filter("doc_id % 2 = 0")).write.mode(
+        "append"
+    ).parquet(store)
+    docs.filter("doc_id % 4 = 1").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 4 = 3").coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def ingest(batch, _bid):
+        backoff_count_deltas(batch).write.mode("append").parquet(store)
+
+    q = (
+        sdf.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.stop()
+        merged = merge_backoff_counts(spark.read.parquet(store))
+        rows = merged.collect()
+        schema = merged.schema
+    finally:
+        import shutil
+
+        q.stop()
+        # counts fully collected; drop the throwaway store/source/
+        # checkpoint dirs (the stream_quality_gate cleanup pattern)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
     "text_novelty_ngrams",
     """WITH ref AS (
   SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS g

@@ -422,6 +422,100 @@ def merge_bigram_counts(deltas: DataFrame) -> DataFrame:
     )
 
 
+def backoff_count_deltas(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One micro-batch's additive delta for the FULL stupid-backoff
+    count triple — trigram/bigram/unigram in ONE unified table
+    ``(n, g1, g2, g3, cnt)``: n=3 rows carry (c2, c1, w), n=2 rows
+    (c, w, NULL), n=1 rows (w, NULL, NULL).  `bigram_count_deltas`
+    generalized to trigram order (VERDICT r8 ask #4): the model IS its
+    count tables, and those are additive, so streaming maintenance is
+    an append-only LSM-style delta store — each micro-batch computes
+    three map-side-combined counts over its own rows (batch-sized work,
+    no state store, no retraining), `merge_backoff_counts` is the
+    compaction, and `backoff_lm_from_counts` reconstructs the scoring
+    model — totals included — from the merged table alone."""
+    tri = (
+        _trigrams(df, text_col, [])
+        .groupBy("c2", "c1", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit(3).alias("n"),
+            F.col("c2").alias("g1"),
+            F.col("c1").alias("g2"),
+            F.col("w").alias("g3"),
+            "cnt",
+        )
+    )
+    big = (
+        _bigrams(df, text_col, [])
+        .groupBy("c", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit(2).alias("n"),
+            F.col("c").alias("g1"),
+            F.col("w").alias("g2"),
+            F.lit(None).cast("string").alias("g3"),
+            "cnt",
+        )
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    uni = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit(1).alias("n"),
+            F.col("w").alias("g1"),
+            F.lit(None).cast("string").alias("g2"),
+            F.lit(None).cast("string").alias("g3"),
+            "cnt",
+        )
+    )
+    return tri.unionByName(big).unionByName(uni)
+
+
+def merge_backoff_counts(deltas: DataFrame) -> DataFrame:
+    """Compact a backoff-delta store into current counts (one keyed
+    sum over the unified (n, g1, g2, g3) key)."""
+    return deltas.groupBy("n", "g1", "g2", "g3").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def backoff_lm_from_counts(counts: DataFrame) -> BackoffLM:
+    """Reconstruct the scoring model from a merged unified count table —
+    the reader side of streaming maintenance.  The totals derive from
+    the unigram slice (N = Σ counts, V = distinct unigrams + 1), so the
+    count table IS the complete model state; scoring a corpus against a
+    merged store is bit-equal to scoring against a freshly trained
+    `train_backoff_lm` (locked by test)."""
+    tri = counts.filter(F.col("n") == 3).select(
+        F.col("g1").alias("c2"),
+        F.col("g2").alias("c1"),
+        F.col("g3").alias("w"),
+        F.col("cnt").alias("ct"),
+    )
+    big = counts.filter(F.col("n") == 2).select(
+        F.col("g1").alias("c"),
+        F.col("g2").alias("w"),
+        F.col("cnt").alias("cb"),
+    )
+    uni = counts.filter(F.col("n") == 1).select(
+        F.col("g1").alias("w"), F.col("cnt").alias("cu")
+    )
+    totals = uni.agg(
+        F.sum("cu").cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("v"),
+    )
+    return BackoffLM(
+        trigram_counts=tri,
+        bigram_counts=big,
+        unigram_counts=uni,
+        totals=totals,
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     lm: BigramLM,

@@ -3093,6 +3093,50 @@ def test_perplexity_bucket_cutoffs_matches_exact_terciles(spark):
     }
 
 
+def test_backoff_counts_merge_then_score_bit_equal(spark):
+    """The backoff model IS its count triple: deltas computed on two
+    disjoint halves, merged with one keyed sum, reconstructed via
+    backoff_lm_from_counts — scoring must be BIT-equal to a fresh
+    train_backoff_lm on the union (totals derived from the unigram
+    slice included)."""
+    from interference_spark.pipeline.lm import (
+        backoff_count_deltas,
+        backoff_lm_from_counts,
+        backoff_score,
+        merge_backoff_counts,
+        train_backoff_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c a b c a"),
+            (1, "a b d c b a"),
+            (2, "c c c a b"),
+            (3, "z q a b c"),
+            (4, "b"),
+        ],
+        "doc_id long, text string",
+    )
+    deltas = backoff_count_deltas(corpus.filter("doc_id % 2 = 0")).unionByName(
+        backoff_count_deltas(corpus.filter("doc_id % 2 = 1"))
+    )
+    lm_inc = backoff_lm_from_counts(merge_backoff_counts(deltas))
+    lm_ref = train_backoff_lm(corpus)
+    score = spark.createDataFrame(
+        [(10, "a b c a b"), (11, "z z z q a"), (12, "c b a d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: tuple(r) for r in backoff_score(score, lm_inc).collect()
+    }
+    want = {
+        r.doc_id: tuple(r) for r in backoff_score(score, lm_ref).collect()
+    }
+    assert got == want
+    # totals reconstruct exactly (N = sum unigrams, V = distinct + 1)
+    assert lm_inc.totals.collect() == lm_ref.totals.collect()
+
+
 def test_gumbel_topk_select_seeded_and_weight_sensitive(spark):
     """Seeded Gumbel-top-k: identical seed → identical selection;
     different seeds → different draws; a dominant log-weight is always
