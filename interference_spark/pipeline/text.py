@@ -1459,6 +1459,7 @@ def hash_kernel_multiclass(
     d: int = 16,
     iters: int = 3,
     lr: float = 0.5,
+    impl: str = "auto",
 ) -> tuple[dict[str, list[float]], DataFrame]:
     """One-vs-rest MULTICLASS hash-kernel classifier — in-engine trained
     language ID replacing the marker-list heuristic (`lang_id`) with a
@@ -1479,24 +1480,42 @@ def hash_kernel_multiclass(
     ``greatest(struct(score, label))`` total rule as `lang_id`, so the
     SQL oracle replays it verbatim).
 
-    The sparse plan of the binary classifier generalizes unchanged for
-    fastText-scale ``d`` — the weight BROADCAST becomes a K×d array and
-    the per-step moment aggregate returns ≤ K·(d+1) narrow rows; dense
-    is the right physical plan at langid-sized d (≤ 64) and is what this
-    function ships.
+    Two physical plans behind ``impl``, same numbers to the last bit
+    (the binary classifier's ordered-fold argument, head by head):
+    ``"dense"`` — d named ``x_j`` columns, each GD step ONE moment
+    aggregate to a single bounded row; the right plan at langid-sized
+    d (≤ 64).  ``"sparse"`` — the fastText-scale plan (r8 ask #8): the
+    binary sparse shapes generalized to K heads — features built ONCE
+    as each doc's bucket-ascending sparse array, the K×(d+1) weight
+    state rides as ONE broadcast row (a flattened K·d array + a K bias
+    array), per-doc head predictions are K ordered folds over the same
+    persisted ``feats``, and each GD step's moments return as one
+    groupBy(cls, bucket) integer aggregate of ≤ K·(d+1) narrow rows.
+    Nothing scales with ``d`` but the weight vector itself (measured
+    ~flat d=8 → d=2^18, SCALING.md round 9).  ``"auto"`` picks dense
+    for d ≤ 64, sparse above.
 
     Returns ``(weights, predicted)``: ``weights`` maps class →
     ``[bias, w_0..w_{d-1}]``; ``predicted`` is one row per scored doc
     ``(id, lang_pred, best_score)``."""
     from .export import hash52
 
-    if d < 1 or d > 64 or iters < 1:
-        raise ValueError(
-            f"need 1 <= d <= 64 (dense plan) and iters >= 1, "
-            f"got d={d} iters={iters}"
-        )
+    if d < 1 or iters < 1:
+        raise ValueError(f"need d >= 1 and iters >= 1, got d={d} iters={iters}")
+    if impl not in ("auto", "dense", "sparse"):
+        raise ValueError(f"impl must be auto|dense|sparse, got {impl!r}")
+    if impl == "auto":
+        impl = "dense" if d <= 64 else "sparse"
     if not classes or len(set(classes)) != len(classes):
         raise ValueError(f"classes must be non-empty and unique: {classes}")
+    if impl == "sparse":
+        return _hash_kernel_multiclass_sparse(
+            train, score, classes, text_col, label_col, id_col, d, iters, lr
+        )
+    if d > 64:
+        raise ValueError(
+            f"dense plan needs d <= 64, got d={d} — use impl='sparse'"
+        )
 
     def featurize(df: DataFrame, with_id: bool) -> DataFrame:
         t = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -1597,6 +1616,179 @@ def hash_kernel_multiclass(
         best.getField("l").alias("lang_pred"),
         best.getField("s").alias("best_score"),
     )
+
+
+def _hash_kernel_multiclass_sparse(
+    train: DataFrame,
+    score: DataFrame,
+    classes: list[str],
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    d: int,
+    iters: int,
+    lr: float,
+) -> tuple[dict[str, list[float]], DataFrame]:
+    """Sparse physical plan for `hash_kernel_multiclass` — the binary
+    `_hash_kernel_sparse` shapes generalized to K one-vs-rest heads; see
+    both docstrings for the contract and the bit-identity argument.
+    The K heads share everything shareable: ONE persisted sparse
+    featurization, ONE broadcast weight row (flattened K·d array +
+    K-bias array — head c's bucket b weight at index c·d + b + 1), ONE
+    per-step explode whose groupBy(cls, bucket) returns ≤ K·(d+1)
+    narrow rows (sentinel bucket −1 per head carries the bias moment;
+    head 0's sentinel count is n).  Per-row prediction cost is K·nnz —
+    classes still add no corpus scans, and nothing scales with ``d``
+    but the weight arrays."""
+    from .export import hash52
+
+    spark = train.sparkSession
+    K = len(classes)
+
+    def sparse_feats(df: DataFrame, with_id: bool) -> DataFrame:
+        t = F.split(F.trim(F.col(text_col)), r"\s+")
+        buckets = F.transform(t, lambda wd: hash52("hk:", wd) % d)
+        if with_id:
+            lead = [F.col(id_col).alias("__k")]
+            keys = ["__k"]
+        else:
+            lead = [F.monotonically_increasing_id().alias("__k")] + [
+                F.when(F.col(label_col) == c, F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias(f"y_{ci}")
+                for ci, c in enumerate(classes)
+            ]
+            keys = ["__k"] + [f"y_{ci}" for ci in range(K)]
+        base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+            *lead, buckets.alias("__b")
+        )
+        tok = base.select(
+            *keys,
+            F.size("__b").cast("double").alias("__n"),
+            F.explode("__b").alias("bucket"),
+        )
+        return (
+            tok.groupBy(
+                *keys, "__n", F.col("bucket").cast("int").alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(*keys, "__n")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("bucket", "c"))).alias(
+                    "bc"
+                )
+            )
+            .select(
+                *keys,
+                F.transform(
+                    "bc",
+                    lambda s: F.struct(
+                        s["bucket"].alias("bucket"),
+                        (s["c"].cast("double") / F.col("__n")).alias("x"),
+                    ),
+                ).alias("feats"),
+            )
+        )
+
+    def fold_pred(ci: int) -> Column:
+        # head ci: ordered left fold, ascending bucket == the dense
+        # chain's ascending-j add order (skipped terms are exact ±0.0
+        # adds — identity on every reachable accumulator)
+        return F.aggregate(
+            "feats",
+            F.element_at("wb", ci + 1),
+            lambda acc, s: acc
+            + F.element_at("w", F.lit(ci * d) + s["bucket"] + 1) * s["x"],
+        )
+
+    def with_weights(df: DataFrame, wd: dict[str, list[float]]) -> DataFrame:
+        # the whole K-head model as ONE broadcast row — plan O(1) in d·K
+        flat = [wd[c][j + 1] for c in classes for j in range(d)]
+        biases = [wd[c][0] for c in classes]
+        wdf = spark.createDataFrame(
+            [(biases, flat)], "wb array<double>, w array<double>"
+        )
+        return df.crossJoin(F.broadcast(wdf))
+
+    tfa = sparse_feats(train, with_id=False).persist()
+    w = {c: [0.0] * (d + 1) for c in classes}
+    try:
+        for _ in range(iters):
+            # per-head errors behind their own projection (each is
+            # referenced by a sentinel AND a per-element lambda)
+            ped = with_weights(tfa, w).select(
+                "feats",
+                *[
+                    (fold_pred(ci) - F.col(f"y_{ci}")).alias(f"__e_{ci}")
+                    for ci in range(K)
+                ],
+            )
+            sentinels = [
+                F.struct(
+                    F.lit(ci).alias("cls"),
+                    F.lit(-1).alias("bucket"),
+                    F.floor(F.col(f"__e_{ci}") * F.lit(1e8))
+                    .cast("long")
+                    .alias("q"),
+                )
+                for ci in range(K)
+            ]
+            def head_terms(ci: int):
+                # closure, NOT a defaulted lambda parameter: a second
+                # lambda param (even defaulted) flips F.transform into
+                # its (element, index) form and the index shadows ci
+                return F.transform(
+                    "feats",
+                    lambda s: F.struct(
+                        F.lit(ci).alias("cls"),
+                        s["bucket"].alias("bucket"),
+                        F.floor(s["x"] * F.col(f"__e_{ci}") * F.lit(1e8))
+                        .cast("long")
+                        .alias("q"),
+                    ),
+                )
+
+            per_head = [head_terms(ci) for ci in range(K)]
+            rows = (
+                ped.select(
+                    F.explode(
+                        F.concat(F.array(*sentinels), *per_head)
+                    ).alias("z")
+                )
+                .groupBy(
+                    F.col("z.cls").alias("cls"),
+                    F.col("z.bucket").alias("bucket"),
+                )
+                .agg(F.sum("z.q").alias("s"), F.count(F.lit(1)).alias("c"))
+                .collect()  # ≤ K·(d+1) narrow rows — the only driver traffic
+            )
+            by_key = {(r["cls"], r["bucket"]): r for r in rows}
+            if (0, -1) not in by_key:
+                raise ValueError(
+                    "hash_kernel_multiclass: empty training slice — "
+                    "nothing to fit"
+                )
+            n = by_key[(0, -1)]["c"]
+            for ci, c in enumerate(classes):
+                sent = by_key.pop((ci, -1))
+                w[c][0] = w[c][0] - lr * (sent["s"] / n / 1e8)
+            for (ci, b), r in by_key.items():
+                c = classes[ci]
+                w[c][b + 1] = w[c][b + 1] - lr * (r["s"] / n / 1e8)
+    finally:
+        tfa.unpersist()
+
+    heads = [
+        F.struct(fold_pred(ci).alias("s"), F.lit(c).alias("l"))
+        for ci, c in enumerate(classes)
+    ]
+    best = F.greatest(*heads)
+    scored = with_weights(sparse_feats(score, with_id=True), w).select(
+        F.col("__k").alias(id_col),
+        best.getField("l").alias("lang_pred"),
+        best.getField("s").alias("best_score"),
+    )
+    return w, scored
 
 
 # ----------------------------------------------- substring decontamination

@@ -2479,6 +2479,52 @@ def test_hash_kernel_sparse_bit_identical_to_dense(spark):
         )
 
 
+def test_multiclass_sparse_bit_identical_to_dense(spark):
+    """The K-head sparse plan (r9) is the SAME function as the dense
+    multiclass plan to the last bit — weights, predictions, best scores
+    — including at d > 64 via auto dispatch (where dense refuses)."""
+    from interference_spark.pipeline.text import hash_kernel_multiclass
+
+    rows = []
+    vocab = ["the", "cat", "zor", "blk", "sat", "qrt", "mat", "vnm"]
+    langs = ["en", "fr", "de"]
+    for i in range(27):
+        text = " ".join(vocab[(i * 5 + j) % 8] for j in range(1 + i % 7))
+        rows.append((i, text, langs[i % 3]))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = df.filter("doc_id < 21")
+
+    for d, iters in ((4, 2), (8, 3)):
+        wd, pd_ = hash_kernel_multiclass(
+            train, df, classes=langs, d=d, iters=iters, impl="dense"
+        )
+        ws, ps = hash_kernel_multiclass(
+            train, df, classes=langs, d=d, iters=iters, impl="sparse"
+        )
+        assert wd == ws, (d, iters)
+        got_d = {r.doc_id: (r.lang_pred, r.best_score) for r in pd_.collect()}
+        got_s = {r.doc_id: (r.lang_pred, r.best_score) for r in ps.collect()}
+        assert got_d == got_s, (d, iters)
+
+    # auto: dense refuses d > 64, sparse carries it
+    w_auto, _ = hash_kernel_multiclass(
+        train, df, classes=langs, d=128, iters=1
+    )
+    w_sparse, _ = hash_kernel_multiclass(
+        train, df, classes=langs, d=128, iters=1, impl="sparse"
+    )
+    assert w_auto == w_sparse
+    with pytest.raises(ValueError, match="dense plan needs d <= 64"):
+        hash_kernel_multiclass(
+            train, df, classes=langs, d=128, iters=1, impl="dense"
+        )
+    with pytest.raises(ValueError, match="empty training"):
+        hash_kernel_multiclass(
+            df.filter("doc_id < 0"), df, classes=langs, d=4,
+            iters=1, impl="sparse",
+        )
+
+
 def test_exact_substring_pairs_runs_and_filter_parity(spark):
     """Cross-corpus exact substring detection: the gram join finds
     exactly the pairs sharing a >=k-token run, max_run_tokens is the
