@@ -705,17 +705,204 @@ def probe_langid_mc(spark, sizes: list[int]) -> dict:
     return out
 
 
+def probe_byte_bpe(spark, sizes: list[int]) -> dict:
+    """Byte-level BPE end-to-end (r9): train 8 merges over the GPT-2
+    pre-token byte alphabet, then encode the full corpus.  Training
+    state is the DISTINCT pre-token table (~2x the 50k word vocab here
+    — constant in corpus size), so train time should flatten while
+    encode tracks the corpus linearly."""
+    from interference_spark.pipeline.byte_bpe import (
+        byte_bpe_encode,
+        byte_bpe_train,
+        byte_bpe_vocab,
+    )
+
+    out: dict = {}
+    for n in sizes:
+        docs = _rich_docs(spark, n).persist()
+        docs.count()
+        t0 = time.perf_counter()
+        merges, words = byte_bpe_train(docs, n_merges=8)
+        t_train = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        byte_bpe_encode(docs, words, byte_bpe_vocab(merges)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_enc = time.perf_counter() - t0
+        out[n] = {"train_sec": round(t_train, 2), "encode_sec": round(t_enc, 2)}
+        print(f"byte_bpe {n}: {out[n]}", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
+def probe_ppl_cutoffs(spark, sizes: list[int]) -> dict:
+    """Dominant-language tercile probe (r9): 90% of docs share ONE
+    language — the shape where `perplexity_buckets`' per-language ntile
+    sort degenerates to one giant partition's sort.  Times the exact
+    ntile variant vs the sketch-cutoff variant
+    (`perplexity_bucket_cutoffs`) on the same skewed mix; the sketch
+    path's shuffle carries only languages x 256 histogram rows."""
+    from interference_spark.pipeline.lm import (
+        perplexity_bucket_cutoffs,
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    langs = ["en", "de", "es", "fr", "zh"]
+    out: dict = {}
+    for n in sizes:
+        # doc_id % 10: 0-8 -> en (90%), 9 -> one of the other four
+        docs = (
+            _rich_docs(spark, n)
+            .withColumn(
+                "lang",
+                F.when(F.col("doc_id") % 10 < 9, F.lit("en")).otherwise(
+                    F.element_at(
+                        F.array(*[F.lit(c) for c in langs[1:]]),
+                        (F.col("doc_id") % 4 + 1).cast("int"),
+                    )
+                ),
+            )
+            .persist()
+        )
+        docs.count()
+        lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+        res = {}
+        for tag, fn in (
+            ("ntile", lambda d: perplexity_buckets(d, lm)),
+            (
+                "sketch",
+                lambda d: perplexity_bucket_cutoffs(d, lm, lo=2.0, hi=16.0),
+            ),
+        ):
+            t0 = time.perf_counter()
+            fn(docs.filter(F.col("doc_id") % 2 == 1)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            res[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
+        out[n] = res
+        print(f"ppl_cutoffs {n}: {res}", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
+def probe_langid_mc_sparse(spark, n: int, ds: list[int]) -> dict:
+    """Sparse multiclass plan vs bucket count d (r9, the binary
+    classifier's r7 probe repeated for K heads): fixed corpus, growing
+    d — per-step cost must stay ~flat because featurization, folds, and
+    the groupBy(cls, bucket) moments never materialize d, only the
+    weight arrays do."""
+    from interference_spark.pipeline.text import hash_kernel_multiclass
+
+    classes = ["de", "en", "es", "fr", "zh"]
+    docs = _rich_docs(spark, n).withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(c) for c in classes]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ),
+    ).persist()
+    docs.count()
+    out: dict = {}
+    for d in ds:
+        t0 = time.perf_counter()
+        _w, pred = hash_kernel_multiclass(
+            docs.filter(F.col("doc_id") % 2 == 0), docs,
+            classes=classes, d=d, iters=3, impl="sparse",
+        )
+        pred.write.format("noop").mode("overwrite").save()
+        out[d] = {"sec": round(time.perf_counter() - t0, 2)}
+        print(f"langid_mc_sparse d={d}: {out[d]}", flush=True)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    docs.unpersist()
+    return out
+
+
+def probe_capstones(spark, sizes: list[int]) -> dict:
+    """END-TO-END capstone rows (r9, VERDICT r8 ask #7): run the two
+    composition entries — `tokenizer_fertility_report` (four tokenizer
+    trainings + fertility joins) and `corpus_curation_funnel_v2` (C4 →
+    Gopher → near-dup clustering → DSIR) — against a synthetic
+    documents.parquet of n docs, timing the WHOLE entry, not its
+    stages.  The synthetic table mirrors the testdata schema; entries
+    are called exactly as the driver calls them."""
+    import shutil
+    import tempfile
+
+    from interference_spark import inventory
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    out: dict = {}
+    for n in sizes:
+        tmp = tempfile.mkdtemp(prefix="ifs_capstone_")
+        try:
+            docs = _rich_docs(spark, n).select(
+                "doc_id",
+                "text",
+                F.element_at(
+                    F.array(*[F.lit(c) for c in langs]),
+                    (F.col("doc_id") % 5 + 1).cast("int"),
+                ).alias("lang"),
+                F.lit("probe").alias("source"),
+                F.length("text").alias("n_chars"),
+            )
+            docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+            res = {}
+            for name in (
+                "tokenizer_fertility_report",
+                "corpus_curation_funnel_v2",
+            ):
+                t0 = time.perf_counter()
+                inventory.QUERIES[name](spark, tmp).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                res[name] = round(time.perf_counter() - t0, 2)
+                print(f"capstone {name} @ {n}: {res[name]} s", flush=True)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            out[n] = res
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from interference_spark import build_spark
 
     args = sys.argv[1:]
     only: set[str] | None = None
+    if args and args[0] == "--langid-mc-sparse":  # [n [d1,d2,...]]
+        n = int(float(args[1])) if len(args) > 1 else 200_000
+        ds = (
+            [int(float(d)) for d in args[2].split(",")]
+            if len(args) > 2
+            else [8, 1024, 262144]
+        )
+        spark = build_spark(
+            app_name="scaling-probe-r9",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+            shuffle_partitions=int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            ),
+            extra_conf={"spark.driver.memory": "48g"},
+        )
+        print(json.dumps({"langid_mc_sparse": probe_langid_mc_sparse(spark, n, ds)}))
+        spark.stop()
+        return
     if args and args[0] in (
         "--unigram",
         "--langid-mc",
         "--wordpiece",
         "--backoff",
         "--ppl-buckets",
+        "--byte-bpe",
+        "--ppl-cutoffs",
+        "--capstones",
     ):  # [sizes...]
         sizes = (
             [int(float(s)) for s in args[1].split(",")]
@@ -736,6 +923,9 @@ def main() -> None:
             "--wordpiece": probe_wordpiece,
             "--backoff": probe_backoff,
             "--ppl-buckets": probe_ppl_buckets,
+            "--byte-bpe": probe_byte_bpe,
+            "--ppl-cutoffs": probe_ppl_cutoffs,
+            "--capstones": probe_capstones,
         }[args[0]]
         print(json.dumps({args[0].lstrip("-"): fn(spark, sizes)}))
         spark.stop()
