@@ -9061,7 +9061,9 @@ def mix_perplexity_cutoffs(spark, sf_dir):
     e = engine_for(spark, sf_dir)
     docs = e.table("documents")
     lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
-    return perplexity_bucket_cutoffs(docs.filter(F.col("doc_id") % 2 == 1), lm)
+    out = perplexity_bucket_cutoffs(docs.filter(F.col("doc_id") % 2 == 1), lm)
+    rows = out.collect()  # pin: the plan reads localCheckpoint blocks
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(

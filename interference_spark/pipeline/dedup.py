@@ -868,6 +868,14 @@ def _bitmap_allpairs_jaccard(
         F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"),
         *[F.col(f"w{i}").alias(f"b{i}") for i in range(n_words)],
     ).hint("broadcast")
+    if n_words == 0:
+        # empty vocabulary (zero input docs, or all-empty gram sets —
+        # e.g. a dedup stage running on a fully-filtered survivor set):
+        # no grams, no pairs.  Typed empty result, not an IndexError.
+        idt = grams.schema[id_col].dataType.simpleString()
+        return grams.sparkSession.createDataFrame(
+            [], f"id_a {idt}, id_b {idt}, jaccard double"
+        )
     counts = [
         F.bit_count(F.col(f"a{i}").bitwiseAND(F.col(f"b{i}")))
         for i in range(n_words)

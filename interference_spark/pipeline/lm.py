@@ -372,7 +372,19 @@ def perplexity_bucket_cutoffs(
     from .sketch import hist_group_quantiles
 
     scored = perplexity_score(df, lm, text_col=text_col, id_col=id_col)
-    keyed = scored.join(df.select(id_col, by), id_col)
+    # Materialize the scored table ONCE (localCheckpoint): both consumers
+    # below — the histogram sketch and the bucket projection — read the
+    # same blocks, so the expensive scoring joins run exactly once.
+    # Without this the plan scores the corpus twice and the sketch
+    # variant LOSES to the ntile sort it exists to remove (measured at
+    # a 90%-dominant 1M-doc mix: 36 s vs ntile's 22 s — SCALING.md
+    # round-9).  The checkpointed table is narrow (id, group, three
+    # numbers — ~50 bytes/doc), a small fraction of the corpus it
+    # summarizes; blocks are freed by the ContextCleaner when the
+    # result DataFrame is dropped.
+    keyed = scored.join(df.select(id_col, by), id_col).localCheckpoint(
+        eager=True
+    )
     q1, q2 = 1 / 3, 2 / 3
     cuts = hist_group_quantiles(
         keyed, (by,), "nll_nats", qs=(q1, q2), lo=lo, hi=hi, bins=bins

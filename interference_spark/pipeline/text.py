@@ -1702,11 +1702,18 @@ def _hash_kernel_multiclass_sparse(
         )
 
     def with_weights(df: DataFrame, wd: dict[str, list[float]]) -> DataFrame:
-        # the whole K-head model as ONE broadcast row — plan O(1) in d·K
+        # the whole K-head model as ONE broadcast row — plan O(1) in d·K.
+        # Built via pandas/Arrow, not a Python list literal: at
+        # fastText-scale K·d (5·2^18 = 1.3M doubles) the pickled-row
+        # conversion costs seconds per GD step; the Arrow path ships the
+        # same row in milliseconds (measured — SCALING.md round-9).
+        import pandas as pd
+
         flat = [wd[c][j + 1] for c in classes for j in range(d)]
         biases = [wd[c][0] for c in classes]
         wdf = spark.createDataFrame(
-            [(biases, flat)], "wb array<double>, w array<double>"
+            pd.DataFrame({"wb": [biases], "w": [flat]}),
+            schema="wb array<double>, w array<double>",
         )
         return df.crossJoin(F.broadcast(wdf))
 
@@ -1749,7 +1756,11 @@ def _hash_kernel_multiclass_sparse(
                 )
 
             per_head = [head_terms(ci) for ci in range(K)]
-            rows = (
+            # ≤ K·(d+1) narrow rows — the only driver traffic.  Fetched
+            # via toPandas (Arrow batches): at K·d ~ 1.3M the row-object
+            # collect() costs tens of seconds per step, the Arrow fetch
+            # tens of milliseconds (measured — SCALING.md round-9).
+            pdf = (
                 ped.select(
                     F.explode(
                         F.concat(F.array(*sentinels), *per_head)
@@ -1760,21 +1771,26 @@ def _hash_kernel_multiclass_sparse(
                     F.col("z.bucket").alias("bucket"),
                 )
                 .agg(F.sum("z.q").alias("s"), F.count(F.lit(1)).alias("c"))
-                .collect()  # ≤ K·(d+1) narrow rows — the only driver traffic
+                .toPandas()
             )
-            by_key = {(r["cls"], r["bucket"]): r for r in rows}
-            if (0, -1) not in by_key:
+            sent_mask = pdf["bucket"] == -1
+            sents = {
+                int(r.cls): (int(r.s), int(r.c))
+                for r in pdf[sent_mask].itertuples()
+            }
+            if 0 not in sents:
                 raise ValueError(
                     "hash_kernel_multiclass: empty training slice — "
                     "nothing to fit"
                 )
-            n = by_key[(0, -1)]["c"]
+            n = sents[0][1]
             for ci, c in enumerate(classes):
-                sent = by_key.pop((ci, -1))
-                w[c][0] = w[c][0] - lr * (sent["s"] / n / 1e8)
-            for (ci, b), r in by_key.items():
-                c = classes[ci]
-                w[c][b + 1] = w[c][b + 1] - lr * (r["s"] / n / 1e8)
+                w[c][0] = w[c][0] - lr * (sents[ci][0] / n / 1e8)
+            for r in pdf[~sent_mask].itertuples():
+                c = classes[int(r.cls)]
+                w[c][int(r.bucket) + 1] = w[c][int(r.bucket) + 1] - lr * (
+                    int(r.s) / n / 1e8
+                )
     finally:
         tfa.unpersist()
 

@@ -3139,6 +3139,19 @@ def test_perplexity_bucket_cutoffs_matches_exact_terciles(spark):
     }
 
 
+def test_ngram_jaccard_pairs_empty_corpus_returns_typed_empty(spark):
+    """A dedup stage running on a fully-filtered survivor set (zero
+    docs) must return a typed empty pair table, not crash — the r9
+    capstone probe hit an IndexError in the bitmap plan's popcount
+    chain when the vocabulary was empty."""
+    from interference_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = ngram_jaccard_pairs(empty)
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+    assert out.count() == 0
+
+
 def test_backoff_counts_merge_then_score_bit_equal(spark):
     """The backoff model IS its count triple: deltas computed on two
     disjoint halves, merged with one keyed sum, reconstructed via

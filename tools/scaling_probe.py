@@ -841,7 +841,10 @@ def probe_capstones(spark, sizes: list[int]) -> dict:
     for n in sizes:
         tmp = tempfile.mkdtemp(prefix="ifs_capstone_")
         try:
-            docs = _rich_docs(spark, n).select(
+            # 60 words/doc: inside Gopher's 50..100k word band, so the
+            # funnel's rule stages pass a realistic survivor share
+            # (40-word docs fail the minimum and blank every later stage)
+            docs = _rich_docs(spark, n, doc_words=60).select(
                 "doc_id",
                 "text",
                 F.element_at(
