@@ -1630,22 +1630,42 @@ def _hash_kernel_multiclass_sparse(
     lr: float,
 ) -> tuple[dict[str, list[float]], DataFrame]:
     """Sparse physical plan for `hash_kernel_multiclass` — the binary
-    `_hash_kernel_sparse` shapes generalized to K one-vs-rest heads; see
-    both docstrings for the contract and the bit-identity argument.
-    The K heads share everything shareable: ONE persisted sparse
-    featurization, ONE broadcast weight row (flattened K·d array +
-    K-bias array — head c's bucket b weight at index c·d + b + 1), ONE
-    per-step explode whose groupBy(cls, bucket) returns ≤ K·(d+1)
-    narrow rows (sentinel bucket −1 per head carries the bias moment;
-    head 0's sentinel count is n).  Per-row prediction cost is K·nnz —
-    classes still add no corpus scans, and nothing scales with ``d``
-    but the weight arrays."""
+    `_hash_kernel_sparse` generalized to K one-vs-rest heads; see both
+    docstrings for the contract and the bit-identity argument.
+
+    Shapes (chosen by measurement — SCALING.md round-9):
+
+    * featurize ONCE to the TOKEN level: explode tokens → one combiner
+      groupBy → ``(doc key, bucket, x)`` rows, persisted across all GD
+      steps and scoring;
+    * the K-head weight state rides as a BROADCAST HASH-JOIN TABLE of d
+      narrow rows ``(bucket, w_0..w_{K-1})`` built via Arrow, NOT as one
+      array-of-K·d row: a cross-joined 10 MB array column materializes
+      into EVERY joined row once a higher-order fold knocks the
+      projection out of codegen — measured ~12 ms/doc of pure memcpy at
+      K·d = 1.3M, two orders of magnitude over the join itself.  The
+      per-token join attaches exactly K doubles;
+    * per prediction pass: token rows join the weight table, per-class
+      terms ``w_cj·x_j`` are computed token-side (the same IEEE multiply
+      as the dense chain), one groupBy(doc) re-collects them
+      bucket-ASCENDING, and K ordered left folds add them in the dense
+      chain's order — bit-identical predictions (skipped zero-x terms
+      are exact ±0.0 adds);
+    * per GD step: moments come back as ONE groupBy(cls, bucket) integer
+      aggregate of ≤ K·(d+1) narrow rows, fetched via Arrow.
+
+    Per-step and per-doc cost never materialize d — only the d-row
+    weight table (a few MB broadcast) and the K·(d+1) weight arrays on
+    the driver scale with capacity."""
+    import pandas as pd
+
     from .export import hash52
 
     spark = train.sparkSession
     K = len(classes)
+    wcols = [f"__w{ci}" for ci in range(K)]
 
-    def sparse_feats(df: DataFrame, with_id: bool) -> DataFrame:
+    def sparse_tok(df: DataFrame, with_id: bool) -> DataFrame:
         t = F.split(F.trim(F.col(text_col)), r"\s+")
         buckets = F.transform(t, lambda wd: hash52("hk:", wd) % d)
         if with_id:
@@ -1672,62 +1692,58 @@ def _hash_kernel_multiclass_sparse(
                 *keys, "__n", F.col("bucket").cast("int").alias("bucket")
             )
             .agg(F.count(F.lit(1)).alias("c"))
-            .groupBy(*keys, "__n")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("bucket", "c"))).alias(
-                    "bc"
-                )
-            )
             .select(
                 *keys,
-                F.transform(
-                    "bc",
-                    lambda s: F.struct(
-                        s["bucket"].alias("bucket"),
-                        (s["c"].cast("double") / F.col("__n")).alias("x"),
-                    ),
-                ).alias("feats"),
+                "bucket",
+                # same value as dense x_j: long→double cast, then one
+                # double division by the token count
+                (F.col("c").cast("double") / F.col("__n")).alias("x"),
             )
         )
 
-    def fold_pred(ci: int) -> Column:
-        # head ci: ordered left fold, ascending bucket == the dense
-        # chain's ascending-j add order (skipped terms are exact ±0.0
-        # adds — identity on every reachable accumulator)
+    def weight_table(wd: dict[str, list[float]]) -> DataFrame:
+        # d narrow rows via Arrow — milliseconds even at d = 2^18; the
+        # per-bucket weights are columns, not an array, so the joined
+        # payload is exactly K doubles per token row
+        cols = {"bucket": pd.Series(range(d), dtype="int32")}
+        for ci, c in enumerate(classes):
+            cols[wcols[ci]] = pd.Series(wd[c][1:], dtype="float64")
+        return F.broadcast(spark.createDataFrame(pd.DataFrame(cols)))
+
+    def folded(tokdf: DataFrame, wd: dict[str, list[float]], keys) -> DataFrame:
+        """(keys…, ft) with ft = bucket-ascending array of
+        struct(bucket, x, t: array<K of w_cj·x_j>) — everything the
+        per-class folds AND the moment explode need."""
+        terms = F.array(*[F.col(w) * F.col("x") for w in wcols])
+        j = tokdf.join(weight_table(wd), "bucket").select(
+            *keys, F.struct("bucket", "x", terms.alias("t")).alias("__s")
+        )
+        return j.groupBy(*keys).agg(
+            F.array_sort(F.collect_list("__s")).alias("ft")
+        )
+
+    def fold_pred(ci: int, bias: float) -> Column:
+        # ordered left fold, ascending bucket == the dense chain's
+        # ascending-j add order; terms absent here are exact ±0.0 adds
+        # in the dense chain (identity on every reachable accumulator)
         return F.aggregate(
-            "feats",
-            F.element_at("wb", ci + 1),
-            lambda acc, s: acc
-            + F.element_at("w", F.lit(ci * d) + s["bucket"] + 1) * s["x"],
+            "ft", F.lit(bias), lambda acc, s: acc + s["t"][ci]
         )
 
-    def with_weights(df: DataFrame, wd: dict[str, list[float]]) -> DataFrame:
-        # the whole K-head model as ONE broadcast row — plan O(1) in d·K.
-        # Built via pandas/Arrow, not a Python list literal: at
-        # fastText-scale K·d (5·2^18 = 1.3M doubles) the pickled-row
-        # conversion costs seconds per GD step; the Arrow path ships the
-        # same row in milliseconds (measured — SCALING.md round-9).
-        import pandas as pd
-
-        flat = [wd[c][j + 1] for c in classes for j in range(d)]
-        biases = [wd[c][0] for c in classes]
-        wdf = spark.createDataFrame(
-            pd.DataFrame({"wb": [biases], "w": [flat]}),
-            schema="wb array<double>, w array<double>",
-        )
-        return df.crossJoin(F.broadcast(wdf))
-
-    tfa = sparse_feats(train, with_id=False).persist()
+    tkeys = ["__k"] + [f"y_{ci}" for ci in range(K)]
+    tfa = sparse_tok(train, with_id=False).persist()
     w = {c: [0.0] * (d + 1) for c in classes}
     try:
         for _ in range(iters):
             # per-head errors behind their own projection (each is
             # referenced by a sentinel AND a per-element lambda)
-            ped = with_weights(tfa, w).select(
-                "feats",
+            ped = folded(tfa, w, tkeys).select(
+                "ft",
                 *[
-                    (fold_pred(ci) - F.col(f"y_{ci}")).alias(f"__e_{ci}")
-                    for ci in range(K)
+                    (fold_pred(ci, w[c][0]) - F.col(f"y_{ci}")).alias(
+                        f"__e_{ci}"
+                    )
+                    for ci, c in enumerate(classes)
                 ],
             )
             sentinels = [
@@ -1740,12 +1756,13 @@ def _hash_kernel_multiclass_sparse(
                 )
                 for ci in range(K)
             ]
+
             def head_terms(ci: int):
                 # closure, NOT a defaulted lambda parameter: a second
                 # lambda param (even defaulted) flips F.transform into
                 # its (element, index) form and the index shadows ci
                 return F.transform(
-                    "feats",
+                    "ft",
                     lambda s: F.struct(
                         F.lit(ci).alias("cls"),
                         s["bucket"].alias("bucket"),
@@ -1756,10 +1773,7 @@ def _hash_kernel_multiclass_sparse(
                 )
 
             per_head = [head_terms(ci) for ci in range(K)]
-            # ≤ K·(d+1) narrow rows — the only driver traffic.  Fetched
-            # via toPandas (Arrow batches): at K·d ~ 1.3M the row-object
-            # collect() costs tens of seconds per step, the Arrow fetch
-            # tens of milliseconds (measured — SCALING.md round-9).
+            # ≤ K·(d+1) narrow rows — the only driver traffic (Arrow)
             pdf = (
                 ped.select(
                     F.explode(
@@ -1795,16 +1809,17 @@ def _hash_kernel_multiclass_sparse(
         tfa.unpersist()
 
     heads = [
-        F.struct(fold_pred(ci).alias("s"), F.lit(c).alias("l"))
+        F.struct(fold_pred(ci, w[c][0]).alias("s"), F.lit(c).alias("l"))
         for ci, c in enumerate(classes)
     ]
     best = F.greatest(*heads)
-    scored = with_weights(sparse_feats(score, with_id=True), w).select(
+    scored = folded(sparse_tok(score, with_id=True), w, ["__k"]).select(
         F.col("__k").alias(id_col),
         best.getField("l").alias("lang_pred"),
         best.getField("s").alias("best_score"),
     )
     return w, scored
+
 
 
 # ----------------------------------------------- substring decontamination

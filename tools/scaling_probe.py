@@ -823,6 +823,69 @@ def probe_langid_mc_sparse(spark, n: int, ds: list[int]) -> dict:
     return out
 
 
+def _funnel_minhash(spark, sf_dir: str):
+    """The curation funnel's PRODUCTION composition: identical C4 →
+    Gopher → near-dup-cluster → DSIR staging to the
+    `corpus_curation_funnel_v2` entry, with the near-dup stage swapped
+    from exact char-trigram Jaccard (the oracle-replayable gate shape)
+    to banded MinHash-LSH over the all-JVM xxhash64 path — the
+    bounded-alphabet-proof detector a 100 TB run uses.  Stages are
+    shipped operators; only the composition lives here (the probe's
+    subject is end-to-end wall-clock, not a new oracle)."""
+    from interference_spark import inventory
+    from interference_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+    from interference_spark.pipeline.lm import (
+        dsir_log_weights,
+        train_bigram_lm,
+    )
+    from interference_spark.pipeline.text import c4_clean, gopher_quality_flags
+
+    e = inventory.engine_for(spark, sf_dir)
+    docs = e.table("documents").select("doc_id", "lang", "text")
+    c4 = c4_clean(docs, min_kept_lines=0).select(
+        "doc_id", F.col("keep_doc").alias("c4_ok")
+    )
+    gf = gopher_quality_flags(
+        docs.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+    )
+    gop = gf.select(
+        "doc_id",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_hash_ratio")
+            & F.col("r_ellipsis_ratio")
+            & F.col("r_bullet_lines")
+            & F.col("r_ellipsis_lines")
+            & F.col("r_alpha_words")
+        ).alias("gopher_ok"),
+    )
+    s12 = (
+        docs.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+        .join(gop.filter("gopher_ok"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "text")
+    )
+    pairs = minhash_dedup_pairs(
+        s12, threshold=0.8, token_hash="xxhash64"
+    ).select("id_a", "id_b")
+    labels = dedup_clusters(s12, pairs)
+    s123 = s12.join(
+        labels.filter("cluster_id = doc_id").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    t_lm = train_bigram_lm(s123.filter("lang = 'en'"))
+    r_lm = train_bigram_lm(s123)
+    return (
+        dsir_log_weights(s123, t_lm, r_lm)
+        .orderBy(F.col("logw_micronats").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
 def probe_capstones(spark, sizes: list[int]) -> dict:
     """END-TO-END capstone rows (r9, VERDICT r8 ask #7): run the two
     composition entries — `tokenizer_fertility_report` (four tokenizer
@@ -843,8 +906,38 @@ def probe_capstones(spark, sizes: list[int]) -> dict:
         try:
             # 60 words/doc: inside Gopher's 50..100k word band, so the
             # funnel's rule stages pass a realistic survivor share
-            # (40-word docs fail the minimum and blank every later stage)
-            docs = _rich_docs(spark, n, doc_words=60).select(
+            # (40-word docs fail the minimum and blank every later
+            # stage).  Ten of the 60 are DOC-UNIQUE tokens: uniform
+            # random text is the worst case for the funnel's
+            # prefix-filtered Jaccard stage (every char-trigram has a
+            # mid-size posting list, the 26^3-bounded alphabet makes
+            # candidate sets quadratic — the round-6 probe caveat);
+            # real corpora are Zipfian with per-doc rare grams (names,
+            # ids, numbers), which is exactly what the prefix filter
+            # prunes on, so the probe corpus carries enough unique
+            # material (~100 rare trigrams ≥ the ~|g|/5 prefix) to make
+            # each doc's prefix grams rare.
+            uniq = F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(10)),
+                    lambda j: F.concat(
+                        F.lit("u"),
+                        F.conv(
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id") * 977 + j),
+                                F.lit(2**52),
+                            ).cast("string"),
+                            10,
+                            36,
+                        ),
+                    ),
+                ),
+                " ",
+            )
+            docs = _rich_docs(spark, n, doc_words=50).withColumn(
+                "text", F.concat("text", F.lit(" "), uniq)
+            )
+            docs = docs.select(
                 "doc_id",
                 "text",
                 F.element_at(
@@ -856,10 +949,23 @@ def probe_capstones(spark, sizes: list[int]) -> dict:
             )
             docs.write.parquet(os.path.join(tmp, "documents.parquet"))
             res = {}
-            for name in (
-                "tokenizer_fertility_report",
-                "corpus_curation_funnel_v2",
-            ):
+            names = ["tokenizer_fertility_report"]
+            # the ENTRY funnel's near-dup stage is exact char-TRIGRAM
+            # Jaccard with full-array verification (oracle-replayable
+            # at gate SFs).  On synthetic/random text the trigram
+            # alphabet is bounded (26^3 pool + 36^3 unique tokens), so
+            # posting lists grow linearly with docs, candidate pairs
+            # quadratically, and the verify join attaches BOTH full
+            # gram arrays (~4 KB each) to every candidate — measured:
+            # 100k docs fill 40+ GB, 30k docs still exhaust 31 GB of
+            # spill disk.  The entry shape is gate-corpus-sized by
+            # construction; probe it only there, and probe the
+            # PRODUCTION composition below (same stages, MinHash-LSH
+            # near-dup — posting lists bounded by banding, signatures
+            # never enter the band shuffle) at the scale sizes.
+            if n <= 3_000:
+                names.append("corpus_curation_funnel_v2")
+            for name in names:
                 t0 = time.perf_counter()
                 inventory.QUERIES[name](spark, tmp).write.format(
                     "noop"
@@ -868,6 +974,20 @@ def probe_capstones(spark, sizes: list[int]) -> dict:
                 print(f"capstone {name} @ {n}: {res[name]} s", flush=True)
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            _funnel_minhash(spark, tmp).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            res["funnel_minhash_variant"] = round(
+                time.perf_counter() - t0, 2
+            )
+            print(
+                f"capstone funnel_minhash_variant @ {n}: "
+                f"{res['funnel_minhash_variant']} s",
+                flush=True,
+            )
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             out[n] = res
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
