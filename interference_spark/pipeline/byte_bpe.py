@@ -37,8 +37,8 @@ runs once per distinct pre-token, never per corpus occurrence — and the
 merge loop itself is ``bpe.train_from_words`` (alphabet-agnostic: byte
 stand-in characters contain no literal space, the ``sym`` separator).
 Encode touches the corpus once: pre-token explode → broadcast word-table
-join (byte-split fallback makes it total) → broadcast vocab join → one
-per-document window sort.  No reference analogue (the reference has no
+join (byte-split fallback makes it total) → one per-document regroup →
+broadcast vocab join.  No reference analogue (the reference has no
 text processing; its SQL surface stops at LIKE-contains,
 ``sql/NestedCondition.java:173-188``).
 """
@@ -189,11 +189,19 @@ def byte_bpe_encode(
     back to their raw byte segmentation (``byte_sym``), whose symbols
     are always in the base vocabulary.  Shape: pre-token explode →
     word-table join (broadcast at scale: distinct pre-tokens ≪ corpus)
-    → broadcast vocab join → one per-document window sort
-    (embarrassingly parallel across docs).  ``with_word_index`` adds
-    ``wpos`` (pre-token index) for ``byte_bpe_decode``."""
-    from pyspark.sql import Window
+    → ONE per-document regroup → broadcast vocab join.
+    ``with_word_index`` adds ``wpos`` (pre-token index) for
+    ``byte_bpe_decode``.
 
+    Position densification is the per-document REGROUP, not a window
+    sort: the segmented pre-tokens re-collect into one
+    pre-token-ordered array per document (``array_sort`` over
+    ≤ doc-length structs) and ``posexplode`` of the flattened subword
+    sequence IS the global position.  A window over the fully exploded
+    subword stream sorts ~7× more, wider shuffle rows and was measured
+    to SPILL at the 1M-doc probe point on one box (10× data → 16.8×
+    wall — SCALING.md round-9); the regroup shuffles one narrow row per
+    pre-token and sorts only inside each document's own array."""
     dw = docs.select(
         F.col(doc_col),
         F.posexplode(pre_tokens(F.col(text_col))).alias("wpos", "word"),
@@ -203,21 +211,31 @@ def byte_bpe_encode(
         "wpos",
         F.coalesce("sym", byte_sym(F.col("word"))).alias("sym"),
     )
-    sub = seg.select(
-        F.col(doc_col),
-        "wpos",
-        F.posexplode(F.split("sym", " ")).alias("spos", "token"),
+    per_doc = seg.groupBy(doc_col).agg(
+        F.array_sort(F.collect_list(F.struct("wpos", "sym"))).alias("ws")
     )
-    w = Window.partitionBy(doc_col).orderBy("wpos", "spos")
-    extra = (
-        [F.col("wpos").cast("long").alias("wpos")] if with_word_index else []
+    toks = F.flatten(
+        F.transform(
+            "ws",
+            lambda s: F.transform(
+                F.split(s["sym"], " "),
+                lambda t: F.struct(
+                    s["wpos"].cast("long").alias("wpos"), t.alias("token")
+                ),
+            ),
+        )
     )
-    return sub.join(F.broadcast(vocab), "token").select(
-        F.col(doc_col),
-        (F.row_number().over(w) - 1).cast("long").alias("pos"),
-        *extra,
-        "token",
-        "token_id",
+    extra = [F.col("z.wpos").alias("wpos")] if with_word_index else []
+    return (
+        per_doc.select(F.col(doc_col), F.posexplode(toks).alias("pos", "z"))
+        .select(
+            F.col(doc_col),
+            F.col("pos").cast("long").alias("pos"),
+            *extra,
+            F.col("z.token").alias("token"),
+        )
+        .join(F.broadcast(vocab), "token")
+        .select(F.col(doc_col), "pos", *extra, "token", "token_id")
     )
 
 
