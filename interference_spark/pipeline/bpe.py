@@ -307,8 +307,8 @@ def bpe_encode(
     join the vocab for ids, and each document's global position index is
     densified over (word position, subword position).  Both joins
     broadcast at scale (word table ≪ corpus, vocab is alphabet-sized);
-    the only corpus-wide shuffle is the per-document window sort, which
-    partitions by document — embarrassingly parallel across docs.
+    the only corpus-wide shuffle is the per-document regroup, keyed by
+    document — embarrassingly parallel across docs.
 
     ``oov`` controls words absent from the training word table (the
     encode-new-documents case):
@@ -322,9 +322,17 @@ def bpe_encode(
 
     ``with_word_index=True`` adds the source word index ``wpos`` to each
     row — the extra column ``bpe_decode`` needs to restore word
-    boundaries (the dense global ``pos`` alone cannot)."""
-    from pyspark.sql import Window
+    boundaries (the dense global ``pos`` alone cannot).
 
+    Position densification is a per-document REGROUP, not a window
+    sort (the r9 reshape, first measured on the byte-level sibling —
+    SCALING.md round-9): the segmented words re-collect into one
+    word-ordered array per document (``array_sort`` over ≤ doc-length
+    structs) and ``posexplode`` of the flattened subword sequence IS
+    the global position.  A window over the fully exploded subword
+    stream sorts several-fold more, wider shuffle rows and spills at
+    fixed resources; the regroup shuffles one narrow row per WORD and
+    sorts only inside each document's own array."""
     if oov not in ("drop", "null"):
         raise ValueError(f"oov must be 'drop' or 'null', got {oov!r}")
     toks = F.filter(
@@ -342,25 +350,37 @@ def bpe_encode(
         # surfaces as token_id NULL rather than silently vanishing.
         seg = dw.join(words.select("word", "sym"), "word", "left")
         sym = F.coalesce("sym", "word")
-    sub = seg.select(
-        F.col(doc_col),
-        "wpos",
-        F.posexplode(F.split(sym, " ")).alias("spos", "token"),
+    per_doc = seg.select(
+        F.col(doc_col), F.struct("wpos", sym.alias("sym")).alias("__s")
+    ).groupBy(doc_col).agg(
+        F.array_sort(F.collect_list("__s")).alias("ws")
     )
-    w = Window.partitionBy(doc_col).orderBy("wpos", "spos")
+    subs = F.flatten(
+        F.transform(
+            "ws",
+            lambda st: F.transform(
+                F.split(st["sym"], " "),
+                lambda t: F.struct(
+                    st["wpos"].cast("long").alias("wpos"), t.alias("token")
+                ),
+            ),
+        )
+    )
     vjoin = "inner" if oov == "drop" else "left"
-    extra = [F.col("wpos").cast("long").alias("wpos")] if with_word_index else []
+    extra = [F.col("z.wpos").alias("wpos")] if with_word_index else []
+    extra_out = ["wpos"] if with_word_index else []
     return (
-        # vocab is alphabet+merges-sized — ALWAYS the build side, even
-        # when the corpus side is small enough that stats would flip it
-        sub.join(F.broadcast(vocab), "token", vjoin)
+        per_doc.select(F.col(doc_col), F.posexplode(subs).alias("pos", "z"))
         .select(
             F.col(doc_col),
-            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+            F.col("pos").cast("long").alias("pos"),
             *extra,
-            "token",
-            "token_id",
+            F.col("z.token").alias("token"),
         )
+        # vocab is alphabet+merges-sized — ALWAYS the build side, even
+        # when the corpus side is small enough that stats would flip it
+        .join(F.broadcast(vocab), "token", vjoin)
+        .select(F.col(doc_col), "pos", *extra_out, "token", "token_id")
     )
 
 

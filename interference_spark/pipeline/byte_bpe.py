@@ -226,6 +226,7 @@ def byte_bpe_encode(
         )
     )
     extra = [F.col("z.wpos").alias("wpos")] if with_word_index else []
+    extra_out = ["wpos"] if with_word_index else []
     return (
         per_doc.select(F.col(doc_col), F.posexplode(toks).alias("pos", "z"))
         .select(
@@ -235,7 +236,7 @@ def byte_bpe_encode(
             F.col("z.token").alias("token"),
         )
         .join(F.broadcast(vocab), "token")
-        .select(F.col(doc_col), "pos", *extra, "token", "token_id")
+        .select(F.col(doc_col), "pos", *extra_out, "token", "token_id")
     )
 
 
