@@ -8116,7 +8116,9 @@ def _bb_mutate(docs):
     )
 
 
-def _bb_prefix(pfx: str = "", mutate: bool = True) -> str:
+def _bb_prefix(
+    pfx: str = "", mutate: bool = True, train_where: str = ""
+) -> str:
     """Shared oracle CTEs: the GPT-2 byte → stand-in-char table
     (`byte_bpe.bytes_to_unicode` — printable latin-1 bytes map to
     themselves, the 68 others to chr(256+k) in ascending byte order),
@@ -8124,6 +8126,7 @@ def _bb_prefix(pfx: str = "", mutate: bool = True) -> str:
     table (distinct pre-tokens, corpus freq, space-joined stand-in
     chars) that the `_bpe_iter_cte(pfx=…)` chain then trains over."""
     src = "bbm" if mutate else "documents"
+    tw = f" WHERE {train_where}" if train_where else ""
     mut_cte = (
         f""", bbm AS (
   SELECT doc_id, CASE WHEN doc_id % 13 = 0
@@ -8152,7 +8155,7 @@ def _bb_prefix(pfx: str = "", mutate: bool = True) -> str:
     FROM (
       SELECT word, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT unnest(regexp_extract_all(text, '{_BB_PAT_SQL}'))
-            AS word FROM {src})
+            AS word FROM {src}{tw})
       GROUP BY word
     ) wf,
     LATERAL (SELECT unnest(generate_series(1,
@@ -8164,10 +8167,13 @@ def _bb_prefix(pfx: str = "", mutate: bool = True) -> str:
 
 
 def _byte_bpe_ctes(
-    k: int = _BB_MERGES, pfx: str = "", mutate: bool = True
+    k: int = _BB_MERGES,
+    pfx: str = "",
+    mutate: bool = True,
+    train_where: str = "",
 ) -> str:
     return ",\n".join(
-        [_bb_prefix(pfx, mutate)]
+        [_bb_prefix(pfx, mutate, train_where)]
         + [_bpe_iter_cte(i, pfx) for i in range(1, k + 1)]
     )
 
@@ -8181,18 +8187,23 @@ def _byte_bpe_train_oracle(k: int = _BB_MERGES) -> str:
     return f"WITH {_byte_bpe_ctes(k)}\n{rows}"
 
 
-def _byte_bpe_encode_oracle(k: int = _BB_MERGES, mod: int = 11) -> str:
+def _byte_bpe_encode_oracle(
+    k: int = _BB_MERGES, mod: int = 11, train_where: str = ""
+) -> str:
     """Byte-level encode replay: vocabulary ids (256 byte stand-ins at
     their BYTE value, merges at 256+rank-1, collisions keep min id),
-    sampled mutated docs' pre-tokens re-segmented by w{k} (every
-    pre-token hits — the sample's vocabulary is the training
-    vocabulary), flattened to per-document position-indexed ids."""
+    sampled mutated docs' pre-tokens re-segmented by w{k}, flattened to
+    per-document position-indexed ids.  With ``train_where`` the
+    tokenizer trains on a SLICE and sampled pre-tokens absent from w{k}
+    fall back to their raw byte segmentation (the encoder's totality
+    contract) — replayed via the sw CTE (same bbmap construction over
+    the sample's distinct pre-tokens)."""
     mr = "\nUNION ALL\n".join(
         f"SELECT l || r AS token, CAST(256 + {i} - 1 AS BIGINT) AS token_id"
         f" FROM b{i}"
         for i in range(1, k + 1)
     )
-    return f"""WITH {_byte_bpe_ctes(k)},
+    return f"""WITH {_byte_bpe_ctes(k, train_where=train_where)},
 vocab AS (
   SELECT token, CAST(min(token_id) AS BIGINT) AS token_id FROM (
     SELECT c AS token, CAST(b AS BIGINT) AS token_id FROM bbmap
@@ -8204,10 +8215,21 @@ vocab AS (
   FROM (SELECT doc_id, regexp_extract_all(text, '{_BB_PAT_SQL}') AS w
         FROM bbm WHERE doc_id % {mod} = 0) t
   CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(t.w))) AS j) j
+), sw AS (
+  SELECT word, array_to_string(list(c ORDER BY j), ' ') AS sym
+  FROM (
+    SELECT sd.word, g.j, bm.c
+    FROM (SELECT DISTINCT word FROM dw) sd,
+    LATERAL (SELECT unnest(generate_series(1,
+             octet_length(encode(sd.word)))) AS j) g,
+    bbmap bm
+    WHERE bm.hx = substr(hex(encode(sd.word)), 2*g.j - 1, 2)
+  ) GROUP BY word
 ), ds AS (
   SELECT u.doc_id, u.wpos, j2.j2 AS spos, u.s[j2.j2] AS token
-  FROM (SELECT dw.doc_id, dw.wpos, str_split(w{k}.sym, ' ') AS s
-        FROM dw JOIN w{k} USING (word)) u
+  FROM (SELECT dw.doc_id, dw.wpos,
+               str_split(coalesce(w{k}.sym, sw.sym), ' ') AS s
+        FROM dw LEFT JOIN w{k} USING (word) JOIN sw USING (word)) u
   CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(u.s))) AS j2) j2
 )
 SELECT ds.doc_id,
@@ -8298,6 +8320,85 @@ def byte_bpe_roundtrip(spark, sf_dir):
     out = byte_bpe_decode(enc)
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "stream_byte_bpe_ingest",
+    _byte_bpe_encode_oracle(train_where="doc_id % 2 = 0"),
+)
+def stream_byte_bpe_ingest(spark, sf_dir):
+    """Byte-level BPE tokenization at STREAMING ingest — the GPT-2
+    tokenizer in the tokenize-on-arrival shape next to
+    `stream_wordpiece_ingest`: the byte tokenizer is trained ONCE on
+    the even-doc snapshot and FROZEN (segmented pre-token table + id
+    table localCheckpoint'ed), the snapshot is encoded batch-side, and
+    the odd half arrives as two single-file parquet micro-batches
+    encoded inside ``foreachBatch``.  Byte-level encode is TOTAL —
+    arriving pre-tokens the snapshot never saw fall back to their raw
+    byte segmentation instead of needing an OOV protocol — and
+    segmentation depends only on the frozen state, so streamed +
+    snapshot output reproduces the pure-batch answer EXACTLY (output
+    bounded to the 1-in-11 sample; the oracle replays snapshot-slice
+    training, the byte fallback for unseen sampled pre-tokens, and
+    position densification)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from .pipeline.byte_bpe import (
+        byte_bpe_encode,
+        byte_bpe_train,
+        byte_bpe_vocab,
+    )
+
+    e = engine_for(spark, sf_dir)
+    docs = _bb_mutate(e.table("documents"))
+    snap = docs.filter("doc_id % 2 = 0")
+
+    merges, words = byte_bpe_train(snap, n_merges=_BB_MERGES)
+    words = words.localCheckpoint(eager=True)  # frozen segmentation
+    vocab = byte_bpe_vocab(merges).localCheckpoint(eager=True)  # frozen ids
+
+    def encode_batch(batch):
+        return byte_bpe_encode(batch.filter("doc_id % 11 = 0"), words, vocab)
+
+    tag = _uuid.uuid4().hex[:8]
+    store = os.path.join(e.warehouse, f"bbing_{tag}")
+    src = os.path.join(e.warehouse, f"bbing_src_{tag}")
+    ck = src + "_ck"
+
+    encode_batch(snap).write.mode("append").parquet(store)
+    docs.filter("doc_id % 4 = 1").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 4 = 3").coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink_batch(batch, _bid):
+        encode_batch(batch).write.mode("append").parquet(store)
+
+    q = (
+        sdf.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(store)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        q.stop()
+        # output fully collected; drop the throwaway store/source/
+        # checkpoint dirs (the stream_quality_gate cleanup pattern)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 # =====================================================================
