@@ -10793,9 +10793,13 @@ _DRIVER_WINDOW = [
     # rule; each pre-verified via tools/driver_sim.py at
     # sf0.001/0.01/0.1) = exactly 50.  After this round EVERY pre-r9
     # entry has >= 2 driver rounds; the only singles left are the 7
-    # r9-new entries (unavoidable).  Note: tokenizer_fertility_report
-    # (in the r8-new block) also re-verifies its CHANGED oracle — the
-    # byte-BPE 4th row landed this round.
+    # window-listed r9-new entries (unavoidable) plus
+    # stream_byte_bpe_ingest, which landed after the 50 slots were
+    # committed to closing the backlog — it is driver_sim-verified at
+    # 3 SFs and suite-oracled every run, and takes a window slot in
+    # r10.  Note: tokenizer_fertility_report (in the r8-new block)
+    # also re-verifies its CHANGED oracle — the byte-BPE 4th row
+    # landed this round.
     # --- family sentinels (kept every round) ---
     "dialect_custom_group_function",
     "q21_waiting_suppliers",
