@@ -3271,6 +3271,30 @@ def test_wordpiece_maxmatch_longest_first_and_unk(spark):
     assert got["u"] == "u"
 
 
+def test_maxmatch_reachability_guard(spark):
+    """A vocabulary piece longer than max_piece_len raises (r8 ADVICE
+    nit: assertion over docstring obligation); raising the cap or
+    opting out explicitly both work."""
+    from interference_spark.pipeline.wordpiece import maxmatch_encode
+
+    words = spark.createDataFrame(
+        [("abcdefghijkl", 1)], "word string, freq long"
+    )
+    vocab = spark.createDataFrame(
+        [("abcdefghijkl",), ("a",), ("##b",)], "token string"
+    )
+    with pytest.raises(ValueError, match="unreachable"):
+        maxmatch_encode(words, vocab, max_piece_len=10)
+    ok = maxmatch_encode(words, vocab, max_piece_len=12).collect()
+    assert ok[0].sym == "abcdefghijkl"
+    # explicit opt-out: the 12-char piece is unreachable, word fails to
+    # segment past position 2 and comes back [UNK]
+    unk = maxmatch_encode(
+        words, vocab, max_piece_len=10, check_reachability=False
+    ).collect()
+    assert unk[0].sym == "[UNK]"
+
+
 def test_wordpiece_unk_sentinel_is_not_matchable(spark):
     """[UNK] is an OUTPUT of MaxMatch failure, never a matchable piece:
     a corpus word literally spelled '[UNK]x' must segment through its
