@@ -314,6 +314,10 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results"
     )
+    # ValueError covers json.JSONDecodeError (a truncated/corrupt round
+    # record must not kill a completed measurement run); a baseline
+    # recorded at a DIFFERENT sf is skipped rather than producing
+    # wholesale false regressions (review r9)
     try:
         rounds = sorted(
             (
@@ -326,16 +330,28 @@ def main() -> None:
         if rounds:
             baseline_file = rounds[-1]
             with open(os.path.join(out_dir, baseline_file)) as fh:
-                prev_q = json.load(fh).get("queries", {})
-            for name, now in timings.items():
-                p = prev_q.get(name)
-                if p and now > 1.5 * p and now >= 0.2:
-                    regressions[name] = {
-                        "prev": p,
-                        "now": now,
-                        "ratio": round(now / p, 2),
-                    }
-    except OSError as exc:
+                prev = json.load(fh)
+            this_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+            if prev.get("sf") != this_sf:
+                print(
+                    f"bench: baseline {baseline_file} recorded at "
+                    f"sf={prev.get('sf')} != {this_sf} — regression "
+                    f"comparison skipped",
+                    file=sys.stderr,
+                )
+                baseline_file = None
+            else:
+                prev_q = prev.get("queries", {})
+                for name, now in timings.items():
+                    p = prev_q.get(name)
+                    if p and now > 1.5 * p and now >= 0.2:
+                        regressions[name] = {
+                            "prev": p,
+                            "now": now,
+                            "ratio": round(now / p, 2),
+                        }
+    except (OSError, ValueError) as exc:
+        baseline_file = None
         print(f"bench: regression baseline unreadable: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

@@ -8312,11 +8312,18 @@ def byte_bpe_roundtrip(spark, sf_dir):
     )
 
     e = engine_for(spark, sf_dir)
-    docs = _bb_mutate(e.table("documents")).filter("length(text) > 0")
-    merges, words = byte_bpe_train(docs, n_merges=_BB_MERGES)
-    enc = byte_bpe_encode(
-        docs.filter("doc_id % 7 = 0"), words, byte_bpe_vocab(merges)
+    raw = e.table("documents")
+    # train on the FULL mutated corpus (the oracle's w0 reads bbm with no
+    # length filter — a mutated originally-empty doc contributes
+    # pre-tokens there too); the SAMPLE filters on the ORIGINAL text,
+    # matching the oracle's WHERE length(text) > 0 over pre-mutation
+    # rows — filtering the mutated text instead would keep an empty doc
+    # whose doc_id % 13 = 0 that the oracle excludes (review r9)
+    merges, words = byte_bpe_train(_bb_mutate(raw), n_merges=_BB_MERGES)
+    sample = _bb_mutate(raw.filter("length(text) > 0")).filter(
+        "doc_id % 7 = 0"
     )
+    enc = byte_bpe_encode(sample, words, byte_bpe_vocab(merges))
     out = byte_bpe_decode(enc)
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
@@ -8962,7 +8969,13 @@ def wordpiece_encode_maxmatch(spark, sf_dir):
     # vocab derives from the TRAINED word table — no training-corpus
     # re-scan; the full-corpus word table below is the encode input
     vocab = wordpiece_vocab(words, merges)
-    return maxmatch_encode(wordpiece_word_table(docs), vocab, max_piece_len=10)
+    # check_reachability=False: the 10-char cap is PINNED as part of this
+    # entry's spec (the oracle applies it identically) — truncation is
+    # the declared semantics here, not an accident
+    return maxmatch_encode(
+        wordpiece_word_table(docs), vocab, max_piece_len=10,
+        check_reachability=False,
+    )
 
 
 @query(
@@ -10639,7 +10652,9 @@ def stream_wordpiece_ingest(spark, sf_dir):
 
     def encode_batch(batch):
         seg = maxmatch_encode(
-            wordpiece_word_table(batch).select("word", "freq"), vocab_tokens
+            wordpiece_word_table(batch).select("word", "freq"), vocab_tokens,
+            check_reachability=False,  # pinned 10-char cap (entry spec);
+            # also avoids a per-micro-batch agg job against a FROZEN vocab
         )
         return bpe_encode(batch.filter("doc_id % 11 = 0"), seg, vocab_ids)
 

@@ -292,6 +292,59 @@ def bpe_vocab(merges: DataFrame, words: DataFrame) -> DataFrame:
     )
 
 
+def densify_encode(
+    seg: DataFrame,
+    vocab: DataFrame,
+    doc_col: str,
+    vjoin: str = "inner",
+    with_word_index: bool = False,
+) -> DataFrame:
+    """Shared position-densification core for the word- and byte-level
+    encoders (`bpe_encode` / `byte_bpe.byte_bpe_encode` — extracted so
+    the r9 window-sort→regroup reshape lives in ONE place): ``seg`` is
+    the per-token-instance segmentation stream ``(doc_col, wpos, sym)``;
+    tokens re-collect into one word-ordered array per document
+    (``array_sort`` over ≤ doc-length structs), ``posexplode`` of the
+    flattened subword sequence IS the global position, and the
+    alphabet-sized vocab joins BROADCAST afterwards (``vjoin`` = inner
+    to drop vocab misses, left to surface them as NULL ids).  The only
+    corpus-wide shuffle is the doc-keyed regroup — one narrow row per
+    source token, sorted only inside each document's own array (the
+    window-over-exploded-subwords formulation spilled a ~550M-row sort
+    at the 1M-doc probe point — SCALING.md round-9)."""
+    per_doc = seg.select(
+        F.col(doc_col), F.struct("wpos", "sym").alias("__s")
+    ).groupBy(doc_col).agg(
+        F.array_sort(F.collect_list("__s")).alias("ws")
+    )
+    subs = F.flatten(
+        F.transform(
+            "ws",
+            lambda st: F.transform(
+                F.split(st["sym"], " "),
+                lambda t: F.struct(
+                    st["wpos"].cast("long").alias("wpos"), t.alias("token")
+                ),
+            ),
+        )
+    )
+    extra = [F.col("z.wpos").alias("wpos")] if with_word_index else []
+    extra_out = ["wpos"] if with_word_index else []
+    return (
+        per_doc.select(F.col(doc_col), F.posexplode(subs).alias("pos", "z"))
+        .select(
+            F.col(doc_col),
+            F.col("pos").cast("long").alias("pos"),
+            *extra,
+            F.col("z.token").alias("token"),
+        )
+        # vocab is alphabet+merges-sized — ALWAYS the build side, even
+        # when the corpus side is small enough that stats would flip it
+        .join(F.broadcast(vocab), "token", vjoin)
+        .select(F.col(doc_col), "pos", *extra_out, "token", "token_id")
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     words: DataFrame,
@@ -350,37 +403,12 @@ def bpe_encode(
         # surfaces as token_id NULL rather than silently vanishing.
         seg = dw.join(words.select("word", "sym"), "word", "left")
         sym = F.coalesce("sym", "word")
-    per_doc = seg.select(
-        F.col(doc_col), F.struct("wpos", sym.alias("sym")).alias("__s")
-    ).groupBy(doc_col).agg(
-        F.array_sort(F.collect_list("__s")).alias("ws")
-    )
-    subs = F.flatten(
-        F.transform(
-            "ws",
-            lambda st: F.transform(
-                F.split(st["sym"], " "),
-                lambda t: F.struct(
-                    st["wpos"].cast("long").alias("wpos"), t.alias("token")
-                ),
-            ),
-        )
-    )
-    vjoin = "inner" if oov == "drop" else "left"
-    extra = [F.col("z.wpos").alias("wpos")] if with_word_index else []
-    extra_out = ["wpos"] if with_word_index else []
-    return (
-        per_doc.select(F.col(doc_col), F.posexplode(subs).alias("pos", "z"))
-        .select(
-            F.col(doc_col),
-            F.col("pos").cast("long").alias("pos"),
-            *extra,
-            F.col("z.token").alias("token"),
-        )
-        # vocab is alphabet+merges-sized — ALWAYS the build side, even
-        # when the corpus side is small enough that stats would flip it
-        .join(F.broadcast(vocab), "token", vjoin)
-        .select(F.col(doc_col), "pos", *extra_out, "token", "token_id")
+    return densify_encode(
+        seg.select(F.col(doc_col), "wpos", sym.alias("sym")),
+        vocab,
+        doc_col,
+        vjoin="inner" if oov == "drop" else "left",
+        with_word_index=with_word_index,
     )
 
 

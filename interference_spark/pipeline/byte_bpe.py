@@ -182,26 +182,20 @@ def byte_bpe_encode(
     vocab: DataFrame,
     text_col: str = "text",
     doc_col: str = "doc_id",
-    with_word_index: bool = False,
 ) -> DataFrame:
     """Encode documents to byte-level token-id sequences.  Total — no
     OOV mode knob: pre-tokens missing from the trained word table fall
     back to their raw byte segmentation (``byte_sym``), whose symbols
-    are always in the base vocabulary.  Shape: pre-token explode →
+    are always in the base vocabulary (so unlike ``bpe_encode`` there is
+    no word index to carry for decode either — ``byte_bpe_decode``
+    self-delimits on the byte stand-ins).  Shape: pre-token explode →
     word-table join (broadcast at scale: distinct pre-tokens ≪ corpus)
-    → ONE per-document regroup → broadcast vocab join.
-    ``with_word_index`` adds ``wpos`` (pre-token index) for
-    ``byte_bpe_decode``.
+    → the shared ``bpe.densify_encode`` core (ONE doc-keyed regroup,
+    positions from the flattened subword sequence, broadcast vocab
+    join — see its docstring for the measured window-vs-regroup
+    story)."""
+    from .bpe import densify_encode
 
-    Position densification is the per-document REGROUP, not a window
-    sort: the segmented pre-tokens re-collect into one
-    pre-token-ordered array per document (``array_sort`` over
-    ≤ doc-length structs) and ``posexplode`` of the flattened subword
-    sequence IS the global position.  A window over the fully exploded
-    subword stream sorts ~7× more, wider shuffle rows and was measured
-    to SPILL at the 1M-doc probe point on one box (10× data → 16.8×
-    wall — SCALING.md round-9); the regroup shuffles one narrow row per
-    pre-token and sorts only inside each document's own array."""
     dw = docs.select(
         F.col(doc_col),
         F.posexplode(pre_tokens(F.col(text_col))).alias("wpos", "word"),
@@ -211,33 +205,7 @@ def byte_bpe_encode(
         "wpos",
         F.coalesce("sym", byte_sym(F.col("word"))).alias("sym"),
     )
-    per_doc = seg.groupBy(doc_col).agg(
-        F.array_sort(F.collect_list(F.struct("wpos", "sym"))).alias("ws")
-    )
-    toks = F.flatten(
-        F.transform(
-            "ws",
-            lambda s: F.transform(
-                F.split(s["sym"], " "),
-                lambda t: F.struct(
-                    s["wpos"].cast("long").alias("wpos"), t.alias("token")
-                ),
-            ),
-        )
-    )
-    extra = [F.col("z.wpos").alias("wpos")] if with_word_index else []
-    extra_out = ["wpos"] if with_word_index else []
-    return (
-        per_doc.select(F.col(doc_col), F.posexplode(toks).alias("pos", "z"))
-        .select(
-            F.col(doc_col),
-            F.col("pos").cast("long").alias("pos"),
-            *extra,
-            F.col("z.token").alias("token"),
-        )
-        .join(F.broadcast(vocab), "token")
-        .select(F.col(doc_col), "pos", *extra_out, "token", "token_id")
-    )
+    return densify_encode(seg, vocab, doc_col)
 
 
 def byte_subword_stats(

@@ -729,7 +729,9 @@ def test_wordpiece_maxmatch_matches_python_spec(spark, train, enc, n_merges):
     enc_words = wordpiece_word_table(_df(spark, enc))
     if enc_words.count() == 0:
         return
-    enc_df = maxmatch_encode(enc_words, vocab, max_piece_len=6)
+    enc_df = maxmatch_encode(
+        enc_words, vocab, max_piece_len=6, check_reachability=False
+    )
     got = {r.word: r.sym for r in enc_df.collect()}
     want = {w: _maxmatch_py(w, vset, 6) for w in got}
     assert got == want, (train, enc, n_merges)

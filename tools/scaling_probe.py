@@ -584,7 +584,9 @@ def probe_wordpiece(spark, sizes: list[int]) -> dict:
         # vocab from the TRAINED word table — no second corpus scan
         # (recorded r8 curve predates this; it paid one extra scan)
         vocab = wordpiece_vocab(words, merges)
-        enc = maxmatch_encode(words.select("word", "freq"), vocab)
+        enc = maxmatch_encode(
+            words.select("word", "freq"), vocab, check_reachability=False
+        )
         enc.write.format("noop").mode("overwrite").save()
         out[n] = {
             "train_sec": round(t_train, 2),
@@ -753,15 +755,29 @@ def probe_ppl_cutoffs(spark, sizes: list[int]) -> dict:
     langs = ["en", "de", "es", "fr", "zh"]
     out: dict = {}
     for n in sizes:
-        # doc_id % 10: 0-8 -> en (90%), 9 -> one of the other four
+        # hash-based selectors, NOT doc_id residues: the train/score
+        # split is doc_id parity, and a % 10 == 9 minority selector is
+        # always ODD — the scored half would be 80% dominant with only
+        # 2 of 4 minority languages present (review r9); xxhash keeps
+        # the 90/10 mix and all five languages parity-independent
         docs = (
             _rich_docs(spark, n)
             .withColumn(
                 "lang",
-                F.when(F.col("doc_id") % 10 < 9, F.lit("en")).otherwise(
+                F.when(
+                    F.pmod(F.xxhash64(F.col("doc_id") * 7919), F.lit(10))
+                    < 9,
+                    F.lit("en"),
+                ).otherwise(
                     F.element_at(
                         F.array(*[F.lit(c) for c in langs[1:]]),
-                        (F.col("doc_id") % 4 + 1).cast("int"),
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id") * 104729),
+                                F.lit(4),
+                            )
+                            + 1
+                        ).cast("int"),
                     )
                 ),
             )
