@@ -524,3 +524,82 @@ def test_funnel_v2_plan_no_cartesian_no_python(spark):
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_mix_perplexity_cutoffs_plan_has_no_window(spark):
+    """The sketch-cutoff bucketing exists to REMOVE the per-language
+    ntile sort: its physical plan must contain no Window node at all,
+    and the per-language cutoffs must attach as a broadcast, not a
+    shuffled join."""
+    df = inventory.QUERIES["mix_perplexity_cutoffs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "ntile" not in plan, plan[:2000]
+    # the entry pins collected rows (localCheckpoint lineage), so lint
+    # the OPERATOR's own plan too
+    from interference_spark.pipeline.lm import (
+        perplexity_bucket_cutoffs,
+        train_bigram_lm,
+    )
+
+    docs = inventory.engine_for(spark, SF_DIR).table("documents")
+    lm = train_bigram_lm(docs.filter("doc_id % 2 = 0"))
+    out = perplexity_bucket_cutoffs(docs.filter("doc_id % 2 = 1"), lm)
+    oplan = out._jdf.queryExecution().executedPlan().toString()
+    # no ntile anywhere; the ONLY Window allowed is the histogram
+    # cumulation on the cutoff (broadcast build) side — it runs over at
+    # most languages×256 sketch rows, never the corpus
+    assert "ntile" not in oplan, oplan[:2000]
+    assert oplan.count("Window") <= 1, oplan[:3000]
+    assert "BroadcastHashJoin [lang" in oplan, oplan[:2000]
+
+
+def test_select_dsir_gumbel_plan_is_partial_topk(spark):
+    """Gumbel-top-k selection must execute as TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a global sort, with the
+    key projection all-JVM."""
+    df = inventory.QUERIES["select_dsir_gumbel"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_byte_bpe_encode_plan_shape(spark):
+    """Byte-level encode: no Window node (positions come from the
+    per-document regroup — the r9 reshape), the vocab join builds on
+    the broadcast vocab, and everything stays JVM-side."""
+    from interference_spark.pipeline.byte_bpe import (
+        byte_bpe_encode,
+        byte_bpe_train,
+        byte_bpe_vocab,
+    )
+
+    docs = inventory.engine_for(spark, SF_DIR).table("documents")
+    merges, words = byte_bpe_train(docs.limit(50), n_merges=2)
+    enc = byte_bpe_encode(docs.limit(50), words, byte_bpe_vocab(merges))
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    lines = [
+        ln for ln in plan.splitlines() if "BroadcastHashJoin [token" in ln
+    ]
+    assert lines and all("BuildRight" in ln for ln in lines), plan[:3000]
+
+
+def test_stream_backoff_counts_plan_is_combiner_friendly(spark):
+    """The unified backoff delta is three map-side-combined counts and
+    a union — no join, no window, no Python anywhere."""
+    from interference_spark.pipeline.lm import backoff_count_deltas
+
+    docs = inventory.engine_for(spark, SF_DIR).table("documents")
+    plan = (
+        backoff_count_deltas(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 6, plan[:2000]  # 3x partial+final
