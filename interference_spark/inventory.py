@@ -2503,9 +2503,12 @@ def lang_id_multiclass_sparse(spark, sf_dir):
     """`lang_id_multiclass` through the SPARSE physical plan
     (`text._hash_kernel_multiclass_sparse` — VERDICT r8 ask #8: the
     fastText-scale-d generalization the dense docstring claimed, now
-    shipped): features built once as bucket-ascending sparse arrays, the
-    whole K-head model riding as ONE broadcast row, per-step moments as
-    one groupBy(cls, bucket) aggregate of ≤ K·(d+1) narrow rows —
+    shipped): features built once at the token level, the whole K-head
+    model riding as a BROADCAST HASH-JOIN TABLE of d narrow rows (the
+    one-array-row alternative was measured materializing 10 MB into
+    every joined row — SCALING.md round-9), per-doc predictions K
+    ordered folds over bucket-ascending regrouped terms, per-step
+    moments one groupBy(cls, bucket) aggregate of ≤ K·(d+1) narrow rows —
     nothing scales with d but the weight arrays (measured ~flat d=8 →
     d=2^18, SCALING.md round 9).  BIT-identical to the dense plan by the
     ordered-fold argument, so this entry shares `lang_id_multiclass`'s
@@ -8098,7 +8101,10 @@ def bpe_encode_ids(spark, sf_dir):
 # at every SF.
 # =====================================================================
 
-_BB_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# ONE pattern constant — imported from the operator module so the oracle
+# replica can never drift from the Spark-side tokenizer (review r9)
+from .pipeline.byte_bpe import GPT2_SPLIT_PATTERN as _BB_PAT  # noqa: E402
+
 _BB_PAT_SQL = _BB_PAT.replace("'", "''")
 _BB_MUT = " it's  42 — héllo… \ntab\tend"
 _BB_MUT_SQL = "' it''s  42 — héllo… ' || chr(10) || 'tab' || chr(9) || 'end'"
@@ -8630,7 +8636,8 @@ def unigram_encode_ids(spark, sf_dir):
     sequences via `pipeline/bpe.bpe_encode` — the encode machinery is
     tokenizer-agnostic, taking any (word, sym) segmentation table, so
     the unigram path reuses it verbatim (broadcast word/vocab joins, one
-    per-document window).  Training, vocabulary ids, segmentation, and
+    per-document regroup — `bpe.densify_encode`, no Window node since
+    the r9 reshape).  Training, vocabulary ids, segmentation, and
     position densification all replay in the oracle."""
     from pyspark.sql import Window
 

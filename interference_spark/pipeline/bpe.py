@@ -368,7 +368,14 @@ def bpe_encode(
 
     - ``"drop"`` (default, the oracle contract): unknown words are
       skipped and positions densify over the gap — only valid when the
-      docs being encoded are the training corpus itself.
+      docs being encoded are the training corpus itself.  Positions
+      number the SEGMENTATION stream (assigned before the vocab join —
+      the r9 regroup shape): a segmentation token missing from
+      ``vocab`` is dropped by the inner join and leaves a positional
+      gap, so ``vocab`` must cover the segmentation alphabet — true by
+      construction when both come from the same training (every entry
+      here), and checked explicitly by MaxMatch callers via
+      ``wordpiece_vocab`` + the id-table union.
     - ``"null"``: unknown words survive as one row each with the raw
       word in ``token`` and a NULL ``token_id``, so the loss is visible
       to the caller (filter ``token_id IS NULL`` for an OOV report).

@@ -20,7 +20,10 @@ offer:
 Pre-tokenizer spec: the GPT-2 pattern WITHOUT its ``\\s+(?!\\S)``
 lookahead branch —
 
-    ``'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+``
+    ``'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ws\\p{L}\\p{N}]+|ws+``
+    (``ws`` = the explicit whitespace class ``[\\t\\n\\x0b\\f\\r ]`` —
+    Java's ``\\s`` set spelled out, because RE2's ``\\s`` excludes
+    U+000B and the two engines must tokenize identically)
 
 RE2 (DuckDB's regex engine, hence the driver oracle) does not support
 lookahead, so this repo's spec drops it; the only divergence from GPT-2
@@ -51,9 +54,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: GPT-2 split pattern, lookahead-free (see module docstring).  One
-#: string, valid and IDENTICAL in Java regex and RE2.
+#: string, valid and IDENTICAL in Java regex and RE2 — whitespace is the
+#: EXPLICIT class [\t\n\x0b\f\r ] rather than \s because the engines
+#: disagree on \s exactly at U+000B (Java includes vertical tab, RE2
+#: does not; review r9 verified 'a\x0b\x0b b' tokenizing differently
+#: under \s).  The explicit class is Java's \s set, so Spark behavior
+#: is unchanged and DuckDB now matches it.
 GPT2_SPLIT_PATTERN = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^\t\n\x0b\f\r \p{L}\p{N}]+|[\t\n\x0b\f\r ]+"
 )
 
 

@@ -1486,10 +1486,13 @@ def hash_kernel_multiclass(
     aggregate to a single bounded row; the right plan at langid-sized
     d (≤ 64).  ``"sparse"`` — the fastText-scale plan (r8 ask #8): the
     binary sparse shapes generalized to K heads — features built ONCE
-    as each doc's bucket-ascending sparse array, the K×(d+1) weight
-    state rides as ONE broadcast row (a flattened K·d array + a K bias
-    array), per-doc head predictions are K ordered folds over the same
-    persisted ``feats``, and each GD step's moments return as one
+    at the token level, the K×d weight state riding as a BROADCAST
+    HASH-JOIN TABLE of d narrow rows (NOT one array-of-K·d row: a
+    cross-joined 10 MB array column materializes into every joined row
+    once the fold knocks the projection out of codegen — measured
+    ~12 ms/doc at K·d = 1.3M, SCALING.md round-9), per-doc head
+    predictions K ordered folds over the bucket-ascending regrouped
+    terms, and each GD step's moments return as one
     groupBy(cls, bucket) integer aggregate of ≤ K·(d+1) narrow rows.
     Nothing scales with ``d`` but the weight vector itself (measured
     ~flat d=8 → d=2^18, SCALING.md round 9).  ``"auto"`` picks dense
@@ -1506,8 +1509,13 @@ def hash_kernel_multiclass(
         raise ValueError(f"impl must be auto|dense|sparse, got {impl!r}")
     if impl == "auto":
         impl = "dense" if d <= 64 else "sparse"
-    if not classes or len(set(classes)) != len(classes):
-        raise ValueError(f"classes must be non-empty and unique: {classes}")
+    if len(classes) < 2 or len(set(classes)) != len(classes):
+        # both plans argmax via greatest(struct…), which needs >= 2
+        # heads — fail up front, not after the GD work (review r9)
+        raise ValueError(
+            f"classes must be >= 2 unique labels (one-vs-rest argmax "
+            f"needs multiple heads): {classes}"
+        )
     if impl == "sparse":
         return _hash_kernel_multiclass_sparse(
             train, score, classes, text_col, label_col, id_col, d, iters, lr

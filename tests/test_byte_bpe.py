@@ -23,9 +23,10 @@ FUZZ = settings(
 
 # mixed-class fuzz alphabet: contractions, digits, punctuation, 2- and
 # 3-byte UTF-8, a 3-byte symbol (So — neither letter nor number), plus
-# varied whitespace separators (incl. runs)
+# varied whitespace separators (incl. runs and U+000B — the character
+# where Java \\s and RE2 \\s disagree; the explicit class must agree)
 _PIECES = ["the", "it's", "can't", "42", "3.14", "—", "héllo…", "⚡", "a", "{x}"]
-_SEPS = [" ", "  ", "\n", "\t", " \n "]
+_SEPS = [" ", "  ", "\n", "\t", " \n ", "\x0b", " \x0b\x0b "]
 
 text_strategy = st.lists(
     st.tuples(st.sampled_from(_PIECES), st.sampled_from(_SEPS)),

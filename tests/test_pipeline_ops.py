@@ -3399,3 +3399,17 @@ def test_lang_id_multiclass_agreement(spark):
     # two agree more often than chance (the baseline also leans 'en')
     assert acc >= mk_acc
     assert agree >= 0.5
+
+
+def test_multiclass_rejects_single_class_upfront(spark):
+    """greatest(struct...) needs >= 2 heads; a 1-class list must fail
+    at validation, not after training (review r9)."""
+    from interference_spark.pipeline.text import hash_kernel_multiclass
+
+    df = spark.createDataFrame(
+        [(0, "a b", "en"), (1, "b a", "en")],
+        "doc_id long, text string, lang string",
+    )
+    for impl in ("dense", "sparse"):
+        with pytest.raises(ValueError, match=">= 2 unique labels"):
+            hash_kernel_multiclass(df, df, classes=["en"], d=4, impl=impl)
