@@ -10884,6 +10884,10 @@ def _presentation_order() -> list[str]:
     rest = [n for n in QUERIES if n not in _DRIVER_WINDOW]
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
     assert not missing, f"_DRIVER_WINDOW names unknown queries: {missing}"
+    assert len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW), (
+        "_DRIVER_WINDOW has duplicates — a dup silently shrinks the "
+        "gated set below 50"
+    )
     return list(_DRIVER_WINDOW) + rest
 
 
