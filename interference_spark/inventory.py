@@ -2633,11 +2633,12 @@ WHERE ({band_conds})
 """
 
 
-def _minhash_sig_ctes(num_perm: int = 128) -> str:
+def _minhash_sig_ctes(num_perm: int = 128, src: str = "documents") -> str:
     """Shared CTE prefix recomputing the md5 MinHash signatures of every
     document (permutation constants inlined, numpy uint64 wraparound as
-    HUGEINT mod 2^64) — used by both the pair oracle and the incremental
-    registry oracle so the two can never drift."""
+    HUGEINT mod 2^64) — used by the pair oracle, the incremental
+    registry oracle, and the funnel-v3 near-dup stage so none can
+    drift.  ``src`` is any (doc_id, text) relation."""
     from .pipeline.dedup import _perm_params
 
     a, b = _perm_params(num_perm, 42)
@@ -2647,7 +2648,7 @@ def _minhash_sig_ctes(num_perm: int = 128) -> str:
     return f"""toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
                              x -> x <> '') AS tk
-  FROM documents
+  FROM {src}
 ), shing AS (
   SELECT doc_id,
          CASE WHEN len(tk) = 0 THEN ['']
@@ -3445,6 +3446,135 @@ JOIN fc4 c ON c.doc_id = d.doc_id
 LEFT JOIN fgop g ON g.doc_id = d.doc_id
 LEFT JOIN flabels l ON l.id = d.doc_id
 LEFT JOIN ftop t ON t.doc_id = d.doc_id"""
+
+
+def _funnel_v3_oracle(
+    num_perm: int = 128, bands: int = 32, threshold: float = 0.8
+) -> str:
+    """The PRODUCTION funnel composition, fully replayed: identical C4 →
+    Gopher → cluster → DSIR staging to `_FUNNEL_V2_ORACLE`, with the
+    near-dup stage spliced from exact char-trigram Jaccard to banded
+    md5 MinHash-LSH over the shared `_minhash_sig_ctes` prefix (source
+    = the fs12 survivor slice; banding as per-band signature-slice
+    equality; candidates thresholded on the SIGNATURE-estimated
+    Jaccard — the production criterion, deterministic in both
+    engines).  Built by splicing the v2 constant so the other five
+    stages literally cannot drift between the two entries."""
+    est = (
+        f"CAST(len([j for j in generate_series(1, {num_perm}) "
+        f"if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)}"
+    )
+    block = f"""), {_minhash_sig_ctes(num_perm, src="fs12")}, fpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE ({_minhash_band_conds(num_perm, bands)})
+    AND {est} >= {threshold}
+"""
+    i = _FUNNEL_V2_ORACLE.index("), fgrams AS (")
+    j = _FUNNEL_V2_ORACLE.index("), fedges AS (")
+    return _FUNNEL_V2_ORACLE[:i] + block + _FUNNEL_V2_ORACLE[j:]
+
+
+@query("corpus_curation_funnel_v3", _funnel_v3_oracle())
+def corpus_curation_funnel_v3(spark, sf_dir):
+    """The curation funnel's PRODUCTION composition as a first-class
+    ORACLED entry (the r9 `--capstones` probe ran this shape probe-only;
+    here the whole thing value-hashes): C4 rules → Gopher shape rules →
+    banded MinHash-LSH near-duplicate clustering (128 md5 permutations,
+    32 bands, signature-estimated Jaccard ≥ 0.8 — the detector whose
+    candidate volume is bounded by banding rather than by the gram
+    alphabet, so it survives corpora where the exact-trigram stage of
+    `corpus_curation_funnel_v2` degenerates; measured head-to-head in
+    SCALING.md round-9) → DSIR top-100, with per-document
+    first-failing-stage attribution.  Identical staging, mutations, and
+    verdict CASE to v2 — the v3 oracle is SPLICED from the v2 constant
+    with only the pair stage swapped, so the two entries' shared stages
+    cannot drift.  Scale shape: the near-dup stage shuffles narrow
+    (id, bucket) rows only; everything else as v2."""
+    from .pipeline.dedup import dedup_clusters, minhash_dedup_pairs
+    from .pipeline.lm import dsir_log_weights, train_bigram_lm
+    from .pipeline.text import c4_clean, gopher_quality_flags
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    mut = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" {code}"))
+        )
+        .when(
+            F.col("doc_id") % 17 == 1,
+            F.concat(F.lit("lorem ipsum "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    c4 = c4_clean(mut, min_kept_lines=0).select(
+        "doc_id", F.col("keep_doc").alias("c4_ok")
+    )
+    gf = gopher_quality_flags(
+        mut.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+    )
+    gop = gf.select(
+        "doc_id",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_hash_ratio")
+            & F.col("r_ellipsis_ratio")
+            & F.col("r_bullet_lines")
+            & F.col("r_ellipsis_lines")
+            & F.col("r_alpha_words")
+        ).alias("gopher_ok"),
+    )
+    s12 = (
+        mut.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+        .join(gop.filter("gopher_ok"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "text")
+    )
+    # THE swap vs v2: banded MinHash-LSH (md5 — the oracled hash family)
+    # in place of exact char-trigram Jaccard
+    pairs = minhash_dedup_pairs(s12, threshold=0.8).select("id_a", "id_b")
+    labels = dedup_clusters(s12, pairs).select(
+        F.col("doc_id").alias("l_id"), "cluster_id"
+    )
+    s123 = s12.join(
+        labels.filter("cluster_id = l_id").select(
+            F.col("l_id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    t_lm = train_bigram_lm(s123.filter("lang = 'en'"))
+    r_lm = train_bigram_lm(s123)
+    top = (
+        dsir_log_weights(s123, t_lm, r_lm)
+        .orderBy(F.col("logw_micronats").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", F.lit(True).alias("in_top"))
+    )
+    verdict = (
+        F.when(~F.col("c4_ok"), "c4_rules")
+        .when(
+            ~F.coalesce(F.col("gopher_ok"), F.lit(False)), "gopher_rules"
+        )
+        .when(
+            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+            != F.col("doc_id"),
+            "near_duplicate",
+        )
+        .when(F.col("in_top").isNull(), "dsir_low")
+        .otherwise("keep")
+    )
+    return (
+        docs.select("doc_id")
+        .join(c4.select("doc_id", "c4_ok"), "doc_id")
+        .join(gop, "doc_id", "left")
+        .join(labels, F.col("doc_id") == F.col("l_id"), "left")
+        .join(top, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+    )
 
 
 @query("corpus_curation_funnel_v2", _FUNNEL_V2_ORACLE)
@@ -10816,10 +10946,10 @@ _DRIVER_WINDOW = [
     # sf0.001/0.01/0.1) = exactly 50.  After this round EVERY pre-r9
     # entry has >= 2 driver rounds; the only singles left are the 7
     # window-listed r9-new entries (unavoidable) plus
-    # stream_byte_bpe_ingest, which landed after the 50 slots were
-    # committed to closing the backlog — it is driver_sim-verified at
-    # 3 SFs and suite-oracled every run, and takes a window slot in
-    # r10.  Note: tokenizer_fertility_report (in the r8-new block)
+    # stream_byte_bpe_ingest and corpus_curation_funnel_v3, which
+    # landed after the 50 slots were committed to closing the backlog —
+    # both driver_sim-verified at 3 SFs and suite-oracled every run;
+    # they take window slots in r10.  Note: tokenizer_fertility_report (in the r8-new block)
     # also re-verifies its CHANGED oracle — the byte-BPE 4th row
     # landed this round.
     # --- family sentinels (kept every round) ---

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Sharded full-suite runner (VERDICT r7 ask #3): the 221-entry oracle
+"""Sharded full-suite runner (VERDICT r7 ask #3): the 222-entry oracle
 sweep dominates `pytest tests/` wall time and a single Spark session
 can't be split inside one process (one JVM per process, no xdist in the
 container) — so the suite runs as FIVE parallel pytest processes, each

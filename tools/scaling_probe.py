@@ -846,8 +846,10 @@ def _funnel_minhash(spark, sf_dir: str):
     from exact char-trigram Jaccard (the oracle-replayable gate shape)
     to banded MinHash-LSH over the all-JVM xxhash64 path — the
     bounded-alphabet-proof detector a 100 TB run uses.  Stages are
-    shipped operators; only the composition lives here (the probe's
-    subject is end-to-end wall-clock, not a new oracle)."""
+    shipped operators; the same composition ALSO ships as the fully
+    ORACLED entry `corpus_curation_funnel_v3` (md5 hash family — the
+    oracle-replayable one); this probe variant keeps xxhash64 because
+    the probe's subject is end-to-end wall-clock on the all-JVM path."""
     from interference_spark import inventory
     from interference_spark.pipeline.dedup import (
         dedup_clusters,
