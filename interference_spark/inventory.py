@@ -2614,6 +2614,17 @@ def _minhash_band_conds(
     )
 
 
+def _minhash_est(num_perm: int, la: str = "a", lb: str = "b") -> str:
+    """The signature-estimated-Jaccard SQL expression (matching-slot
+    fraction) — ONE definition shared by the pair oracle, the
+    incremental registry oracle, and the funnel-v3 near-dup stage so
+    the criterion can never desynchronize (review r9)."""
+    return (
+        f"CAST(len([j for j in generate_series(1, {num_perm}) "
+        f"if {la}.sig[j] = {lb}.sig[j]]) AS DOUBLE) / {float(num_perm)}"
+    )
+
+
 def _minhash_oracle(num_perm: int = 128, bands: int = 32, threshold: float = 0.4) -> str:
     """MinHash+LSH is deterministic end to end (seeded permutations, md5
     shingle hashes), so DuckDB can recompute it exactly: the permutation
@@ -2621,15 +2632,14 @@ def _minhash_oracle(num_perm: int = 128, bands: int = 32, threshold: float = 0.4
     HUGEINT mod 2^64, and LSH banding becomes per-band signature-slice
     equality (bucket hashing is just an equality proxy on Spark's side)."""
     band_conds = _minhash_band_conds(num_perm, bands)
+    est = _minhash_est(num_perm)
     return f"""
 WITH {_minhash_sig_ctes(num_perm)}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len([j for j in generate_series(1, {num_perm})
-                 if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)} AS est_jaccard
+       {est} AS est_jaccard
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE ({band_conds})
-  AND CAST(len([j for j in generate_series(1, {num_perm})
-                if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)} >= {threshold}
+  AND {est} >= {threshold}
 """
 
 
@@ -2693,10 +2703,7 @@ def _minhash_incremental_oracle(
     the shared CTE prefix, registry = even doc_ids, batch = odd; banded
     candidates as per-band slice equality; best est-Jaccard ≥ threshold
     against registry / earlier-batch (0.0 when none); kept = both zero."""
-    est = (
-        f"CAST(len([j for j in generate_series(1, {num_perm}) "
-        f"if n.sig[j] = o.sig[j]]) AS DOUBLE) / {float(num_perm)}"
-    )
+    est = _minhash_est(num_perm, "n", "o")
     bc = _minhash_band_conds(num_perm, bands, "n", "o")
     return f"""
 WITH {_minhash_sig_ctes(num_perm)}, known AS (
@@ -3448,50 +3455,15 @@ LEFT JOIN flabels l ON l.id = d.doc_id
 LEFT JOIN ftop t ON t.doc_id = d.doc_id"""
 
 
-def _funnel_v3_oracle(
-    num_perm: int = 128, bands: int = 32, threshold: float = 0.8
-) -> str:
-    """The PRODUCTION funnel composition, fully replayed: identical C4 →
-    Gopher → cluster → DSIR staging to `_FUNNEL_V2_ORACLE`, with the
-    near-dup stage spliced from exact char-trigram Jaccard to banded
-    md5 MinHash-LSH over the shared `_minhash_sig_ctes` prefix (source
-    = the fs12 survivor slice; banding as per-band signature-slice
-    equality; candidates thresholded on the SIGNATURE-estimated
-    Jaccard — the production criterion, deterministic in both
-    engines).  Built by splicing the v2 constant so the other five
-    stages literally cannot drift between the two entries."""
-    est = (
-        f"CAST(len([j for j in generate_series(1, {num_perm}) "
-        f"if a.sig[j] = b.sig[j]]) AS DOUBLE) / {float(num_perm)}"
-    )
-    block = f"""), {_minhash_sig_ctes(num_perm, src="fs12")}, fpairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-  WHERE ({_minhash_band_conds(num_perm, bands)})
-    AND {est} >= {threshold}
-"""
-    i = _FUNNEL_V2_ORACLE.index("), fgrams AS (")
-    j = _FUNNEL_V2_ORACLE.index("), fedges AS (")
-    return _FUNNEL_V2_ORACLE[:i] + block + _FUNNEL_V2_ORACLE[j:]
-
-
-@query("corpus_curation_funnel_v3", _funnel_v3_oracle())
-def corpus_curation_funnel_v3(spark, sf_dir):
-    """The curation funnel's PRODUCTION composition as a first-class
-    ORACLED entry (the r9 `--capstones` probe ran this shape probe-only;
-    here the whole thing value-hashes): C4 rules → Gopher shape rules →
-    banded MinHash-LSH near-duplicate clustering (128 md5 permutations,
-    32 bands, signature-estimated Jaccard ≥ 0.8 — the detector whose
-    candidate volume is bounded by banding rather than by the gram
-    alphabet, so it survives corpora where the exact-trigram stage of
-    `corpus_curation_funnel_v2` degenerates; measured head-to-head in
-    SCALING.md round-9) → DSIR top-100, with per-document
-    first-failing-stage attribution.  Identical staging, mutations, and
-    verdict CASE to v2 — the v3 oracle is SPLICED from the v2 constant
-    with only the pair stage swapped, so the two entries' shared stages
-    cannot drift.  Scale shape: the near-dup stage shuffles narrow
-    (id, bucket) rows only; everything else as v2."""
-    from .pipeline.dedup import dedup_clusters, minhash_dedup_pairs
+def _funnel_run(spark, sf_dir, pair_fn):
+    """The curation funnel's shared Spark staging — mutations, C4,
+    Gopher, min-label clustering, DSIR top-100, and the first-failing-
+    stage verdict — parameterized by the pair-producing near-dup stage
+    (``pair_fn(s12) -> (id_a, id_b)``).  BOTH funnel entries call this
+    one body, the Spark-side mirror of the v3 oracle being SPLICED from
+    the v2 constant: neither side's shared stages can drift (review
+    r9)."""
+    from .pipeline.dedup import dedup_clusters
     from .pipeline.lm import dsir_log_weights, train_bigram_lm
     from .pipeline.text import c4_clean, gopher_quality_flags
 
@@ -3533,9 +3505,7 @@ def corpus_curation_funnel_v3(spark, sf_dir):
         .join(gop.filter("gopher_ok"), "doc_id", "left_semi")
         .select("doc_id", "lang", "text")
     )
-    # THE swap vs v2: banded MinHash-LSH (md5 — the oracled hash family)
-    # in place of exact char-trigram Jaccard
-    pairs = minhash_dedup_pairs(s12, threshold=0.8).select("id_a", "id_b")
+    pairs = pair_fn(s12)
     labels = dedup_clusters(s12, pairs).select(
         F.col("doc_id").alias("l_id"), "cluster_id"
     )
@@ -3574,6 +3544,59 @@ def corpus_curation_funnel_v3(spark, sf_dir):
         .join(labels, F.col("doc_id") == F.col("l_id"), "left")
         .join(top, "doc_id", "left")
         .select("doc_id", verdict.alias("verdict"))
+    )
+
+
+def _funnel_v3_oracle(
+    num_perm: int = 128, bands: int = 32, threshold: float = 0.8
+) -> str:
+    """The PRODUCTION funnel composition, fully replayed: identical C4 →
+    Gopher → cluster → DSIR staging to `_FUNNEL_V2_ORACLE`, with the
+    near-dup stage spliced from exact char-trigram Jaccard to banded
+    md5 MinHash-LSH over the shared `_minhash_sig_ctes` prefix (source
+    = the fs12 survivor slice; banding as per-band signature-slice
+    equality; candidates thresholded on the SIGNATURE-estimated
+    Jaccard — the production criterion, deterministic in both
+    engines).  Built by splicing the v2 constant so the other five
+    stages literally cannot drift between the two entries."""
+    est = _minhash_est(num_perm)
+    block = f"""), {_minhash_sig_ctes(num_perm, src="fs12")}, fpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE ({_minhash_band_conds(num_perm, bands)})
+    AND {est} >= {threshold}
+"""
+    i = _FUNNEL_V2_ORACLE.index("), fgrams AS (")
+    j = _FUNNEL_V2_ORACLE.index("), fedges AS (")
+    return _FUNNEL_V2_ORACLE[:i] + block + _FUNNEL_V2_ORACLE[j:]
+
+
+@query("corpus_curation_funnel_v3", _funnel_v3_oracle())
+def corpus_curation_funnel_v3(spark, sf_dir):
+    """The curation funnel's PRODUCTION composition as a first-class
+    ORACLED entry (the r9 `--capstones` probe ran this shape probe-only;
+    here the whole thing value-hashes): C4 rules → Gopher shape rules →
+    banded MinHash-LSH near-duplicate clustering (128 md5 permutations,
+    32 bands, signature-estimated Jaccard ≥ 0.8 — the detector whose
+    candidate volume is bounded by banding rather than by the gram
+    alphabet, so it survives corpora where the exact-trigram stage of
+    `corpus_curation_funnel_v2` degenerates; measured head-to-head in
+    SCALING.md round-9) → DSIR top-100, with per-document
+    first-failing-stage attribution.  Identical staging, mutations, and
+    verdict CASE to v2 — the v3 oracle is SPLICED from the v2 constant
+    with only the pair stage swapped, so the two entries' shared stages
+    cannot drift.  Scale shape: the near-dup stage shuffles narrow
+    (id, bucket) rows only; everything else as v2."""
+    from .pipeline.dedup import minhash_dedup_pairs
+
+    return _funnel_run(
+        spark,
+        sf_dir,
+        # THE swap vs v2: banded MinHash-LSH (md5 — the oracled hash
+        # family) in place of exact char-trigram Jaccard
+        lambda s12: minhash_dedup_pairs(s12, threshold=0.8).select(
+            "id_a", "id_b"
+        ),
     )
 
 
@@ -3603,87 +3626,12 @@ def corpus_curation_funnel_v2(spark, sf_dir):
     recursive-CTE clustering.  Scale shape: C4+Gopher are shuffle-free
     projections, clustering and DSIR run on the (already filtered)
     survivor set, selection is TakeOrderedAndProject."""
-    from .pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
-    from .pipeline.lm import dsir_log_weights, train_bigram_lm
-    from .pipeline.text import c4_clean, gopher_quality_flags
+    from .pipeline.dedup import ngram_jaccard_pairs
 
-    e = engine_for(spark, sf_dir)
-    docs = e.table("documents")
-    mut = docs.select(
-        "doc_id",
-        "lang",
-        F.when(
-            F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" {code}"))
-        )
-        .when(
-            F.col("doc_id") % 17 == 1,
-            F.concat(F.lit("lorem ipsum "), F.col("text")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    c4 = c4_clean(mut, min_kept_lines=0).select(
-        "doc_id", F.col("keep_doc").alias("c4_ok")
-    )
-    gf = gopher_quality_flags(
-        mut.join(c4.filter("c4_ok"), "doc_id", "left_semi")
-    )
-    gop = gf.select(
-        "doc_id",
-        (
-            F.col("r_word_count")
-            & F.col("r_mean_word_len")
-            & F.col("r_hash_ratio")
-            & F.col("r_ellipsis_ratio")
-            & F.col("r_bullet_lines")
-            & F.col("r_ellipsis_lines")
-            & F.col("r_alpha_words")
-        ).alias("gopher_ok"),
-    )
-    s12 = (
-        mut.join(c4.filter("c4_ok"), "doc_id", "left_semi")
-        .join(gop.filter("gopher_ok"), "doc_id", "left_semi")
-        .select("doc_id", "lang", "text")
-    )
-    pairs = ngram_jaccard_pairs(s12, n=3, threshold=0.8)
-    labels = dedup_clusters(s12, pairs).select(
-        F.col("doc_id").alias("l_id"), "cluster_id"
-    )
-    s123 = s12.join(
-        labels.filter("cluster_id = l_id").select(
-            F.col("l_id").alias("doc_id")
-        ),
-        "doc_id",
-        "left_semi",
-    )
-    t_lm = train_bigram_lm(s123.filter("lang = 'en'"))
-    r_lm = train_bigram_lm(s123)
-    top = (
-        dsir_log_weights(s123, t_lm, r_lm)
-        .orderBy(F.col("logw_micronats").desc(), F.col("doc_id").asc())
-        .limit(100)
-        .select("doc_id", F.lit(True).alias("in_top"))
-    )
-    verdict = (
-        F.when(~F.col("c4_ok"), "c4_rules")
-        .when(
-            ~F.coalesce(F.col("gopher_ok"), F.lit(False)), "gopher_rules"
-        )
-        .when(
-            F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-            != F.col("doc_id"),
-            "near_duplicate",
-        )
-        .when(F.col("in_top").isNull(), "dsir_low")
-        .otherwise("keep")
-    )
-    return (
-        docs.select("doc_id")
-        .join(c4.select("doc_id", "c4_ok"), "doc_id")
-        .join(gop, "doc_id", "left")
-        .join(labels, F.col("doc_id") == F.col("l_id"), "left")
-        .join(top, "doc_id", "left")
-        .select("doc_id", verdict.alias("verdict"))
+    return _funnel_run(
+        spark,
+        sf_dir,
+        lambda s12: ngram_jaccard_pairs(s12, n=3, threshold=0.8),
     )
 
 

@@ -18,12 +18,11 @@ offer:
   firewall GPT-2 uses instead of whitespace).
 
 Pre-tokenizer spec: the GPT-2 pattern WITHOUT its ``\\s+(?!\\S)``
-lookahead branch —
-
-    ``'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ws\\p{L}\\p{N}]+|ws+``
-    (``ws`` = the explicit whitespace class ``[\\t\\n\\x0b\\f\\r ]`` —
-    Java's ``\\s`` set spelled out, because RE2's ``\\s`` excludes
-    U+000B and the two engines must tokenize identically)
+lookahead branch, and with whitespace as the EXPLICIT class
+``[\\t\\n\\x0b\\f\\r ]`` (Java's ``\\s`` set spelled out — RE2's
+``\\s`` excludes U+000B and the two engines must tokenize
+identically).  The authoritative pattern string is the
+``GPT2_SPLIT_PATTERN`` constant below — copy it, not this prose.
 
 RE2 (DuckDB's regex engine, hence the driver oracle) does not support
 lookahead, so this repo's spec drops it; the only divergence from GPT-2

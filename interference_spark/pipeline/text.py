@@ -1509,7 +1509,7 @@ def hash_kernel_multiclass(
         raise ValueError(f"impl must be auto|dense|sparse, got {impl!r}")
     if impl == "auto":
         impl = "dense" if d <= 64 else "sparse"
-    if len(classes) < 2 or len(set(classes)) != len(classes):
+    if not classes or len(classes) < 2 or len(set(classes)) != len(classes):
         # both plans argmax via greatest(struct…), which needs >= 2
         # heads — fail up front, not after the GD work (review r9)
         raise ValueError(
