@@ -10884,76 +10884,78 @@ def rank_rrf_fusion(spark, sf_dir):
 # coverage and rotate into the window in later rounds).
 # ---------------------------------------------------------------------
 
+# WINDOW POLICY (the rule, not just this round's instance — VERDICT r9
+# ask #8; tests/test_driver_window.py asserts it against the committed
+# CORRECTNESS_r*.json history so a violation fails the suite):
+#   1. The three family sentinels below are window-listed EVERY round
+#      (dialect custom-group-function, TPC-H multiway join/anti-join,
+#      PROCESS STREAM — one canary per execution family).
+#   2. Every entry with < 2 cumulative green driver rounds comes next —
+#      zero-round entries first (newly landed operators join the window
+#      in their LANDING commit; no backlog), then single-round entries.
+#   3. Remaining slots rotate the oldest evidence back in: entries
+#      sorted by last-green round ascending (ties alphabetical), so no
+#      entry's newest driver row can age out indefinitely.
+# Regenerate with:  python tools/driver_window.py  (prints the list this
+# policy produces from the current CORRECTNESS history).
 _DRIVER_WINDOW = [
-    # r9 rotation (VERDICT r8 ask #1: close the single-round backlog for
-    # good).  Window arithmetic: 3 family sentinels + the 28 pre-r8
-    # single-round entries (the full "What's missing #1" list) + the 12
-    # r8-new entries (their second driver round) + the 7 operators NEW
-    # this round (window-listed in the landing commit per the no-backlog
-    # rule; each pre-verified via tools/driver_sim.py at
-    # sf0.001/0.01/0.1) = exactly 50.  After this round EVERY pre-r9
-    # entry has >= 2 driver rounds; the only singles left are the 7
-    # window-listed r9-new entries (unavoidable) plus
-    # stream_byte_bpe_ingest and corpus_curation_funnel_v3, which
-    # landed after the 50 slots were committed to closing the backlog —
-    # both driver_sim-verified at 3 SFs and suite-oracled every run;
-    # they take window slots in r10.  Note: tokenizer_fertility_report (in the r8-new block)
-    # also re-verifies its CHANGED oracle — the byte-BPE 4th row
-    # landed this round.
+    # r10 rotation: 3 sentinels + the 9 sub-2-round entries (2 zero-round
+    # landed post-window in r9 + 7 r9-new singles) + the 38
+    # oldest-evidence entries (all last green in r2) = exactly 50.
     # --- family sentinels (kept every round) ---
     "dialect_custom_group_function",
     "q21_waiting_suppliers",
     "process_stream_consume",
-    # --- NEW r9 operators ---
-    "byte_bpe_train_merges",
+    # --- zero-round entries (landed after r9's window was committed) ---
+    "corpus_curation_funnel_v3",
+    "stream_byte_bpe_ingest",
+    # --- r9-new singles (second driver round each) ---
     "byte_bpe_encode_ids",
     "byte_bpe_roundtrip",
+    "byte_bpe_train_merges",
+    "lang_id_multiclass_sparse",
     "mix_perplexity_cutoffs",
     "select_dsir_gumbel",
     "stream_backoff_ingest",
-    "lang_id_multiclass_sparse",
-    # --- r8-new entries (second driver round each) ---
-    "unigram_lm_train",
-    "unigram_encode_ids",
-    "wordpiece_train_merges",
-    "wordpiece_encode_maxmatch",
-    "tokenizer_fertility_report",
-    "mix_perplexity_buckets",
-    "quality_backoff_trigram",
-    "lang_id_multiclass",
-    "corpus_curation_funnel_v2",
-    "stream_dsir_select",
-    "stream_wordpiece_ingest",
-    "clean_collapse_stutter",
-    # --- pre-r8 singles (second driver round each; VERDICT r8 list) ---
-    "bpe_encode_oov",
-    "bpe_train_batched",
-    "bpe_train_batched_deep",
-    "chunk_documents_rag",
-    "clean_c4_rules",
-    "clean_cross_corpus_substrings",
-    "corpus_heaps_law",
-    "corpus_token_stats",
-    "decayed_user_activity",
-    "decontaminate_report",
-    "dedup_cluster_size_histogram",
-    "dedup_cross_source_matrix",
-    "dedup_substring_pairs_capped",
-    "dedup_threshold_sweep",
-    "embedding_int8_quant",
-    "embedding_rp_project",
-    "group_sample_5_per_lang",
-    "quality_hash_classifier_sparse",
-    "rank_rrf_fusion",
-    "sim_hard_negatives",
-    "sim_lsh_topk",
-    "sketch_kmv_overlap",
-    "stream_distinct",
-    "stream_event_time_sliding",
-    "stream_lm_ingest",
-    "temperature_sample_by_lang",
-    "text_typicality",
-    "text_winnow_fingerprints",
+    # --- oldest-evidence rotation (last green r2; alphabetical) ---
+    "asof_join_events",
+    "cube_event_totals",
+    "dialect_date_parts",
+    "dialect_distinct",
+    "dialect_grand_total",
+    "dialect_group_agg",
+    "dialect_having",
+    "dialect_in_list",
+    "dialect_in_subquery",
+    "dialect_join_filter",
+    "dialect_like_contains",
+    "dialect_limit_topk",
+    "dialect_multiway_join",
+    "dialect_or_conditions",
+    "dialect_order_by",
+    "dialect_scalar_funcs",
+    "dialect_select_star",
+    "dialect_set_ops",
+    "dialect_theta_join",
+    "dialect_union_all",
+    "dialect_window_count_sliding",
+    "grouping_sets_pricing",
+    "point_lookup",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_excess_shippers",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
 ]
 
 
