@@ -16,6 +16,17 @@ swung identical code 27.5->37.4 s across rounds 3-5).
 
 Also measures the ingest path (persist/append throughput) against the
 reference's published 100k objects/sec figure (BASELINE.md).
+
+A separately-budgeted TRAINING LANE (VERDICT r9 ask #2) runs last: the
+eager multi-job trainings the headline loop excludes by policy, on a
+fixed small corpus ($SPARK_GRAFT_TRAIN_SF_DIR, default sf0.01), 1 pass,
+min-of-2, with its own >1.5x regression tripwire under "training".
+Set IFS_SKIP_TRAINING_LANE=1 to skip it (quick headline-only runs).
+
+stdout carries exactly ONE machine-readable line — a compact record
+printed last (the full payload with dispersion tables goes to
+bench_results/latest.json); Spark console progress is disabled so no
+\r frames can interleave (VERDICT r9 ask #4).
 """
 
 from __future__ import annotations
@@ -29,6 +40,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+# training lane runs at a FIXED small corpus regardless of the headline
+# SF: the lane exists to trip on plan regressions in the eager multi-job
+# trainings (a per-step collect growing, an extra shuffle per iteration),
+# which show at any corpus size — while keeping the lane's budget bounded
+TRAIN_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TRAIN_SF_DIR", "/root/testdata/sf0.01"
+)
+
+# training-lane subset (VERDICT r9 ask #2): the eager multi-job trainings
+# the headline loop excludes by policy — one representative per training
+# family.  Protocol: ONE pass, each entry timed twice back-to-back,
+# min-of-2 (no warmup runs: the headline loop has already settled JIT and
+# the Python worker pool, and each training's first timed run IS its own
+# cache warmer — what the tripwire watches is the min).
+TRAINING_LANE = [
+    "bpe_train_merges",            # char-BPE iterative merge training
+    "byte_bpe_train_merges",       # byte-level (GPT-2-style) BPE training
+    "unigram_lm_train",            # unigram/Kudo EM tokenizer training
+    "wordpiece_train_merges",      # WordPiece likelihood-merge training
+    "quality_hash_classifier_sparse",  # hash-kernel GD (binary quality)
+    "lang_id_multiclass_sparse",   # hash-kernel GD (multiclass langid)
+    "quality_backoff_trigram",     # stupid-backoff trigram LM build+score
+    "select_dsir_topn",            # DSIR: two bigram-LM trainings + select
+]
 
 # headline subset: the full inventory runs in the correctness gate; bench
 # keeps the heavy hitters + one representative per operator family.
@@ -215,7 +250,13 @@ def main() -> None:
         # default on purpose — 1 MB splits were measured to help the
         # biggest scan (q1 0.66 -> 0.42 s) but cost MORE in per-task
         # overhead across the ~60 small queries (total 36.8 -> 40.5 s)
-        extra_conf={"spark.driver.memory": os.environ.get("IFS_DRIVER_MEM", "48g")},
+        extra_conf={
+            "spark.driver.memory": os.environ.get("IFS_DRIVER_MEM", "48g"),
+            # keep stdout machine-readable: console progress \r frames
+            # interleaved with the record left BENCH_r{8,9}.json with
+            # "parsed": null (VERDICT r9 ask #4)
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
 
     timings: dict[str, float] = {}
@@ -310,6 +351,7 @@ def main() -> None:
     # host-noise band (2-4x swings live BELOW ~0.4 s absolute, so tiny
     # queries are exempted by the 0.2 s floor on the slower side).
     regressions: dict[str, dict[str, float]] = {}
+    prev_training: dict[str, float] = {}
     baseline_file = None
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results"
@@ -350,9 +392,55 @@ def main() -> None:
                             "now": now,
                             "ratio": round(now / p, 2),
                         }
+                prev_training = prev.get("training", {}).get("queries", {})
     except (OSError, ValueError) as exc:
         baseline_file = None
         print(f"bench: regression baseline unreadable: {exc}", file=sys.stderr)
+
+    # training lane (VERDICT r9 ask #2): separately-budgeted pass over the
+    # eager multi-job trainings the headline loop excludes — runs LAST so
+    # its multi-minute jobs can't perturb the headline measurements, on
+    # the fixed TRAIN_SF_DIR corpus, with its own regression tripwire.
+    training_timings: dict[str, float] = {}
+    training_errors: dict[str, str] = {}
+    if os.environ.get("IFS_SKIP_TRAINING_LANE") != "1":
+        for name in TRAINING_LANE:
+            fn = inventory.QUERIES[name]
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            try:
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, TRAIN_SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(time.perf_counter() - t0)
+                training_timings[name] = round(min(runs), 4)
+            except Exception as exc:  # noqa: BLE001
+                training_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(
+                    f"bench: training lane {name} FAILED: "
+                    f"{training_errors[name]}",
+                    file=sys.stderr,
+                )
+    training_regressions: dict[str, dict[str, float]] = {}
+    for name, now in training_timings.items():
+        p = prev_training.get(name)
+        if p and now > 1.5 * p and now >= 0.2:
+            training_regressions[name] = {
+                "prev": p,
+                "now": now,
+                "ratio": round(now / p, 2),
+            }
+    training = {
+        "queries": training_timings,
+        "total": round(sum(training_timings.values()), 4),
+        "errors": training_errors,
+        "sf_dir": TRAIN_SF_DIR,
+        "protocol": "1 pass, min-of-2 timed runs, fixed small corpus",
+        "regressions": training_regressions,
+    }
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -377,14 +465,13 @@ def main() -> None:
                 "concurrent_load": hogs,
                 "regressions": regressions,
                 "regression_baseline": baseline_file,
+                "training": training,
             }
-    print(json.dumps(payload))
-    # ALSO persist the full payload in-repo: every BENCH_r*.json the
-    # driver records is a tail-truncated stdout capture ("parsed": null)
-    # missing per-query numbers for half the benched queries, so the
-    # committed artifact under bench_results/ is the citable record
-    # (VERDICT r7 ask #2).  latest.json is overwritten per run; round
-    # snapshots are copied to bench_results/r<N>.json at commit time.
+    # persist the FULL payload in-repo (dispersion, protocol notes,
+    # concurrent-load capture): the committed artifact under
+    # bench_results/ is the citable record (VERDICT r7 ask #2).
+    # latest.json is overwritten per run; round snapshots are copied to
+    # bench_results/r<N>.json at commit time.
     try:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "latest.json"), "w") as fh:
@@ -394,6 +481,32 @@ def main() -> None:
         print(f"bench: could not write bench_results/latest.json: {exc}",
               file=sys.stderr)
     spark.stop()
+    # the ONE machine-readable stdout line, printed LAST and kept COMPACT
+    # (VERDICT r9 ask #4): the driver's capture window truncated the r8/r9
+    # records ("parsed": null) because the dispersion table tripled the
+    # line length.  Everything dropped here lives in bench_results/.
+    compact = {
+        k: payload[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "errors",
+            "sf",
+            "cpus",
+            "pass_totals",
+            "loadavg_at_start",
+            "regressions",
+            "regression_baseline",
+        )
+    }
+    compact["training"] = {
+        k: training[k] for k in ("queries", "total", "errors", "regressions")
+    }
+    compact["full_record"] = "bench_results/latest.json"
+    sys.stdout.flush()
+    print(json.dumps(compact), flush=True)
 
 
 def _bench_ingest(spark) -> float:
