@@ -3625,13 +3625,26 @@ def corpus_curation_funnel_v2(spark, sf_dir):
     replays all four stages including both LM trainings and the
     recursive-CTE clustering.  Scale shape: C4+Gopher are shuffle-free
     projections, clustering and DSIR run on the (already filtered)
-    survivor set, selection is TakeOrderedAndProject."""
+    survivor set, selection is TakeOrderedAndProject.
+
+    SCALE GUARD (VERDICT r9 ask #3): this composition's exact-trigram
+    near-dup stage is gate-corpus-sized BY CONSTRUCTION — the synthetic
+    trigram alphabet is tiny, so the stage takes the all-pairs bitmap
+    plan, measured exhausting 31 GB of shuffle spill at 30k docs
+    (SCALING.md round-9).  The ``max_candidate_pairs`` budget below
+    (50M ≈ 4× the sf0.1 gate volume of 12.5M pairs) makes the
+    degenerate shape fail FAST with a typed
+    :class:`~interference_spark.pipeline.dedup.CandidateVolumeExceeded`
+    pointing at :func:`corpus_curation_funnel_v3`, whose banded
+    MinHash-LSH stage is the production-scale detector."""
     from .pipeline.dedup import ngram_jaccard_pairs
 
     return _funnel_run(
         spark,
         sf_dir,
-        lambda s12: ngram_jaccard_pairs(s12, n=3, threshold=0.8),
+        lambda s12: ngram_jaccard_pairs(
+            s12, n=3, threshold=0.8, max_candidate_pairs=50_000_000
+        ),
     )
 
 

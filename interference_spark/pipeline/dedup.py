@@ -680,6 +680,34 @@ def char_ngrams(text, n: int = 3):
     )
 
 
+class CandidateVolumeExceeded(RuntimeError):
+    """An exact near-duplicate plan would generate more candidate pairs
+    than the caller's ``max_candidate_pairs`` budget allows.
+
+    Raised BEFORE the candidate join runs (the estimate is one cheap
+    aggregate over posting-list lengths), so the degenerate corpus shape
+    fails fast with a pointer at the scale-safe detector instead of
+    degrading into an executor-spill death march — the
+    ``corpus_curation_funnel_v2`` exact-trigram stage was measured
+    exhausting 31 GB of shuffle spill at 30k docs (SCALING.md round-9)
+    where the banded MinHash-LSH sibling (``minhash_dedup_pairs`` /
+    ``corpus_curation_funnel_v3``) stays bounded by banding."""
+
+
+def _guard_candidate_volume(
+    estimate: int, cap: int, plan: str
+) -> None:
+    if estimate > cap:
+        raise CandidateVolumeExceeded(
+            f"{plan} would generate ~{estimate:,} candidate pairs "
+            f"(> max_candidate_pairs={cap:,}). Exact n-gram Jaccard is "
+            "gate-corpus-sized by construction on this data shape; use "
+            "the banded MinHash-LSH detector instead "
+            "(minhash_dedup_pairs, or corpus_curation_funnel_v3 for the "
+            "full funnel), whose candidate volume is bounded by banding."
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -688,6 +716,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     prefix_filter: bool = True,
     bitmap_vocab_cap: int = 4096,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs at or above ``threshold``.
 
@@ -716,13 +745,42 @@ def ngram_jaccard_pairs(
     the switch holds at any corpus size).
 
     ``prefix_filter=False`` keeps the naive full-posting join (cheaper at
-    tiny scale — no frequency pass)."""
+    tiny scale — no frequency pass).
+
+    ``max_candidate_pairs`` (VERDICT r9 ask #3) is the runtime guard in
+    the spirit of ``max_posting_len``: when set, whichever exact plan was
+    selected first ESTIMATES its candidate-pair volume with one cheap
+    aggregate (Σ p·(p−1)/2 over the posting lists the join will key on;
+    N·(N−1)/2 on the all-pairs bitmap path) and raises
+    :class:`CandidateVolumeExceeded` — naming the MinHash-LSH sibling —
+    instead of degrading into a Θ(N²) spill. ``None`` (default) keeps
+    the guard off and costs nothing."""
     grams = df.select(
         F.col(id_col), char_ngrams(F.col(text_col), n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
+    if max_candidate_pairs is not None and max_candidate_pairs < 1:
+        raise ValueError(
+            f"max_candidate_pairs must be >= 1, got {max_candidate_pairs}"
+        )
 
     if not prefix_filter:
         exploded = grams.select(id_col, "n_grams", F.explode("grams").alias("g"))
+        if max_candidate_pairs is not None:
+            est = (
+                exploded.groupBy("g")
+                .count()
+                .agg(
+                    F.sum(
+                        F.col("count") * (F.col("count") - 1) / 2
+                    ).alias("pairs")
+                )
+                .first()["pairs"]
+            )
+            _guard_candidate_volume(
+                int(est or 0),
+                max_candidate_pairs,
+                "naive full-posting n-gram join",
+            )
         l = exploded.select(
             F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g"
         )
@@ -752,6 +810,13 @@ def ngram_jaccard_pairs(
     # plan selection: one cheap vocabulary-count pass (see docstring)
     n_vocab = grams.select(F.explode("grams").alias("g")).distinct().count()
     if n_vocab <= bitmap_vocab_cap:
+        if max_candidate_pairs is not None:
+            n_docs = grams.count()
+            _guard_candidate_volume(
+                n_docs * (n_docs - 1) // 2,
+                max_candidate_pairs,
+                f"bit-packed all-pairs Jaccard over {n_docs:,} docs",
+            )
         return _bitmap_allpairs_jaccard(grams, id_col, threshold)
 
     from pyspark.sql import Window as W
@@ -765,6 +830,22 @@ def ngram_jaccard_pairs(
         F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
     )
     pref = ranked.filter(F.col("__rk") <= prefix_len)
+    if max_candidate_pairs is not None:
+        est = (
+            pref.groupBy("g")
+            .count()
+            .agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias(
+                    "pairs"
+                )
+            )
+            .first()["pairs"]
+        )
+        _guard_candidate_volume(
+            int(est or 0),
+            max_candidate_pairs,
+            "prefix-filtered set-similarity join",
+        )
     l = pref.select(
         F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"), "g",
         F.col("__rk").alias("pa"),

@@ -140,6 +140,64 @@ def test_ngram_prefix_filter_is_lossless(spark):
     assert pref == naive and len(naive) == 2  # (1,2) and (3,4)
 
 
+def test_ngram_candidate_volume_guard(spark):
+    """VERDICT r9 ask #3: the exact Jaccard paths fail FAST with a typed
+    error naming the MinHash-LSH sibling when the estimated candidate
+    volume exceeds the caller's budget; a generous budget is a no-op
+    (identical pairs), and the guard covers all three exact plans."""
+    import pytest
+
+    from interference_spark.pipeline.dedup import (
+        CandidateVolumeExceeded,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),
+            (3, "pack my box with five dozen liquor jugs"),
+            (4, "pack my box with five dozen liquor jug"),
+            (5, "completely unrelated text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    # generous budget: identical output to the unguarded call
+    ungated = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    gated = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.6, max_candidate_pairs=10_000_000
+        ).collect()
+    }
+    assert gated == ungated == {(1, 2), (3, 4)}
+    # tiny gram alphabet -> bitmap all-pairs plan: N*(N-1)/2 = 10 > 3
+    with pytest.raises(CandidateVolumeExceeded, match="funnel_v3"):
+        ngram_jaccard_pairs(docs, threshold=0.6, max_candidate_pairs=3)
+    # large-alphabet corpus -> prefix-filtered plan (force it past the
+    # bitmap cap), budget of 1 pair trips on any shared prefix gram
+    big = docs.withColumn(
+        "text", F.concat_ws(" ", *[F.col("text")] * 3)
+    )
+    with pytest.raises(CandidateVolumeExceeded, match="MinHash-LSH"):
+        ngram_jaccard_pairs(
+            big,
+            threshold=0.6,
+            bitmap_vocab_cap=1,
+            max_candidate_pairs=1,
+        )
+    # naive path guard
+    with pytest.raises(CandidateVolumeExceeded, match="minhash_dedup_pairs"):
+        ngram_jaccard_pairs(
+            docs, threshold=0.6, prefix_filter=False, max_candidate_pairs=1
+        )
+    with pytest.raises(ValueError, match="max_candidate_pairs"):
+        ngram_jaccard_pairs(docs, max_candidate_pairs=0)
+
+
 def test_ivf_recall_vs_exact(spark):
     from interference_spark.inventory import engine_for
     from interference_spark.pipeline.similarity import (
@@ -1769,6 +1827,18 @@ def test_bpe_vocab_and_encode(spark):
     with pytest.raises(ValueError, match="oov"):
         bpe_encode(new, words, bpe_vocab(merges, words), oov="bogus")
 
+    # check_vocab_coverage (ADVICE r9): a vocab that does not cover the
+    # segmentation alphabet would leave silent positional gaps in drop
+    # mode — the opt-in check raises instead; the full vocab passes
+    full_vocab = bpe_vocab(merges, words)
+    ok = bpe_encode(
+        df, words, full_vocab, check_vocab_coverage=True
+    ).count()
+    assert ok == len(enc)
+    truncated = full_vocab.filter(F.length("token") > 1)
+    with pytest.raises(ValueError, match="cover the segmentation"):
+        bpe_encode(df, words, truncated, check_vocab_coverage=True)
+
     # round-trip: encode with word index -> decode == normalized source
     from interference_spark.pipeline.bpe import bpe_decode
 
@@ -3136,6 +3206,18 @@ def test_perplexity_bucket_cutoffs_matches_exact_terciles(spark):
     # distinct-bin fixture: sketch assignment == exact ntile assignment
     assert {d: r.bucket for d, r in got.items()} == {
         d: r.bucket for d, r in exact.items()
+    }
+    # checkpoint=False (ADVICE r9: caller-managed persistence for
+    # repeated in-session calls) changes the physical plan only — the
+    # result is identical
+    unchk = {
+        (r.doc_id, r.bucket, r.nll_micronats)
+        for r in perplexity_bucket_cutoffs(
+            score, lm, lo=0.0, hi=8.0, checkpoint=False
+        ).collect()
+    }
+    assert unchk == {
+        (r.doc_id, r.bucket, r.nll_micronats) for r in got.values()
     }
 
 
