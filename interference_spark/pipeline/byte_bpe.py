@@ -32,6 +32,10 @@ donating it to the following token ("a  b" → ["a", "  ", "b"] here vs
 — the property the round-trip entry proves — and Java regex (Spark) and
 RE2 (DuckDB) produce identical token streams for this pattern
 (cross-engine parity is fuzz-locked in ``tests/test_byte_bpe.py``).
+Exact GPT-2 lookahead semantics are available OPT-IN as
+``pretokenizer="gpt2"`` (``GPT2_SPLIT_PATTERN_LOOKAHEAD`` — Spark-side
+only, not oracle-able; the divergence table is pinned in
+``tests/test_byte_bpe.py``).
 
 Distributed shape mirrors ``pipeline/bpe.py``: training state lives in
 the DISTINCT pre-token table ``(word, freq, sym)`` — the byte mapping
@@ -63,6 +67,35 @@ GPT2_SPLIT_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
     r"| ?[^\t\n\x0b\f\r \p{L}\p{N}]+|[\t\n\x0b\f\r ]+"
 )
+
+#: The EXACT GPT-2 pattern (VERDICT r9 ask #6): adds back the
+#: ``\s+(?!\S)`` lookahead branch the RE2-safe spec drops, so an interior
+#: whitespace run donates its last space to the following token
+#: ("a  b" → ["a", " ", " b"]), byte-identical to the reference GPT-2
+#: tokenizer.  Java regex only — RE2 (DuckDB) has no lookahead, so this
+#: mode is opt-in (``pretokenizer="gpt2"``) and CANNOT be driver-oracled;
+#: every oracled entry stays on the spec pattern.  Whitespace is the same
+#: explicit class as the spec pattern (Java's ``\s`` set).
+GPT2_SPLIT_PATTERN_LOOKAHEAD = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^\t\n\x0b\f\r \p{L}\p{N}]+"
+    r"|[\t\n\x0b\f\r ]+(?![^\t\n\x0b\f\r ])|[\t\n\x0b\f\r ]+"
+)
+
+_PATTERNS = {
+    "spec": GPT2_SPLIT_PATTERN,
+    "gpt2": GPT2_SPLIT_PATTERN_LOOKAHEAD,
+}
+
+
+def _pattern(pretokenizer: str) -> str:
+    try:
+        return _PATTERNS[pretokenizer]
+    except KeyError:
+        raise ValueError(
+            f"pretokenizer must be one of {sorted(_PATTERNS)}, "
+            f"got {pretokenizer!r}"
+        ) from None
 
 
 @lru_cache(maxsize=1)
@@ -112,9 +145,12 @@ def _char_to_hex_map() -> Column:
     return F.create_map(*items)
 
 
-def pre_tokens(col: Column) -> Column:
-    """The pre-token array of a text column (codegen regex, no UDF)."""
-    return F.regexp_extract_all(col, F.lit(GPT2_SPLIT_PATTERN), 0)
+def pre_tokens(col: Column, pretokenizer: str = "spec") -> Column:
+    """The pre-token array of a text column (codegen regex, no UDF).
+    ``pretokenizer`` picks the pattern: ``"spec"`` (default — the
+    RE2-safe oracled pattern) or ``"gpt2"`` (exact GPT-2 lookahead
+    semantics, Spark-side only)."""
+    return F.regexp_extract_all(col, F.lit(_pattern(pretokenizer)), 0)
 
 
 def byte_sym(col: Column) -> Column:
@@ -130,13 +166,19 @@ def byte_sym(col: Column) -> Column:
     )
 
 
-def byte_word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def byte_word_table(
+    docs: DataFrame, text_col: str = "text", pretokenizer: str = "spec"
+) -> DataFrame:
     """Distinct pre-tokens with corpus frequencies and byte-level start
     segmentation ``(word, freq, sym)`` — the byte-level sibling of
     ``bpe.word_table``.  One map-side-combined shuffle (the pre-token
     groupBy); the byte mapping runs on the distinct table only."""
     words = (
-        docs.select(F.explode(pre_tokens(F.col(text_col))).alias("word"))
+        docs.select(
+            F.explode(pre_tokens(F.col(text_col), pretokenizer)).alias(
+                "word"
+            )
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -148,6 +190,7 @@ def byte_bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     merges_per_round: int = 1,
+    pretokenizer: str = "spec",
 ) -> tuple[DataFrame, DataFrame]:
     """Train byte-level BPE merges: the byte word table through the
     shared ``bpe.train_from_words`` loop (ranks, exact-BIGINT counts,
@@ -158,7 +201,9 @@ def byte_bpe_train(
     from .bpe import train_from_words
 
     return train_from_words(
-        byte_word_table(docs, text_col), n_merges, merges_per_round
+        byte_word_table(docs, text_col, pretokenizer),
+        n_merges,
+        merges_per_round,
     )
 
 
@@ -184,35 +229,104 @@ def byte_bpe_vocab(merges: DataFrame) -> DataFrame:
     )
 
 
+def apply_frozen_merges(
+    unseen: DataFrame, merges: DataFrame, sym_col: str = "sym"
+) -> DataFrame:
+    """Apply a TRAINED merge table to byte segmentations the training
+    never saw — the GPT-2 encode-time BPE step, rank order, each rule
+    greedy-leftmost with exactly ``bpe.merge_fold``'s fold semantics
+    (the merged token stays live as ``left`` for later symbols).
+
+    Runs as ONE vectorized Pandas UDF over the (distinct, small) unseen
+    pre-token table with the rule list frozen in the closure — the
+    JVM-fold alternative costs a localCheckpoint job per few rules to
+    bound expression nesting, which at a 32k-merge vocabulary is
+    thousands of scheduler round-trips for a table of stragglers.  The
+    per-rule pass is bit-equal to ``merge_fold`` (asserted in
+    ``tests/test_byte_bpe.py``)."""
+    rules = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("merge_rank").collect()  # ≤ n_merges rows
+    ]
+
+    @F.pandas_udf("string")
+    def fold(syms):
+        import pandas as pd
+
+        def one(s: str) -> str:
+            toks = s.split(" ")
+            for l, r in rules:
+                out = [toks[0]]
+                for x in toks[1:]:
+                    if x == r and out[-1] == l:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                toks = out
+            return " ".join(toks)
+
+        return pd.Series([one(s) for s in syms])
+
+    return unseen.withColumn(sym_col, fold(F.col(sym_col)))
+
+
 def byte_bpe_encode(
     docs: DataFrame,
     words: DataFrame,
     vocab: DataFrame,
     text_col: str = "text",
     doc_col: str = "doc_id",
+    pretokenizer: str = "spec",
+    merges: DataFrame | None = None,
 ) -> DataFrame:
     """Encode documents to byte-level token-id sequences.  Total — no
     OOV mode knob: pre-tokens missing from the trained word table fall
-    back to their raw byte segmentation (``byte_sym``), whose symbols
-    are always in the base vocabulary (so unlike ``bpe_encode`` there is
-    no word index to carry for decode either — ``byte_bpe_decode``
-    self-delimits on the byte stand-ins).  Shape: pre-token explode →
-    word-table join (broadcast at scale: distinct pre-tokens ≪ corpus)
-    → the shared ``bpe.densify_encode`` core (ONE doc-keyed regroup,
-    positions from the flattened subword sequence, broadcast vocab
-    join — see its docstring for the measured window-vs-regroup
-    story)."""
+    back to their byte segmentation, whose symbols are always in the
+    base vocabulary (so unlike ``bpe_encode`` there is no word index to
+    carry for decode either — ``byte_bpe_decode`` self-delimits on the
+    byte stand-ins).  Shape: pre-token explode → word-table join
+    (broadcast at scale: distinct pre-tokens ≪ corpus) → the shared
+    ``bpe.densify_encode`` core (ONE doc-keyed regroup, positions from
+    the flattened subword sequence, broadcast vocab join — see its
+    docstring for the measured window-vs-regroup story).
+
+    Fallback fidelity (ADVICE r9): with ``merges=None`` an unseen
+    pre-token encodes as its RAW bytes — one id per byte.  That is
+    lossless (decode still round-trips exactly) but NOT GPT-2-faithful:
+    the reference tokenizer applies the frozen merge rules to unseen
+    strings too, so raw-byte fallback inflates sequence length on
+    out-of-corpus text.  Pass the trained ``merges`` table to apply the
+    frozen rules to unseen pre-tokens (``apply_frozen_merges`` — one
+    distinct-unseen-sized job); encoding the training corpus itself
+    (every oracled entry) has no unseen pre-tokens, so both modes are
+    identical there.
+
+    ``pretokenizer`` must match training (``"spec"`` default;
+    ``"gpt2"`` for exact lookahead semantics — Spark-side only)."""
     from .bpe import densify_encode
 
     dw = docs.select(
         F.col(doc_col),
-        F.posexplode(pre_tokens(F.col(text_col))).alias("wpos", "word"),
+        F.posexplode(pre_tokens(F.col(text_col), pretokenizer)).alias(
+            "wpos", "word"
+        ),
     )
-    seg = dw.join(words.select("word", "sym"), "word", "left").select(
-        F.col(doc_col),
-        "wpos",
-        F.coalesce("sym", byte_sym(F.col("word"))).alias("sym"),
-    )
+    wtab = words.select("word", "sym")
+    if merges is not None:
+        unseen = (
+            dw.select("word")
+            .distinct()
+            .join(wtab.select("word"), "word", "left_anti")
+            .withColumn("sym", byte_sym(F.col("word")))
+        )
+        wtab = wtab.unionByName(apply_frozen_merges(unseen, merges))
+        seg = dw.join(wtab, "word").select(F.col(doc_col), "wpos", "sym")
+    else:
+        seg = dw.join(wtab, "word", "left").select(
+            F.col(doc_col),
+            "wpos",
+            F.coalesce("sym", byte_sym(F.col("word"))).alias("sym"),
+        )
     return densify_encode(seg, vocab, doc_col)
 
 

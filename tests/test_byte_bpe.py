@@ -203,3 +203,101 @@ def test_encode_unseen_pretoken_falls_back_to_bytes(spark):
     assert enc.filter("token_id IS NULL").count() == 0
     got = byte_bpe_decode(enc).collect()[0].text
     assert got == "the zebra⚡ fast"
+
+
+def test_encode_fallback_applies_frozen_merges(spark):
+    """ADVICE r9: with ``merges=`` passed, unseen pre-tokens get the
+    frozen rules applied (GPT-2-faithful encode) — shorter sequences
+    than the raw-byte fallback, identical round trip, and bit-equal to
+    what training-time segmentation would have produced for the same
+    string (the merge_fold parity claim)."""
+    import pyspark.sql.functions as F
+
+    from interference_spark.pipeline.byte_bpe import (
+        apply_frozen_merges,
+        byte_bpe_decode,
+        byte_bpe_encode,
+        byte_bpe_train,
+        byte_bpe_vocab,
+        byte_word_table,
+    )
+
+    # ' th' merges are learned from the training corpus; 'thorn' is
+    # unseen but shares the ' th' prefix the rules compress
+    train = _df(spark, ["the the the thin thin fast"])
+    merges, words = byte_bpe_train(train, n_merges=4)
+    vocab = byte_bpe_vocab(merges)
+    new = _df(spark, ["the thorn fast"])
+    raw = byte_bpe_encode(new, words, vocab)
+    faithful = byte_bpe_encode(new, words, vocab, merges=merges)
+    assert faithful.count() < raw.count()  # rules compressed the unseen token
+    assert faithful.filter("token_id IS NULL").count() == 0
+    assert byte_bpe_decode(faithful).collect()[0].text == "the thorn fast"
+    # merge_fold parity: applying the frozen rules to the TRAINING
+    # corpus' own raw byte segmentations reproduces the training-time
+    # segmentation table exactly (same fold semantics, rank order)
+    start = byte_word_table(train).select(
+        "word", F.col("sym").alias("sym0")
+    )
+    refolded = apply_frozen_merges(
+        start.withColumnRenamed("sym0", "sym"), merges
+    )
+    trained = words.select("word", F.col("sym").alias("sym_trained"))
+    diff = refolded.join(trained, "word").filter(
+        "sym != sym_trained"
+    )
+    assert diff.count() == 0
+
+
+# the documented spec-vs-GPT-2 divergence table (VERDICT r9 ask #6):
+# interior whitespace runs donate their last space under lookahead
+_DIVERGENCE_CASES = [
+    ("a  b", ["a", "  ", "b"], ["a", " ", " b"]),
+    ("a \t b", ["a", " \t ", "b"], ["a", " \t", " b"]),
+    # tabs/newlines: the letter branch only absorbs a literal SPACE
+    # prefix (` ?\p{L}+`), so under lookahead the run splits into
+    # single-whitespace tokens and the word stays bare — GPT-2's actual
+    # behavior, not ["a", "\t", "\tb"]
+    ("a\t\tb", ["a", "\t\t", "b"], ["a", "\t", "\t", "b"]),
+    ("a\n\nb", ["a", "\n\n", "b"], ["a", "\n", "\n", "b"]),
+    ("a\x0b\x0b b", ["a", "\x0b\x0b ", "b"], ["a", "\x0b\x0b", " b"]),
+    # trailing whitespace: no following token, both modes keep the run
+    ("ab  ", ["ab", "  "], ["ab", "  "]),
+    # single interior space: consumed by the following word in BOTH
+    ("a b", ["a", " b"], ["a", " b"]),
+    # contractions split identically in both modes
+    ("don't we'll", ["don", "'t", " we", "'ll"], ["don", "'t", " we", "'ll"]),
+    ("it's  99", ["it", "'s", "  ", "99"], ["it", "'s", " ", " 99"]),
+]
+
+
+@pytest.mark.parametrize("text,spec_want,gpt2_want", _DIVERGENCE_CASES)
+def test_pretokenizer_gpt2_divergence_table(spark, text, spec_want, gpt2_want):
+    """Opt-in ``pretokenizer="gpt2"`` (VERDICT r9 ask #6): the Java-regex
+    lookahead branch reproduces exact GPT-2 splits on every documented
+    divergence case; the RE2-safe spec stays the (oracled) default; both
+    modes remain lossless (concatenation == input)."""
+    import pyspark.sql.functions as F
+
+    from interference_spark.pipeline.byte_bpe import pre_tokens
+
+    row = (
+        spark.range(1)
+        .select(
+            pre_tokens(F.lit(text)).alias("spec"),
+            pre_tokens(F.lit(text), "gpt2").alias("gpt2"),
+        )
+        .collect()[0]
+    )
+    assert row["spec"] == spec_want, text
+    assert row["gpt2"] == gpt2_want, text
+    assert "".join(row["spec"]) == text and "".join(row["gpt2"]) == text
+
+
+def test_pretokenizer_unknown_rejected(spark):
+    import pyspark.sql.functions as F
+
+    from interference_spark.pipeline.byte_bpe import pre_tokens
+
+    with pytest.raises(ValueError, match="pretokenizer"):
+        pre_tokens(F.lit("x"), "bert")
