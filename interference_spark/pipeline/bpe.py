@@ -353,6 +353,7 @@ def bpe_encode(
     doc_col: str = "doc_id",
     oov: str = "drop",
     with_word_index: bool = False,
+    check_vocab_coverage: bool = False,
 ) -> DataFrame:
     """Encode documents to token-id sequences with a TRAINED tokenizer —
     the last step of the pipeline: whitespace words join the (distinct,
@@ -375,7 +376,13 @@ def bpe_encode(
       gap, so ``vocab`` must cover the segmentation alphabet — true by
       construction when both come from the same training (every entry
       here), and checked explicitly by MaxMatch callers via
-      ``wordpiece_vocab`` + the id-table union.
+      ``wordpiece_vocab`` + the id-table union.  Callers encoding with
+      a vocab from a DIFFERENT training (e.g. a truncated vocab over
+      maxmatch output with the reachability check off) should pass
+      ``check_vocab_coverage=True``: one word-table-sized anti-join
+      (the wordpiece ``check_reachability`` precedent) raises a
+      ``ValueError`` naming sample uncovered symbols instead of
+      silently leaving positional gaps.
     - ``"null"``: unknown words survive as one row each with the raw
       word in ``token`` and a NULL ``token_id``, so the loss is visible
       to the caller (filter ``token_id IS NULL`` for an OOV report).
@@ -395,6 +402,23 @@ def bpe_encode(
     sorts only inside each document's own array."""
     if oov not in ("drop", "null"):
         raise ValueError(f"oov must be 'drop' or 'null', got {oov!r}")
+    if check_vocab_coverage and oov == "drop":
+        # one word-table-sized job (words is corpus-small + distinct):
+        # every symbol the segmentation can emit must have a vocab id,
+        # else the inner join below drops it and positions gap silently
+        uncovered = (
+            words.select(F.explode(F.split("sym", " ")).alias("token"))
+            .distinct()
+            .join(F.broadcast(vocab.select("token")), "token", "left_anti")
+        )
+        sample = [r["token"] for r in uncovered.limit(5).collect()]
+        if sample:
+            raise ValueError(
+                "vocab does not cover the segmentation alphabet — "
+                f"oov='drop' would leave positional gaps; uncovered "
+                f"symbols include {sample}. Use oov='null' to surface "
+                "them, or a vocab from the same training."
+            )
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )

@@ -352,6 +352,7 @@ def perplexity_bucket_cutoffs(
     lo: float = 2.0,
     hi: float = 6.0,
     bins: int = 256,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``perplexity_buckets`` without the per-language sort — the
     documented dominant-language escape hatch, shipped as an operator
@@ -368,7 +369,12 @@ def perplexity_bucket_cutoffs(
     whose shuffle carries at most ``languages × bins`` histogram rows —
     no per-language sort, so a 45%%-English 100 TB corpus no longer
     funnels one giant partition through an ntile window; the histogram
-    partials merge additively wherever the data lives."""
+    partials merge additively wherever the data lives.
+
+    ``checkpoint=False`` skips the internal localCheckpoint of the
+    scored table (see the in-body comment) for callers that manage
+    persistence themselves across repeated invocations in one
+    session."""
     from .sketch import hist_group_quantiles
 
     scored = perplexity_score(df, lm, text_col=text_col, id_col=id_col)
@@ -381,10 +387,15 @@ def perplexity_bucket_cutoffs(
     # round-9).  The checkpointed table is narrow (id, group, three
     # numbers — ~50 bytes/doc), a small fraction of the corpus it
     # summarizes; blocks are freed by the ContextCleaner when the
-    # result DataFrame is dropped.
-    keyed = scored.join(df.select(id_col, by), id_col).localCheckpoint(
-        eager=True
-    )
+    # result DataFrame is dropped — LAZILY, so in a long-lived session
+    # repeated calls can accumulate executor-storage blocks between GC
+    # cycles (ADVICE r9).  Callers invoking this repeatedly in one
+    # session can pass checkpoint=False and manage persistence of the
+    # scored derivation themselves — correctness is unaffected, the
+    # scoring joins just run once per consumer instead of once total.
+    keyed = scored.join(df.select(id_col, by), id_col)
+    if checkpoint:
+        keyed = keyed.localCheckpoint(eager=True)
     q1, q2 = 1 / 3, 2 / 3
     cuts = hist_group_quantiles(
         keyed, (by,), "nll_nats", qs=(q1, q2), lo=lo, hi=hi, bins=bins

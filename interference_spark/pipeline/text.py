@@ -1328,9 +1328,20 @@ def _hash_kernel_sparse(
         else:
             # training docs need a grouping key but never output one —
             # assigned per input row BEFORE the explode so every token
-            # of a doc shares it
+            # of a doc shares it.  DETERMINISTIC (ADVICE r9, same fix as
+            # the multiclass sibling): hash(text,label) + duplicate rank
+            # instead of monotonically_increasing_id, which can shift if
+            # lost persisted partitions recompute mid-iteration.
+            from pyspark.sql import Window as _W
+
             lead = [
-                F.monotonically_increasing_id().alias("__k"),
+                F.xxhash64(F.col(text_col), F.col(label_col)).alias("__k"),
+                F.row_number()
+                .over(
+                    _W.partitionBy(text_col, label_col).orderBy(F.lit(1))
+                )
+                .cast("long")
+                .alias("__dup"),
                 F.when(F.col(label_col) == positive, F.lit(1.0))
                 .otherwise(F.lit(0.0))
                 .alias("y"),
@@ -1338,7 +1349,7 @@ def _hash_kernel_sparse(
         base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
             *lead, buckets.alias("__b")
         )
-        keys = ["__k"] if with_id else ["__k", "y"]
+        keys = ["__k"] if with_id else ["__k", "__dup", "y"]
         tok = base.select(
             *keys,
             F.size("__b").cast("double").alias("__n"),
@@ -1680,13 +1691,32 @@ def _hash_kernel_multiclass_sparse(
             lead = [F.col(id_col).alias("__k")]
             keys = ["__k"]
         else:
-            lead = [F.monotonically_increasing_id().alias("__k")] + [
+            # DETERMINISTIC doc key (ADVICE r9): monotonically_increasing_id
+            # on a persisted frame can shift if lost partitions recompute
+            # between the fold and moment passes of an iteration (cluster
+            # mode, executor loss), silently corrupting gradients.  Hash of
+            # (text, label) + a row_number among exact duplicates is stable
+            # under recomputation: identical rows are interchangeable, so
+            # any rank permutation within a duplicate group yields the
+            # identical token table.  One extra (text,label)-keyed shuffle,
+            # paid once before the persist.
+            from pyspark.sql import Window as _W
+
+            lead = [
+                F.xxhash64(F.col(text_col), F.col(label_col)).alias("__k"),
+                F.row_number()
+                .over(
+                    _W.partitionBy(text_col, label_col).orderBy(F.lit(1))
+                )
+                .cast("long")
+                .alias("__dup"),
+            ] + [
                 F.when(F.col(label_col) == c, F.lit(1.0))
                 .otherwise(F.lit(0.0))
                 .alias(f"y_{ci}")
                 for ci, c in enumerate(classes)
             ]
-            keys = ["__k"] + [f"y_{ci}" for ci in range(K)]
+            keys = ["__k", "__dup"] + [f"y_{ci}" for ci in range(K)]
         base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
             *lead, buckets.alias("__b")
         )
@@ -1738,7 +1768,7 @@ def _hash_kernel_multiclass_sparse(
             "ft", F.lit(bias), lambda acc, s: acc + s["t"][ci]
         )
 
-    tkeys = ["__k"] + [f"y_{ci}" for ci in range(K)]
+    tkeys = ["__k", "__dup"] + [f"y_{ci}" for ci in range(K)]
     tfa = sparse_tok(train, with_id=False).persist()
     w = {c: [0.0] * (d + 1) for c in classes}
     try:
