@@ -904,6 +904,72 @@ def _funnel_minhash(spark, sf_dir: str):
     )
 
 
+def _capstone_docs(spark, n: int, tmp: str, langs: list[str]) -> None:
+    """Write the capstone probe corpus (see probe_capstones for the
+    shape rationale) to tmp/documents.parquet."""
+    uniq = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(10)),
+            lambda j: F.concat(
+                F.lit("u"),
+                F.conv(
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id") * 977 + j),
+                        F.lit(2**52),
+                    ).cast("string"),
+                    10,
+                    36,
+                ),
+            ),
+        ),
+        " ",
+    )
+    docs = _rich_docs(spark, n, doc_words=50).withColumn(
+        "text", F.concat("text", F.lit(" "), uniq)
+    )
+    docs = docs.select(
+        "doc_id",
+        "text",
+        F.element_at(
+            F.array(*[F.lit(c) for c in langs]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+        F.lit("probe").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+
+
+def probe_funnel_minhash(spark, sizes: list[int]) -> dict:
+    """The r10 decade-extension probe (VERDICT r9 ask #5): ONLY the
+    production funnel composition (MinHash-LSH near-dup), timed end-to-
+    end per size — the fertility capstone is excluded so a 10M-doc row
+    stays a single-entry measurement."""
+    import shutil
+    import tempfile
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    out: dict = {}
+    for n in sizes:
+        tmp = tempfile.mkdtemp(prefix="ifs_funnel10m_")
+        try:
+            _capstone_docs(spark, n, tmp, langs)
+            t0 = time.perf_counter()
+            _funnel_minhash(spark, tmp).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[n] = round(time.perf_counter() - t0, 2)
+            print(
+                f"capstone funnel_minhash_variant @ {n}: {out[n]} s",
+                flush=True,
+            )
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def probe_capstones(spark, sizes: list[int]) -> dict:
     """END-TO-END capstone rows (r9, VERDICT r8 ask #7): run the two
     composition entries — `tokenizer_fertility_report` (four tokenizer
@@ -935,37 +1001,7 @@ def probe_capstones(spark, sizes: list[int]) -> dict:
             # prunes on, so the probe corpus carries enough unique
             # material (~100 rare trigrams ≥ the ~|g|/5 prefix) to make
             # each doc's prefix grams rare.
-            uniq = F.array_join(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(10)),
-                    lambda j: F.concat(
-                        F.lit("u"),
-                        F.conv(
-                            F.pmod(
-                                F.xxhash64(F.col("doc_id") * 977 + j),
-                                F.lit(2**52),
-                            ).cast("string"),
-                            10,
-                            36,
-                        ),
-                    ),
-                ),
-                " ",
-            )
-            docs = _rich_docs(spark, n, doc_words=50).withColumn(
-                "text", F.concat("text", F.lit(" "), uniq)
-            )
-            docs = docs.select(
-                "doc_id",
-                "text",
-                F.element_at(
-                    F.array(*[F.lit(c) for c in langs]),
-                    (F.col("doc_id") % 5 + 1).cast("int"),
-                ).alias("lang"),
-                F.lit("probe").alias("source"),
-                F.length("text").alias("n_chars"),
-            )
-            docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+            _capstone_docs(spark, n, tmp, langs)
             res = {}
             names = ["tokenizer_fertility_report"]
             # the ENTRY funnel's near-dup stage is exact char-TRIGRAM
@@ -1044,6 +1080,7 @@ def main() -> None:
         "--byte-bpe",
         "--ppl-cutoffs",
         "--capstones",
+        "--funnel-minhash",
     ):  # [sizes...]
         sizes = (
             [int(float(s)) for s in args[1].split(",")]
@@ -1067,6 +1104,7 @@ def main() -> None:
             "--byte-bpe": probe_byte_bpe,
             "--ppl-cutoffs": probe_ppl_cutoffs,
             "--capstones": probe_capstones,
+            "--funnel-minhash": probe_funnel_minhash,
         }[args[0]]
         print(json.dumps({args[0].lstrip("-"): fn(spark, sizes)}))
         spark.stop()
