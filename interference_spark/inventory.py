@@ -9373,6 +9373,124 @@ def quality_backoff_trigram(spark, sf_dir):
 
 
 @query(
+    "quality_kneser_ney_trigram",
+    """WITH trt AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+), tks AS (SELECT unnest(t) AS w FROM trt
+), tric AS (
+  SELECT t[i] AS c2, t[i+1] AS c1, t[i+2] AS w, count(*) AS ct
+  FROM (SELECT t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM trt WHERE len(t) >= 3)
+  GROUP BY 1, 2, 3
+), bigc AS (
+  SELECT t[i] AS c, t[i+1] AS w, count(*) AS cb
+  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM trt WHERE len(t) >= 2)
+  GROUP BY 1, 2
+), ctx2 AS (
+  SELECT c2, c1, sum(ct) AS cb_ctx, count(*) AS n1p_ctx2
+  FROM tric GROUP BY 1, 2
+), contb AS (SELECT c1, w, count(*) AS nbw FROM tric GROUP BY 1, 2
+), fol AS (SELECT c AS c1, count(*) AS n1p_fol FROM bigc GROUP BY 1
+), mid AS (
+  SELECT m.c1, m.n1p_mid, f.n1p_fol
+  FROM (SELECT c1, sum(nbw) AS n1p_mid FROM contb GROUP BY 1) m
+  JOIN fol f USING (c1)
+), contu AS (SELECT w, count(*) AS n1p_w FROM bigc GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM bigc
+), vt AS (SELECT CAST(count(DISTINCT w) + 1 AS BIGINT) AS v FROM tks
+), st AS (
+  SELECT doc_id, t[i] AS c2, t[i+1] AS c1, t[i+2] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE doc_id % 2 = 1
+                AND length(trim(text)) > 0)
+        WHERE len(t) >= 3)
+), j1 AS (
+  SELECT st.doc_id, tc.ct, cx.cb_ctx, cx.n1p_ctx2, cb.nbw,
+         m.n1p_mid, m.n1p_fol, cu.n1p_w,
+         CASE WHEN cu.n1p_w IS NOT NULL
+              THEN CAST(cu.n1p_w AS DOUBLE) / CAST(tot.nbt AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) / CAST(tot.nbt + vt.v AS DOUBLE)
+         END AS p_uni
+  FROM st
+  LEFT JOIN tric tc ON tc.c2 = st.c2 AND tc.c1 = st.c1 AND tc.w = st.w
+  LEFT JOIN ctx2 cx ON cx.c2 = st.c2 AND cx.c1 = st.c1
+  LEFT JOIN contb cb ON cb.c1 = st.c1 AND cb.w = st.w
+  LEFT JOIN mid m ON m.c1 = st.c1
+  LEFT JOIN contu cu ON cu.w = st.w
+  CROSS JOIN tot CROSS JOIN vt
+), j2 AS (
+  SELECT *,
+         CASE WHEN n1p_mid IS NOT NULL
+              THEN greatest(CAST(coalesce(nbw, 0) AS DOUBLE)
+                              - CAST(0.75 AS DOUBLE),
+                            CAST(0 AS DOUBLE)) / CAST(n1p_mid AS DOUBLE)
+                   + (CAST(0.75 AS DOUBLE) * CAST(n1p_fol AS DOUBLE)
+                      / CAST(n1p_mid AS DOUBLE)) * p_uni
+              ELSE p_uni END AS p_bi
+  FROM j1
+), j3 AS (
+  SELECT doc_id,
+         CASE WHEN cb_ctx IS NOT NULL
+              THEN greatest(CAST(coalesce(ct, 0) AS DOUBLE)
+                              - CAST(0.75 AS DOUBLE),
+                            CAST(0 AS DOUBLE)) / CAST(cb_ctx AS DOUBLE)
+                   + (CAST(0.75 AS DOUBLE) * CAST(n1p_ctx2 AS DOUBLE)
+                      / CAST(cb_ctx AS DOUBLE)) * p_bi
+              ELSE p_bi END AS p,
+         CASE WHEN ct IS NOT NULL THEN 'tri'
+              WHEN nbw IS NOT NULL THEN 'big'
+              WHEN n1p_w IS NOT NULL THEN 'uni' ELSE 'oov' END AS lvl
+  FROM j2
+), q AS (
+  SELECT doc_id, lvl,
+         CAST(floor(ln(p) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS logq
+  FROM j3
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN lvl = 'tri' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tri_hits,
+       CAST(sum(CASE WHEN lvl = 'big' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_big_hits,
+       CAST(sum(CASE WHEN lvl = 'uni' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_uni_hits,
+       CAST(sum(CASE WHEN lvl = 'oov' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(-sum(logq) AS BIGINT) AS nll_micronats,
+       CAST(-sum(logq) AS DOUBLE)
+         / (CAST(1000000 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS nll_nats
+FROM q GROUP BY doc_id""",
+)
+def quality_kneser_ney_trigram(spark, sf_dir):
+    """Interpolated Kneser-Ney trigram scoring (Kneser & Ney 1995; Chen
+    & Goodman 1999 — `pipeline/lm.kn_score`), the smoothing family the
+    production 5-gram KenLM models in CCNet-class pipelines use, next
+    to the stupid-backoff sibling (`quality_backoff_trigram`): train
+    the six KN count tables on the trusted half (trigram/bigram types,
+    continuation counts N1+(·c1w)/N1+(·w), context normalizers), score
+    the other half per trigram position with the single-discount
+    D = 0.75 interpolation — unseen contexts back off a full level, OOV
+    takes the documented `1/(N1+(··)+V)` floor.  Every count is an
+    exact BIGINT; each interpolation branch is a fixed-shape IEEE
+    expression the oracle replays verbatim (staged p_uni → p_bi → p_tri
+    CTEs mirror the Spark expression tree), and per-position logs
+    quantize to integer micronats before the per-doc sum.  Shape: one
+    trigram explode + six keyed LEFT joins against vocabulary-sized
+    count tables + one doc-keyed combine — no window, no sort, no
+    driver state; the `backoff_score` join-strategy note (broadcast
+    small trusted slices, AQE skew-join at corpus×corpus scale, never
+    hint shuffle_hash) applies verbatim."""
+    from .pipeline.lm import kn_score, train_kn_lm
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    lm = train_kn_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    return kn_score(docs.filter(F.col("doc_id") % 2 == 1), lm)
+
+
+@query(
     "rank_bm25_topk",
     """WITH tok AS (
   SELECT doc_id, len(t) AS dl, unnest(t) AS term
@@ -10912,15 +11030,18 @@ def rank_rrf_fusion(spark, sf_dir):
 # Regenerate with:  python tools/driver_window.py  (prints the list this
 # policy produces from the current CORRECTNESS history).
 _DRIVER_WINDOW = [
-    # r10 rotation: 3 sentinels + the 9 sub-2-round entries (2 zero-round
-    # landed post-window in r9 + 7 r9-new singles) + the 38
-    # oldest-evidence entries (all last green in r2) = exactly 50.
+    # r10 rotation: 3 sentinels + the 10 sub-2-round entries (2 zero-round
+    # landed post-window in r9 + 1 new this round + 7 r9-new singles) +
+    # the 37 oldest-evidence entries (all last green in r2) = exactly 50.
     # --- family sentinels (kept every round) ---
     "dialect_custom_group_function",
     "q21_waiting_suppliers",
     "process_stream_consume",
-    # --- zero-round entries (landed after r9's window was committed) ---
+    # --- zero-round entries (2 landed after r9's window was committed;
+    #     quality_kneser_ney_trigram is NEW this round, window-listed in
+    #     its landing commit per the no-backlog rule) ---
     "corpus_curation_funnel_v3",
+    "quality_kneser_ney_trigram",
     "stream_byte_bpe_ingest",
     # --- r9-new singles (second driver round each) ---
     "byte_bpe_encode_ids",
@@ -10968,7 +11089,6 @@ _DRIVER_WINDOW = [
     "q20_excess_shippers",
     "q22_idle_customers",
     "q3_shipping_priority",
-    "q4_order_priority",
 ]
 
 

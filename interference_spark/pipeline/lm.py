@@ -301,6 +301,145 @@ def backoff_score(
     return per_doc.withColumn("nll_nats", nll)
 
 
+@dataclass
+class KneserNeyLM:
+    """A trained interpolated Kneser-Ney trigram LM (Kneser & Ney 1995;
+    Chen & Goodman 1999 — the smoothing the classic 5-gram KenLM models
+    in CCNet-class pipelines use; single fixed discount D = 0.75).
+    Six narrow count tables, no driver-side state — every count is an
+    exact BIGINT derived from trigram/bigram TYPE and token counts."""
+
+    trigram_counts: DataFrame  # (c2, c1, w, ct)
+    ctx2: DataFrame  # (c2, c1, cb_ctx = Σct, n1p_ctx2 = |{w: ct>0}|)
+    cont_big: DataFrame  # (c1, w, nbw = N1+(· c1 w))
+    mid: DataFrame  # (c1, n1p_mid = N1+(· c1 ·), n1p_fol = N1+(c1 ·))
+    cont_uni: DataFrame  # (w, n1p_w = N1+(· w))
+    totals: DataFrame  # 1 row: (nbt = N1+(· ·) bigram types, v)
+
+
+def train_kn_lm(df: DataFrame, text_col: str = "text") -> KneserNeyLM:
+    """Count tables for interpolated Kneser-Ney: the trigram type table
+    feeds the context normalizers and the bigram-level CONTINUATION
+    counts (how many distinct left contexts a bigram completes), the
+    bigram type table feeds the unigram continuation distribution.
+    Four map-side-combined groupBys over the trigram/bigram type tables
+    (each vocabulary-sized, not corpus-sized) + one 1-row aggregate."""
+    tri = _trigrams(df, text_col, []).groupBy("c2", "c1", "w").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    big = _bigrams(df, text_col, []).groupBy("c", "w").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    stream = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.explode(toks).alias("w")
+    )
+    cont_big = tri.groupBy("c1", "w").agg(F.count(F.lit(1)).alias("nbw"))
+    fol = big.groupBy(F.col("c").alias("c1")).agg(
+        F.count(F.lit(1)).alias("n1p_fol")
+    )
+    return KneserNeyLM(
+        trigram_counts=tri,
+        ctx2=tri.groupBy("c2", "c1").agg(
+            F.sum("ct").alias("cb_ctx"),
+            F.count(F.lit(1)).alias("n1p_ctx2"),
+        ),
+        cont_big=cont_big,
+        # inner join is exact: every c1 with trigram middles also heads
+        # at least one bigram type
+        mid=cont_big.groupBy("c1")
+        .agg(F.sum("nbw").alias("n1p_mid"))
+        .join(fol, "c1"),
+        cont_uni=big.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w")),
+        totals=big.agg(F.count(F.lit(1)).cast("long").alias("nbt")).crossJoin(
+            stream.agg(
+                (F.count_distinct("w") + F.lit(1)).cast("long").alias("v")
+            )
+        ),
+    )
+
+
+def kn_score(
+    df: DataFrame,
+    lm: KneserNeyLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney trigram score — same output
+    shape and join discipline as ``backoff_score``: ``(id, n_trigrams,
+    n_tri_hits, n_big_hits, n_uni_hits, n_oov, nll_micronats,
+    nll_nats)``.
+
+    Probability per position (D = 0.75, the classic single discount):
+
+    - ``P(w)    = N1+(·w)/N1+(··)``; OOV floor ``1/(N1+(··)+V)``
+    - ``P(w|c1) = max(N1+(·c1w)−D,0)/N1+(·c1·)
+      + D·N1+(c1·)/N1+(·c1·) · P(w)`` — unseen middle context backs
+      off to ``P(w)`` entirely
+    - ``P(w|c2,c1) = max(ct−D,0)/c(c2,c1)
+      + D·N1+(c2c1·)/c(c2,c1) · P(w|c1)`` — unseen context backs off
+
+    Counts are exact BIGINTs; each branch is a fixed-shape IEEE
+    expression replayed verbatim in the oracle, and per-position log
+    scores quantize to integer micronats before the per-doc sum.  The
+    level flags count the highest n-gram order that HIT (trigram seen /
+    bigram continuation seen / unigram continuation seen / OOV) — the
+    same coverage diagnostic as ``backoff_score``.  Shape: one trigram
+    explode + six keyed LEFT joins against vocabulary-sized count
+    tables (broadcast for curated trusted slices, AQE skew-join on
+    Zipf-skewed context keys at corpus×corpus scale — the
+    ``backoff_score`` join-strategy note applies verbatim) + one
+    doc-keyed combine.  No window, no sort, no driver state."""
+    st = _trigrams(df, text_col, [id_col])
+    j = (
+        st.join(lm.trigram_counts, ["c2", "c1", "w"], "left")
+        .join(lm.ctx2, ["c2", "c1"], "left")
+        .join(lm.cont_big, ["c1", "w"], "left")
+        .join(lm.mid, ["c1"], "left")
+        .join(lm.cont_uni, ["w"], "left")
+        .crossJoin(F.broadcast(lm.totals))
+    )
+    D = F.lit(0.75)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dz = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("double")  # noqa: E731
+    p_uni = F.when(
+        F.col("n1p_w").isNotNull(), d("n1p_w") / d("nbt")
+    ).otherwise(F.lit(1.0) / (F.col("nbt") + F.col("v")).cast("double"))
+    p_bi = F.when(
+        F.col("n1p_mid").isNotNull(),
+        F.greatest(dz("nbw") - D, F.lit(0.0)) / d("n1p_mid")
+        + (D * d("n1p_fol") / d("n1p_mid")) * p_uni,
+    ).otherwise(p_uni)
+    p_tri = F.when(
+        F.col("cb_ctx").isNotNull(),
+        F.greatest(dz("ct") - D, F.lit(0.0)) / d("cb_ctx")
+        + (D * d("n1p_ctx2") / d("cb_ctx")) * p_bi,
+    ).otherwise(p_bi)
+    level = (
+        F.when(F.col("ct").isNotNull(), F.lit("tri"))
+        .when(F.col("nbw").isNotNull(), F.lit("big"))
+        .when(F.col("n1p_w").isNotNull(), F.lit("uni"))
+        .otherwise(F.lit("oov"))
+    )
+    logq = F.floor(F.log(p_tri) * F.lit(_MICRO)).cast("long")
+    per_doc = (
+        j.select(F.col(id_col), logq.alias("logq"), level.alias("lvl"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("lvl") == "tri").cast("long")).alias("n_tri_hits"),
+            F.sum((F.col("lvl") == "big").cast("long")).alias("n_big_hits"),
+            F.sum((F.col("lvl") == "uni").cast("long")).alias("n_uni_hits"),
+            F.sum((F.col("lvl") == "oov").cast("long")).alias("n_oov"),
+            (-F.sum("logq")).cast("long").alias("nll_micronats"),
+        )
+    )
+    nll = F.col("nll_micronats").cast("double") / (
+        F.lit(_MICRO) * F.col("n_trigrams").cast("double")
+    )
+    return per_doc.withColumn("nll_nats", nll)
+
+
 def perplexity_buckets(
     df: DataFrame,
     lm: BigramLM,

@@ -3221,6 +3221,105 @@ def test_perplexity_bucket_cutoffs_matches_exact_terciles(spark):
     }
 
 
+def test_kneser_ney_matches_python_replica(spark):
+    """kn_score vs a driver-side textbook replica of interpolated KN
+    (D = 0.75, continuation counts, full-level backoff on unseen
+    contexts, OOV floor 1/(N1+(··)+V)) on a toy corpus covering every
+    branch: seen trigram, unseen trigram in a seen context, unseen
+    context, unseen middle, and OOV."""
+    import math
+    from collections import Counter
+
+    from interference_spark.pipeline.lm import kn_score, train_kn_lm
+
+    train_docs = [
+        "a b c a b d a b c e",
+        "b c a b c d e a",
+        "x y z x y w",
+    ]
+    score_docs = [
+        (0, "a b c d e"),        # mix of seen trigrams and backoffs
+        (1, "a b c a b c"),      # fully in-corpus
+        (2, "q q q a b"),        # OOV head
+        (3, "x y z q w"),        # unseen continuations in seen contexts
+    ]
+    D = 0.75
+    tri = Counter()
+    big = Counter()
+    uni = Counter()
+    for t in train_docs:
+        ws = t.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+        tri.update(zip(ws, ws[1:], ws[2:]))
+    ctx2_cnt = Counter()
+    ctx2_types = Counter()
+    contb = Counter()
+    for (c2, c1, w), ct in tri.items():
+        ctx2_cnt[(c2, c1)] += ct
+        ctx2_types[(c2, c1)] += 1
+        contb[(c1, w)] += 1
+    mid = Counter()
+    for (c1, _w), nbw in contb.items():
+        mid[c1] += nbw
+    fol = Counter()
+    contu = Counter()
+    for (c, w) in big:
+        fol[c] += 1
+        contu[w] += 1
+    nbt = len(big)
+    v = len(uni) + 1
+
+    def p_kn(c2, c1, w):
+        p_u = (
+            contu[w] / nbt if w in contu else 1.0 / (nbt + v)
+        )
+        if c1 in mid:
+            p_b = max(contb.get((c1, w), 0) - D, 0.0) / mid[c1] + (
+                D * fol[c1] / mid[c1]
+            ) * p_u
+        else:
+            p_b = p_u
+        if (c2, c1) in ctx2_cnt:
+            return max(tri.get((c2, c1, w), 0) - D, 0.0) / ctx2_cnt[
+                (c2, c1)
+            ] + (D * ctx2_types[(c2, c1)] / ctx2_cnt[(c2, c1)]) * p_b
+        return p_b
+
+    want = {}
+    for did, t in score_docs:
+        ws = t.split()
+        logq = [
+            math.floor(math.log(p_kn(*tg)) * 1e6)
+            for tg in zip(ws, ws[1:], ws[2:])
+        ]
+        want[did] = (len(logq), -sum(logq))
+
+    lm = train_kn_lm(
+        spark.createDataFrame(
+            list(enumerate(train_docs)), "doc_id long, text string"
+        )
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.nll_micronats)
+        for r in kn_score(
+            spark.createDataFrame(score_docs, "doc_id long, text string"),
+            lm,
+        ).collect()
+    }
+    assert got == want
+    # level diagnostics: doc 2's first trigram is OOV, doc 1 is all-tri
+    rows = {
+        r.doc_id: r
+        for r in kn_score(
+            spark.createDataFrame(score_docs, "doc_id long, text string"),
+            lm,
+        ).collect()
+    }
+    assert rows[1].n_tri_hits == rows[1].n_trigrams
+    assert rows[2].n_oov >= 1
+
+
 def test_ngram_jaccard_pairs_empty_corpus_returns_typed_empty(spark):
     """A dedup stage running on a fully-filtered survivor set (zero
     docs) must return a typed empty pair table, not crash — the r9
