@@ -678,6 +678,52 @@ def backoff_lm_from_counts(counts: DataFrame) -> BackoffLM:
     )
 
 
+def kn_lm_from_counts(counts: DataFrame) -> KneserNeyLM:
+    """Reconstruct the interpolated Kneser-Ney model from the SAME
+    merged unified count table the streaming backoff path maintains
+    (``backoff_count_deltas`` → ``merge_backoff_counts``): every KN
+    statistic — trigram/bigram types, continuation counts, context
+    normalizers — is a TYPE count over the raw n-gram tables, and type
+    counts of an additive count table are exactly recoverable after any
+    sequence of delta merges (a key exists iff its summed count > 0).
+    So one delta store serves both scoring models; building KN against
+    a merged store is bit-equal to ``train_kn_lm`` on the full corpus
+    (locked by test)."""
+    tri = counts.filter(F.col("n") == 3).select(
+        F.col("g1").alias("c2"),
+        F.col("g2").alias("c1"),
+        F.col("g3").alias("w"),
+        F.col("cnt").alias("ct"),
+    )
+    big = counts.filter(F.col("n") == 2).select(
+        F.col("g1").alias("c"),
+        F.col("g2").alias("w"),
+        F.col("cnt").alias("cb"),
+    )
+    uni = counts.filter(F.col("n") == 1).select(
+        F.col("g1").alias("w"), F.col("cnt").alias("cu")
+    )
+    cont_big = tri.groupBy("c1", "w").agg(F.count(F.lit(1)).alias("nbw"))
+    fol = big.groupBy(F.col("c").alias("c1")).agg(
+        F.count(F.lit(1)).alias("n1p_fol")
+    )
+    return KneserNeyLM(
+        trigram_counts=tri,
+        ctx2=tri.groupBy("c2", "c1").agg(
+            F.sum("ct").cast("long").alias("cb_ctx"),
+            F.count(F.lit(1)).alias("n1p_ctx2"),
+        ),
+        cont_big=cont_big,
+        mid=cont_big.groupBy("c1")
+        .agg(F.sum("nbw").alias("n1p_mid"))
+        .join(fol, "c1"),
+        cont_uni=big.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w")),
+        totals=big.agg(F.count(F.lit(1)).cast("long").alias("nbt")).crossJoin(
+            uni.agg((F.count(F.lit(1)) + F.lit(1)).cast("long").alias("v"))
+        ),
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     lm: BigramLM,

@@ -3377,6 +3377,44 @@ def test_backoff_counts_merge_then_score_bit_equal(spark):
     assert lm_inc.totals.collect() == lm_ref.totals.collect()
 
 
+def test_kn_from_counts_merge_then_score_bit_equal(spark):
+    """One delta store serves BOTH scoring models (r10): the KN
+    statistics are type counts over the raw n-gram tables, exactly
+    recoverable from the merged backoff count triple — kn_lm_from_counts
+    on merged halves scores bit-equal to train_kn_lm on the union."""
+    from interference_spark.pipeline.lm import (
+        backoff_count_deltas,
+        kn_lm_from_counts,
+        kn_score,
+        merge_backoff_counts,
+        train_kn_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b c a b c a"),
+            (1, "a b d c b a"),
+            (2, "c c c a b"),
+            (3, "z q a b c"),
+            (4, "b"),
+        ],
+        "doc_id long, text string",
+    )
+    deltas = backoff_count_deltas(corpus.filter("doc_id % 2 = 0")).unionByName(
+        backoff_count_deltas(corpus.filter("doc_id % 2 = 1"))
+    )
+    lm_inc = kn_lm_from_counts(merge_backoff_counts(deltas))
+    lm_ref = train_kn_lm(corpus)
+    score = spark.createDataFrame(
+        [(10, "a b c a b"), (11, "z z z q a"), (12, "c b a d")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: tuple(r) for r in kn_score(score, lm_inc).collect()}
+    want = {r.doc_id: tuple(r) for r in kn_score(score, lm_ref).collect()}
+    assert got == want
+    assert lm_inc.totals.collect() == lm_ref.totals.collect()
+
+
 def test_gumbel_topk_select_seeded_and_weight_sensitive(spark):
     """Seeded Gumbel-top-k: identical seed → identical selection;
     different seeds → different draws; a dominant log-weight is always
