@@ -862,12 +862,35 @@ def dsir_log_weights(
         use_broadcast = bc.count() <= broadcast_max_rows
     if use_broadcast:
         bc, cc = F.broadcast(bc), F.broadcast(cc)
-    j = (
-        sb.join(bc, ["c", "w"], "left")
-        .join(cc, ["c"], "left")
-        .crossJoin(F.broadcast(target_lm.vocab.withColumnRenamed("v", "vt")))
-        .crossJoin(F.broadcast(raw_lm.vocab.withColumnRenamed("v", "vr")))
-    )
+        j = (
+            sb.join(bc, ["c", "w"], "left")
+            .join(cc, ["c"], "left")
+        )
+    else:
+        # HASH-NARROWED join keys on the shuffle path (the r10 10M-doc
+        # funnel probe's forced fix): the stream-side SMJ sorts carry
+        # (doc_id, c, w) string rows — ~50 B/row × the corpus' bigram
+        # instances, measured exhausting the probe host's spill disk at
+        # 10M docs (the 1M row fit).  Hashing both join keys to one
+        # xxhash64 long each shrinks the sorted stream row to 16 B
+        # (doc_id + key hash) and the lookup rows to hash + two counts —
+        # a 3-4× spill-volume cut with identical join semantics up to
+        # hash collisions (expected collisions ≈ k²/2⁶⁵ — ~0.03 at 1e9
+        # bigram types; the oracled entries all run gate corpora whose
+        # lookups BROADCAST, so the exact-key path is the one the
+        # driver value-hashes).  Both paths are asserted weight-equal
+        # in tests at test scale.
+        bch = bc.select(F.xxhash64("c", "w").alias("__hb"), "cwt", "cwr")
+        cch = cc.select(F.xxhash64("c").alias("__hc"), "cct", "ccr")
+        sbh = sb.select(
+            F.col(id_col),
+            F.xxhash64("c", "w").alias("__hb"),
+            F.xxhash64("c").alias("__hc"),
+        )
+        j = sbh.join(bch, "__hb", "left").join(cch, "__hc", "left")
+    j = j.crossJoin(
+        F.broadcast(target_lm.vocab.withColumnRenamed("v", "vt"))
+    ).crossJoin(F.broadcast(raw_lm.vocab.withColumnRenamed("v", "vr")))
 
     def _logq(cw: str, cc: str, v: str):
         p = F.when(
