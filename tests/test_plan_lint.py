@@ -501,6 +501,21 @@ def test_backoff_trigram_plan_jvm_no_sort(spark):
     assert "Sort " not in plan, plan[:2000]
 
 
+def test_kneser_ney_plan_jvm_no_sort(spark):
+    """Interpolated KN scoring (r10): six LEFT joins broadcast at this
+    SF, the 1-row totals ride as a broadcast NL join, the per-doc
+    combine is a hash aggregate — same lint contract as the backoff
+    sibling: no window, no sort, no Python anywhere."""
+    df = inventory.QUERIES["quality_kneser_ney_trigram"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 6, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "Sort " not in plan, plan[:2000]
+
+
 def test_lang_id_multiclass_scoring_is_literal_projection(spark):
     """Multiclass langid scoring: the returned plan (training already
     folded into literal weights) is a pure JVM projection — no Python,
