@@ -940,11 +940,113 @@ def _capstone_docs(spark, n: int, tmp: str, langs: list[str]) -> None:
     docs.write.parquet(os.path.join(tmp, "documents.parquet"))
 
 
-def probe_funnel_minhash(spark, sizes: list[int]) -> dict:
+def _funnel_minhash_staged(spark, sf_dir: str) -> dict:
+    """The production funnel run the way a production pipeline actually
+    runs it at scale: as STAGED JOBS with materialization barriers, not
+    one lazy plan.  The r10 10M-doc probe forced this shape: a single
+    noop-write job retains EVERY stage's shuffle files until the job
+    ends (minhash bands + cluster iterations + two LM trainings + the
+    DSIR joins ≈ the sum of all stage volumes live at once), measured
+    exhausting this host's ~80 GB spill disk twice — first at the DSIR
+    sort (fixed by hash-narrowed join keys, which moved the wall 5×
+    further into the plan), then again near the end on CUMULATIVE
+    volume.  localCheckpoint barriers cut lineage so completed jobs'
+    shuffle files become collectable, and the explicit gc() between
+    stages collects them; per-stage wall-clock comes back as the
+    breakdown.  Same operators, same results — only the materialization
+    points differ."""
+    from interference_spark import inventory
+    from interference_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+    from interference_spark.pipeline.lm import (
+        dsir_log_weights,
+        train_bigram_lm,
+    )
+    from interference_spark.pipeline.text import c4_clean, gopher_quality_flags
+
+    res: dict = {}
+    t_all = time.perf_counter()
+
+    def tick(name, t0):
+        res[name] = round(time.perf_counter() - t0, 2)
+        print(f"  staged funnel stage {name}: {res[name]} s", flush=True)
+        spark.sparkContext._jvm.System.gc()
+
+    e = inventory.engine_for(spark, sf_dir)
+    docs = e.table("documents").select("doc_id", "lang", "text")
+    t0 = time.perf_counter()
+    c4 = c4_clean(docs, min_kept_lines=0).select(
+        "doc_id", F.col("keep_doc").alias("c4_ok")
+    )
+    gf = gopher_quality_flags(
+        docs.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+    )
+    gop = gf.select(
+        "doc_id",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_hash_ratio")
+            & F.col("r_ellipsis_ratio")
+            & F.col("r_bullet_lines")
+            & F.col("r_ellipsis_lines")
+            & F.col("r_alpha_words")
+        ).alias("gopher_ok"),
+    )
+    s12 = (
+        docs.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+        .join(gop.filter("gopher_ok"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=True)
+    )
+    tick("rules_s12", t0)
+    t0 = time.perf_counter()
+    pairs = minhash_dedup_pairs(
+        s12, threshold=0.8, token_hash="xxhash64"
+    ).select("id_a", "id_b")
+    labels = dedup_clusters(s12, pairs)
+    s123 = (
+        s12.join(
+            labels.filter("cluster_id = doc_id").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .localCheckpoint(eager=True)
+    )
+    tick("near_dup_s123", t0)
+    t0 = time.perf_counter()
+    t_lm = train_bigram_lm(s123.filter("lang = 'en'"))
+    r_lm = train_bigram_lm(s123)
+    # materialize the vocabulary-sized count tables so the scoring job
+    # starts from cut lineage (and the training shuffles free)
+    t_lm.bigram_counts = t_lm.bigram_counts.localCheckpoint(eager=True)
+    t_lm.context_counts = t_lm.context_counts.localCheckpoint(eager=True)
+    r_lm.bigram_counts = r_lm.bigram_counts.localCheckpoint(eager=True)
+    r_lm.context_counts = r_lm.context_counts.localCheckpoint(eager=True)
+    tick("lm_train", t0)
+    t0 = time.perf_counter()
+    (
+        dsir_log_weights(s123, t_lm, r_lm)
+        .orderBy(F.col("logw_micronats").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    tick("dsir_select", t0)
+    res["total"] = round(time.perf_counter() - t_all, 2)
+    return res
+
+
+def probe_funnel_minhash(spark, sizes: list[int], staged: bool = False) -> dict:
     """The r10 decade-extension probe (VERDICT r9 ask #5): ONLY the
     production funnel composition (MinHash-LSH near-dup), timed end-to-
     end per size — the fertility capstone is excluded so a 10M-doc row
-    stays a single-entry measurement."""
+    stays a single-entry measurement.  ``staged`` runs the
+    checkpoint-barrier shape (`_funnel_minhash_staged`) the 10M row
+    requires on a disk-bounded single host."""
     import shutil
     import tempfile
 
@@ -954,15 +1056,23 @@ def probe_funnel_minhash(spark, sizes: list[int]) -> dict:
         tmp = tempfile.mkdtemp(prefix="ifs_funnel10m_")
         try:
             _capstone_docs(spark, n, tmp, langs)
-            t0 = time.perf_counter()
-            _funnel_minhash(spark, tmp).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            out[n] = round(time.perf_counter() - t0, 2)
-            print(
-                f"capstone funnel_minhash_variant @ {n}: {out[n]} s",
-                flush=True,
-            )
+            if staged:
+                out[n] = _funnel_minhash_staged(spark, tmp)
+                print(
+                    f"capstone funnel_minhash_variant (staged) @ {n}: "
+                    f"{out[n]['total']} s",
+                    flush=True,
+                )
+            else:
+                t0 = time.perf_counter()
+                _funnel_minhash(spark, tmp).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                out[n] = round(time.perf_counter() - t0, 2)
+                print(
+                    f"capstone funnel_minhash_variant @ {n}: {out[n]} s",
+                    flush=True,
+                )
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         finally:
@@ -1081,6 +1191,7 @@ def main() -> None:
         "--ppl-cutoffs",
         "--capstones",
         "--funnel-minhash",
+        "--funnel-minhash-staged",
     ):  # [sizes...]
         sizes = (
             [int(float(s)) for s in args[1].split(",")]
@@ -1105,6 +1216,9 @@ def main() -> None:
             "--ppl-cutoffs": probe_ppl_cutoffs,
             "--capstones": probe_capstones,
             "--funnel-minhash": probe_funnel_minhash,
+            "--funnel-minhash-staged": lambda s, sz: probe_funnel_minhash(
+                s, sz, staged=True
+            ),
         }[args[0]]
         print(json.dumps({args[0].lstrip("-"): fn(spark, sizes)}))
         spark.stop()
