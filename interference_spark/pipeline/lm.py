@@ -795,6 +795,14 @@ def gumbel_topk_select(
 
 
 _DSIR_BROADCAST_MAX_ROWS = 10_000_000
+# hashed-broadcast tier cutoff: an xxhash64-keyed lookup row is 8 B key +
+# two count longs (~40 B as a broadcast hash relation incl. overhead), so
+# 150M rows ≈ 6 GB — inside Spark's 8 GB broadcast cap and small next to
+# the ≥16 GB executors it rides in; the alternative at that size is
+# shuffling the corpus-sized bigram STREAM twice (once per join key),
+# which the r10 10M-doc funnel probe measured exhausting an 80 GB spill
+# disk even in a job of its own
+_DSIR_HASHED_BROADCAST_MAX_ROWS = 150_000_000
 
 
 def dsir_log_weights(
@@ -805,6 +813,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     broadcast_lm: bool | str = "auto",
     broadcast_max_rows: int = _DSIR_BROADCAST_MAX_ROWS,
+    hashed_broadcast_max_rows: int = _DSIR_HASHED_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document by
@@ -857,15 +866,45 @@ def dsir_log_weights(
         ["c"],
         "full_outer",
     )
-    use_broadcast = broadcast_lm
+    # three physical tiers (bit-identical weights on all of them, locked
+    # by test): exact-key broadcast / HASHED-key broadcast / hashed-key
+    # shuffle.  The middle tier is the r10 10M-doc probe's forced fix:
+    # between "exact strings fit the broadcast budget" and "nothing
+    # fits" lies a wide band where the 8-byte-keyed lookup still
+    # broadcasts comfortably (~40 B/row vs ~70+ B with string keys) —
+    # and broadcasting there means the corpus-sized bigram stream is
+    # NEVER shuffled or sorted for the joins, where the shuffle tier
+    # sorts the stream twice (once per join key; measured exhausting an
+    # 80 GB spill disk at 10M docs / ~590M bigram instances even with
+    # hash-narrowed rows).
+    tier = broadcast_lm
     if broadcast_lm == "auto":
-        use_broadcast = bc.count() <= broadcast_max_rows
-    if use_broadcast:
+        n_lookup = bc.count()
+        if n_lookup <= broadcast_max_rows:
+            tier = True
+        elif n_lookup <= hashed_broadcast_max_rows:
+            tier = "hashed_broadcast"
+        else:
+            tier = False
+    if tier is True:
         bc, cc = F.broadcast(bc), F.broadcast(cc)
         j = (
             sb.join(bc, ["c", "w"], "left")
             .join(cc, ["c"], "left")
         )
+    elif tier == "hashed_broadcast":
+        bch = F.broadcast(
+            bc.select(F.xxhash64("c", "w").alias("__hb"), "cwt", "cwr")
+        )
+        cch = F.broadcast(
+            cc.select(F.xxhash64("c").alias("__hc"), "cct", "ccr")
+        )
+        sbh = sb.select(
+            F.col(id_col),
+            F.xxhash64("c", "w").alias("__hb"),
+            F.xxhash64("c").alias("__hc"),
+        )
+        j = sbh.join(bch, "__hb", "left").join(cch, "__hc", "left")
     else:
         # HASH-NARROWED join keys on the shuffle path (the r10 10M-doc
         # funnel probe's forced fix): the stream-side SMJ sorts carry

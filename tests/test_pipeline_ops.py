@@ -2938,9 +2938,20 @@ def test_dsir_auto_broadcast_paths_bit_identical(spark):
 
     forced_bc = rows(broadcast_lm=True)
     forced_shuffle = rows(broadcast_lm=False)
+    forced_hashed_bc = rows(broadcast_lm="hashed_broadcast")
     auto_small = rows()  # default auto: tiny vocab -> broadcast
-    auto_tripped = rows(broadcast_lm="auto", broadcast_max_rows=0)  # -> shuffled
-    assert forced_bc == forced_shuffle == auto_small == auto_tripped
+    auto_tripped = rows(broadcast_lm="auto", broadcast_max_rows=0)  # -> hashed bc
+    auto_shuffled = rows(
+        broadcast_lm="auto", broadcast_max_rows=0, hashed_broadcast_max_rows=0
+    )  # -> hashed shuffle
+    assert (
+        forced_bc
+        == forced_shuffle
+        == forced_hashed_bc
+        == auto_small
+        == auto_tripped
+        == auto_shuffled
+    )
     assert len(forced_bc) == 3
 
     # auto's broadcast decision produces the explicit-broadcast plan: the
