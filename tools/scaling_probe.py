@@ -1019,12 +1019,14 @@ def _funnel_minhash_staged(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     t_lm = train_bigram_lm(s123.filter("lang = 'en'"))
     r_lm = train_bigram_lm(s123)
-    # materialize the vocabulary-sized count tables so the scoring job
-    # starts from cut lineage (and the training shuffles free)
-    t_lm.bigram_counts = t_lm.bigram_counts.localCheckpoint(eager=True)
-    t_lm.context_counts = t_lm.context_counts.localCheckpoint(eager=True)
-    r_lm.bigram_counts = r_lm.bigram_counts.localCheckpoint(eager=True)
-    r_lm.context_counts = r_lm.context_counts.localCheckpoint(eager=True)
+    # materialize the training SHUFFLES (count(), not localCheckpoint:
+    # checkpointing 110M-row string tables stores deserialized JVM
+    # objects and was measured OOMing a 48 GB heap at 10M docs); the
+    # scoring job reuses the shuffle outputs via ReuseExchange, so the
+    # trainings run once and the lineage back to s123's checkpoint is
+    # cheap to keep
+    t_lm.bigram_counts.count()
+    r_lm.bigram_counts.count()
     tick("lm_train", t0)
     t0 = time.perf_counter()
     (
