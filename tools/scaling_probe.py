@@ -1019,14 +1019,21 @@ def _funnel_minhash_staged(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     t_lm = train_bigram_lm(s123.filter("lang = 'en'"))
     r_lm = train_bigram_lm(s123)
-    # materialize the training SHUFFLES (count(), not localCheckpoint:
-    # checkpointing 110M-row string tables stores deserialized JVM
-    # objects and was measured OOMing a 48 GB heap at 10M docs); the
-    # scoring job reuses the shuffle outputs via ReuseExchange, so the
-    # trainings run once and the lineage back to s123's checkpoint is
-    # cheap to keep
-    t_lm.bigram_counts.count()
-    r_lm.bigram_counts.count()
+    # materialize the trained models to COMPRESSED PARQUET and read them
+    # back — what a production pipeline does with model tables.  The two
+    # measured alternatives both die at 10M docs on a disk-bounded
+    # host: localCheckpoint stores 110M-row string tables as
+    # deserialized JVM objects (48 GB heap OOM), and count()-style
+    # shuffle materialization RETAINS the training exchanges' ~30-40 GB
+    # of shuffle files for ReuseExchange, which then coexist with the
+    # scoring job's merge sorts (disk exhaustion at the dsir stage).
+    # Parquet+zstd holds the same tables in ~2-4 GB, cuts lineage, and
+    # lets the gc() below actually free the training shuffles.
+    for tag, lm in (("t", t_lm), ("r", r_lm)):
+        for field in ("bigram_counts", "context_counts"):
+            p = os.path.join(sf_dir, f"_lm_{tag}_{field}.parquet")
+            getattr(lm, field).write.mode("overwrite").parquet(p)
+            setattr(lm, field, spark.read.parquet(p))
     tick("lm_train", t0)
     t0 = time.perf_counter()
     (
