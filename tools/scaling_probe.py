@@ -972,6 +972,16 @@ def _funnel_minhash_staged(spark, sf_dir: str) -> dict:
     def tick(name, t0):
         res[name] = round(time.perf_counter() - t0, 2)
         print(f"  staged funnel stage {name}: {res[name]} s", flush=True)
+        # the barrier only frees a completed stage's shuffle files if
+        # nothing references its DataFrames anymore: callers del their
+        # intermediates BEFORE tick, then the driver-side gc lets the
+        # ContextCleaner collect the now-unreachable shuffle
+        # dependencies (measured: keeping `pairs`/`labels` in scope
+        # retained ~40 GB of near-dup shuffle files into the scoring
+        # stage and exhausted the disk)
+        import gc as _pygc
+
+        _pygc.collect()
         spark.sparkContext._jvm.System.gc()
 
     e = inventory.engine_for(spark, sf_dir)
@@ -1001,6 +1011,7 @@ def _funnel_minhash_staged(spark, sf_dir: str) -> dict:
         .select("doc_id", "lang", "text")
         .localCheckpoint(eager=True)
     )
+    del docs, c4, gf, gop
     tick("rules_s12", t0)
     t0 = time.perf_counter()
     pairs = minhash_dedup_pairs(
@@ -1015,6 +1026,7 @@ def _funnel_minhash_staged(spark, sf_dir: str) -> dict:
         )
         .localCheckpoint(eager=True)
     )
+    del s12, pairs, labels
     tick("near_dup_s123", t0)
     t0 = time.perf_counter()
     t_lm = train_bigram_lm(s123.filter("lang = 'en'"))
