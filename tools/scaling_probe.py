@@ -982,7 +982,16 @@ def _funnel_minhash_staged(spark, sf_dir: str) -> dict:
         import gc as _pygc
 
         _pygc.collect()
+        # double GC with a drain pause: the ContextCleaner deletes
+        # shuffle/checkpoint files ASYNCHRONOUSLY off a weak-ref queue,
+        # so one gc right before the next stage starts races the next
+        # stage's spill growth for the same disk (measured: ~40 GB of
+        # freed-but-not-yet-unlinked stage files still on disk when the
+        # scoring stage began)
         spark.sparkContext._jvm.System.gc()
+        time.sleep(20)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(10)
 
     e = inventory.engine_for(spark, sf_dir)
     docs = e.table("documents").select("doc_id", "lang", "text")
