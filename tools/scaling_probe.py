@@ -1070,6 +1070,121 @@ def _funnel_minhash_staged(spark, sf_dir: str) -> dict:
     return res
 
 
+def probe_funnel_prepare(spark, n: int, outdir: str) -> dict:
+    """Two-process decomposition, phase A (the r10 10M row's final
+    shape): rules → near-dup → LM training, with s123 and the model
+    tables materialized to parquet under ``outdir``, then the JVM EXITS.
+    Measured necessity: within one long-lived local JVM, each stage's
+    exchange files stayed on disk into the next stage even after
+    reference drops and cleaner drains (~37 GB retained), and the
+    scoring stage needs ~30 GB of its own — process death is the one
+    cleaner that always runs, and separate applications per pipeline
+    phase is how a production run ships this anyway."""
+    from interference_spark import inventory
+    from interference_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
+    from interference_spark.pipeline.lm import train_bigram_lm
+    from interference_spark.pipeline.text import c4_clean, gopher_quality_flags
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    os.makedirs(outdir, exist_ok=True)
+    res: dict = {}
+    t0 = time.perf_counter()
+    _capstone_docs(spark, n, outdir, langs)
+    res["gen"] = round(time.perf_counter() - t0, 2)
+    e = inventory.engine_for(spark, outdir)
+    docs = e.table("documents").select("doc_id", "lang", "text")
+    t0 = time.perf_counter()
+    c4 = c4_clean(docs, min_kept_lines=0).select(
+        "doc_id", F.col("keep_doc").alias("c4_ok")
+    )
+    gf = gopher_quality_flags(
+        docs.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+    )
+    gop = gf.select(
+        "doc_id",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_hash_ratio")
+            & F.col("r_ellipsis_ratio")
+            & F.col("r_bullet_lines")
+            & F.col("r_ellipsis_lines")
+            & F.col("r_alpha_words")
+        ).alias("gopher_ok"),
+    )
+    s12 = (
+        docs.join(c4.filter("c4_ok"), "doc_id", "left_semi")
+        .join(gop.filter("gopher_ok"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=True)
+    )
+    res["rules_s12"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    pairs = minhash_dedup_pairs(
+        s12, threshold=0.8, token_hash="xxhash64"
+    ).select("id_a", "id_b")
+    labels = dedup_clusters(s12, pairs)
+    s123 = s12.join(
+        labels.filter("cluster_id = doc_id").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    s123.write.mode("overwrite").parquet(os.path.join(outdir, "_s123.parquet"))
+    s123 = spark.read.parquet(os.path.join(outdir, "_s123.parquet"))
+    res["near_dup_s123"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    t_lm = train_bigram_lm(s123.filter("lang = 'en'"))
+    r_lm = train_bigram_lm(s123)
+    for tag, lm in (("t", t_lm), ("r", r_lm)):
+        for field in ("bigram_counts", "context_counts"):
+            getattr(lm, field).write.mode("overwrite").parquet(
+                os.path.join(outdir, f"_lm_{tag}_{field}.parquet")
+            )
+        lm.vocab.write.mode("overwrite").parquet(
+            os.path.join(outdir, f"_lm_{tag}_vocab.parquet")
+        )
+    res["lm_train"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"funnel_prepare": {n: res}}), flush=True)
+    return res
+
+
+def probe_funnel_score(spark, outdir: str) -> dict:
+    """Two-process decomposition, phase B: DSIR scoring + top-100 from
+    the phase-A parquet artifacts, in a fresh JVM whose disk starts
+    empty."""
+    from interference_spark.pipeline.lm import BigramLM, dsir_log_weights
+
+    def load(tag: str) -> BigramLM:
+        return BigramLM(
+            bigram_counts=spark.read.parquet(
+                os.path.join(outdir, f"_lm_{tag}_bigram_counts.parquet")
+            ),
+            context_counts=spark.read.parquet(
+                os.path.join(outdir, f"_lm_{tag}_context_counts.parquet")
+            ),
+            vocab=spark.read.parquet(
+                os.path.join(outdir, f"_lm_{tag}_vocab.parquet")
+            ),
+        )
+
+    s123 = spark.read.parquet(os.path.join(outdir, "_s123.parquet"))
+    t0 = time.perf_counter()
+    (
+        dsir_log_weights(s123, load("t"), load("r"))
+        .orderBy(F.col("logw_micronats").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    res = {"dsir_select": round(time.perf_counter() - t0, 2)}
+    print(json.dumps({"funnel_score": res}), flush=True)
+    return res
+
+
 def probe_funnel_minhash(spark, sizes: list[int], staged: bool = False) -> dict:
     """The r10 decade-extension probe (VERDICT r9 ask #5): ONLY the
     production funnel composition (MinHash-LSH near-dup), timed end-to-
@@ -1251,6 +1366,23 @@ def main() -> None:
             ),
         }[args[0]]
         print(json.dumps({args[0].lstrip("-"): fn(spark, sizes)}))
+        spark.stop()
+        return
+    if args and args[0] in ("--funnel-prepare", "--funnel-score"):
+        # two-process probe: --funnel-prepare <n> <dir>  then (fresh
+        # process) --funnel-score <dir>
+        spark = build_spark(
+            app_name="scaling-probe-funnel2p",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+            shuffle_partitions=int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            ),
+            extra_conf={"spark.driver.memory": "48g"},
+        )
+        if args[0] == "--funnel-prepare":
+            probe_funnel_prepare(spark, int(float(args[1])), args[2])
+        else:
+            probe_funnel_score(spark, args[1])
         spark.stop()
         return
     if args and args[0] == "--dsir-auto":  # [n_docs [vocab]]
