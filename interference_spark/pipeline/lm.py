@@ -796,13 +796,16 @@ def gumbel_topk_select(
 
 _DSIR_BROADCAST_MAX_ROWS = 10_000_000
 # hashed-broadcast tier cutoff: an xxhash64-keyed lookup row is 8 B key +
-# two count longs (~40 B as a broadcast hash relation incl. overhead), so
-# 150M rows ≈ 6 GB — inside Spark's 8 GB broadcast cap and small next to
-# the ≥16 GB executors it rides in; the alternative at that size is
-# shuffling the corpus-sized bigram STREAM twice (once per join key),
-# which the r10 10M-doc funnel probe measured exhausting an 80 GB spill
-# disk even in a job of its own
-_DSIR_HASHED_BROADCAST_MAX_ROWS = 150_000_000
+# two count longs (~40 B as a LongHashedRelation incl. overhead), so 50M
+# rows ≈ 2 GB — a relation that one task can actually BUILD from its
+# execution-memory grant (the r10 probe measured a ~110M-row build
+# failing with cannotAcquireMemoryToBuildLongHashedRelation on a 48 GB
+# local JVM: the map needs its pow2 slot arrays as near-contiguous
+# allocations, so feasible size is set by per-task execution memory, not
+# the 8 GB broadcast cap).  Callers on memory-rich executors can raise
+# it; above the cutoff the hashed SHUFFLED-HASH tier takes over — still
+# no stream sort, just a stream shuffle
+_DSIR_HASHED_BROADCAST_MAX_ROWS = 50_000_000
 
 
 def dsir_log_weights(
