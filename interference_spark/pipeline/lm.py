@@ -929,18 +929,17 @@ def dsir_log_weights(
             F.xxhash64("c", "w").alias("__hb"),
             F.xxhash64("c").alias("__hc"),
         )
-        # SHUFFLED-HASH, not sort-merge, with the narrow hashed lookup as
-        # the build side: SMJ SORTS the corpus-sized stream once per join
-        # key, and those two sort spills — not the shuffles — were what
-        # exhausted the r10 probe host's disk after every other fix (the
-        # backoff_score "never hint shuffle_hash" note is about
-        # corpus-growing STRING lookups whose per-partition build cannot
-        # spill; here the build is 24 B/row — lookup_rows×24B/partitions
-        # per build, ~230 MB at 300M types over 32 partitions — and the
-        # stream side streams through probing with no sort at all)
-        j = sbh.join(bch.hint("shuffle_hash"), "__hb", "left").join(
-            cch.hint("shuffle_hash"), "__hc", "left"
-        )
+        # sort-merge, NOT shuffled-hash: the r10 probe tried
+        # hint("shuffle_hash") here (the narrow build side looks
+        # tempting) and it HARD-FAILED with
+        # cannotAcquireMemoryToBuildLongHashedRelation under per-task
+        # memory contention (a ~110M-row lookup over 32 concurrent
+        # builds wants ~512 MB each and cannot spill) — the same
+        # failure the backoff_score join-strategy note documents.  SMJ
+        # sorts spill gracefully, and with 24 B hashed rows the sort
+        # volume is 3-4× smaller than the string-keyed plan this tier
+        # replaced.
+        j = sbh.join(bch, "__hb", "left").join(cch, "__hc", "left")
     j = j.crossJoin(
         F.broadcast(target_lm.vocab.withColumnRenamed("v", "vt"))
     ).crossJoin(F.broadcast(raw_lm.vocab.withColumnRenamed("v", "vr")))
