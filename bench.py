@@ -392,7 +392,22 @@ def main() -> None:
                             "now": now,
                             "ratio": round(now / p, 2),
                         }
-                prev_training = prev.get("training", {}).get("queries", {})
+                # the training lane runs at its own (independently
+                # overridable) TRAIN_SF_DIR — gate its comparison on the
+                # baseline's recorded training corpus, not the headline sf,
+                # or a TRAIN_SF_DIR change produces wholesale false
+                # training regressions (review r10)
+                prev_train_rec = prev.get("training", {})
+                if prev_train_rec.get("sf_dir") == TRAIN_SF_DIR:
+                    prev_training = prev_train_rec.get("queries", {})
+                else:
+                    print(
+                        f"bench: baseline training lane recorded at "
+                        f"sf_dir={prev_train_rec.get('sf_dir')} != "
+                        f"{TRAIN_SF_DIR} — training regression "
+                        f"comparison skipped",
+                        file=sys.stderr,
+                    )
     except (OSError, ValueError) as exc:
         baseline_file = None
         print(f"bench: regression baseline unreadable: {exc}", file=sys.stderr)
@@ -481,17 +496,29 @@ def main() -> None:
         print(f"bench: could not write bench_results/latest.json: {exc}",
               file=sys.stderr)
     spark.stop()
-    # the ONE machine-readable stdout line, printed LAST and kept COMPACT
-    # (VERDICT r9 ask #4): the driver's capture window truncated the r8/r9
-    # records ("parsed": null) because the dispersion table tripled the
-    # line length.  Everything dropped here lives in bench_results/.
+    sys.stdout.flush()
+    print(compact_stdout_line(payload), flush=True)
+
+
+# the driver's capture keeps roughly this many stdout chars; the r8-r10
+# records arrived truncated ("parsed": null) because the line embedded
+# the 77-entry per-query timing dict (~3.5 KB)
+COMPACT_LINE_BUDGET = 1500
+
+
+def compact_stdout_line(payload: dict) -> str:
+    """The ONE machine-readable stdout line, printed LAST and kept COMPACT
+    (VERDICT r10 ask #2): per-query timing dicts live ONLY in
+    bench_results/latest.json — here only totals, counts, and the
+    (normally empty) regression/error maps, hard-capped at
+    COMPACT_LINE_BUDGET chars so the driver's capture window always
+    parses it."""
     compact = {
         k: payload[k]
         for k in (
             "metric",
             "value",
             "unit",
-            "queries",
             "errors",
             "sf",
             "cpus",
@@ -501,12 +528,24 @@ def main() -> None:
             "regression_baseline",
         )
     }
+    compact["n_queries"] = len(payload["queries"])
+    training = payload["training"]
     compact["training"] = {
-        k: training[k] for k in ("queries", "total", "errors", "regressions")
+        k: training[k] for k in ("total", "errors", "regressions")
     }
+    compact["training"]["n_queries"] = len(training["queries"])
     compact["full_record"] = "bench_results/latest.json"
-    sys.stdout.flush()
-    print(json.dumps(compact), flush=True)
+    line = json.dumps(compact)
+    if len(line) > COMPACT_LINE_BUDGET:
+        # regressions/errors are the only unbounded keys left; a
+        # pathological round must still produce a parseable line
+        for key in ("regressions", "errors"):
+            compact[key] = f"<{len(payload[key])} entries - see full_record>"
+            compact["training"][key] = (
+                f"<{len(training[key])} entries - see full_record>"
+            )
+        line = json.dumps(compact)
+    return line
 
 
 def _bench_ingest(spark) -> float:

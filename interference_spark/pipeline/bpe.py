@@ -402,10 +402,14 @@ def bpe_encode(
     sorts only inside each document's own array."""
     if oov not in ("drop", "null"):
         raise ValueError(f"oov must be 'drop' or 'null', got {oov!r}")
-    if check_vocab_coverage and oov == "drop":
+    if check_vocab_coverage:
         # one word-table-sized job (words is corpus-small + distinct):
-        # every symbol the segmentation can emit must have a vocab id,
-        # else the inner join below drops it and positions gap silently
+        # every symbol the segmentation can emit must have a vocab id —
+        # under oov='drop' a miss means the inner join silently gaps
+        # positions; under oov='null' it means NULL token_ids for words
+        # the word table DOES cover.  The check runs in BOTH modes
+        # (ADVICE r10: silently skipping it in null mode left callers
+        # believing coverage was verified).
         uncovered = (
             words.select(F.explode(F.split("sym", " ")).alias("token"))
             .distinct()
@@ -413,11 +417,17 @@ def bpe_encode(
         )
         sample = [r["token"] for r in uncovered.limit(5).collect()]
         if sample:
+            consequence = (
+                "oov='drop' would leave positional gaps"
+                if oov == "drop"
+                else "oov='null' would emit NULL token_ids for "
+                "trained words"
+            )
             raise ValueError(
                 "vocab does not cover the segmentation alphabet — "
-                f"oov='drop' would leave positional gaps; uncovered "
-                f"symbols include {sample}. Use oov='null' to surface "
-                "them, or a vocab from the same training."
+                f"{consequence}; uncovered symbols include {sample}. "
+                "Use a vocab from the same training, or (drop mode) "
+                "oov='null' to surface them as NULL ids."
             )
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""

@@ -35,7 +35,16 @@ RE2 (DuckDB) produce identical token streams for this pattern
 Exact GPT-2 lookahead semantics are available OPT-IN as
 ``pretokenizer="gpt2"`` (``GPT2_SPLIT_PATTERN_LOOKAHEAD`` — Spark-side
 only, not oracle-able; the divergence table is pinned in
-``tests/test_byte_bpe.py``).
+``tests/test_byte_bpe.py``).  The GPT-2-exactness claim holds for
+ASCII-whitespace inputs: BOTH modes keep the explicit ASCII whitespace
+class, while the regex-module ``\\s`` GPT-2 actually uses also matches
+Unicode whitespace (NBSP, NEL, ogham/en/em/thin spaces, line/paragraph
+separators, ideographic space — and the original ``regex``-module
+implementation vs tiktoken's Rust port already disagree at the margins,
+e.g. U+001C-U+001F).  Here those characters fall into the punctuation
+branch in both modes (pinned in the divergence table), which keeps
+Spark/DuckDB parity and losslessness but differs from real GPT-2 on
+Unicode-whitespace inputs.
 
 Distributed shape mirrors ``pipeline/bpe.py``: training state lives in
 the DISTINCT pre-token table ``(word, freq, sym)`` — the byte mapping
@@ -72,10 +81,16 @@ GPT2_SPLIT_PATTERN = (
 #: ``\s+(?!\S)`` lookahead branch the RE2-safe spec drops, so an interior
 #: whitespace run donates its last space to the following token
 #: ("a  b" → ["a", " ", " b"]), byte-identical to the reference GPT-2
-#: tokenizer.  Java regex only — RE2 (DuckDB) has no lookahead, so this
-#: mode is opt-in (``pretokenizer="gpt2"``) and CANNOT be driver-oracled;
-#: every oracled entry stays on the spec pattern.  Whitespace is the same
-#: explicit class as the spec pattern (Java's ``\s`` set).
+#: tokenizer for ASCII-WHITESPACE inputs (the regex-module ``\s`` GPT-2
+#: uses also matches Unicode whitespace — U+00A0 NBSP, U+0085 NEL,
+#: U+2000-U+200A, U+2028/29, U+3000 — which BOTH modes here route
+#: through the punctuation branch instead; see the module docstring and
+#: the pinned
+#: Unicode rows of the divergence table).  Java regex only — RE2
+#: (DuckDB) has no lookahead, so this mode is opt-in
+#: (``pretokenizer="gpt2"``) and CANNOT be driver-oracled; every oracled
+#: entry stays on the spec pattern.  Whitespace is the same explicit
+#: class as the spec pattern (Java's ``\s`` set).
 GPT2_SPLIT_PATTERN_LOOKAHEAD = (
     r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
     r"| ?[^\t\n\x0b\f\r \p{L}\p{N}]+"

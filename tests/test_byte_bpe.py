@@ -268,6 +268,17 @@ _DIVERGENCE_CASES = [
     # contractions split identically in both modes
     ("don't we'll", ["don", "'t", " we", "'ll"], ["don", "'t", " we", "'ll"]),
     ("it's  99", ["it", "'s", "  ", "99"], ["it", "'s", " ", " 99"]),
+    # Unicode whitespace (review r10): BOTH modes keep the explicit ASCII
+    # whitespace class, so NBSP/NEL/em-space land in the punctuation
+    # branch — stable and lossless here, but real GPT-2 (regex-module
+    # \s) treats them as whitespace; e.g. GPT-2 splits "a \xa0b" as
+    # ["a", " ", "\xa0", "b"].  The gpt2 mode's exactness claim is
+    # scoped to ASCII-whitespace inputs (module docstring).
+    ("a\xa0b", ["a", "\xa0", "b"], ["a", "\xa0", "b"]),
+    ("a \xa0b", ["a", " \xa0", "b"], ["a", " \xa0", "b"]),
+    ("a\xa0\xa0 b", ["a", "\xa0\xa0", " b"], ["a", "\xa0\xa0", " b"]),
+    ("a\u2003\u2003b", ["a", "\u2003\u2003", "b"], ["a", "\u2003\u2003", "b"]),
+    ("a\x85b", ["a", "\x85", "b"], ["a", "\x85", "b"]),
 ]
 
 

@@ -1838,6 +1838,16 @@ def test_bpe_vocab_and_encode(spark):
     truncated = full_vocab.filter(F.length("token") > 1)
     with pytest.raises(ValueError, match="cover the segmentation"):
         bpe_encode(df, words, truncated, check_vocab_coverage=True)
+    # ADVICE r10: the check is honored in null mode too (it used to be
+    # a silent no-op) — same uncovered alphabet, null-mode consequence
+    with pytest.raises(ValueError, match="NULL token_ids"):
+        bpe_encode(
+            df, words, truncated, oov="null", check_vocab_coverage=True
+        )
+    ok_null = bpe_encode(
+        df, words, full_vocab, oov="null", check_vocab_coverage=True
+    ).count()
+    assert ok_null == len(enc)
 
     # round-trip: encode with word index -> decode == normalized source
     from interference_spark.pipeline.bpe import bpe_decode
