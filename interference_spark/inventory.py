@@ -11030,65 +11030,59 @@ def rank_rrf_fusion(spark, sf_dir):
 # Regenerate with:  python tools/driver_window.py  (prints the list this
 # policy produces from the current CORRECTNESS history).
 _DRIVER_WINDOW = [
-    # r10 rotation: 3 sentinels + the 10 sub-2-round entries (2 zero-round
-    # landed post-window in r9 + 1 new this round + 7 r9-new singles) +
-    # the 37 oldest-evidence entries (all last green in r2) = exactly 50.
-    # --- family sentinels (kept every round) ---
+    # r11 rotation: 3 sentinels + the 3 single-round entries (first
+    # driver rows landed in r10) + the 44 oldest-evidence entries
+    # (last green in r2, plus the tail of r4) = exactly 50.
     "dialect_custom_group_function",
     "q21_waiting_suppliers",
     "process_stream_consume",
-    # --- zero-round entries (2 landed after r9's window was committed;
-    #     quality_kneser_ney_trigram is NEW this round, window-listed in
-    #     its landing commit per the no-backlog rule) ---
     "corpus_curation_funnel_v3",
     "quality_kneser_ney_trigram",
     "stream_byte_bpe_ingest",
-    # --- r9-new singles (second driver round each) ---
-    "byte_bpe_encode_ids",
-    "byte_bpe_roundtrip",
-    "byte_bpe_train_merges",
-    "lang_id_multiclass_sparse",
-    "mix_perplexity_cutoffs",
-    "select_dsir_gumbel",
-    "stream_backoff_ingest",
-    # --- oldest-evidence rotation (last green r2; alphabetical) ---
-    "asof_join_events",
-    "cube_event_totals",
-    "dialect_date_parts",
-    "dialect_distinct",
-    "dialect_grand_total",
-    "dialect_group_agg",
-    "dialect_having",
-    "dialect_in_list",
-    "dialect_in_subquery",
-    "dialect_join_filter",
-    "dialect_like_contains",
-    "dialect_limit_topk",
-    "dialect_multiway_join",
-    "dialect_or_conditions",
-    "dialect_order_by",
-    "dialect_scalar_funcs",
-    "dialect_select_star",
-    "dialect_set_ops",
-    "dialect_theta_join",
-    "dialect_union_all",
-    "dialect_window_count_sliding",
-    "grouping_sets_pricing",
-    "point_lookup",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q20_excess_shippers",
-    "q22_idle_customers",
-    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "range_join_value_bands",
+    "rollup_hourly_events",
+    "rollup_pricing_subtotals",
+    "sample_deterministic_10pct",
+    "sketch_cms_heavy_tokens",
+    "sketch_kmv_distinct_users",
+    "topk_per_group",
+    "approx_quantile_sketch",
+    "corpus_curation_funnel",
+    "corpus_divergence_by_lang",
+    "data_quality_report",
+    "decontaminate_ngrams",
+    "dedup_clusters",
+    "dedup_embedding_neardup",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dialect_count_distinct",
+    "dialect_is_null",
+    "event_funnel_conversion",
+    "events_agg_by_type",
+    "export_shuffled_shards",
+    "graph_pagerank_copurchase",
+    "incremental_rollup_distinct_users",
+    "json_extract_props",
+    "kanonymity_audit",
+    "lang_id",
+    "mm_jpeg_dedup",
+    "mm_resize",
+    "mm_video_frames",
+    "pii_redact",
+    "process_within_consume",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "sessionize_users",
+    "sim_cosine_topk",
+    "sim_lsh_multiprobe",
+    "sim_quantized_topk",
+    "source_csv_agg",
 ]
 
 
