@@ -9372,9 +9372,11 @@ def quality_backoff_trigram(spark, sf_dir):
     return backoff_score(docs.filter(F.col("doc_id") % 2 == 1), lm)
 
 
-@query(
-    "quality_kneser_ney_trigram",
-    """WITH trt AS (
+# Interpolated-KN per-doc scoring oracle (train = even doc_ids, score =
+# odd): shared by quality_kneser_ney_trigram (batch training) and
+# stream_kn_ingest (model reconstructed from the streamed delta store)
+# — the two entries must produce the SAME table.
+_KN_ORACLE_SQL = """WITH trt AS (
   SELECT regexp_split_to_array(trim(text), '\\s+') AS t
   FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
 ), tks AS (SELECT unnest(t) AS w FROM trt
@@ -9461,7 +9463,12 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        CAST(-sum(logq) AS BIGINT) AS nll_micronats,
        CAST(-sum(logq) AS DOUBLE)
          / (CAST(1000000 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS nll_nats
-FROM q GROUP BY doc_id""",
+FROM q GROUP BY doc_id"""
+
+
+@query(
+    "quality_kneser_ney_trigram",
+    _KN_ORACLE_SQL,
 )
 def quality_kneser_ney_trigram(spark, sf_dir):
     """Interpolated Kneser-Ney trigram scoring (Kneser & Ney 1995; Chen
@@ -9729,6 +9736,89 @@ def stream_backoff_ingest(spark, sf_dir):
         q.stop()
         # counts fully collected; drop the throwaway store/source/
         # checkpoint dirs (the stream_quality_gate cleanup pattern)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+
+@query(
+    "stream_kn_ingest",
+    _KN_ORACLE_SQL,
+)
+def stream_kn_ingest(spark, sf_dir):
+    """Streaming maintenance of the interpolated Kneser-Ney trigram LM
+    (VERDICT r10 ask #6 — the `stream_backoff_ingest` shape for the KN
+    family): ONE unified additive count table serves both scoring
+    models, so KN needs no delta store of its own.  The even-doc
+    training half arrives incrementally — the doc_id % 4 == 0 snapshot
+    is counted once, the % 4 == 2 remainder lands as two parquet
+    micro-batches whose ``foreachBatch`` appends each batch's
+    map-side-combined count deltas (batch-sized work, no state store,
+    no retraining) — readers compact with one keyed sum and
+    `kn_lm_from_counts` rebuilds every KN statistic from the merged
+    table (type counts of an additive table are exactly recoverable:
+    a key exists iff its summed count > 0).  The entry scores the odd
+    half with the reconstructed model; the oracle is the BATCH
+    full-training-half KN score (`_KN_ORACLE_SQL`, shared with
+    `quality_kneser_ney_trigram`), so streamed + snapshot deltas must
+    reproduce batch training EXACTLY — the merge-then-score
+    bit-equality the unit suite locks, driver-oracled end-to-end."""
+    import os
+    import uuid as _uuid
+
+    from .pipeline.lm import (
+        backoff_count_deltas,
+        kn_lm_from_counts,
+        kn_score,
+        merge_backoff_counts,
+    )
+
+    e = engine_for(spark, sf_dir)
+    docs = e.table("documents")
+    tag = _uuid.uuid4().hex[:8]
+    store = os.path.join(e.warehouse, f"kn_counts_{tag}")
+    src = os.path.join(e.warehouse, f"kn_src_{tag}")
+    ck = src + "_ck"
+
+    backoff_count_deltas(docs.filter("doc_id % 4 = 0")).write.mode(
+        "append"
+    ).parquet(store)
+    # two single-file arrivals -> two micro-batches under
+    # maxFilesPerTrigger=1 (the rest of the even training half)
+    docs.filter("doc_id % 8 = 2").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 8 = 6").coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def ingest(batch, _bid):
+        backoff_count_deltas(batch).write.mode("append").parquet(store)
+
+    q = (
+        sdf.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.stop()
+        lm = kn_lm_from_counts(
+            merge_backoff_counts(spark.read.parquet(store))
+        )
+        scored = kn_score(docs.filter(F.col("doc_id") % 2 == 1), lm)
+        rows = scored.collect()
+        schema = scored.schema
+    finally:
+        import shutil
+
+        q.stop()
+        # scores fully collected; drop the throwaway store/source/
+        # checkpoint dirs (the stream_backoff_ingest cleanup pattern)
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
@@ -11030,12 +11120,14 @@ def rank_rrf_fusion(spark, sf_dir):
 # Regenerate with:  python tools/driver_window.py  (prints the list this
 # policy produces from the current CORRECTNESS history).
 _DRIVER_WINDOW = [
-    # r11 rotation: 3 sentinels + the 3 single-round entries (first
-    # driver rows landed in r10) + the 44 oldest-evidence entries
-    # (last green in r2, plus the tail of r4) = exactly 50.
+    # r11 rotation: 3 sentinels + stream_kn_ingest (new this round,
+    # window-listed in its landing commit per the no-backlog rule) +
+    # the 3 single-round entries (first driver rows landed in r10) +
+    # the 43 oldest-evidence entries (last green in r2) = exactly 50.
     "dialect_custom_group_function",
     "q21_waiting_suppliers",
     "process_stream_consume",
+    "stream_kn_ingest",
     "corpus_curation_funnel_v3",
     "quality_kneser_ney_trigram",
     "stream_byte_bpe_ingest",
@@ -11082,7 +11174,6 @@ _DRIVER_WINDOW = [
     "sim_cosine_topk",
     "sim_lsh_multiprobe",
     "sim_quantized_topk",
-    "source_csv_agg",
 ]
 
 
