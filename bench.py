@@ -229,6 +229,27 @@ def _concurrent_load() -> list[str]:
     return hogs
 
 
+def _host_cpu_bench() -> float:
+    """Fixed-work single-thread CPU microbench (min-of-3, ~0.5 s total):
+    the bench VM is re-placed per boot and rounds land on hosts that
+    differ by up to ~1.5x single-thread speed (r11 measured a 1.40x
+    MEDIAN slowdown vs the r10 record across 69 untouched queries on an
+    idle box — loadavg can't see host placement).  Recording the same
+    fixed work with every run gives later readers the host factor to
+    divide out of cross-round comparisons, and lets the regression
+    tripwire annotate each flagged mover with its host-adjusted ratio."""
+    import hashlib
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = b"\x00" * 64
+        for _ in range(3000):
+            h = hashlib.sha256(h * 2048).digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     from interference_spark import build_spark
     from interference_spark import inventory
@@ -241,6 +262,7 @@ def main() -> None:
             file=sys.stderr,
         )
     load1 = os.getloadavg()[0]
+    host_bench = _host_cpu_bench()
 
     spark = build_spark(
         app_name="ifs-bench",
@@ -384,6 +406,16 @@ def main() -> None:
                 baseline_file = None
             else:
                 prev_q = prev.get("queries", {})
+                # host placement factor: >1 means THIS host is slower
+                # than the baseline's on the same fixed work, so a
+                # flagged ratio at or below the factor is placement,
+                # not plan.  Annotation only — the flagging decision
+                # stays on the raw ratio so a slow host can't mask a
+                # real regression.
+                prev_hb = prev.get("host_cpu_bench_sec")
+                host_factor = (
+                    round(host_bench / prev_hb, 2) if prev_hb else None
+                )
                 for name, now in timings.items():
                     p = prev_q.get(name)
                     if p and now > 1.5 * p and now >= 0.2:
@@ -392,6 +424,10 @@ def main() -> None:
                             "now": now,
                             "ratio": round(now / p, 2),
                         }
+                        if host_factor:
+                            regressions[name]["host_adjusted_ratio"] = (
+                                round(now / p / host_factor, 2)
+                            )
                 # the training lane runs at its own (independently
                 # overridable) TRAIN_SF_DIR — gate its comparison on the
                 # baseline's recorded training corpus, not the headline sf,
@@ -477,6 +513,7 @@ def main() -> None:
                     for p, m in medians.items()
                 },
                 "loadavg_at_start": round(load1, 2),
+                "host_cpu_bench_sec": host_bench,
                 "concurrent_load": hogs,
                 "regressions": regressions,
                 "regression_baseline": baseline_file,
@@ -524,9 +561,12 @@ def compact_stdout_line(payload: dict) -> str:
             "cpus",
             "pass_totals",
             "loadavg_at_start",
+            "host_cpu_bench_sec",
             "regressions",
             "regression_baseline",
         )
+        # pre-r11 payloads have no host_cpu_bench_sec
+        if k in payload
     }
     compact["n_queries"] = len(payload["queries"])
     training = payload["training"]

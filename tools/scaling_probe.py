@@ -639,6 +639,209 @@ def probe_backoff(spark, sizes: list[int]) -> dict:
     return out
 
 
+def probe_kn(spark, sizes: list[int]) -> dict:
+    """Interpolated Kneser-Ney trigram end-to-end (VERDICT r10 ask #7):
+    train the six count tables on the even half, score the WHOLE corpus
+    through the six-join chain.  Same both-sides-grow family as
+    ``backoff_score`` (measured ~n·log n there) — this row confirms the
+    sort-bound shape and that six joins don't double backoff's constant
+    (they attach to ONE exploded trigram stream; Catalyst chains the
+    sort-merge joins on shared key prefixes where possible and the
+    count tables are vocabulary-sized, saturating while the stream
+    grows)."""
+    from interference_spark.pipeline.lm import kn_score, train_kn_lm
+
+    out: dict = {}
+    for n in sizes:
+        docs = _rich_docs(spark, n).persist()
+        docs.count()
+        t0 = time.perf_counter()
+        lm = train_kn_lm(docs.filter(F.col("doc_id") % 2 == 0))
+        r = kn_score(docs, lm).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nll_micronats").alias("s"),
+            F.sum("n_oov").alias("o"),
+        ).first()
+        out[n] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "checksum": [int(r["n"]), int(r["s"]), int(r["o"])],
+        }
+        print(f"kn {n}: {out[n]}", flush=True)
+        docs.unpersist()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
+def _stage_metric_totals(spark) -> dict:
+    """Cumulative completed-stage executor metrics from the local UI
+    REST API (requires spark.ui.enabled=true in this session): diff the
+    totals around a run to attribute spill/shuffle volume to it."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return {}
+    with urllib.request.urlopen(f"{base}/api/v1/applications") as fh:
+        app_id = json.load(fh)[0]["id"]
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as fh:
+        stages = json.load(fh)
+    tot = dict.fromkeys(
+        ("disk_spill", "mem_spill", "shuffle_write", "shuffle_read"), 0
+    )
+    for s in stages:
+        tot["disk_spill"] += s.get("diskBytesSpilled", 0)
+        tot["mem_spill"] += s.get("memoryBytesSpilled", 0)
+        tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+        tot["shuffle_read"] += s.get("shuffleReadBytes", 0)
+    return tot
+
+
+def probe_dsir_spill(spark, n_docs: int, vocab: int) -> dict:
+    """DSIR shuffle-tier A/B (VERDICT r10 ask #8): the hashed-key SMJ
+    tier's "3-4x smaller sorts" claim, measured.  Forces both variants
+    onto the sort-merge shuffle path (auto-broadcast disabled so AQE
+    can't silently broadcast the lookup) and diffs completed-stage
+    spill/shuffle bytes around each run:
+
+    - ``string_smj``: the pre-r10 shuffle shape — the exploded bigram
+      stream joins the merged lookups on the raw STRING keys
+      ``(c, w)`` / ``(c)``, so the stream-side SMJ sorts carry
+      (doc_id, c, w) string rows.  Replicated probe-locally (the
+      engine no longer ships it).
+    - ``hashed_smj``: the shipped tier
+      (``dsir_log_weights(broadcast_lm=False)``) — both join keys
+      pre-hashed to one xxhash64 long each, 16 B sorted stream rows.
+
+    Records wall + shuffle-write + spill for each and asserts the
+    integer micronat weights are bit-identical across the two plans."""
+    from interference_spark.pipeline.lm import (
+        _MICRO,
+        dsir_log_weights,
+        train_bigram_lm,
+    )
+
+    docs = _vocab_docs(spark, n_docs, vocab).persist()
+    docs.count()
+    t_lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    r_lm = train_bigram_lm(docs)
+    # materialize the four count tables once so both variants pay zero
+    # training cost inside their measured window
+    for lm in (t_lm, r_lm):
+        lm.bigram_counts = lm.bigram_counts.localCheckpoint(eager=True)
+        lm.context_counts = lm.context_counts.localCheckpoint(eager=True)
+        lm.vocab = lm.vocab.localCheckpoint(eager=True)
+    bc = t_lm.bigram_counts.withColumnRenamed("cw", "cwt").join(
+        r_lm.bigram_counts.withColumnRenamed("cw", "cwr"),
+        ["c", "w"],
+        "full_outer",
+    )
+    cc = t_lm.context_counts.withColumnRenamed("cc", "cct").join(
+        r_lm.context_counts.withColumnRenamed("cc", "ccr"),
+        ["c"],
+        "full_outer",
+    )
+    out: dict = {"n_docs": n_docs, "vocab": vocab, "lookup_rows": bc.count()}
+
+    def _string_smj():
+        # pre-6e881bd shuffle plan, replicated verbatim: string join
+        # keys end-to-end (see git 6e881bd~1:interference_spark/
+        # pipeline/lm.py)
+        from interference_spark.pipeline.lm import _bigrams
+
+        sb = _bigrams(docs, "text", ["doc_id"])
+        j = (
+            sb.join(bc, ["c", "w"], "left")
+            .join(cc, ["c"], "left")
+            .crossJoin(
+                F.broadcast(t_lm.vocab.withColumnRenamed("v", "vt"))
+            )
+            .crossJoin(
+                F.broadcast(r_lm.vocab.withColumnRenamed("v", "vr"))
+            )
+        )
+
+        def _logq(cw, ccol, v):
+            p = F.when(
+                F.col(ccol).isNull(),
+                F.lit(1.0) / F.col(v).cast("double"),
+            ).otherwise(
+                (F.coalesce(F.col(cw), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col(ccol) + F.col(v)).cast("double")
+            )
+            return F.floor(F.log(p) * F.lit(_MICRO)).cast("long")
+
+        lw = _logq("cwt", "cct", "vt") - _logq("cwr", "ccr", "vr")
+        return (
+            j.select(F.col("doc_id"), lw.alias("lw"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("lw").cast("long").alias("logw_micronats"),
+            )
+        )
+
+    sums = {}
+    with_conf = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+    ]
+    saved = {k: spark.conf.get(k, None) for k, _ in with_conf}
+    for k, v in with_conf:
+        spark.conf.set(k, v)
+    try:
+        for label, make in [
+            ("string_smj", _string_smj),
+            (
+                "hashed_smj",
+                lambda: dsir_log_weights(
+                    docs, t_lm, r_lm, broadcast_lm=False
+                ),
+            ),
+        ]:
+            before = _stage_metric_totals(spark)
+            t0 = time.perf_counter()
+            row = (
+                make()
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("logw_micronats").alias("s"),
+                    F.sum(
+                        F.pmod(
+                            F.xxhash64(
+                                "doc_id", "n_bigrams", "logw_micronats"
+                            ),
+                            F.lit(10**12),
+                        )
+                    ).alias("h"),
+                )
+                .first()
+            )
+            wall = round(time.perf_counter() - t0, 2)
+            after = _stage_metric_totals(spark)
+            out[label] = {
+                "sec": wall,
+                **{
+                    k: after.get(k, 0) - before.get(k, 0)
+                    for k in ("disk_spill", "mem_spill", "shuffle_write")
+                },
+            }
+            sums[label] = (row["n"], row["s"], row["h"])
+            print(f"dsir_spill {label}: {out[label]}", flush=True)
+            spark.sparkContext._jvm.System.gc()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    out["bit_identical"] = len(set(sums.values())) == 1
+    docs.unpersist()
+    return out
+
+
 def probe_ppl_buckets(spark, sizes: list[int]) -> dict:
     """CCNet tercile bucketing end-to-end (bigram-LM scoring + the
     per-language ntile window): the window adds one per-language sort
@@ -1337,6 +1540,7 @@ def main() -> None:
         "--capstones",
         "--funnel-minhash",
         "--funnel-minhash-staged",
+        "--kn",
     ):  # [sizes...]
         sizes = (
             [int(float(s)) for s in args[1].split(",")]
@@ -1364,6 +1568,7 @@ def main() -> None:
             "--funnel-minhash-staged": lambda s, sz: probe_funnel_minhash(
                 s, sz, staged=True
             ),
+            "--kn": probe_kn,
         }[args[0]]
         print(json.dumps({args[0].lstrip("-"): fn(spark, sizes)}))
         spark.stop()
@@ -1383,6 +1588,27 @@ def main() -> None:
             probe_funnel_prepare(spark, int(float(args[1])), args[2])
         else:
             probe_funnel_score(spark, args[1])
+        spark.stop()
+        return
+    if args and args[0] == "--dsir-spill":  # [n_docs [vocab]]
+        n_docs = int(float(args[1])) if len(args) > 1 else 2_000_000
+        vocab = int(float(args[2])) if len(args) > 2 else 2_000_000
+        spark = build_spark(
+            app_name="scaling-probe-dsir-spill",
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]",
+            shuffle_partitions=int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+            ),
+            extra_conf={
+                "spark.driver.memory": "48g",
+                # the spill probe reads completed-stage metrics from
+                # the UI REST API
+                "spark.ui.enabled": "true",
+            },
+        )
+        print(
+            json.dumps({"dsir_spill": probe_dsir_spill(spark, n_docs, vocab)})
+        )
         spark.stop()
         return
     if args and args[0] == "--dsir-auto":  # [n_docs [vocab]]
