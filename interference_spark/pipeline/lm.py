@@ -877,9 +877,14 @@ def dsir_log_weights(
     # broadcasts comfortably (~40 B/row vs ~70+ B with string keys) —
     # and broadcasting there means the corpus-sized bigram stream is
     # NEVER shuffled or sorted for the joins, where the shuffle tier
-    # sorts the stream twice (once per join key; measured exhausting an
-    # 80 GB spill disk at 10M docs / ~590M bigram instances even with
-    # hash-narrowed rows).
+    # sorts the stream twice (once per join key).  The r10 in-funnel
+    # attempt measured the shuffle tier exhausting an 80 GB spill disk
+    # at 10M docs / ~590M bigram instances — CUMULATIVE volume: the
+    # scoring sorts coexisted with retained training shuffles in one
+    # long-lived JVM.  In the production two-process shape (models
+    # handed off via parquet, scoring in a fresh JVM) the same scoring
+    # completes at that size: 807 s, 53 GB peak disk (SCALING.md
+    # round-11 decade row).
     tier = broadcast_lm
     if broadcast_lm == "auto":
         n_lookup = bc.count()
@@ -911,17 +916,24 @@ def dsir_log_weights(
     else:
         # HASH-NARROWED join keys on the shuffle path (the r10 10M-doc
         # funnel probe's forced fix): the stream-side SMJ sorts carry
-        # (doc_id, c, w) string rows — ~50 B/row × the corpus' bigram
-        # instances, measured exhausting the probe host's spill disk at
-        # 10M docs (the 1M row fit).  Hashing both join keys to one
-        # xxhash64 long each shrinks the sorted stream row to 16 B
-        # (doc_id + key hash) and the lookup rows to hash + two counts —
-        # a 3-4× spill-volume cut with identical join semantics up to
-        # hash collisions (expected collisions ≈ k²/2⁶⁵ — ~0.03 at 1e9
-        # bigram types; the oracled entries all run gate corpora whose
-        # lookups BROADCAST, so the exact-key path is the one the
-        # driver value-hashes).  Both paths are asserted weight-equal
-        # in tests at test scale.
+        # (doc_id, c, w) string rows; hashing both join keys to one
+        # xxhash64 long each shrinks the in-memory sort row to a
+        # 32 B fixed-width UnsafeRow (~2× smaller than the string
+        # shape) and makes the sort comparator a long compare.  What
+        # the r11 A/B probe (--dsir-spill, alternating-order runs)
+        # actually measured: at a size where BOTH plans complete with
+        # zero spill, wall and COMPRESSED shuffle bytes are equal
+        # within 0.4% — lz4 shrinks the low-entropy string keys to
+        # ≈ the 8 incompressible hash bytes — so the win is not
+        # shuffle I/O; it is whether the sorts fit execution memory
+        # at the 10M-doc boundary, where the string plan exhausted an
+        # 80 GB spill disk and this plan completed (807 s, 53 GB peak,
+        # SCALING.md round-11).  Identical join semantics up to hash
+        # collisions (expected ≈ k²/2⁶⁵ — ~0.03 at 1e9 bigram types;
+        # the oracled entries all run gate corpora whose lookups
+        # BROADCAST, so the exact-key path is the one the driver
+        # value-hashes).  Both paths are asserted weight-equal in
+        # tests at test scale and bit-equal by the probe's checksums.
         bch = bc.select(F.xxhash64("c", "w").alias("__hb"), "cwt", "cwr")
         cch = cc.select(F.xxhash64("c").alias("__hc"), "cct", "ccr")
         sbh = sb.select(

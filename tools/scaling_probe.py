@@ -723,16 +723,24 @@ def probe_dsir_spill(spark, n_docs: int, vocab: int) -> dict:
         train_bigram_lm,
     )
 
+    import shutil
+    import tempfile
+
     docs = _vocab_docs(spark, n_docs, vocab).persist()
     docs.count()
     t_lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
     r_lm = train_bigram_lm(docs)
-    # materialize the four count tables once so both variants pay zero
-    # training cost inside their measured window
-    for lm in (t_lm, r_lm):
-        lm.bigram_counts = lm.bigram_counts.localCheckpoint(eager=True)
-        lm.context_counts = lm.context_counts.localCheckpoint(eager=True)
-        lm.vocab = lm.vocab.localCheckpoint(eager=True)
+    # materialize the four count tables once (parquet round-trip, the
+    # production hand-off) so both variants pay zero training cost
+    # inside their measured window — localCheckpoint was the first
+    # shape here and OOM'd the 48 GB heap at a 156M-row table, the
+    # exact deserialized-object failure the funnel decade row records
+    tmp = tempfile.mkdtemp(prefix="ifs_dsir_spill_")
+    for tag, lm in (("t", t_lm), ("r", r_lm)):
+        for field in ("bigram_counts", "context_counts", "vocab"):
+            p = os.path.join(tmp, f"{tag}_{field}.parquet")
+            getattr(lm, field).write.mode("overwrite").parquet(p)
+            setattr(lm, field, spark.read.parquet(p))
     bc = t_lm.bigram_counts.withColumnRenamed("cw", "cwt").join(
         r_lm.bigram_counts.withColumnRenamed("cw", "cwr"),
         ["c", "w"],
@@ -792,15 +800,23 @@ def probe_dsir_spill(spark, n_docs: int, vocab: int) -> dict:
     for k, v in with_conf:
         spark.conf.set(k, v)
     try:
-        for label, make in [
-            ("string_smj", _string_smj),
-            (
-                "hashed_smj",
-                lambda: dsir_log_weights(
-                    docs, t_lm, r_lm, broadcast_lm=False
+        # ALTERNATE the variants (S,H,S,H): a single S-then-H ordering
+        # measured the SECOND variant spilling 3 GB where the first
+        # spilled zero — execution-memory aging in a long-lived JVM
+        # biases whichever plan runs later, so each variant gets a
+        # first-slot and a second-slot run and the record keeps both
+        for run_no, (label, make) in enumerate(
+            2
+            * [
+                ("string_smj", _string_smj),
+                (
+                    "hashed_smj",
+                    lambda: dsir_log_weights(
+                        docs, t_lm, r_lm, broadcast_lm=False
+                    ),
                 ),
-            ),
-        ]:
+            ]
+        ):
             before = _stage_metric_totals(spark)
             t0 = time.perf_counter()
             row = (
@@ -821,15 +837,16 @@ def probe_dsir_spill(spark, n_docs: int, vocab: int) -> dict:
             )
             wall = round(time.perf_counter() - t0, 2)
             after = _stage_metric_totals(spark)
-            out[label] = {
+            rec = {
                 "sec": wall,
                 **{
                     k: after.get(k, 0) - before.get(k, 0)
                     for k in ("disk_spill", "mem_spill", "shuffle_write")
                 },
             }
-            sums[label] = (row["n"], row["s"], row["h"])
-            print(f"dsir_spill {label}: {out[label]}", flush=True)
+            out.setdefault(label, []).append(rec)
+            sums[f"{label}:{run_no}"] = (row["n"], row["s"], row["h"])
+            print(f"dsir_spill {label} run {run_no}: {rec}", flush=True)
             spark.sparkContext._jvm.System.gc()
     finally:
         for k, v in saved.items():
@@ -839,6 +856,7 @@ def probe_dsir_spill(spark, n_docs: int, vocab: int) -> dict:
                 spark.conf.set(k, v)
     out["bit_identical"] = len(set(sums.values())) == 1
     docs.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
