@@ -375,6 +375,26 @@ class Engine:
             from .dml.store import read_managed
 
             return read_managed(self.spark, td)
+        # EXTERNAL tables are immutable by contract (read-only driver
+        # testdata / registered source files), so the DataFrame handle is
+        # reusable: build it once per TableDef and return the same object.
+        # Per-call spark.read.parquet() re-runs file listing + parquet
+        # footer schema inference (measured 120-240 ms per call on the
+        # r11 box — paid by EVERY table reference of EVERY query), which
+        # is exactly the repeated-listing anti-pattern the optimization
+        # guide flags at scale (§6: cache file listings; table formats
+        # exist to avoid re-listing).  Re-registering a name installs a
+        # fresh TableDef, so the cache invalidates naturally; managed
+        # tables never take this path (their part list changes under
+        # DML).
+        cached = getattr(td, "_df_cache", None)
+        if cached is not None and cached[0] is self.spark:
+            return cached[1]
+        df = self._build_external_df(td)
+        td._df_cache = (self.spark, df)
+        return df
+
+    def _build_external_df(self, td: TableDef) -> DataFrame:
         fmt = td.meta.get("format")
         # parquet WITH reader options must also go through the generic
         # format reader — the plain-parquet fast path below would silently

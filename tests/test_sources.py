@@ -107,3 +107,41 @@ def test_external_partitioned_dir_prunes_in_dialect(spark, engine, tmp_path):
         (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-11")
     ).count()
     assert df.count() == want
+
+
+def test_external_table_handle_is_cached_managed_is_not(spark, tmp_path):
+    """r11 optimization: external (immutable) tables return the SAME
+    DataFrame handle per TableDef — per-call file listing + parquet
+    schema inference was measured at 120-240 ms and is pure waste on
+    read-only sources.  Managed tables must keep re-listing their parts
+    (DML changes them between reads), and re-registering a name must
+    invalidate the cached handle."""
+    import uuid
+
+    from interference_spark.inventory import engine_for
+
+    e = engine_for(spark, "/root/testdata/sf0.001")
+    assert e.table("lineitem") is e.table("lineitem")
+
+    # managed: new rows must be visible through a fresh read
+    from interference_spark.dml import store
+
+    name = f"CacheProbe{uuid.uuid4().hex[:8]}"
+    td = e.register_table(name, "id long, v long", id_col="id", nocheck=True)
+    store.append_rows(td, [{"id": 1, "v": 10}])
+    assert e.table(name).count() == 1
+    store.append_rows(td, [{"id": 2, "v": 20}])
+    assert e.table(name).count() == 2
+
+    # re-registration installs a fresh TableDef -> fresh handle
+    import shutil
+
+    src = "/root/testdata/sf0.001/region.parquet"
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    shutil.copy(src, p1)
+    shutil.copy(src, p2)
+    ename = f"CacheExt{uuid.uuid4().hex[:8]}"
+    e.register_external(ename, p1, format="parquet")
+    h1 = e.table(ename)
+    e.register_external(ename, p2, format="parquet")
+    assert e.table(ename) is not h1
