@@ -1130,6 +1130,32 @@ def linear_quality_model(
     )
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a SQL identifier (r11: the hash-kernel featurizers
+    build SQL text — one driver round trip — instead of per-column
+    Column-API chains)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qstr(s: str) -> str:
+    """Single-quote a SQL string literal with backslash escaping."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bucket_array_sql(text_col: str, d: int) -> str:
+    """SQL text of the md5 token-bucket array — the identical expression
+    tree `F.transform(tokens, w -> hash52('hk:', w) % d)` builds via the
+    Column API (`export.hash52`: first 13 md5 hex chars, base-16 → 10,
+    BIGINT), produced in one parse."""
+    h = (
+        "CAST(conv(substring(md5(concat('hk:', CAST(w AS STRING))), 1, 13), "
+        f"16, 10) AS BIGINT) % {d}"
+    )
+    return (
+        f"transform(split(trim({_qident(text_col)}), '\\\\s+'), w -> {h})"
+    )
+
+
 def hash_kernel_classifier(
     train: DataFrame,
     score: DataFrame,
@@ -1208,39 +1234,37 @@ def hash_kernel_classifier(
             d, iters, lr, threshold,
         )
 
+    spark = train.sparkSession
+
     def featurize(df: DataFrame, with_id: bool) -> DataFrame:
-        t = F.split(F.trim(F.col(text_col)), r"\s+")
-        buckets = F.transform(t, lambda w: hash52("hk:", w) % d)
-        lead = [F.col(id_col)] if with_id else [
-            F.when(F.col(label_col) == positive, F.lit(1.0))
-            .otherwise(F.lit(0.0))
-            .alias("y")
-        ]
-        # two-step projection on purpose: the md5 bucket array is hashed
-        # ONCE per row behind an alias the second projection references d
-        # times.  Inlining it into each x_j (one flat select) costs d md5
-        # passes per token — codegen subexpression elimination skips
+        # ONE spark.sql round trip instead of ~4·d Column-API calls: the
+        # r11 profile measured each py4j call at ~0.5-2.5 ms, making
+        # featurize CONSTRUCTION (not execution) cost ~1 s per run; the
+        # SQL text builds the identical expression tree.  The subquery
+        # keeps the two-step projection boundary: the md5 bucket array is
+        # hashed ONCE per row behind the __b alias the d x_j expressions
+        # reference (codegen subexpression elimination skips
         # lambda-bearing expressions, and CollapseProject leaves a
-        # non-cheap multi-referenced alias alone, so the boundary holds.
-        base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-            *lead, buckets.alias("__b")
+        # non-cheap multi-referenced alias alone, so the boundary holds).
+        lead = (
+            f"{_qident(id_col)}"
+            if with_id
+            else (
+                f"CASE WHEN {_qident(label_col)} = {_qstr(positive)} "
+                "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y"
+            )
         )
-        n = F.size("__b").cast("double")
-        keep = [id_col] if with_id else ["y"]
-
-        def bucket_eq(j: int):
-            # single-arg lambda on purpose: a second parameter (even a
-            # defaulted one) turns F.filter's callback into the
-            # (element, index) form and the index silently shadows j
-            return lambda b: b == j
-
-        return base.select(
-            *keep,
-            *[
-                (F.size(F.filter("__b", bucket_eq(j))).cast("double") / n)
-                .alias(f"x{j}")
-                for j in range(d)
-            ],
+        inner_lead = _qident(id_col) if with_id else _qident(label_col)
+        xs = ", ".join(
+            f"CAST(size(filter(__b, b -> b = {j})) AS DOUBLE) / "
+            f"CAST(size(__b) AS DOUBLE) AS x{j}"
+            for j in range(d)
+        )
+        return spark.sql(
+            f"SELECT {lead}, {xs} FROM (SELECT {inner_lead}, "
+            f"{_bucket_array_sql(text_col, d)} AS __b FROM {{src}} "
+            f"WHERE length(trim({_qident(text_col)})) > 0)",
+            src=df,
         )
 
     # the training slice feeds `iters` moment passes — hash it once;
@@ -1248,22 +1272,32 @@ def hash_kernel_classifier(
     # doesn't leak the cached featurized slice for the session lifetime
     tf = featurize(train, with_id=False).persist()
     w = [0.0] * (d + 1)  # [bias, w_0..w_{d-1}]
+    # weights ride as ONE broadcast row of plain data (the multiclass
+    # path's trick, now shared): literal weights change the plan every GD
+    # step and whole-stage codegen recompiles the moment aggregate each
+    # time — re-measured r11 at 2.4 s of pure compilation per step; with
+    # column references the plan is step-invariant and compiles once.
+    # The aggregate list is likewise built once, as SQL text (one parse
+    # each instead of ~13 py4j calls per expression).
+    pred_sql = "wb" + "".join(f" + wc{j} * x{j}" for j in range(d))
+    err_sql = f"(({pred_sql}) - y)"
+    agg_cols = [
+        F.expr("count(1) AS n"),
+        F.expr(f"CAST(sum(floor({err_sql} * 1e8)) AS BIGINT) AS sb"),
+        *[
+            F.expr(
+                f"CAST(sum(floor(x{j} * {err_sql} * 1e8)) AS BIGINT) AS s{j}"
+            )
+            for j in range(d)
+        ],
+    ]
+    wcols = ["wb"] + [f"wc{j}" for j in range(d)]
     try:
         for _ in range(iters):
-            pred = F.lit(w[0])
-            for j in range(d):
-                pred = pred + F.lit(w[j + 1]) * F.col(f"x{j}")
-            e = pred - F.col("y")
-            aggs = [
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.floor(e * F.lit(1e8))).cast("long").alias("sb"),
-            ] + [
-                F.sum(F.floor(F.col(f"x{j}") * e * F.lit(1e8)))
-                .cast("long")
-                .alias(f"s{j}")
-                for j in range(d)
-            ]
-            row = tf.agg(*aggs).first()  # ONE bounded row per step
+            wrow = F.broadcast(
+                spark.createDataFrame(pd.DataFrame([list(w)], columns=wcols))
+            )
+            row = tf.crossJoin(wrow).agg(*agg_cols).first()
             n = row["n"]
             if not n:
                 raise ValueError(
@@ -1278,13 +1312,16 @@ def hash_kernel_classifier(
         tf.unpersist()
 
     sf_feats = featurize(score, with_id=True)
-    spred = F.lit(w[0])
-    for j in range(d):
-        spred = spred + F.lit(w[j + 1]) * F.col(f"x{j}")
-    scored = sf_feats.select(
-        F.col(id_col),
-        spred.alias("qscore"),
-        (spred >= F.lit(threshold)).alias("keep"),
+    # scoring weights ARE literals (one compile, plan-linted join-free);
+    # repr() round-trips every finite double and Spark's SQL parser
+    # reads it back to the identical bits
+    spred_sql = f"CAST({w[0]!r} AS DOUBLE)" + "".join(
+        f" + CAST({w[j + 1]!r} AS DOUBLE) * x{j}" for j in range(d)
+    )
+    scored = sf_feats.selectExpr(
+        _qident(id_col),
+        f"({spred_sql}) AS qscore",
+        f"(({spred_sql}) >= CAST({float(threshold)!r} AS DOUBLE)) AS keep",
     )
     return w, scored
 
@@ -1536,70 +1573,71 @@ def hash_kernel_multiclass(
             f"dense plan needs d <= 64, got d={d} — use impl='sparse'"
         )
 
-    def featurize(df: DataFrame, with_id: bool) -> DataFrame:
-        t = F.split(F.trim(F.col(text_col)), r"\s+")
-        buckets = F.transform(t, lambda w: hash52("hk:", w) % d)
-        if with_id:
-            lead = [F.col(id_col)]
-            keep = [id_col]
-        else:
-            lead = [
-                F.when(F.col(label_col) == c, F.lit(1.0))
-                .otherwise(F.lit(0.0))
-                .alias(f"y_{c}")
-                for c in classes
-            ]
-            keep = [f"y_{c}" for c in classes]
-        # same two-step projection as the binary path: hash the bucket
-        # array ONCE behind an alias the d x_j columns then reference
-        base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-            *lead, buckets.alias("__b")
-        )
-        n = F.size("__b").cast("double")
-
-        def bucket_eq(j: int):
-            return lambda b: b == j
-
-        return base.select(
-            *keep,
-            *[
-                (F.size(F.filter("__b", bucket_eq(j))).cast("double") / n)
-                .alias(f"x{j}")
-                for j in range(d)
-            ],
-        )
-
     spark = train.sparkSession
-    wcols = [f"wb_{c}" for c in classes] + [
-        f"c_{c}_{j}" for c in classes for j in range(d)
+    # class tag usable inside generated column names (labels are free
+    # text; column names must stay parseable) — classes are unique, so
+    # an index tag is unambiguous
+    ctag = {c: i for i, c in enumerate(classes)}
+
+    def featurize(df: DataFrame, with_id: bool) -> DataFrame:
+        # ONE spark.sql round trip (see the binary path: ~0.5-2.5 ms per
+        # py4j call made Column-API featurize construction ~1 s per run);
+        # the subquery keeps the hash-once __b projection boundary
+        if with_id:
+            lead = _qident(id_col)
+            inner_lead = _qident(id_col)
+        else:
+            lead = ", ".join(
+                f"CASE WHEN {_qident(label_col)} = {_qstr(c)} "
+                f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END "
+                f"AS y_{ctag[c]}"
+                for c in classes
+            )
+            inner_lead = _qident(label_col)
+        xs = ", ".join(
+            f"CAST(size(filter(__b, b -> b = {j})) AS DOUBLE) / "
+            f"CAST(size(__b) AS DOUBLE) AS x{j}"
+            for j in range(d)
+        )
+        return spark.sql(
+            f"SELECT {lead}, {xs} FROM (SELECT {inner_lead}, "
+            f"{_bucket_array_sql(text_col, d)} AS __b FROM {{src}} "
+            f"WHERE length(trim({_qident(text_col)})) > 0)",
+            src=df,
+        )
+
+    wcols = [f"wb_{ctag[c]}" for c in classes] + [
+        f"c_{ctag[c]}_{j}" for c in classes for j in range(d)
     ]
-    wschema = ", ".join(f"{col} double" for col in wcols)
 
     def weight_row(wd: dict[str, list[float]]):
         # weights ride as ONE broadcast row (the oracle's CROSS JOIN
         # wt{i-1} shape), NOT as literals: literal weights change the
         # plan every GD step and whole-stage codegen recompiles the
         # K·(d+1)-expression moment aggregate each time — measured 2 s
-        # of pure compilation per step at K=5, d=16; with column
-        # references the plan is step-invariant and compiles once.
-        vals = tuple(wd[c][0] for c in classes) + tuple(
+        # of pure compilation per step at K=5, d=16 (re-measured 2.4 s
+        # r11); with column references the plan is step-invariant and
+        # compiles once.  pandas→Arrow conversion: the plain-list
+        # createDataFrame path was measured at ~450 ms per step.
+        vals = [wd[c][0] for c in classes] + [
             wd[c][j + 1] for c in classes for j in range(d)
+        ]
+        return F.broadcast(
+            spark.createDataFrame(pd.DataFrame([vals], columns=wcols))
         )
-        return F.broadcast(spark.createDataFrame([vals], wschema))
 
-    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs = [F.expr("count(1) AS n")]
     for c in classes:
-        pred = F.col(f"wb_{c}")
-        for j in range(d):
-            pred = pred + F.col(f"c_{c}_{j}") * F.col(f"x{j}")
-        e = pred - F.col(f"y_{c}")
+        i = ctag[c]
+        pred = f"wb_{i}" + "".join(f" + c_{i}_{j} * x{j}" for j in range(d))
+        err = f"(({pred}) - y_{i})"
         aggs.append(
-            F.sum(F.floor(e * F.lit(1e8))).cast("long").alias(f"sb_{c}")
+            F.expr(f"CAST(sum(floor({err} * 1e8)) AS BIGINT) AS sb_{i}")
         )
         aggs += [
-            F.sum(F.floor(F.col(f"x{j}") * e * F.lit(1e8)))
-            .cast("long")
-            .alias(f"s_{c}_{j}")
+            F.expr(
+                f"CAST(sum(floor(x{j} * {err} * 1e8)) AS BIGINT) AS s_{i}_{j}"
+            )
             for j in range(d)
         ]
 
@@ -1616,24 +1654,28 @@ def hash_kernel_multiclass(
                     "nothing to fit"
                 )
             for c in classes:
-                w[c][0] = w[c][0] - lr * (row[f"sb_{c}"] / n / 1e8)
+                i = ctag[c]
+                w[c][0] = w[c][0] - lr * (row[f"sb_{i}"] / n / 1e8)
                 for j in range(d):
-                    w[c][j + 1] = w[c][j + 1] - lr * (row[f"s_{c}_{j}"] / n / 1e8)
+                    w[c][j + 1] = w[c][j + 1] - lr * (row[f"s_{i}_{j}"] / n / 1e8)
     finally:
         tf.unpersist()
 
     sf_feats = featurize(score, with_id=True)
-    heads = []
-    for c in classes:
-        s = F.lit(w[c][0])
-        for j in range(d):
-            s = s + F.lit(w[c][j + 1]) * F.col(f"x{j}")
-        heads.append(F.struct(s.alias("s"), F.lit(c).alias("l")))
-    best = F.greatest(*heads)
-    return w, sf_feats.select(
-        F.col(id_col),
-        best.getField("l").alias("lang_pred"),
-        best.getField("s").alias("best_score"),
+    # scoring weights as literals (one compile; repr round-trips bits)
+    heads = ", ".join(
+        "struct(("
+        + f"CAST({w[c][0]!r} AS DOUBLE)"
+        + "".join(
+            f" + CAST({w[c][j + 1]!r} AS DOUBLE) * x{j}" for j in range(d)
+        )
+        + f") AS s, {_qstr(c)} AS l)"
+        for c in classes
+    )
+    return w, sf_feats.selectExpr(
+        _qident(id_col),
+        f"greatest({heads}).l AS lang_pred",
+        f"greatest({heads}).s AS best_score",
     )
 
 
