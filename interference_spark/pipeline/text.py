@@ -820,49 +820,70 @@ def remove_repeated_passages(
         f"array_join(slice(__toks, CAST(floor(size(__toks) / {cw}) AS INT)"
         f" * {cw} + 1, size(__toks)), ' ')"
     )
-    base = df.select(
-        F.col(id_col),
-        toks.alias("__toks"),
-    ).select(
-        F.col(id_col),
-        chunks_expr.alias("__chunks"),
-        tail_expr.alias("__tail"),
+    # r11 shape: ONE exploded table carries each doc's chunks AND its
+    # sub-chunk tail as a sentinel row (cpos = 2^31-1, always sorted
+    # last).  The per-doc rebuild then has everything it needs, which
+    # removes the old plan's third corpus scan and — the 100 TB win —
+    # the final doc_id-keyed join that re-shuffled the corpus with its
+    # full token arrays just to re-attach the tail.  A tail (< cw
+    # tokens, possibly empty) can never string-equal a cw-token chunk
+    # (whitespace tokens are non-empty), so the left join marks tails
+    # null and the rebuild keeps them unconditionally, exactly like the
+    # old two-branch plan.
+    _TAIL_POS = (1 << 31) - 1
+    entries_expr = F.expr(
+        "concat(transform(__chunks, (c, i) -> struct(i AS cpos, c AS chunk)), "
+        f"array(struct({_TAIL_POS} AS cpos, __tail AS chunk)))"
     )
-    chunked = base.select(
-        F.col(id_col), F.posexplode("__chunks").alias("cpos", "chunk")
-    )
-    rep = repeated_passages(
-        df, text_col, id_col, chunk_words, min_docs
-    ).select("chunk", F.lit(True).alias("__rep"))
-    marked = chunked.join(rep, "chunk", "left")
-    per_doc = marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.count("__rep").alias("n_removed"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("__rep").isNull(),
-                            F.struct("cpos", "chunk"),
-                        )
-                    )
-                ),
-                lambda s: s["chunk"],
-            ),
-            " ",
-        ).alias("__kept"),
-    )
-    return (
-        base.join(per_doc, id_col, "left")
+    rows = (
+        df.select(F.col(id_col), toks.alias("__toks"))
         .select(
             F.col(id_col),
-            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            chunks_expr.alias("__chunks"),
+            tail_expr.alias("__tail"),
+        )
+        .select(F.col(id_col), F.explode(entries_expr).alias("__e"))
+        .select(
+            F.col(id_col),
+            F.col("__e.cpos").alias("cpos"),
+            F.col("__e.chunk").alias("chunk"),
+        )
+    )
+    is_chunk = F.col("cpos") != _TAIL_POS
+    rep = (
+        rows.filter(is_chunk)
+        .groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("chunk", F.lit(True).alias("__rep"))
+    )
+    marked = rows.join(rep, "chunk", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.when(is_chunk, F.lit(1))).alias("n_chunks"),
+            F.count("__rep").alias("n_removed"),
             F.trim(
-                F.concat_ws(" ", F.coalesce("__kept", F.lit("")), "__tail")
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__rep").isNull(),
+                                    F.struct("cpos", "chunk"),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                    # a NULL-text doc yields a NULL tail chunk; the old
+                    # concat_ws skipped NULLs, array_join must too
+                    "",
+                )
             ).alias("clean_text"),
         )
+        .select(id_col, "n_chunks", "n_removed", "clean_text")
     )
 
 
