@@ -1912,12 +1912,17 @@ def sim_cosine_topk_exact(spark, sf_dir):
 def sim_cosine_topk(spark, sf_dir):
     """The fast path: JVM zip_with/aggregate dot product, no Python, no
     decimals — what you'd run at 100 TB."""
-    from .pipeline.similarity import cosine_topk
+    from .pipeline.similarity import cosine_topk_df
 
     e = engine_for(spark, sf_dir)
     emb = e.table("embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    # query vector as a 1-row broadcast (r11): no eager .first() — the
+    # old driver collect was a whole blocking job per run
+    return cosine_topk_df(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+    )
 
 
 def _kmeans_iter_cte(n: int, cin: str, src: str = "ve") -> str:
@@ -11084,14 +11089,14 @@ def rank_rrf_fusion(spark, sf_dir):
 
     e = engine_for(spark, sf_dir)
     emb = e.table("embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # query vector as a 1-row broadcast (r11): no eager .first() job
     return rrf_fusion_topk(
         e.table("documents"),
         emb.filter(F.col("vec_id") != 0),
         ["vector", "hash", "stream"],
-        qvec,
         k=15,
         depth=50,
+        query_vec_df=emb.filter(F.col("vec_id") == 0),
     )
 
 

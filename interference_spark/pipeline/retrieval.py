@@ -54,16 +54,20 @@ def bm25_scores(
     """
     terms = sorted(set(query_terms))
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    tokenized = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), toks.alias("__t"))
-        .select(F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("term"))
+    base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), toks.alias("__t")
     )
-    stats = tokenized.groupBy().agg(
+    tokenized = base.select(
+        F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("term")
+    )
+    # corpus stats from the PRE-explode rows (r11): count_distinct(id)
+    # over one row per doc equals count_distinct over dl copies of it,
+    # and sum(size(tokens)) equals the exploded token count — so the
+    # old plan's second corpus-wide explode (the unfiltered one: stats
+    # ran before the isin pruning) collapses to a per-row size() sum.
+    stats = base.groupBy().agg(
         F.count_distinct(id_col).alias("n_docs"),
-        # dl is repeated once per token of its doc; recover sum(dl) as a
-        # plain token count — both are the same number.
-        F.count(F.lit(1)).alias("sum_dl"),
+        F.sum(F.size("__t").cast("long")).alias("sum_dl"),
     )
     tf = (
         tokenized.filter(F.col("term").isin(list(terms)))
@@ -120,7 +124,7 @@ def rrf_fusion_topk(
     docs: DataFrame,
     emb: DataFrame,
     query_terms: Sequence[str],
-    query_vec: Sequence[float],
+    query_vec: Sequence[float] | None = None,
     k: int = 15,
     depth: int = 50,
     k_rrf: int = 60,
@@ -128,6 +132,7 @@ def rrf_fusion_topk(
     doc_id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vec_df: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
     2009): fuse a lexical BM25 ranking and a semantic cosine ranking of
@@ -167,15 +172,33 @@ def rrf_fusion_topk(
         F.row_number().over(wl).cast("long").alias("lex_rank"),
     )
 
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sem_top = (
-        emb.select(
+    # r11: the semantic query vector may arrive as a 1-row DataFrame and
+    # ride as a broadcast (no eager driver collect — one fewer blocking
+    # job per call); the literal-array path stays for callers that hold
+    # the vector in memory.  Same IEEE chain either way (zip_with fold).
+    if (query_vec is None) == (query_vec_df is None):
+        raise ValueError(
+            "rrf_fusion_topk: pass exactly one of query_vec / query_vec_df"
+        )
+    if query_vec_df is not None:
+        from .similarity import _as_double
+
+        qdf = F.broadcast(
+            query_vec_df.select(_as_double(F.col(vec_col)).alias("__q"))
+        )
+        sem_scored = emb.crossJoin(qdf).select(
+            F.col(vec_id_col).alias(doc_id_col),
+            cosine(F.col(vec_col), F.col("__q")).alias("cosine"),
+        )
+    else:
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        sem_scored = emb.select(
             F.col(vec_id_col).alias(doc_id_col),
             cosine(F.col(vec_col), q).alias("cosine"),
         )
-        .orderBy(F.col("cosine").desc(), F.col(doc_id_col).asc())
-        .limit(depth)
-    )
+    sem_top = sem_scored.orderBy(
+        F.col("cosine").desc(), F.col(doc_id_col).asc()
+    ).limit(depth)
     ws = Window.orderBy(F.col("cosine").desc(), F.col(doc_id_col).asc())
     sem_r = sem_top.select(
         F.col(doc_id_col),

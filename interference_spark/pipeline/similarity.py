@@ -64,6 +64,29 @@ def cosine_topk(
     return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_df(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`cosine_topk` with the query vector attached as a 1-row broadcast
+    instead of driver-collected literals (r11): same IEEE op chain — the
+    zip_with fold multiplies the identical widened doubles — but the
+    eager `.first()` round trip (a whole blocking Spark job per call)
+    disappears; the 1-row side rides along as a broadcast inside the one
+    scoring job."""
+    q = F.broadcast(
+        query_df.select(_as_double(F.col(vec_col)).alias("__q"))
+    )
+    out = df.crossJoin(q).select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__q")).alias("cosine"),
+    )
+    return out.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def cosine_topk_exact_decimal(
     df: DataFrame,
     query_df: DataFrame,
