@@ -1250,23 +1250,49 @@ def exact_substring_pairs(
     else:
         shared = ga.join(gb, "gh")
 
-    counts = shared.groupBy("doc_a", "doc_b").agg(
-        F.countDistinct("gh").alias("n_shared_grams")
+    # r11 single-shuffle finish: the old plan evaluated `shared` TWICE
+    # (once for the distinct-gram counts, once for the diagonal-island
+    # window) and re-joined the two aggregates — 2 extra evaluations of
+    # the gram join plus a window exchange, a double groupBy and a
+    # (doc_a, doc_b) join.  Both outputs are per-pair and doc-bounded,
+    # so ONE groupBy computes them together: distinct shared grams via
+    # array_distinct over the collected gh list, and the longest
+    # diagonal run via an ordered fold over the sorted (diagonal,
+    # position) structs — consecutive positions on one diagonal chain
+    # exactly as the old row_number window grouped them.  Group state is
+    # bounded by the pair's shared-gram count (the same bound the old
+    # window partitions had; `max_posting_len` caps the adversarial
+    # case).
+    dp = F.struct(
+        (F.col("p_doc_a") - F.col("p_doc_b")).alias("d"),
+        F.col("p_doc_a").alias("p"),
     )
-    from pyspark.sql import Window
-
-    d = (F.col("p_doc_a") - F.col("p_doc_b")).alias("d")
-    win = Window.partitionBy("doc_a", "doc_b", "d").orderBy("p_doc_a")
-    runs = (
-        shared.select("doc_a", "doc_b", "p_doc_a", d)
-        .withColumn("grp", F.col("p_doc_a") - F.row_number().over(win))
-        .groupBy("doc_a", "doc_b", "d", "grp")
-        .agg(F.count(F.lit(1)).alias("run"))
-        .groupBy("doc_a", "doc_b")
-        .agg((F.max("run") + F.lit(k - 1)).cast("long").alias("max_run_tokens"))
+    run_fold = F.expr(
+        "aggregate(__dp, "
+        "struct(CAST(NULL AS BIGINT) AS pd, CAST(NULL AS BIGINT) AS pp, "
+        "CAST(0 AS BIGINT) AS cur, CAST(0 AS BIGINT) AS best), "
+        "(acc, s) -> struct(CAST(s.d AS BIGINT) AS pd, "
+        "CAST(s.p AS BIGINT) AS pp, "
+        "IF(CAST(s.d AS BIGINT) <=> acc.pd AND CAST(s.p AS BIGINT) = "
+        "acc.pp + 1L, acc.cur + 1L, 1L) AS cur, "
+        "GREATEST(acc.best, IF(CAST(s.d AS BIGINT) <=> acc.pd AND "
+        "CAST(s.p AS BIGINT) = acc.pp + 1L, acc.cur + 1L, 1L)) AS best"
+        ")).best"
     )
-    return counts.join(runs, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "n_shared_grams", "max_run_tokens"
+    return (
+        shared.groupBy("doc_a", "doc_b")
+        .agg(
+            F.size(F.array_distinct(F.collect_list("gh")))
+            .cast("long")
+            .alias("n_shared_grams"),
+            F.sort_array(F.collect_list(dp)).alias("__dp"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_grams",
+            (run_fold + F.lit(k - 1)).cast("long").alias("max_run_tokens"),
+        )
     )
 
 
