@@ -2223,23 +2223,25 @@ def heaps_curve(
     """
     bounds = df.groupBy().agg((F.max(id_col) + 1).cast("double").alias("n_ids"))
     t = F.trim(F.col(text_col))
-    toks = (
-        df.filter(F.length(t) > 0)
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            F.floor(
-                (F.col(id_col) * n_buckets).cast("double") / F.col("n_ids")
-            ).cast("long").alias("bucket"),
-            F.explode(F.split(t, r"\s+")).alias("token"),
-        )
+    bucket = (
+        F.floor((F.col(id_col) * n_buckets).cast("double") / F.col("n_ids"))
+        .cast("long")
+        .alias("bucket")
     )
+    base = df.filter(F.length(t) > 0).crossJoin(F.broadcast(bounds))
+    toks = base.select(bucket, F.explode(F.split(t, r"\s+")).alias("token"))
     first_seen = toks.groupBy("token").agg(F.min("bucket").alias("fb"))
     new_vocab = first_seen.groupBy("fb").agg(
         F.count(F.lit(1)).alias("new_vocab")
     )
+    # per-bucket token counts WITHOUT re-exploding the corpus (r11): the
+    # old plan evaluated `toks` twice — the vocabulary branch above and a
+    # second full explode just to count rows per bucket; sum(size(tokens))
+    # per bucket is the same integer from the pre-explode rows.
     per_bucket = (
-        toks.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        base.select(bucket, F.size(F.split(t, r"\s+")).cast("long").alias("__n"))
+        .groupBy("bucket")
+        .agg(F.sum("__n").alias("n_tokens"))
         .join(new_vocab, F.col("bucket") == F.col("fb"), "left")
         .select(
             "bucket",
