@@ -69,10 +69,18 @@ def bm25_scores(
         F.count_distinct(id_col).alias("n_docs"),
         F.sum(F.size("__t").cast("long")).alias("sum_dl"),
     )
+    # tf feeds BOTH the per-term document frequencies and the score join;
+    # unpersisted, each branch re-tokenized the whole corpus (ReusedExchange
+    # does not fire across the differently-pruned subtrees — verified r11).
+    # tf is query-sized by construction (matched docs × query terms), so it
+    # persists across the two consumers — at 100 TB this halves the corpus
+    # passes; the cache lives as long as the returned plan (the session
+    # owner clears it, same contract as simhash_pairs' fingerprint cache).
     tf = (
         tokenized.filter(F.col("term").isin(list(terms)))
         .groupBy(id_col, "term", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
     j = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(stats))
