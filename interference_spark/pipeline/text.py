@@ -1120,7 +1120,11 @@ def linear_quality_model(
             f"(det={det_v!r}, noise floor={noise_floor!r}) — features are "
             "constant or collinear; pick non-degenerate features"
         )
-    sums_lit = df.sparkSession.createDataFrame([srow], sums.schema)
+    # pandas/Arrow path: the plain-list 1-row createDataFrame was
+    # measured at ~450 ms of pickle round trip on the r11 box
+    sums_lit = df.sparkSession.createDataFrame(
+        pd.DataFrame([[srow[f] for f in sums.columns]], columns=sums.columns)
+    )
     a, b, c = F.col("n"), F.col("s1"), F.col("s2")
     d, e_, f = F.col("s11"), F.col("s12"), F.col("s22")
     r0, r1, r2 = F.col("sy"), F.col("s1y"), F.col("s2y")
