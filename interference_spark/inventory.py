@@ -2317,8 +2317,11 @@ def quality_hash_classifier(spark, sf_dir):
 
     e = engine_for(spark, sf_dir)
     docs = ensure_parallelism(e.table("documents"))
+    # train_filter mode (r11): featurize once, train on the even slice of
+    # the SAME cached features, score from the cache — one md5 pass over
+    # the corpus instead of 1.5
     _w, scored = hash_kernel_classifier(
-        docs.filter("doc_id % 2 = 0"), docs, d=8, iters=4
+        None, docs, d=8, iters=4, train_filter="doc_id % 2 = 0"
     )
     return scored
 
@@ -2496,9 +2499,11 @@ def lang_id_multiclass(spark, sf_dir):
 
     e = engine_for(spark, sf_dir)
     docs = ensure_parallelism(e.table("documents"))
+    # train_filter mode (r11): one shared featurize pass backs GD + scoring
     _w, pred = hash_kernel_multiclass(
-        docs.filter("doc_id % 2 = 0"), docs,
+        None, docs,
         classes=_LANGID_CLASSES, d=8, iters=3,
+        train_filter="doc_id % 2 = 0",
     )
     return pred
 

@@ -1193,6 +1193,7 @@ def hash_kernel_classifier(
     lr: float = 0.5,
     threshold: float = 0.5,
     impl: str = "auto",
+    train_filter: str | None = None,
 ) -> tuple[list[float], DataFrame]:
     """fastText-style quality classifier over HASHED n-gram features
     (the hashing-trick kernel: every token hashes into one of ``d``
@@ -1253,15 +1254,27 @@ def hash_kernel_classifier(
         raise ValueError(f"impl must be auto|dense|sparse, got {impl!r}")
     if impl == "auto":
         impl = "dense" if d <= 64 else "sparse"
+    if train_filter is not None and train is not None:
+        raise ValueError(
+            "hash_kernel_classifier: pass train_filter with train=None "
+            "(the slice is taken from `score` after featurization)"
+        )
     if impl == "sparse":
+        if train_filter is not None:
+            raise ValueError(
+                "hash_kernel_classifier: train_filter is a dense-plan "
+                "option (the sparse train keys differ from score keys)"
+            )
         return _hash_kernel_sparse(
             train, score, text_col, label_col, positive, id_col,
             d, iters, lr, threshold,
         )
+    if train_filter is None and train is None:
+        raise ValueError("hash_kernel_classifier: need train or train_filter")
 
-    spark = train.sparkSession
+    spark = score.sparkSession
 
-    def featurize(df: DataFrame, with_id: bool) -> DataFrame:
+    def featurize(df: DataFrame, with_id: bool, with_label: bool) -> DataFrame:
         # ONE spark.sql round trip instead of ~4·d Column-API calls: the
         # r11 profile measured each py4j call at ~0.5-2.5 ms, making
         # featurize CONSTRUCTION (not execution) cost ~1 s per run; the
@@ -1271,31 +1284,46 @@ def hash_kernel_classifier(
         # reference (codegen subexpression elimination skips
         # lambda-bearing expressions, and CollapseProject leaves a
         # non-cheap multi-referenced alias alone, so the boundary holds).
-        lead = (
-            f"{_qident(id_col)}"
-            if with_id
-            else (
+        lead = []
+        inner_lead = []
+        if with_id:
+            lead.append(_qident(id_col))
+            inner_lead.append(_qident(id_col))
+        if with_label:
+            lead.append(
                 f"CASE WHEN {_qident(label_col)} = {_qstr(positive)} "
                 "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y"
             )
-        )
-        inner_lead = _qident(id_col) if with_id else _qident(label_col)
+            inner_lead.append(_qident(label_col))
         xs = ", ".join(
             f"CAST(size(filter(__b, b -> b = {j})) AS DOUBLE) / "
             f"CAST(size(__b) AS DOUBLE) AS x{j}"
             for j in range(d)
         )
         return spark.sql(
-            f"SELECT {lead}, {xs} FROM (SELECT {inner_lead}, "
+            f"SELECT {', '.join(lead)}, {xs} FROM "
+            f"(SELECT {', '.join(inner_lead)}, "
             f"{_bucket_array_sql(text_col, d)} AS __b FROM {{src}} "
             f"WHERE length(trim({_qident(text_col)})) > 0)",
             src=df,
         )
 
-    # the training slice feeds `iters` moment passes — hash it once;
-    # try/finally so a failure mid-loop (empty slice, executor error)
-    # doesn't leak the cached featurized slice for the session lifetime
-    tf = featurize(train, with_id=False).persist()
+    # the features feed `iters` moment passes — hash once, persist.
+    # train_filter mode featurizes `score` ONCE with id AND label and
+    # trains on the filtered slice of the SAME cached features, so
+    # scoring reads the cache instead of re-hashing the corpus: one md5
+    # pass over the corpus instead of 1.5 (train slice + full rescore) —
+    # at 100 TB, half a corpus pass saved per fit.  The cache then backs
+    # the returned scored plan, so it stays alive for the caller (the
+    # session owner clears it — bench/tests clearCache between queries).
+    shared = train_filter is not None
+    if shared:
+        feats = featurize(score, with_id=True, with_label=True).persist()
+        tf = feats.filter(train_filter)
+    else:
+        # classic mode: try/finally so a failure mid-loop (empty slice,
+        # executor error) doesn't leak the cached slice for the session
+        tf = featurize(train, with_id=False, with_label=True).persist()
     w = [0.0] * (d + 1)  # [bias, w_0..w_{d-1}]
     # weights ride as ONE broadcast row of plain data (the multiclass
     # path's trick, now shared): literal weights change the plan every GD
@@ -1333,10 +1361,17 @@ def hash_kernel_classifier(
             w[0] = w[0] - lr * (row["sb"] / n / 1e8)
             for j in range(d):
                 w[j + 1] = w[j + 1] - lr * (row[f"s{j}"] / n / 1e8)
+    except BaseException:
+        if shared:
+            feats.unpersist()
+        raise
     finally:
-        tf.unpersist()
+        if not shared:
+            tf.unpersist()
 
-    sf_feats = featurize(score, with_id=True)
+    sf_feats = feats if shared else featurize(
+        score, with_id=True, with_label=False
+    )
     # scoring weights ARE literals (one compile, plan-linted join-free);
     # repr() round-trips every finite double and Spark's SQL parser
     # reads it back to the identical bits
@@ -1533,6 +1568,7 @@ def hash_kernel_multiclass(
     iters: int = 3,
     lr: float = 0.5,
     impl: str = "auto",
+    train_filter: str | None = None,
 ) -> tuple[dict[str, list[float]], DataFrame]:
     """One-vs-rest MULTICLASS hash-kernel classifier — in-engine trained
     language ID replacing the marker-list heuristic (`lang_id`) with a
@@ -1589,7 +1625,17 @@ def hash_kernel_multiclass(
             f"classes must be >= 2 unique labels (one-vs-rest argmax "
             f"needs multiple heads): {classes}"
         )
+    if train_filter is not None and train is not None:
+        raise ValueError(
+            "hash_kernel_multiclass: pass train_filter with train=None "
+            "(the slice is taken from `score` after featurization)"
+        )
     if impl == "sparse":
+        if train_filter is not None:
+            raise ValueError(
+                "hash_kernel_multiclass: train_filter is a dense-plan "
+                "option (the sparse train keys differ from score keys)"
+            )
         return _hash_kernel_multiclass_sparse(
             train, score, classes, text_col, label_col, id_col, d, iters, lr
         )
@@ -1598,34 +1644,37 @@ def hash_kernel_multiclass(
             f"dense plan needs d <= 64, got d={d} — use impl='sparse'"
         )
 
-    spark = train.sparkSession
+    spark = score.sparkSession
     # class tag usable inside generated column names (labels are free
     # text; column names must stay parseable) — classes are unique, so
     # an index tag is unambiguous
     ctag = {c: i for i, c in enumerate(classes)}
 
-    def featurize(df: DataFrame, with_id: bool) -> DataFrame:
+    def featurize(df: DataFrame, with_id: bool, with_label: bool) -> DataFrame:
         # ONE spark.sql round trip (see the binary path: ~0.5-2.5 ms per
         # py4j call made Column-API featurize construction ~1 s per run);
         # the subquery keeps the hash-once __b projection boundary
+        lead = []
+        inner_lead = []
         if with_id:
-            lead = _qident(id_col)
-            inner_lead = _qident(id_col)
-        else:
-            lead = ", ".join(
+            lead.append(_qident(id_col))
+            inner_lead.append(_qident(id_col))
+        if with_label:
+            lead += [
                 f"CASE WHEN {_qident(label_col)} = {_qstr(c)} "
                 f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END "
                 f"AS y_{ctag[c]}"
                 for c in classes
-            )
-            inner_lead = _qident(label_col)
+            ]
+            inner_lead.append(_qident(label_col))
         xs = ", ".join(
             f"CAST(size(filter(__b, b -> b = {j})) AS DOUBLE) / "
             f"CAST(size(__b) AS DOUBLE) AS x{j}"
             for j in range(d)
         )
         return spark.sql(
-            f"SELECT {lead}, {xs} FROM (SELECT {inner_lead}, "
+            f"SELECT {', '.join(lead)}, {xs} FROM "
+            f"(SELECT {', '.join(inner_lead)}, "
             f"{_bucket_array_sql(text_col, d)} AS __b FROM {{src}} "
             f"WHERE length(trim({_qident(text_col)})) > 0)",
             src=df,
@@ -1666,7 +1715,14 @@ def hash_kernel_multiclass(
             for j in range(d)
         ]
 
-    tf = featurize(train, with_id=False).persist()
+    # shared-featurize mode (see the binary path): one md5 pass over the
+    # corpus backs both the GD slice and the returned scoring plan
+    shared = train_filter is not None
+    if shared:
+        feats = featurize(score, with_id=True, with_label=True).persist()
+        tf = feats.filter(train_filter)
+    else:
+        tf = featurize(train, with_id=False, with_label=True).persist()
     w = {c: [0.0] * (d + 1) for c in classes}
     try:
         for _ in range(iters):
@@ -1683,10 +1739,17 @@ def hash_kernel_multiclass(
                 w[c][0] = w[c][0] - lr * (row[f"sb_{i}"] / n / 1e8)
                 for j in range(d):
                     w[c][j + 1] = w[c][j + 1] - lr * (row[f"s_{i}_{j}"] / n / 1e8)
+    except BaseException:
+        if shared:
+            feats.unpersist()
+        raise
     finally:
-        tf.unpersist()
+        if not shared:
+            tf.unpersist()
 
-    sf_feats = featurize(score, with_id=True)
+    sf_feats = feats if shared else featurize(
+        score, with_id=True, with_label=False
+    )
     # scoring weights as literals (one compile; repr round-trips bits)
     heads = ", ".join(
         "struct(("

@@ -3653,3 +3653,50 @@ def test_multiclass_rejects_single_class_upfront(spark):
     for impl in ("dense", "sparse"):
         with pytest.raises(ValueError, match=">= 2 unique labels"):
             hash_kernel_multiclass(df, df, classes=["en"], d=4, impl=impl)
+
+
+def test_hash_kernel_train_filter_bit_identical_to_classic(spark):
+    """r11 shared-featurize mode: train_filter must reproduce the classic
+    (train df, score df) fit and scores EXACTLY — the slice is the same
+    rows, featurized by the same expressions, so weights and scores are
+    the identical doubles. Also pins the argument-validation errors."""
+    import pytest as _pytest
+
+    from interference_spark.pipeline.text import (
+        hash_kernel_classifier,
+        hash_kernel_multiclass,
+    )
+
+    rows = [
+        (i, f"tok{i % 7} tok{i % 3} tok{i % 5} filler", "en" if i % 2 else "de")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    w1, s1 = hash_kernel_classifier(
+        df.filter("doc_id % 2 = 0"), df, d=4, iters=2
+    )
+    w2, s2 = hash_kernel_classifier(
+        None, df, d=4, iters=2, train_filter="doc_id % 2 = 0"
+    )
+    assert w1 == w2
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+    mw1, mp1 = hash_kernel_multiclass(
+        df.filter("doc_id % 2 = 0"), df, classes=["de", "en"], d=4, iters=2
+    )
+    mw2, mp2 = hash_kernel_multiclass(
+        None, df, classes=["de", "en"], d=4, iters=2,
+        train_filter="doc_id % 2 = 0",
+    )
+    assert mw1 == mw2
+    assert sorted(map(tuple, mp1.collect())) == sorted(map(tuple, mp2.collect()))
+
+    with _pytest.raises(ValueError, match="train_filter"):
+        hash_kernel_classifier(df, df, d=4, iters=1, train_filter="1=1")
+    with _pytest.raises(ValueError, match="need train or train_filter"):
+        hash_kernel_classifier(None, df, d=4, iters=1)
+    with _pytest.raises(ValueError, match="dense-plan"):
+        hash_kernel_classifier(
+            None, df, d=4, iters=1, impl="sparse", train_filter="1=1"
+        )
