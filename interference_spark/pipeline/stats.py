@@ -37,9 +37,16 @@ def exact_group_percentiles(
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = hist.withColumn("__cum", F.sum("__c").over(w))
-    totals = hist.groupBy(*key_cols).agg(F.sum("__c").alias("n_rows"))
-    joined = cum.join(totals, list(key_cols))
+    # group totals via a full-partition window over the SAME key
+    # partitioning instead of a second aggregation of hist (r11): the old
+    # totals branch re-evaluated the histogram groupBy — a second full
+    # shuffle of the input — and joined it back; both window specs share
+    # one exchange, and the final groupBy reuses the established key
+    # partitioning.
+    wtot = Window.partitionBy(*key_cols)
+    joined = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "n_rows", F.sum("__c").over(wtot)
+    )
     aggs = [F.first("n_rows").alias("n_rows")]
     for p in percentiles:
         name = f"p{round(p * 100)}"
