@@ -417,7 +417,8 @@ def lsh_multiprobe_topk(
     """
     from .dedup import hyperplane_buckets
 
-    b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim)
+    # persisted for the same two-branch reason as lsh_bucketed_topk (r11)
+    b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim).persist()
     flips = [F.col("bucket")]
     for i in range(planes):
         bit = F.substring("bucket", i + 1, 1)
@@ -464,9 +465,10 @@ def hard_negatives(
     from .dedup import hyperplane_buckets
 
     labels = df.select(F.col(id_col), F.col(label_col).alias("__lbl"))
+    # persisted for the same two-branch reason as lsh_bucketed_topk (r11)
     b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim).join(
         labels, id_col
-    )
+    ).persist()
     qs = b.filter(query_filter(F.col(id_col))).select(
         F.col(id_col).alias("query_id"),
         F.col("__e").alias("eq"),
