@@ -12,7 +12,7 @@ import sys
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -43,14 +43,44 @@ def _col_vals(duck, col):
     return _vals[col]
 
 
+class _DuckOracle:
+    """DuckDB connection proxy that survives DuckDB-internal crashes.
+
+    DuckDB 1.0.0 has an optimizer bug: an OR of structurally identical
+    AND branches mixing ``<>`` with BETWEEN over a parquet scan raises
+    InternalException ("Attempted to dereference unique_ptr that is
+    NULL!") and invalidates the whole database, so every later query on
+    the connection dies too (reproduced on a bare connection with no
+    Spark in the process — the bug is in the ORACLE, not the engine
+    under test).  A crashing example proves nothing about the dialect,
+    so: reconnect and discard the example via ``assume(False)``.
+    """
+
+    def __init__(self):
+        self._connect()
+
+    def _connect(self):
+        self._con = duckdb.connect()
+        for t in ("orders", "customer", "nation"):
+            self._con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+
+    def execute(self, sql):
+        try:
+            return self._con.execute(sql)
+        except (duckdb.InternalException, duckdb.FatalException):
+            try:
+                self._con.close()
+            except Exception:  # noqa: BLE001 — already invalidated
+                pass
+            self._connect()
+            assume(False)  # oracle crashed; this example decides nothing
+
+
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in ("orders", "customer", "nation"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
-    return con
+    return _DuckOracle()
 
 
 @pytest.fixture(scope="module")
@@ -601,3 +631,29 @@ def test_random_outer_joins_match_duckdb(data, duck, engine):
     )
     want = sorted(((r[0], r[1]) for r in duck.execute(ansi).fetchall()), key=str)
     assert got == want, f"dialect: {dial!r}"
+
+
+@settings(
+    max_examples=1,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(probe=st.just(None))
+def test_duck_oracle_survives_internal_crash(probe, duck):
+    """The known DuckDB 1.0.0 optimizer crash (OR of twin AND branches
+    with <> + BETWEEN over a parquet scan) must not take the shared
+    oracle connection down with it: the proxy reconnects and the next
+    query works.  If a future DuckDB fixes the bug, the crashing query
+    simply succeeds and this still passes."""
+    from hypothesis.errors import UnsatisfiedAssumption
+
+    crash = (
+        "SELECT o_orderkey FROM orders WHERE "
+        "(o_orderstatus <> 'F' AND o_custkey BETWEEN 0 AND 0) OR "
+        "(o_orderstatus <> 'F' AND o_custkey BETWEEN 0 AND 0)"
+    )
+    try:
+        duck.execute(crash).fetchall()
+    except UnsatisfiedAssumption:
+        pass  # expected on DuckDB 1.0.0: example discarded, DB rebuilt
+    assert duck.execute("SELECT count(*) FROM orders").fetchall()[0][0] > 0
