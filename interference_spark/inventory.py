@@ -3037,8 +3037,11 @@ def sim_hard_negatives(spark, sf_dir):
     from .pipeline.similarity import hard_negatives
 
     e = engine_for(spark, sf_dir)
+    # dim=64 (the embeddings fixture width, hardcoded in the oracle):
+    # skips hyperplane_buckets' schema-probe .first() job (guide §5 —
+    # no driver actions in the query path); plan literals identical.
     return hard_negatives(
-        e.table("embeddings"), lambda c: c % 199 == 0, k=5, planes=6
+        e.table("embeddings"), lambda c: c % 199 == 0, k=5, planes=6, dim=64
     )
 
 
@@ -3052,8 +3055,9 @@ def sim_lsh_multiprobe(spark, sf_dir):
     from .pipeline.similarity import lsh_multiprobe_topk
 
     e = engine_for(spark, sf_dir)
+    # dim=64: same schema-probe skip as sim_lsh_topk
     return lsh_multiprobe_topk(
-        e.table("embeddings"), lambda c: c % 199 == 0, k=5, planes=6
+        e.table("embeddings"), lambda c: c % 199 == 0, k=5, planes=6, dim=64
     )
 
 
@@ -3065,8 +3069,11 @@ def sim_lsh_topk(spark, sf_dir):
     from .pipeline.similarity import lsh_bucketed_topk
 
     e = engine_for(spark, sf_dir)
+    # dim=64 (the embeddings fixture width, hardcoded in the oracle):
+    # skips hyperplane_buckets' schema-probe .first() job (guide §5 —
+    # no driver actions in the query path); plan literals identical.
     return lsh_bucketed_topk(
-        e.table("embeddings"), lambda c: c % 199 == 0, k=5, planes=6
+        e.table("embeddings"), lambda c: c % 199 == 0, k=5, planes=6, dim=64
     )
 
 
@@ -3078,8 +3085,9 @@ def dedup_embedding_neardup(spark, sf_dir):
     from .pipeline.dedup import embedding_neardup_pairs
 
     e = engine_for(spark, sf_dir)
+    # dim=64: same schema-probe skip as sim_lsh_topk
     return embedding_neardup_pairs(
-        e.table("embeddings"), threshold=0.3, planes=6
+        e.table("embeddings"), threshold=0.3, planes=6, dim=64
     )
 
 

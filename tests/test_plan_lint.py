@@ -618,3 +618,23 @@ def test_stream_backoff_counts_plan_is_combiner_friendly(spark):
     assert "Join" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert plan.count("HashAggregate") >= 6, plan[:2000]  # 3x partial+final
+
+
+def test_lsh_family_builds_without_running_jobs(spark):
+    """r11: the four hyperplane-LSH entries pass dim=64 (the embeddings
+    fixture width, hardcoded in their oracles) so constructing the
+    DataFrame never runs hyperplane_buckets' schema-probe .first() job —
+    no driver action in the query path (guide section 5)."""
+    names = (
+        "sim_lsh_topk",
+        "sim_lsh_multiprobe",
+        "sim_hard_negatives",
+        "dedup_embedding_neardup",
+    )
+    for name in names:  # warm: first registration may run the one-time
+        inventory.QUERIES[name](spark, SF_DIR)  # parquet schema-infer job
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    for name in names:  # the old dim probe ran a job on EVERY build
+        inventory.QUERIES[name](spark, SF_DIR)
+    assert len(tracker.getJobIdsForGroup(None)) == before
