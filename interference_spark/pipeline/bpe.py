@@ -113,6 +113,71 @@ def select_disjoint(
     return sel
 
 
+def select_exact_prefix(
+    cand: list[tuple[str, str, int]],
+    want: int,
+    window_truncated: bool,
+    prior_merged: frozenset[str] = frozenset(),
+) -> list[tuple[str, str, int]]:
+    """Longest RANK-PREFIX of ``cand`` that is provably bit-identical to
+    sequential argmax selection (unlike ``select_disjoint``, which skips
+    conflicting candidates and therefore only approximates the
+    sequential schedule).  ``cand`` must be the top of the pair table in
+    total rank order (cnt DESC, l ASC, r ASC); ``window_truncated`` says
+    whether pairs beyond the window exist (their counts are then bounded
+    by the window floor, the last collected cnt).
+    Candidate k+1 extends the batch only if ALL of:
+    * prefix: every candidate ranked above it was selected (a skipped
+      conflict could still be the true sequential argmax at its step);
+    * symbol-disjoint from every selected rule (l, r, AND merged token
+      untouched — so its occurrences and exact count survive the earlier
+      merges, and the one-fold batch application equals sequential
+      application);
+    * no pair CREATED by an earlier selected merge j can outrank it:
+      every new pair has the form (x, m_j), (m_j, y) or (m_i, m_j) and
+      its count is bounded by the T0 count of some pair with second
+      element l_j or first element r_j, so it suffices that
+      max(that window max, floor if truncated) < cnt(k+1) STRICTLY (a
+      tie against a new pair would need the new symbol's lexicographic
+      rank, which the bound cannot see);
+    * no earlier selected merge's output token m_j collides with a merge
+      learned in a PREVIOUS round (``prior_merged``): a collision lets
+      an EXISTING pair (x, m_j) gain count, breaking the old-pairs-only-
+      decrease invariant the bound rests on.  Within the batch the
+      disjointness check already blocks collisions; initial symbols are
+      single characters and every m_j has length >= 2, so the alphabet
+      itself can never collide.
+    Old pairs need no check: a merge only destroys old-symbol
+    adjacencies (disjoint rules never touch the selected candidates),
+    so every old pair ranked below the prefix stays below it."""
+    sel: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    floor = cand[-1][2] if window_truncated else 0
+    for l, r, cnt in cand:
+        if sel:
+            if l in used or r in used or (l + r) in used:
+                break
+            ok = True
+            for lj, rj, _ in sel:
+                # (l_j, r_j) itself matches these patterns only when
+                # l_j == r_j — and must then be counted: an (a,a)->aa
+                # merge can create an (aa,aa) pair bounded by cnt(a,a)
+                new_pair_bound = max(
+                    (c for (a, b, c) in cand if b == lj or a == rj),
+                    default=0,
+                )
+                if max(new_pair_bound, floor) >= cnt:
+                    ok = False
+                    break
+            if not ok:
+                break
+        sel.append((l, r, cnt))
+        used.update((l, r, l + r))
+        if len(sel) >= want or (l + r) in prior_merged:
+            break
+    return sel
+
+
 def merge_fold_batch(sym: Column, rules: list[tuple[str, str]]) -> Column:
     """Apply a symbol-disjoint BATCH of merge rules in one greedy-
     leftmost left fold.  The step is a CASE on the incoming symbol's
@@ -210,8 +275,14 @@ def train_from_words(
         want = min(merges_per_round, n_merges - rank + 1)
         # fetch enough ranked candidates that the greedy disjoint filter
         # usually finds `want` survivors; a short round (conflicts ate
-        # the tail) just re-counts sooner — never wrong, only slower
-        cap = 1 if want == 1 else max(32, 8 * want)
+        # the tail) just re-counts sooner — never wrong, only slower.
+        # At merges_per_round=1 (the sequential/oracle contract) the
+        # window instead feeds select_exact_prefix, which batches the
+        # longest PROVABLY bit-identical prefix per round — same results,
+        # fewer count->argmax->fold rounds (r12: 8 rounds -> 3 on the
+        # test corpus); a wider window only widens the provable prefix.
+        exact = merges_per_round == 1
+        cap = 64 if exact else max(32, 8 * want)
         cand = (
             _pair_counts(cur)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
@@ -220,9 +291,17 @@ def train_from_words(
         )
         if not cand:
             break
-        sel = select_disjoint(
-            [(c["l"], c["r"], int(c["cnt"])) for c in cand], want
-        )
+        if exact:
+            sel = select_exact_prefix(
+                [(c["l"], c["r"], int(c["cnt"])) for c in cand],
+                n_merges - rank + 1,
+                window_truncated=len(cand) == cap,
+                prior_merged=frozenset(m for _, _, _, m, _ in rules),
+            )
+        else:
+            sel = select_disjoint(
+                [(c["l"], c["r"], int(c["cnt"])) for c in cand], want
+            )
         for l, r, cnt in sel:
             rules.append((rank, l, r, l + r, cnt))
             rank += 1

@@ -1488,48 +1488,60 @@ def _hash_kernel_sparse(
         # cost of moving the model each step — an eager localCheckpoint
         # of this row was measured SLOWER (one extra job per step) and
         # still ships the same bytes, so live with the warning.
-        wdf = spark.createDataFrame([(wtail,)], "w array<double>")
+        # pandas→Arrow, NOT a plain list: the pickle createDataFrame
+        # path costs ~450 ms per call on the bench host (r11's dense-
+        # path finding, applied here in r12).
+        wdf = spark.createDataFrame(
+            pd.DataFrame({"w": [wtail]}), schema="w array<double>"
+        )
         return df.crossJoin(F.broadcast(wdf))
+
+    # the per-step moment query, formatted ONCE and parsed per step
+    # (r12, VERDICT r11 ask #1b): one spark.sql call replaces ~50
+    # Column-API py4j round trips per step, and the BIAS rides in the
+    # broadcast weight row (column __b) instead of a literal, so the
+    # per-step plan is bit-identical across steps and whole-stage
+    # codegen compiles once.  The expression tree is the same as the
+    # Column construction it replaces (same fold, same floor/1e8
+    # quantization — the oracle pins bit-identity); __e sits behind its
+    # own subquery projection: referenced by the sentinel AND the
+    # per-element lambda, CollapseProject leaves a non-cheap
+    # multi-referenced alias alone, so the fold runs once per row.
+    step_sql = """
+        SELECT z.bucket AS bucket, sum(z.q) AS s, count(1) AS c
+        FROM (
+          SELECT explode(concat(
+            array(named_struct(
+              'bucket', -1, 'q', CAST(floor(__e * 1e8) AS BIGINT))),
+            transform(feats, s -> named_struct(
+              'bucket', s.bucket,
+              'q', CAST(floor(s.x * __e * 1e8) AS BIGINT)))
+          )) AS z
+          FROM (
+            SELECT feats,
+                   aggregate(
+                     feats, __b,
+                     (acc, s) -> acc + element_at(w, s.bucket + 1) * s.x
+                   ) - y AS __e
+            FROM {tf} CROSS JOIN {w}
+          )
+        )
+        GROUP BY z.bucket
+    """
 
     tfa = sparse_feats(train, with_id=False).persist()
     w = [0.0] * (d + 1)  # [bias, w_0..w_{d-1}]
     try:
         for _ in range(iters):
-            # e behind its own projection: referenced by the sentinel AND
-            # the per-element lambda below — CollapseProject leaves a
-            # non-cheap multi-referenced alias alone, so the fold runs
-            # once per row, not once per array element
-            ped = with_weights(tfa, w[1:]).select(
-                "feats", (fold_pred(w[0]) - F.col("y")).alias("__e")
-            )
-            rows = (
-                ped.select(
-                    F.explode(
-                        F.concat(
-                            F.array(
-                                F.struct(
-                                    F.lit(-1).alias("bucket"),
-                                    F.floor(F.col("__e") * F.lit(1e8))
-                                    .cast("long")
-                                    .alias("q"),
-                                )
-                            ),
-                            F.transform(
-                                "feats",
-                                lambda s: F.struct(
-                                    s["bucket"].alias("bucket"),
-                                    F.floor(s["x"] * F.col("__e") * F.lit(1e8))
-                                    .cast("long")
-                                    .alias("q"),
-                                ),
-                            ),
-                        )
-                    ).alias("z")
+            wdf = F.broadcast(
+                spark.createDataFrame(
+                    pd.DataFrame({"__b": [w[0]], "w": [w[1:]]}),
+                    schema="__b double, w array<double>",
                 )
-                .groupBy(F.col("z.bucket").alias("bucket"))
-                .agg(F.sum("z.q").alias("s"), F.count(F.lit(1)).alias("c"))
-                .collect()  # ≤ d+1 narrow rows — the only driver traffic
             )
+            rows = spark.sql(
+                step_sql, tf=tfa, w=wdf
+            ).collect()  # ≤ d+1 narrow rows — the only driver traffic
             by_bucket = {r["bucket"]: r for r in rows}
             sent = by_bucket.pop(-1, None)
             if sent is None:
@@ -1899,62 +1911,79 @@ def _hash_kernel_multiclass_sparse(
         )
 
     tkeys = ["__k", "__dup"] + [f"y_{ci}" for ci in range(K)]
+    # the per-step moment query, formatted ONCE and parsed per step
+    # (r12, VERDICT r11 ask #1b): one spark.sql call replaces the
+    # several-hundred Column-API py4j round trips the K-head
+    # join+regroup+fold construction cost per step, and the K BIASES
+    # ride in a broadcast row (columns __bias_ci) instead of literals,
+    # so the per-step plan is bit-identical across steps and whole-stage
+    # codegen compiles once.  Same expression tree as the Column
+    # construction it replaces (same join+regroup `folded` shape, same
+    # ordered folds, same floor/1e8 quantization — the oracle pins
+    # bit-identity); per-head errors sit behind their own subquery
+    # projection (each referenced by a sentinel AND a per-element
+    # lambda, so CollapseProject leaves the folds evaluated once).
+    terms_sql = ", ".join(f"{wc} * x" for wc in wcols)
+    folds_sql = ",\n               ".join(
+        f"aggregate(ft, __bias_{ci}, (acc, s) -> acc + s.t[{ci}])"
+        f" - y_{ci} AS __e_{ci}"
+        for ci in range(K)
+    )
+    sentinels_sql = ",\n              ".join(
+        f"named_struct('cls', {ci}, 'bucket', -1, "
+        f"'q', CAST(floor(__e_{ci} * 1e8) AS BIGINT))"
+        for ci in range(K)
+    )
+    heads_sql = ",\n            ".join(
+        f"transform(ft, s -> named_struct('cls', {ci}, "
+        f"'bucket', s.bucket, "
+        f"'q', CAST(floor(s.x * __e_{ci} * 1e8) AS BIGINT)))"
+        for ci in range(K)
+    )
+    step_sql = f"""
+        SELECT z.cls AS cls, z.bucket AS bucket,
+               sum(z.q) AS s, count(1) AS c
+        FROM (
+          SELECT explode(concat(
+            array({sentinels_sql}),
+            {heads_sql}
+          )) AS z
+          FROM (
+            SELECT ft,
+               {folds_sql}
+            FROM (
+              SELECT {', '.join(tkeys)},
+                     array_sort(collect_list(named_struct(
+                       'bucket', bucket, 'x', x,
+                       't', array({terms_sql})))) AS ft
+              FROM {{tok}} JOIN {{w}} USING (bucket)
+              GROUP BY {', '.join(tkeys)}
+            ) CROSS JOIN {{b}}
+          )
+        )
+        GROUP BY z.cls, z.bucket
+    """
     tfa = sparse_tok(train, with_id=False).persist()
     w = {c: [0.0] * (d + 1) for c in classes}
     try:
         for _ in range(iters):
-            # per-head errors behind their own projection (each is
-            # referenced by a sentinel AND a per-element lambda)
-            ped = folded(tfa, w, tkeys).select(
-                "ft",
-                *[
-                    (fold_pred(ci, w[c][0]) - F.col(f"y_{ci}")).alias(
-                        f"__e_{ci}"
-                    )
-                    for ci, c in enumerate(classes)
-                ],
-            )
-            sentinels = [
-                F.struct(
-                    F.lit(ci).alias("cls"),
-                    F.lit(-1).alias("bucket"),
-                    F.floor(F.col(f"__e_{ci}") * F.lit(1e8))
-                    .cast("long")
-                    .alias("q"),
-                )
-                for ci in range(K)
-            ]
-
-            def head_terms(ci: int):
-                # closure, NOT a defaulted lambda parameter: a second
-                # lambda param (even defaulted) flips F.transform into
-                # its (element, index) form and the index shadows ci
-                return F.transform(
-                    "ft",
-                    lambda s: F.struct(
-                        F.lit(ci).alias("cls"),
-                        s["bucket"].alias("bucket"),
-                        F.floor(s["x"] * F.col(f"__e_{ci}") * F.lit(1e8))
-                        .cast("long")
-                        .alias("q"),
+            bdf = F.broadcast(
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            f"__bias_{ci}": [w[c][0]]
+                            for ci, c in enumerate(classes)
+                        }
+                    ),
+                    schema=", ".join(
+                        f"__bias_{ci} double" for ci in range(K)
                     ),
                 )
-
-            per_head = [head_terms(ci) for ci in range(K)]
-            # ≤ K·(d+1) narrow rows — the only driver traffic (Arrow)
-            pdf = (
-                ped.select(
-                    F.explode(
-                        F.concat(F.array(*sentinels), *per_head)
-                    ).alias("z")
-                )
-                .groupBy(
-                    F.col("z.cls").alias("cls"),
-                    F.col("z.bucket").alias("bucket"),
-                )
-                .agg(F.sum("z.q").alias("s"), F.count(F.lit(1)).alias("c"))
-                .toPandas()
             )
+            # ≤ K·(d+1) narrow rows — the only driver traffic (Arrow)
+            pdf = spark.sql(
+                step_sql, tok=tfa, w=weight_table(w), b=bdf
+            ).toPandas()
             sent_mask = pdf["bucket"] == -1
             sents = {
                 int(r.cls): (int(r.s), int(r.c))

@@ -1663,6 +1663,82 @@ def test_bpe_batched_matches_replica(spark):
         bpe_train(spark.range(0).selectExpr("'' as text"), merges_per_round=0)
 
 
+def test_select_exact_prefix_bit_identical_fuzz():
+    """The r12 exact-prefix batcher must be BIT-IDENTICAL to sequential
+    BPE on every input (it replaces the per-merge round trip on the
+    merges_per_round=1 oracle-contract path).  Pure-Python fuzz over
+    tiny alphabets — ties, (a,a) self-merges, merged-token collisions
+    with earlier rounds' outputs, and window truncation all occur —
+    replaying each round as: rank the FULL pair table, hand the batcher
+    a truncated window (like the Spark limit(cap) collect), apply the
+    selected batch in one pass, compare rules AND segmentations against
+    the textbook sequential reference."""
+    import random
+
+    from interference_spark.pipeline.bpe import select_exact_prefix
+
+    rng = random.Random(1202)
+
+    def batched(word_freqs, n_merges, cap):
+        segs = {w: list(w) for w in word_freqs}
+        rules = []
+        rank = 1
+        while rank <= n_merges:
+            counts = {}
+            for w, f in word_freqs.items():
+                s = segs[w]
+                for a, b in zip(s, s[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            cand = sorted(
+                ((l, r, c) for (l, r), c in counts.items()),
+                key=lambda t: (-t[2], t[0], t[1]),
+            )[:cap]
+            sel = select_exact_prefix(
+                cand,
+                n_merges - rank + 1,
+                window_truncated=len(counts) > cap,
+                prior_merged=frozenset(m for _, _, _, m, _ in rules),
+            )
+            assert sel, "prefix batcher must always take the argmax"
+            for l, r, c in sel:
+                rules.append((rank, l, r, l + r, c))
+                rank += 1
+            # one simultaneous pass, merge_fold_batch semantics: each
+            # incoming symbol matches at most one rule by its right
+            by_right = {r: l for l, r, _ in sel}
+            for w, s in segs.items():
+                out = []
+                for x in s:
+                    if out and by_right.get(x) is not None and out[-1] == by_right[x]:
+                        out[-1] = by_right[x] + x
+                    else:
+                        out.append(x)
+                segs[w] = out
+        return rules, segs
+
+    for trial in range(200):
+        alphabet = rng.choice(["ab", "abc", "abcd"])
+        docs = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+                for _ in range(rng.randint(1, 6))
+            )
+            for _ in range(rng.randint(1, 5))
+        ]
+        freqs = {}
+        for t in docs:
+            for w in t.split():
+                freqs[w] = freqs.get(w, 0) + 1
+        n_merges = rng.randint(1, 10)
+        cap = rng.choice([2, 3, 8, 64])
+        want = _ref_bpe(freqs, n_merges)
+        got = batched(freqs, n_merges, cap)
+        assert got[0] == want[0], (trial, docs, n_merges, cap)
+        assert got[1] == want[1], (trial, docs, n_merges, cap)
+
+
 def test_bpe_train_matches_reference(spark):
     """The distributed BPE (JVM fold + pair-count shuffle + 1-row argmax)
     must reproduce a driver-side textbook implementation rule for rule —
