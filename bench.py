@@ -493,6 +493,19 @@ def main() -> None:
         "regressions": training_regressions,
     }
 
+    # core-ratio scaling stanza (VERDICT r11 ask #5): the committed
+    # probe result (tools/core_ratio_probe.py — 8 vs 32 cores on a
+    # compute-bound synthetic corpus, where sf0.1 sits at the job-latency
+    # floor and shows ratio ~1 by construction).  Measurement metadata
+    # copied verbatim with its own load/host context — no query result
+    # is cached or reused across runs.
+    scaling = None
+    try:
+        with open(os.path.join(out_dir, "core_ratio.json")) as fh:
+            scaling = json.load(fh)
+    except (OSError, ValueError):
+        pass
+
     total = round(sum(timings.values()), 4)
     payload = {
                 "metric": "headline query wall-clock at sf (sum of per-query sec)",
@@ -518,6 +531,7 @@ def main() -> None:
                 "regressions": regressions,
                 "regression_baseline": baseline_file,
                 "training": training,
+                "scaling": scaling,
             }
     # persist the FULL payload in-repo (dispersion, protocol notes,
     # concurrent-load capture): the committed artifact under
@@ -537,19 +551,25 @@ def main() -> None:
     print(compact_stdout_line(payload), flush=True)
 
 
-# the driver's capture keeps roughly this many stdout chars; the r8-r10
-# records arrived truncated ("parsed": null) because the line embedded
-# the 77-entry per-query timing dict (~3.5 KB)
-COMPACT_LINE_BUDGET = 1500
+# the driver's stdout capture keeps EXACTLY the last 2000 chars
+# (measured: every BENCH_r{8,9,10}.json tail is 2000 chars with the
+# oversized line cut at 1999 and "parsed": null; the r11 line, 553
+# chars, survived intact).  Keep headroom below the cliff.
+COMPACT_LINE_BUDGET = 1900
 
 
 def compact_stdout_line(payload: dict) -> str:
-    """The ONE machine-readable stdout line, printed LAST and kept COMPACT
-    (VERDICT r10 ask #2): per-query timing dicts live ONLY in
-    bench_results/latest.json — here only totals, counts, and the
-    (normally empty) regression/error maps, hard-capped at
-    COMPACT_LINE_BUDGET chars so the driver's capture window always
-    parses it."""
+    """The ONE machine-readable stdout line, printed LAST and kept
+    inside the driver's 2000-char capture window (VERDICT r10 ask #2 /
+    r11 ask #2): totals, counts, the (normally empty) regression/error
+    maps, and — r12 — per-query CENTISECOND ints under "pq" (headline)
+    and "tpq" (training lane) so the driver can diff per-query across
+    rounds again.  "tpq" rides whole (8 entries); "pq" fills greedily
+    slowest-first until the budget — any entries that do not fit are
+    exactly the fastest queries, which sit below the regression
+    tripwire's 0.2 s floor anyway ("pq_omitted" counts them; the full
+    float table always lives in bench_results/latest.json)."""
+    dumps = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
     compact = {
         k: payload[k]
         for k in (
@@ -574,17 +594,37 @@ def compact_stdout_line(payload: dict) -> str:
         k: training[k] for k in ("total", "errors", "regressions")
     }
     compact["training"]["n_queries"] = len(training["queries"])
+    compact["training"]["tpq"] = {
+        name: int(round(sec * 100))
+        for name, sec in training["queries"].items()
+    }
     compact["full_record"] = "bench_results/latest.json"
-    line = json.dumps(compact)
-    if len(line) > COMPACT_LINE_BUDGET:
-        # regressions/errors are the only unbounded keys left; a
-        # pathological round must still produce a parseable line
+    if payload.get("scaling"):
+        compact["core_ratio_8_over_32"] = payload["scaling"].get(
+            "ratio_8_over_32"
+        )
+    if len(dumps(compact)) > COMPACT_LINE_BUDGET:
+        # regressions/errors are the only unbounded keys; a pathological
+        # round must still produce a parseable line
         for key in ("regressions", "errors"):
             compact[key] = f"<{len(payload[key])} entries - see full_record>"
             compact["training"][key] = (
                 f"<{len(training[key])} entries - see full_record>"
             )
-        line = json.dumps(compact)
+    compact["pq"] = {}
+    compact["pq_omitted"] = 0
+    base_len = len(dumps(compact))
+    budget = COMPACT_LINE_BUDGET - base_len
+    for name, sec in sorted(
+        payload["queries"].items(), key=lambda kv: (-kv[1], kv[0])
+    ):
+        entry = len(dumps({name: int(round(sec * 100))})) + 1
+        if entry <= budget:
+            compact["pq"][name] = int(round(sec * 100))
+            budget -= entry
+        else:
+            compact["pq_omitted"] += 1
+    line = dumps(compact)
     return line
 
 

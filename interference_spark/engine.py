@@ -43,6 +43,12 @@ def build_spark(
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (r12): parallelismFirst=false + cached-plan AQE
+        # repartitioning were measured a 1.85x win on the iterative
+        # trainings but SERIALIZE cpu-dense small-shuffle queries at
+        # bench scale (sim_cosine_topk 4.8x worse) — so they are applied
+        # OPERATOR-SCOPED inside the iterative loops
+        # (pipeline.iterative_stage_conf), not session-wide.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -136,7 +142,15 @@ class Engine:
         a read-only table. The reference only reads its own frame files
         (``persistent/DataFile.java``); connector breadth is free on Spark.
         Always pass an explicit ``schema`` for csv/json in production —
-        schema inference is a full extra pass over 100 TB."""
+        schema inference is a full extra pass over 100 TB.
+
+        IMMUTABILITY CONTRACT (ADVICE r11): external tables are assumed
+        frozen for the lifetime of their registration — the DataFrame
+        handle (file listing + schema) is built once per TableDef and
+        reused, so files added or replaced under ``path`` after the
+        first read are NOT picked up.  If the underlying files change,
+        call :meth:`refresh_table` (or re-register the name, which
+        installs a fresh TableDef)."""
         from .catalog import _as_struct
 
         fmt = format.lower()
@@ -369,6 +383,16 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         td = self.catalog.get(name)
         return self.read_table(td)
+
+    def refresh_table(self, name: str) -> None:
+        """Drop the cached external DataFrame handle for ``name`` so the
+        next read re-lists files and re-reads the footer schema — the
+        explicit escape hatch from the external-immutability contract
+        (see :meth:`register_external`).  No-op for managed tables
+        (their reads are never handle-cached)."""
+        td = self.catalog.get(name)
+        if getattr(td, "_df_cache", None) is not None:
+            td._df_cache = None
 
     def read_table(self, td: TableDef) -> DataFrame:
         if td.managed:

@@ -266,60 +266,63 @@ def train_from_words(
         raise ValueError(
             f"merges_per_round must be >= 1, got {merges_per_round}"
         )
+    from . import iterative_stage_conf
+
     spark = words.sparkSession
-    cur = words.persist()
-    cur.count()
     rules: list[tuple[int, str, str, str, int]] = []
-    rank = 1
-    while rank <= n_merges:
-        want = min(merges_per_round, n_merges - rank + 1)
-        # fetch enough ranked candidates that the greedy disjoint filter
-        # usually finds `want` survivors; a short round (conflicts ate
-        # the tail) just re-counts sooner — never wrong, only slower.
-        # At merges_per_round=1 (the sequential/oracle contract) the
-        # window instead feeds select_exact_prefix, which batches the
-        # longest PROVABLY bit-identical prefix per round — same results,
-        # fewer count->argmax->fold rounds (r12: 8 rounds -> 3 on the
-        # test corpus); a wider window only widens the provable prefix.
-        exact = merges_per_round == 1
-        cap = 64 if exact else max(32, 8 * want)
-        cand = (
-            _pair_counts(cur)
-            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(cap)
-            .collect()
-        )
-        if not cand:
-            break
-        if exact:
-            sel = select_exact_prefix(
-                [(c["l"], c["r"], int(c["cnt"])) for c in cand],
-                n_merges - rank + 1,
-                window_truncated=len(cand) == cap,
-                prior_merged=frozenset(m for _, _, _, m, _ in rules),
+    with iterative_stage_conf(spark):
+        cur = words.persist()
+        cur.count()
+        rank = 1
+        while rank <= n_merges:
+            want = min(merges_per_round, n_merges - rank + 1)
+            # fetch enough ranked candidates that the greedy disjoint filter
+            # usually finds `want` survivors; a short round (conflicts ate
+            # the tail) just re-counts sooner — never wrong, only slower.
+            # At merges_per_round=1 (the sequential/oracle contract) the
+            # window instead feeds select_exact_prefix, which batches the
+            # longest PROVABLY bit-identical prefix per round — same results,
+            # fewer count->argmax->fold rounds (r12: 8 rounds -> 3 on the
+            # test corpus); a wider window only widens the provable prefix.
+            exact = merges_per_round == 1
+            cap = 64 if exact else max(32, 8 * want)
+            cand = (
+                _pair_counts(cur)
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(cap)
+                .collect()
             )
-        else:
-            sel = select_disjoint(
-                [(c["l"], c["r"], int(c["cnt"])) for c in cand], want
-            )
-        for l, r, cnt in sel:
-            rules.append((rank, l, r, l + r, cnt))
-            rank += 1
-        if len(sel) == 1:
-            # the oracle-contract path: identical expression to r5
-            col = merge_fold(F.col("sym"), sel[0][0], sel[0][1])
-        else:
-            col = merge_fold_batch(F.col("sym"), [(l, r) for l, r, _ in sel])
-        # localCheckpoint, not persist: persist keeps the full logical
-        # lineage, so after R rounds every job's plan embeds R nested
-        # fold trees and the DRIVER goes quadratic just re-rendering the
-        # plan string (measured: a 256-merge run spent 15 of 16 minutes
-        # in TreeNode.generateTreeString).  Checkpointing truncates the
-        # plan to the materialized blocks each round — O(1) plan size —
-        # which is the standard Spark shape for iterative algorithms.
-        nxt = cur.withColumn("sym", col).localCheckpoint(eager=True)
-        cur.unpersist()
-        cur = nxt
+            if not cand:
+                break
+            if exact:
+                sel = select_exact_prefix(
+                    [(c["l"], c["r"], int(c["cnt"])) for c in cand],
+                    n_merges - rank + 1,
+                    window_truncated=len(cand) == cap,
+                    prior_merged=frozenset(m for _, _, _, m, _ in rules),
+                )
+            else:
+                sel = select_disjoint(
+                    [(c["l"], c["r"], int(c["cnt"])) for c in cand], want
+                )
+            for l, r, cnt in sel:
+                rules.append((rank, l, r, l + r, cnt))
+                rank += 1
+            if len(sel) == 1:
+                # the oracle-contract path: identical expression to r5
+                col = merge_fold(F.col("sym"), sel[0][0], sel[0][1])
+            else:
+                col = merge_fold_batch(F.col("sym"), [(l, r) for l, r, _ in sel])
+            # localCheckpoint, not persist: persist keeps the full logical
+            # lineage, so after R rounds every job's plan embeds R nested
+            # fold trees and the DRIVER goes quadratic just re-rendering the
+            # plan string (measured: a 256-merge run spent 15 of 16 minutes
+            # in TreeNode.generateTreeString).  Checkpointing truncates the
+            # plan to the materialized blocks each round — O(1) plan size —
+            # which is the standard Spark shape for iterative algorithms.
+            nxt = cur.withColumn("sym", col).localCheckpoint(eager=True)
+            cur.unpersist()
+            cur = nxt
     merges = spark.createDataFrame(
         rules,
         "merge_rank long, left string, right string, merged string, "

@@ -272,9 +272,14 @@ def minhash_dedup_pairs(
     # signatures feed three plan branches (banding + both re-attach joins);
     # persist so the Pandas-UDF stage runs once. At 100 TB you'd materialize
     # signatures to a table instead — same idea, durable.
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_perm, shingle_k, seed, token_hash=token_hash
-    ).persist()
+    from . import register_cache
+
+    sigs = register_cache(
+        minhash_signatures(
+            df, text_col, id_col, num_perm, shingle_k, seed,
+            token_hash=token_hash,
+        )
+    )
     # candidates travel as narrow (id, bucket) rows — the 128-long signature
     # arrays never enter the band shuffle (they'd dominate its byte volume);
     # they re-attach afterwards via two id-joins on the tiny candidate set.
@@ -623,7 +628,9 @@ def simhash_pairs(
     # fingerprints feed the distinct + both expansion sides — persist the
     # narrow (id, long) rows so the Pandas-UDF stage runs once (at 100 TB
     # you'd materialize fingerprints to a table instead — same idea)
-    sh = simhash(df, text_col, id_col, token_hash=token_hash).persist()
+    from . import register_cache
+
+    sh = register_cache(simhash(df, text_col, id_col, token_hash=token_hash))
     uf = sh.select("simhash").distinct()
     band = [
         f"(shiftrightunsigned(simhash, {offs[i]}) & {(1 << widths[i]) - 1}L)"
@@ -806,7 +813,9 @@ def ngram_jaccard_pairs(
     # (index build + both verify sides, or the bitmap build) — persist
     # BEFORE branching so the expensive ngram transform runs once, not 3×
     # on the bitmap path
-    grams = grams.persist()
+    from . import register_cache
+
+    grams = register_cache(grams)
     # plan selection: one cheap vocabulary-count pass (see docstring)
     n_vocab = grams.select(F.explode("grams").alias("g")).distinct().count()
     if n_vocab <= bitmap_vocab_cap:
@@ -1216,7 +1225,17 @@ def exact_substring_pairs(
     playbook as stopwords in the n-gram family.  The hot set is tiny by
     construction (only digests above the cap), so the exclusion is a
     broadcast anti-join, and the join cost bound becomes cap² per digest.
-    Default ``None`` keeps bit-exact ≥ k detection."""
+    Default ``None`` keeps bit-exact ≥ k detection.
+
+    MEMORY BOUND (ADVICE r11): the per-pair run aggregation collects
+    every shared (diagonal, position) struct of a doc pair into ONE
+    aggregation group (an ordered in-memory fold — it does not spill),
+    so with ``max_posting_len=None`` a pair of long near-identical
+    documents buffers O(shared shingles) structs in a single group.  At
+    scale, set ``max_posting_len`` (which also bounds this buffer —
+    shared positions per digest are capped at cap² and interesting
+    duplicate runs survive far below any realistic cap) or pre-trim
+    giant documents upstream."""
     if k < 1:
         raise ValueError(f"k must be >= 1 token, got {k}")
     if fingerprint_filter and w < 1:

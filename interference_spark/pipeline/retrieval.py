@@ -6,12 +6,14 @@ Training-data curation uses this shape for query-based corpus selection
 of hybrid retrieval next to the embedding ANN operators in
 ``pipeline/similarity.py`` / ``pipeline/pq.py``.
 
-Scale shape: one explode of the token stream (codegen, no Python), a
-combiner-friendly ``groupBy(doc, term)`` term-frequency count restricted
-to the query's terms (the ``isin`` filter prunes the stream *before* the
-shuffle, so the aggregated volume is |matching tokens|, not corpus
-tokens), a per-term document-frequency aggregate the size of the query
-(broadcast back), and a corpus-stats 1-row broadcast.  Final ranking is
+Scale shape (r12): the query's term list is a small literal, so
+per-document term frequencies are |query| ``size(filter(tokens, t))``
+projections — NO token explode, NO (doc, term) shuffle, NO per-doc
+regroup and no cached intermediate anywhere.  One 1-row global
+aggregate carries n_docs, total token count and every per-term document
+frequency (broadcast back), and scoring is a pure projection over the
+matched documents.  The corpus crosses the engine exactly twice (stats
+pass + scoring pass), both as narrow map-side scans; final ranking is
 ``orderBy().limit(k)`` → TakeOrderedAndProject (distributed partial
 top-k, never a global sort).
 
@@ -52,62 +54,109 @@ def bm25_scores(
     ``idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with the
     determinism contract above.
     """
+    from functools import reduce
+
     terms = sorted(set(query_terms))
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col), toks.alias("__t")
     )
-    tokenized = base.select(
-        F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("term")
+    if not terms:
+        return base.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_terms_matched"),
+            F.lit(0.0).alias("score"),
+        ).filter(F.lit(False))
+    # r12 reshape (guide §2.3/§2.4): the query's term list is a SMALL
+    # LITERAL, so per-document term frequencies are |query| size(filter())
+    # projections — the corpus-wide token explode, the (doc, term, dl)
+    # count shuffle, the per-doc score regroup AND the tf persist (the
+    # r11 cache-leak ADVICE item) all disappear.  What remains is one
+    # map-side projection per doc plus ONE 1-row global aggregate
+    # carrying n_docs / sum_dl / every per-term document frequency
+    # (broadcast back).  Scoring is then a pure projection: per-term
+    # scores are the same doubles as before, and the per-document sum
+    # accumulates the same DECIMAL(38,14) casts — decimal addition is
+    # exact, so a fixed-order + chain is bit-identical to the old
+    # order-free SUM aggregate.
+    def tf_col(t: str):
+        # closure, NOT a defaulted lambda parameter: a second lambda
+        # param (even defaulted) flips F.filter into its
+        # (element, index) form and the index shadows the term
+        return F.size(F.filter("__t", lambda x: x == F.lit(t)))
+
+    perdoc = base.select(
+        F.col(id_col),
+        F.size("__t").alias("dl"),
+        *[tf_col(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
     )
-    # corpus stats from the PRE-explode rows (r11): count_distinct(id)
-    # over one row per doc equals count_distinct over dl copies of it,
-    # and sum(size(tokens)) equals the exploded token count — so the
-    # old plan's second corpus-wide explode (the unfiltered one: stats
-    # ran before the isin pruning) collapses to a per-row size() sum.
-    stats = base.groupBy().agg(
+    stats = perdoc.groupBy().agg(
         F.count_distinct(id_col).alias("n_docs"),
-        F.sum(F.size("__t").cast("long")).alias("sum_dl"),
+        F.sum(F.col("dl").cast("long")).alias("sum_dl"),
+        *[
+            F.count(F.when(F.col(f"__tf_{i}") > 0, F.lit(1))).alias(
+                f"__dft_{i}"
+            )
+            for i in range(len(terms))
+        ],
     )
-    # tf feeds BOTH the per-term document frequencies and the score join;
-    # unpersisted, each branch re-tokenized the whole corpus (ReusedExchange
-    # does not fire across the differently-pruned subtrees — verified r11).
-    # tf is query-sized by construction (matched docs × query terms), so it
-    # persists across the two consumers — at 100 TB this halves the corpus
-    # passes; the cache lives as long as the returned plan (the session
-    # owner clears it, same contract as simhash_pairs' fingerprint cache).
-    tf = (
-        tokenized.filter(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "term", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+    matched = perdoc.filter(
+        reduce(
+            lambda a, c: a | c,
+            [F.col(f"__tf_{i}") > 0 for i in range(len(terms))],
+        )
     )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
-    j = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(stats))
+    j = matched.crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    idf_q = F.floor(
-        F.log(
-            F.lit(1.0)
-            + ((F.col("n_docs") - F.col("dft")).cast("double") + F.lit(0.5))
-            / (F.col("dft").cast("double") + F.lit(0.5))
+
+    def term_score(i: int):
+        tf = F.col(f"__tf_{i}")
+        dft = F.col(f"__dft_{i}")
+        idf_q = F.floor(
+            F.log(
+                F.lit(1.0)
+                + ((F.col("n_docs") - dft).cast("double") + F.lit(0.5))
+                / (dft.cast("double") + F.lit(0.5))
+            )
+            * F.lit(_MICRO)
+        ).cast("long")
+        tfn = (tf.cast("double") * (F.lit(k1) + F.lit(1.0))) / (
+            tf.cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+            )
         )
-        * F.lit(_MICRO)
-    ).cast("long")
-    tfn = (F.col("tf").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
-        F.col("tf").cast("double")
-        + F.lit(k1)
-        * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+        ts = (idf_q.cast("double") / F.lit(_MICRO)) * tfn
+        # unmatched terms contribute nothing — exactly the rows the old
+        # (doc, term) tf table never held.  decimal(27,14), NOT (38,14):
+        # at (38,14) the + chain below would hit the 38-digit precision
+        # cap and Spark would silently drop to scale 13 (allowPrecision-
+        # Loss), diverging from the old SUM(decimal(38,14)) aggregate in
+        # the 14th decimal; at (27,14) — identical VALUE for any real
+        # BM25 score magnitude — each addition fits, and the re-cast
+        # after every + keeps the chain exact at any term count.
+        return F.when(
+            tf > 0, ts.cast("decimal(27,14)")
+        ).otherwise(F.lit(0).cast("decimal(27,14)"))
+
+    n_matched = reduce(
+        lambda a, c: a + c,
+        [
+            F.when(F.col(f"__tf_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+            for i in range(len(terms))
+        ],
     )
-    term_score = (idf_q.cast("double") / F.lit(_MICRO)) * tfn
-    return (
-        j.select(F.col(id_col), term_score.alias("ts"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_matched"),
-            F.sum(F.col("ts").cast("decimal(38,14)"))
-            .cast("double")
-            .alias("score"),
-        )
+    score = reduce(
+        lambda a, c: (a + c).cast("decimal(27,14)"),
+        [term_score(i) for i in range(len(terms))],
+    )
+    return j.select(
+        F.col(id_col),
+        n_matched.cast("long").alias("n_terms_matched"),
+        score.cast("double").alias("score"),
     )
 
 

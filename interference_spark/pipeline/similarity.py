@@ -76,7 +76,17 @@ def cosine_topk_df(
     zip_with fold multiplies the identical widened doubles — but the
     eager `.first()` round trip (a whole blocking Spark job per call)
     disappears; the 1-row side rides along as a broadcast inside the one
-    scoring job."""
+    scoring job.
+
+    PRECONDITION (ADVICE r11): ``query_df`` must hold EXACTLY ONE row.
+    Unlike the old ``.first()`` path this is not checked eagerly (a
+    check would be a blocking job — the very thing this variant
+    removes): zero query rows yield an EMPTY result and >1 rows score
+    every document against every query row (top-k of the mixture).
+    Callers derive the frame from a unique-key filter (``vec_id == q``)
+    where the contract holds by construction; anything less certain
+    should assert ``query_df.count() == 1`` first or use
+    ``cosine_topk`` with a driver-held vector."""
     q = F.broadcast(
         query_df.select(_as_double(F.col(vec_col)).alias("__q"))
     )
@@ -382,8 +392,14 @@ def lsh_bucketed_topk(
     # the whole corpus through the hyperplane dots (no exchange reuse
     # across the two filters) — measured ~1.1 -> 0.78 s at sf0.1 (r11);
     # same contract as simhash_pairs' fingerprint cache (at 100 TB,
-    # materialize fingerprints to a table instead — same idea)
-    b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim).persist()
+    # materialize fingerprints to a table instead — same idea).
+    # Ledger-registered (r12): long-lived sessions release it with
+    # pipeline.release_caches() once the returned plan is consumed.
+    from . import register_cache
+
+    b = register_cache(
+        hyperplane_buckets(df, vec_col, id_col, planes, seed, dim)
+    )
     qs = b.filter(query_filter(F.col(id_col))).select(
         F.col(id_col).alias("query_id"), F.col("__e").alias("eq"), "bucket"
     )
@@ -417,8 +433,13 @@ def lsh_multiprobe_topk(
     """
     from .dedup import hyperplane_buckets
 
-    # persisted for the same two-branch reason as lsh_bucketed_topk (r11)
-    b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim).persist()
+    # persisted for the same two-branch reason as lsh_bucketed_topk
+    # (r11); ledger-registered for pipeline.release_caches() (r12)
+    from . import register_cache
+
+    b = register_cache(
+        hyperplane_buckets(df, vec_col, id_col, planes, seed, dim)
+    )
     flips = [F.col("bucket")]
     for i in range(planes):
         bit = F.substring("bucket", i + 1, 1)
@@ -465,10 +486,15 @@ def hard_negatives(
     from .dedup import hyperplane_buckets
 
     labels = df.select(F.col(id_col), F.col(label_col).alias("__lbl"))
-    # persisted for the same two-branch reason as lsh_bucketed_topk (r11)
-    b = hyperplane_buckets(df, vec_col, id_col, planes, seed, dim).join(
-        labels, id_col
-    ).persist()
+    # persisted for the same two-branch reason as lsh_bucketed_topk
+    # (r11); ledger-registered for pipeline.release_caches() (r12)
+    from . import register_cache
+
+    b = register_cache(
+        hyperplane_buckets(df, vec_col, id_col, planes, seed, dim).join(
+            labels, id_col
+        )
+    )
     qs = b.filter(query_filter(F.col(id_col))).select(
         F.col(id_col).alias("query_id"),
         F.col("__e").alias("eq"),

@@ -1318,7 +1318,11 @@ def hash_kernel_classifier(
     # session owner clears it — bench/tests clearCache between queries).
     shared = train_filter is not None
     if shared:
-        feats = featurize(score, with_id=True, with_label=True).persist()
+        from . import register_cache
+
+        feats = register_cache(
+            featurize(score, with_id=True, with_label=True)
+        )
         tf = feats.filter(train_filter)
     else:
         # classic mode: try/finally so a failure mid-loop (empty slice,
@@ -1345,6 +1349,11 @@ def hash_kernel_classifier(
         ],
     ]
     wcols = ["wb"] + [f"wc{j}" for j in range(d)]
+    from . import restore_stage_conf, set_iterative_stage_conf
+
+    # scoped AQE conf (r12): `iters` tiny moment jobs + the cached
+    # featurize — see pipeline.iterative_stage_conf for the rationale
+    _conf = set_iterative_stage_conf(spark)
     try:
         for _ in range(iters):
             wrow = F.broadcast(
@@ -1366,6 +1375,7 @@ def hash_kernel_classifier(
             feats.unpersist()
         raise
     finally:
+        restore_stage_conf(spark, _conf)
         if not shared:
             tf.unpersist()
 
@@ -1529,6 +1539,9 @@ def _hash_kernel_sparse(
         GROUP BY z.bucket
     """
 
+    from . import restore_stage_conf, set_iterative_stage_conf
+
+    _conf = set_iterative_stage_conf(spark)
     tfa = sparse_feats(train, with_id=False).persist()
     w = [0.0] * (d + 1)  # [bias, w_0..w_{d-1}]
     try:
@@ -1555,6 +1568,7 @@ def _hash_kernel_sparse(
             for b, r in by_bucket.items():
                 w[b + 1] = w[b + 1] - lr * (r["s"] / n / 1e8)
     finally:
+        restore_stage_conf(spark, _conf)
         tfa.unpersist()
 
     scored = (
@@ -1731,11 +1745,18 @@ def hash_kernel_multiclass(
     # corpus backs both the GD slice and the returned scoring plan
     shared = train_filter is not None
     if shared:
-        feats = featurize(score, with_id=True, with_label=True).persist()
+        from . import register_cache
+
+        feats = register_cache(
+            featurize(score, with_id=True, with_label=True)
+        )
         tf = feats.filter(train_filter)
     else:
         tf = featurize(train, with_id=False, with_label=True).persist()
     w = {c: [0.0] * (d + 1) for c in classes}
+    from . import restore_stage_conf, set_iterative_stage_conf
+
+    _conf = set_iterative_stage_conf(spark)
     try:
         for _ in range(iters):
             # ONE bounded row for ALL classes; plan identical every step
@@ -1756,6 +1777,7 @@ def hash_kernel_multiclass(
             feats.unpersist()
         raise
     finally:
+        restore_stage_conf(spark, _conf)
         if not shared:
             tf.unpersist()
 
@@ -1963,6 +1985,9 @@ def _hash_kernel_multiclass_sparse(
         )
         GROUP BY z.cls, z.bucket
     """
+    from . import restore_stage_conf, set_iterative_stage_conf
+
+    _conf = set_iterative_stage_conf(spark)
     tfa = sparse_tok(train, with_id=False).persist()
     w = {c: [0.0] * (d + 1) for c in classes}
     try:
@@ -2003,6 +2028,7 @@ def _hash_kernel_multiclass_sparse(
                     int(r.s) / n / 1e8
                 )
     finally:
+        restore_stage_conf(spark, _conf)
         tfa.unpersist()
 
     heads = [

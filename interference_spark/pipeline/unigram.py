@@ -285,39 +285,42 @@ def unigram_train(
     # corpus-sized token explode+count per reference — measured 3×258 s
     # of a 748 s run at 10M docs (SCALING.md); checkpointed it is
     # vocabulary-sized and the corpus is touched exactly once.
-    words = unigram_word_table(docs, text_col, max_word_len).localCheckpoint(
-        eager=True
-    )
-    pieces = piece_costs(
-        seed_pieces(words, max_len, seed_multi, min_count)
-    )
-    seg = None
-    for _ in range(iters):
-        pieces = pieces.localCheckpoint(eager=True)
-        seg = viterbi_segment(words, pieces, max_len)
-        vc = (
-            seg.select(
-                "freq", F.explode(F.split("sym", " ")).alias("piece")
-            )
-            .groupBy("piece")
-            .agg(F.sum("freq").cast("long").alias("vcnt"))
+    from . import iterative_stage_conf
+
+    with iterative_stage_conf(docs.sparkSession):
+        words = unigram_word_table(
+            docs, text_col, max_word_len
+        ).localCheckpoint(eager=True)
+        pieces = piece_costs(
+            seed_pieces(words, max_len, seed_multi, min_count)
         )
-        new_counts = (
-            pieces.select("piece")
-            .join(vc, "piece", "left")
-            .filter(
-                (F.length("piece") == 1) | F.col("vcnt").isNotNull()
-            )
-            .select(
-                "piece",
-                F.when(
-                    F.length("piece") == 1,
-                    F.coalesce("vcnt", F.lit(0)) + F.lit(1),
+        seg = None
+        for _ in range(iters):
+            pieces = pieces.localCheckpoint(eager=True)
+            seg = viterbi_segment(words, pieces, max_len)
+            vc = (
+                seg.select(
+                    "freq", F.explode(F.split("sym", " ")).alias("piece")
                 )
-                .otherwise(F.col("vcnt"))
-                .cast("long")
-                .alias("cnt"),
+                .groupBy("piece")
+                .agg(F.sum("freq").cast("long").alias("vcnt"))
             )
-        )
-        pieces = piece_costs(new_counts)
+            new_counts = (
+                pieces.select("piece")
+                .join(vc, "piece", "left")
+                .filter(
+                    (F.length("piece") == 1) | F.col("vcnt").isNotNull()
+                )
+                .select(
+                    "piece",
+                    F.when(
+                        F.length("piece") == 1,
+                        F.coalesce("vcnt", F.lit(0)) + F.lit(1),
+                    )
+                    .otherwise(F.col("vcnt"))
+                    .cast("long")
+                    .alias("cnt"),
+                )
+            )
+            pieces = piece_costs(new_counts)
     return pieces, seg

@@ -59,10 +59,9 @@ folds are order-pinned left folds.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from .bpe import _pair_counts
 
 _UNK = "[UNK]"
 
@@ -92,6 +91,43 @@ def symbol_counts(words: DataFrame) -> DataFrame:
         words.select("freq", F.explode(F.split("sym", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.sum("freq").cast("long").alias("scnt"))
+    )
+
+
+def _fused_counts(words: DataFrame) -> DataFrame:
+    """Symbol AND adjacent-pair counts from ONE pass over the word
+    table (r12, guide §2.3: the training loop previously exploded the
+    segmentations three times per round — twice for the duplicated
+    symbol-count subtree under the two broadcast joins, once for pair
+    counts).  Rows: ``(k='s', a=tok, b='', cnt)`` for symbols,
+    ``(k='p', a=l, b=r, cnt)`` for pairs — vocabulary²-bounded, never
+    corpus-bounded, so the per-round persist of this table is cheap at
+    any scale."""
+    s = F.split(F.col("sym"), " ")
+    syms = F.transform(
+        s,
+        lambda t: F.struct(
+            F.lit("s").alias("k"), t.alias("a"), F.lit("").alias("b")
+        ),
+    )
+    z = F.arrays_zip(
+        F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0))),
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+    )
+    pairs = F.transform(
+        z,
+        lambda p: F.struct(
+            F.lit("p").alias("k"), p["0"].alias("a"), p["1"].alias("b")
+        ),
+    )
+    return (
+        words.select("freq", F.explode(F.concat(syms, pairs)).alias("e"))
+        .groupBy(
+            F.col("e.k").alias("k"),
+            F.col("e.a").alias("a"),
+            F.col("e.b").alias("b"),
+        )
+        .agg(F.sum("freq").cast("long").alias("cnt"))
     )
 
 
@@ -133,47 +169,97 @@ def wordpiece_train(
     ``localCheckpoint``-materialized so plan depth stays O(1) (persist
     would keep the full fold lineage — the driver goes quadratic
     re-rendering plans; measured in ``bpe_train``'s in-loop comment)."""
+    from . import iterative_stage_conf
+    from .text import _qstr
+
     spark = docs.sparkSession
-    cur = wordpiece_word_table(docs, text_col).persist()
-    cur.count()
     rules: list[tuple[int, str, str, str, int, int, int, float]] = []
-    for rank in range(1, n_merges + 1):
-        sc = symbol_counts(cur)
-        pc = _pair_counts(cur)
-        lk = sc.select(F.col("tok").alias("l"), F.col("scnt").alias("lcnt"))
-        rk = sc.select(F.col("tok").alias("r"), F.col("scnt").alias("rcnt"))
-        score = F.col("cnt").cast("double") / (
-            F.col("lcnt").cast("double") * F.col("rcnt").cast("double")
-        )
-        top = (
-            pc.join(F.broadcast(lk), "l")
-            .join(F.broadcast(rk), "r")
-            .select("l", "r", "cnt", "lcnt", "rcnt", score.alias("score"))
-            .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        t = top[0]
-        merged = t["l"] + t["r"][2:]
-        rules.append(
-            (
-                rank,
-                t["l"],
-                t["r"],
-                merged,
-                int(t["cnt"]),
-                int(t["lcnt"]),
-                int(t["rcnt"]),
-                float(t["score"]),
+    with iterative_stage_conf(spark):
+        cur = wordpiece_word_table(docs, text_col).persist()
+        cur.count()
+        for rank in range(1, n_merges + 1):
+            # ONE pass over the word table computes symbol and pair counts
+            # together (r12; before: the symbol-count subtree was evaluated
+            # TWICE under the two broadcast joins plus a third pass for pair
+            # counts — 4 word-table passes and 4 jobs per round).  The fused
+            # table is vocabulary²-bounded, so persisting it per round is
+            # cheap at any scale; the vocab-SIZED symbol counts come to the
+            # driver (the same bounded-driver-traffic contract as the 1-row
+            # argmax) and re-enter the pair scoring as one parsed map
+            # literal — or, above a plan-size guard, as a broadcast-joined
+            # local table — in both cases the same exact BIGINTs the join
+            # produced, so the score doubles are bit-identical.
+            fused = _fused_counts(cur).persist()
+            scnt = {
+                r["a"]: int(r["cnt"])
+                for r in fused.filter(F.col("k") == "s").collect()
+            }
+            pc = fused.filter(F.col("k") == "p").select(
+                F.col("a").alias("l"), F.col("b").alias("r"), "cnt"
             )
-        )
-        nxt = cur.withColumn(
-            "sym", merge_fold_rule(F.col("sym"), t["l"], t["r"], merged)
-        ).localCheckpoint(eager=True)
-        cur.unpersist()
-        cur = nxt
+            if len(scnt) <= 4096:
+                entries = ", ".join(
+                    f"{_qstr(tok)}, {c}L" for tok, c in sorted(scnt.items())
+                )
+                looked = pc.selectExpr(
+                    "l",
+                    "r",
+                    "cnt",
+                    f"element_at(map({entries}), l) AS lcnt",
+                    f"element_at(map({entries}), r) AS rcnt",
+                )
+            else:
+                sdf = F.broadcast(
+                    spark.createDataFrame(
+                        pd.DataFrame(
+                            {
+                                "tok": list(scnt),
+                                "scnt": pd.Series(
+                                    list(scnt.values()), dtype="int64"
+                                ),
+                            }
+                        )
+                    )
+                )
+                looked = (
+                    pc.join(sdf.withColumnRenamed("tok", "l"), "l")
+                    .withColumnRenamed("scnt", "lcnt")
+                    .join(
+                        F.broadcast(sdf.withColumnRenamed("tok", "r")), "r"
+                    )
+                    .withColumnRenamed("scnt", "rcnt")
+                )
+            score = F.col("cnt").cast("double") / (
+                F.col("lcnt").cast("double") * F.col("rcnt").cast("double")
+            )
+            top = (
+                looked.select("l", "r", "cnt", "lcnt", "rcnt", score.alias("score"))
+                .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            fused.unpersist()
+            if not top:
+                break
+            t = top[0]
+            merged = t["l"] + t["r"][2:]
+            rules.append(
+                (
+                    rank,
+                    t["l"],
+                    t["r"],
+                    merged,
+                    int(t["cnt"]),
+                    int(t["lcnt"]),
+                    int(t["rcnt"]),
+                    float(t["score"]),
+                )
+            )
+            nxt = cur.withColumn(
+                "sym", merge_fold_rule(F.col("sym"), t["l"], t["r"], merged)
+            ).localCheckpoint(eager=True)
+            cur.unpersist()
+            cur = nxt
     merges = spark.createDataFrame(
         rules,
         "merge_rank long, left string, right string, merged string, "

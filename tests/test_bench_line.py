@@ -68,6 +68,42 @@ def test_pathological_round_still_fits_and_parses():
     assert "77 entries" in rec["errors"]
 
 
+def test_per_query_centiseconds_ride_the_line():
+    """r12 (VERDICT r11 ask #2): the line carries per-query centisecond
+    ints — full training lane under training.tpq, headline under pq
+    filled slowest-first within the budget — so the driver can diff
+    per-query across rounds without the full record."""
+    p = _payload()
+    p["queries"]["slowest_query"] = 9.8765
+    line = bench.compact_stdout_line(p)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET, len(line)
+    rec = json.loads(line)
+    assert rec["pq"]["slowest_query"] == 988  # int(round(9.8765*100))
+    assert rec["training"]["tpq"] == {f"train_{i}": 150 for i in range(8)}
+    # slowest-first fill: every included entry is >= every omitted one
+    assert rec["pq_omitted"] + len(rec["pq"]) == len(p["queries"])
+
+
+def test_long_names_fill_partially_but_line_always_fits():
+    # 200 very long names cannot all fit: the line must stay under
+    # budget, include a slowest-first prefix, and count the omissions
+    p = _payload(n_queries=0)
+    p["queries"] = {
+        f"extremely_long_query_name_padding_{i:05d}_{'x' * 30}": 0.5 + i
+        for i in range(200)
+    }
+    line = bench.compact_stdout_line(p)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET, len(line)
+    rec = json.loads(line)
+    assert rec["pq"] and rec["pq_omitted"] > 0
+    assert len(rec["pq"]) + rec["pq_omitted"] == 200
+    included = set(rec["pq"])
+    omitted_max = max(
+        v for k, v in p["queries"].items() if k not in included
+    )
+    assert min(rec["pq"].values()) >= int(round(omitted_max * 100)) - 100
+
+
 def test_small_regression_maps_survive_inline():
     reg = {"q3_shipping_priority": {"prev": 0.35, "now": 0.51, "ratio": 1.46}}
     line = bench.compact_stdout_line(_payload(regressions=reg))

@@ -279,15 +279,18 @@ def test_perplexity_lm_plan(spark):
 
 
 def test_bm25_plan(spark):
-    """BM25: df/stats broadcast back (no shuffle join for query-sized
-    sides), ranking is a distributed partial top-k, all JVM."""
+    """BM25 (r12 shape): per-term tf via size(filter()) projections — NO
+    corpus token explode (no Generate), no (doc, term) shuffle join; the
+    single 1-row stats/df aggregate re-enters as a broadcast; ranking is
+    a distributed partial top-k, all JVM."""
     df = inventory.QUERIES["rank_bm25_topk"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert "Generate" not in plan, plan[:2000]  # the old corpus explode
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "Python" not in plan and "Arrow" not in plan, plan[:2000]
-    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" not in plan, plan[:2000]  # old tf persist
 
 
 def test_ngram_novelty_plan(spark):
@@ -638,3 +641,109 @@ def test_lsh_family_builds_without_running_jobs(spark):
     for name in names:  # the old dim probe ran a job on EVERY build
         inventory.QUERIES[name](spark, SF_DIR)
     assert len(tracker.getJobIdsForGroup(None)) == before
+
+
+def test_embeddings_fixture_width_matches_hardcoded_dim():
+    """ADVICE r11: four LSH inventory entries hardcode dim=64 to skip the
+    schema-probe job; if the embeddings fixture width ever changed, the
+    hyperplane projections would silently zip against the wrong dimension
+    and drift from the oracles instead of failing.  Pin the fixture width
+    at every SF the driver uses (pure pyarrow — no Spark session)."""
+    import pyarrow.parquet as pq
+
+    for sf in ("0.001", "0.01", "0.1"):
+        t = pq.read_table(
+            f"/root/testdata/sf{sf}/embeddings.parquet",
+            columns=["embedding"],
+        )
+        widths = {len(v) for v in t.column("embedding").to_pylist()[:50]}
+        assert widths == {64}, (sf, widths)
+
+
+@pytest.mark.slow
+def test_unpartitioned_windows_only_over_bounded_input(spark):
+    """VERDICT r11 item 7: every WindowExec with an EMPTY partition spec
+    moves its whole input to one task — acceptable ONLY when that input
+    is provably bounded (the subtree below the window aggregates, limits,
+    or unions fixed-size locals first).  Lint the OPTIMIZED logical plan
+    of every inventory entry: for each Window node with no partitionSpec,
+    require an Aggregate / GlobalLimit / bounded-local source somewhere
+    below it.  Catches a future operator sorting a raw corpus through a
+    single partition before the 100 TB run does."""
+    import json as _json
+
+    offenders = {}
+    for name, fn in sorted(inventory.QUERIES.items()):
+        try:
+            df = fn(spark, SF_DIR)
+        except Exception as exc:  # noqa: BLE001 — lint what builds
+            offenders[name] = f"construction failed: {exc}"[:200]
+            continue
+        try:
+            tree = _json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+        except Exception as exc:  # noqa: BLE001
+            offenders[name] = f"plan json failed: {exc}"[:200]
+            continue
+
+        # toJSON returns the flattened tree pre-order with num-children;
+        # rebuild subtree spans so "below this window" is checkable
+        def subtree(nodes, i):
+            span = [i]
+            remaining = nodes[i].get("num-children", 0)
+            j = i + 1
+            while remaining > 0:
+                child = subtree(nodes, j)
+                span.extend(child)
+                j = child[-1] + 1
+                remaining -= 1
+            return span
+
+        bounded_classes = (
+            "logical.Aggregate",
+            "logical.GlobalLimit",
+            "logical.LocalRelation",
+            "logical.LocalLimit",
+            "logical.OneRowRelation",
+            "logical.Range",
+        )
+        for i, node in enumerate(tree):
+            if not node.get("class", "").endswith("logical.Window"):
+                continue
+            if node.get("partitionSpec"):
+                continue
+            below = subtree(tree, i)[1:]
+            if not any(
+                tree[j].get("class", "").endswith(bounded_classes)
+                for j in below
+            ):
+                offenders.setdefault(name, []).append(
+                    "unpartitioned Window over unbounded input"
+                )
+    assert not offenders, offenders
+
+
+def test_cache_ledger_releases_pipeline_persists(spark):
+    """VERDICT r11 ask #6: the fingerprint/feature caches this package
+    persists on behalf of returned plans must be releasable without a
+    session-wide clearCache.  Run an LSH query (which registers its
+    hyperplane fingerprint cache in the ledger), consume it, then assert
+    release_caches() actually removes the cached blocks from storage."""
+    from interference_spark.pipeline import release_caches
+
+    release_caches()  # start clean
+    inventory.QUERIES["sim_lsh_topk"](spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    def n_cached() -> int:
+        jsc = spark.sparkContext._jsc.sc()
+        return sum(
+            1
+            for i in range(jsc.getRDDStorageInfo().__len__())
+            if jsc.getRDDStorageInfo()[i].numCachedPartitions() > 0
+        )
+
+    assert n_cached() > 0, "LSH run should have left a registered cache"
+    released = release_caches(blocking=True)
+    assert released >= 1
+    assert n_cached() == 0, "ledger release left cached blocks pinned"

@@ -31,9 +31,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 LANES: dict[str, tuple[list[str], dict[str, str]]] = {
     "fast": (["tests/", "-m", "not oracle and not slow"], {}),
-    "oracle-a": (["tests/test_entry_oracle.py"], {"IFS_ORACLE_SHARD": "0/3"}),
-    "oracle-b": (["tests/test_entry_oracle.py"], {"IFS_ORACLE_SHARD": "1/3"}),
-    "oracle-c": (["tests/test_entry_oracle.py"], {"IFS_ORACLE_SHARD": "2/3"}),
+    # explicit -m re-enables the oracle lane over pytest.ini's addopts
+    # (plain `pytest` default-deselects oracle/slow — VERDICT r11 ask #3;
+    # a later -m on the command line overrides the addopts one)
+    "oracle-a": (
+        ["tests/test_entry_oracle.py", "-m", "oracle"],
+        {"IFS_ORACLE_SHARD": "0/3"},
+    ),
+    "oracle-b": (
+        ["tests/test_entry_oracle.py", "-m", "oracle"],
+        {"IFS_ORACLE_SHARD": "1/3"},
+    ),
+    "oracle-c": (
+        ["tests/test_entry_oracle.py", "-m", "oracle"],
+        {"IFS_ORACLE_SHARD": "2/3"},
+    ),
     "fuzz-slow": (
         [
             "tests/test_dialect_fuzz.py",
