@@ -336,6 +336,30 @@ def upsert(
     if not files:
         append_df(td, new_df.select(*cols))
         return
+    # scoped AQE conf (r12): every shuffle inside a MERGE is BATCH-sized
+    # by construction (new-id distinct, affected-part distinct) while the
+    # heavy bytes move through coalesce+write, so size-derived partition
+    # coalescing is safe at any scale and removes the 32-task floor each
+    # of the merge's small stages pays per commit (same rationale as
+    # pipeline.iterative_stage_conf; measured 2.66 -> 1.47 s on the
+    # 10k-upsert bench with these settings session-wide).
+    from ..pipeline import set_iterative_stage_conf, restore_stage_conf
+
+    _conf = set_iterative_stage_conf(spark)
+    try:
+        _upsert_body(spark, td, new_df, cols, files, full_rewrite_max_bytes)
+    finally:
+        restore_stage_conf(spark, _conf)
+
+
+def _upsert_body(
+    spark: SparkSession,
+    td: TableDef,
+    new_df: DataFrame,
+    cols: list[str],
+    files: list[str],
+    full_rewrite_max_bytes: int,
+) -> None:
     if _tombstone_parts(td):
         # tombstoned ids may be re-inserted by this upsert; make content
         # physical first so the old tombstones can't hide the new rows

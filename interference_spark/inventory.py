@@ -8008,14 +8008,16 @@ def bpe_train_batched(spark, sf_dir):
 @query("bpe_train_merges", _bpe_train_oracle())
 def bpe_train_merges(spark, sf_dir):
     """Distributed BPE vocabulary training (`pipeline/bpe.bpe_train`):
-    8 merge rules learned over the documents corpus.  Each iteration is
-    one map-side-combined pair-count shuffle + a single-row argmax to the
-    driver + a JVM fold re-segmentation of the distinct-WORD table (the
-    corpus itself never re-shuffles; freq weights carry corpus
-    multiplicity).  The oracle unrolls all 8 iterations — counts are
-    exact integers, tie-breaks total, and the greedy-leftmost merge is
-    the identical left fold in DuckDB's `list_reduce` — so the full
-    training trajectory value-hashes."""
+    8 merge rules learned over the documents corpus.  Each round is one
+    map-side-combined pair-count shuffle + a ranked-window argmax collect
+    + a JVM fold re-segmentation of the distinct-WORD table (the corpus
+    itself never re-shuffles; freq weights carry corpus multiplicity);
+    r12 batches each round's longest PROVABLY bit-identical rank-prefix
+    of merges (`bpe.select_exact_prefix` — 8 rounds collapse to ~3 here
+    with the identical rule trajectory).  The oracle unrolls all 8
+    sequential iterations — counts are exact integers, tie-breaks total,
+    and the greedy-leftmost merge is the identical left fold in DuckDB's
+    `list_reduce` — so the full training trajectory value-hashes."""
     from .pipeline.bpe import bpe_train
 
     e = engine_for(spark, sf_dir)
@@ -9042,13 +9044,15 @@ def wordpiece_train_merges(spark, sf_dir):
     triad next to `bpe_train_merges` (frequency argmax) and
     `unigram_lm_train` (EM pruning): 8 merges by LIKELIHOOD-GAIN argmax
     score = cnt(pair)/(cnt(left)·cnt(right)) over the ``##``-marked
-    distinct-word table.  Per iteration: one symbol-count groupBy, one
-    pair-count groupBy, two broadcast joins against the vocab-sized
-    symbol counts, a 1-row argmax collect, and a JVM greedy-leftmost
-    fold — the corpus never shuffles, only the word table.  The score
-    is one exactly-rounded IEEE expression over exact BIGINTs and the
-    tie-break is total, so the oracle's 8 unrolled iterations replay
-    the whole trajectory bit for bit."""
+    distinct-word table.  Per iteration (r12): ONE fused symbol+pair
+    count pass over the word table (vocab²-bounded, persisted), the
+    vocab-SIZED symbol counts to the driver, pair scoring through a
+    parsed literal map (same exact BIGINTs a join would carry), a 1-row
+    argmax collect, and a JVM greedy-leftmost fold — the corpus never
+    shuffles, only the word table.  The score is one exactly-rounded
+    IEEE expression over exact BIGINTs and the tie-break is total, so
+    the oracle's 8 unrolled iterations replay the whole trajectory bit
+    for bit."""
     from .pipeline.wordpiece import wordpiece_train
 
     e = engine_for(spark, sf_dir)
@@ -9552,13 +9556,17 @@ ORDER BY score DESC, doc_id LIMIT 15""",
 def rank_bm25_topk(spark, sf_dir):
     """Okapi BM25 lexical retrieval (`pipeline/retrieval.py`): top-15
     documents for a 3-term probe query — the query-based corpus-selection
-    primitive next to the embedding ANN operators.  The isin filter prunes
-    the token stream before the term-frequency shuffle, document
-    frequencies (query-sized) broadcast back, corpus stats are a 1-row
-    broadcast, and the ranking is TakeOrderedAndProject — no global sort.
-    The idf's ln is micronat-quantized by spec and the per-document sum
-    over query terms accumulates in DECIMAL(38,14), so the score is
-    order-independent and bit-identical across engines."""
+    primitive next to the embedding ANN operators.  r12 shape: per-doc
+    term frequencies are |query| size(filter()) projections (no token
+    explode, no (doc, term) shuffle, no cached tf table); ONE 1-row
+    global aggregate (n_docs, Σdl, per-term document frequencies)
+    broadcasts back, scoring is a pure projection over matched docs, and
+    the ranking is TakeOrderedAndProject — no global sort.  The idf's ln
+    is micronat-quantized by spec and the per-document sum over query
+    terms accumulates in exact DECIMAL casts (27,14 per term, re-cast
+    per addition — value-identical to the old SUM(DECIMAL(38,14))
+    aggregate), so the score is order-independent and bit-identical
+    across engines."""
     from .pipeline.retrieval import bm25_topk
 
     e = engine_for(spark, sf_dir)

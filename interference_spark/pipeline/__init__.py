@@ -8,7 +8,8 @@ from pyspark.sql import DataFrame
 @contextmanager
 def iterative_stage_conf(spark):
     """Scoped AQE settings for ITERATIVE algorithms (GD loops, merge
-    rounds): every iteration re-runs the same small stages, so per-stage
+    rounds) and multi-job DML sequences (dml.store.upsert): every
+    iteration/commit re-runs the same small stages, so per-stage
     task-launch overhead multiplies by step count and dominates wall
     clock long before data size matters.
 

@@ -672,8 +672,19 @@ def test_unpartitioned_windows_only_over_bounded_input(spark):
     single partition before the 100 TB run does."""
     import json as _json
 
+    # documented size-gated fallbacks: the unpartitioned window IS the
+    # chosen plan only below a byte threshold, with the distributed plan
+    # engaging above it (asserted by its own tests)
+    allowed = {
+        # plans/window_dist.py: _single_task below SINGLE_TASK_MAX_BYTES
+        # (256 MB estimated input); the range-split distributed plan is
+        # the scale path (test_sliding_window_dist_matches_single_task)
+        "dialect_window_count_sliding",
+    }
     offenders = {}
     for name, fn in sorted(inventory.QUERIES.items()):
+        if name in allowed:
+            continue
         try:
             df = fn(spark, SF_DIR)
         except Exception as exc:  # noqa: BLE001 — lint what builds

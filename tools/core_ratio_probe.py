@@ -46,7 +46,9 @@ docs = _docs(spark, n)
 def run():
     if op == "minhash":
         from interference_spark.pipeline.dedup import minhash_dedup_pairs
-        out = minhash_dedup_pairs(docs, num_perm=32, bands=8, shingle_k=3)
+        # full 128-perm signatures: the compute-dense Pandas-UDF stage
+        # must dominate, or the probe measures stage-launch floors
+        out = minhash_dedup_pairs(docs, num_perm=128, bands=16, shingle_k=3)
     else:
         from interference_spark.pipeline.text import hash_kernel_classifier
         out = hash_kernel_classifier(
@@ -82,10 +84,45 @@ def _time_at(cores: int, n: int, op: str) -> float:
     )
 
 
+def _spin(k: int) -> int:
+    # module-level: multiprocessing must pickle the worker fn
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(k):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def _effective_cores(procs: int) -> float:
+    """Pure-CPU capacity of THIS box at `procs`-way parallelism, in units
+    of one process's throughput (hashlib spin, no Spark).  The sandbox
+    VM is hypervisor-throttled: r12 measured 32 procs delivering only
+    ~9.8x one process's rate (8 procs: ~6.3x), so the maximum POSSIBLE
+    8->32 wall-clock ratio for ANY perfectly parallel job here is their
+    quotient (~1.56), not 4.0.  Recording it alongside the operator
+    ratio makes the ratio interpretable across hosts."""
+    import multiprocessing as mp
+    import time as _t
+
+    spin = _spin
+    work = 2_000_000
+    t0 = _t.perf_counter()
+    spin(work)
+    one = work / (_t.perf_counter() - t0)
+    t0 = _t.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(spin, [work] * procs)
+    rate = work * procs / (_t.perf_counter() - t0)
+    return round(rate / one, 2)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     op = sys.argv[2] if len(sys.argv) > 2 else "minhash"
     t0 = time.time()
+    load0 = round(os.getloadavg()[0], 2)
+    eff8, eff32 = _effective_cores(8), _effective_cores(32)
     sec8 = _time_at(8, n, op)
     sec32 = _time_at(32, n, op)
     rec = {
@@ -94,7 +131,10 @@ def main() -> None:
         "sec_at_8_cores": round(sec8, 4),
         "sec_at_32_cores": round(sec32, 4),
         "ratio_8_over_32": round(sec8 / sec32, 3),
-        "loadavg_at_start": round(os.getloadavg()[0], 2),
+        "host_effective_cores_at_8": eff8,
+        "host_effective_cores_at_32": eff32,
+        "host_max_possible_ratio": round(eff32 / eff8, 3),
+        "loadavg_at_start": load0,
         "wall_s": round(time.time() - t0, 1),
     }
     out = os.path.join(REPO, "bench_results", "core_ratio.json")
