@@ -450,9 +450,17 @@ def incremental_minhash_dedup(
             ).alias("kept"),
         )
     )
+    from . import register_cache
+
     if not materialize:
+        # lazy path: the signature caches outlive this call (the returned
+        # plan embeds them) — caller-owned, so ledger-register them for
+        # release_caches() (VERDICT r11 ask #6; persist() is idempotent)
+        register_cache(new_sigs)
+        if own_known:
+            register_cache(known_sigs)
         return decision
-    decision = decision.persist()
+    decision = register_cache(decision)
     decision.count()  # run the admission while the signature caches live
     new_sigs.unpersist()
     if own_known:

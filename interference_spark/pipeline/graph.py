@@ -54,8 +54,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # the edge list feeds four plan branches (count, degrees, and both
     # triangle-join sides) — persist + materialize ONCE so the possibly
     # expensive upstream lineage (e.g. the co-occurrence self-join) is
-    # not replayed per branch; everything downstream stays one lazy plan
-    e = edges.select("pa", "pb").persist()
+    # not replayed per branch; everything downstream stays one lazy plan.
+    # The returned plan depends on this cache, so it is caller-owned:
+    # ledger-registered for release_caches() (VERDICT r11 ask #6).
+    from . import register_cache
+
+    e = register_cache(edges.select("pa", "pb"))
     e.count()
     deg = (
         e.select(F.col("pa").alias("v"))
@@ -117,15 +121,20 @@ def pagerank_quantized(
     spark = edges.sparkSession
     # both the per-iteration join and the degree/vertex frames re-read the
     # directed edges every iteration — persist once; the n-count below
-    # also materializes the cache, so the upstream edge lineage runs once
-    dir_e = (
+    # also materializes the cache, so the upstream edge lineage runs once.
+    # The returned plan depends on both caches → caller-owned, registered
+    # in the package cache ledger for release_caches() (r11 ask #6).
+    from . import register_cache
+
+    dir_e = register_cache(
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionByName(
             edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
-        .persist()
     )
-    deg = dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    deg = register_cache(
+        dir_e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
     verts = deg.select(F.col("src").alias("v"), "outdeg")
     n = verts.count()
     if n == 0:

@@ -738,23 +738,35 @@ def test_cache_ledger_releases_pipeline_persists(spark):
     persists on behalf of returned plans must be releasable without a
     session-wide clearCache.  Run an LSH query (which registers its
     hyperplane fingerprint cache in the ledger), consume it, then assert
-    release_caches() actually removes the cached blocks from storage."""
+    release_caches() actually removes the cached blocks from storage.
+
+    Delta-based on purpose: earlier tests in the same session may have
+    left localCheckpoint blocks (documented as NOT releasable via
+    unpersist — bpe.py lineage-truncation contract), so the assertion is
+    that every RDD the LSH run cached is gone after release, not that
+    global storage is empty."""
     from interference_spark.pipeline import release_caches
 
-    release_caches()  # start clean
+    release_caches()  # release any ledger entries earlier tests left
+
+    def cached_ids() -> set:
+        jsc = spark.sparkContext._jsc.sc()
+        info = jsc.getRDDStorageInfo()
+        return {
+            info[i].id()
+            for i in range(info.__len__())
+            if info[i].numCachedPartitions() > 0
+        }
+
+    pre = cached_ids()
     inventory.QUERIES["sim_lsh_topk"](spark, SF_DIR).write.format(
         "noop"
     ).mode("overwrite").save()
 
-    def n_cached() -> int:
-        jsc = spark.sparkContext._jsc.sc()
-        return sum(
-            1
-            for i in range(jsc.getRDDStorageInfo().__len__())
-            if jsc.getRDDStorageInfo()[i].numCachedPartitions() > 0
-        )
-
-    assert n_cached() > 0, "LSH run should have left a registered cache"
+    new = cached_ids() - pre
+    assert new, "LSH run should have left a registered cache"
     released = release_caches(blocking=True)
     assert released >= 1
-    assert n_cached() == 0, "ledger release left cached blocks pinned"
+    assert not (cached_ids() & new), (
+        "ledger release left this run's cached blocks pinned"
+    )
