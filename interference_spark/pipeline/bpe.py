@@ -271,8 +271,10 @@ def train_from_words(
     spark = words.sparkSession
     rules: list[tuple[int, str, str, str, int]] = []
     with iterative_stage_conf(spark):
+        # no eager count: the first round's pair-count collect populates
+        # the persisted word table while scanning it, so a separate
+        # materialization job would be pure scheduler floor.
         cur = words.persist()
-        cur.count()
         rank = 1
         while rank <= n_merges:
             want = min(merges_per_round, n_merges - rank + 1)

@@ -65,6 +65,36 @@ from pyspark.sql import functions as F
 
 _UNK = "[UNK]"
 
+# Driver-traffic cap for the one-collect training round: the fused
+# symbol+pair count table is collected whole when it holds at most this
+# many rows (~3 MB of narrow rows), and the score/argmax run in pure
+# Python — bit-identical to the distributed plan because every op is an
+# exactly-rounded IEEE double op (long→double cast, one multiply, one
+# divide) and Python str comparison is code-point order, which equals
+# Spark's UTF8String binary order (UTF-8 preserves code-point order).
+# Above the cap the round falls back to the distributed two-collect
+# plan, so driver traffic stays bounded at any scale.
+_FUSED_COLLECT_CAP = 65536
+
+
+def _best_pair(
+    scnt: dict[str, int], pairs: list[tuple[str, str, int]]
+) -> tuple[str, str, int, int, int, float]:
+    """Sequential-argmax winner ``(l, r, cnt, lcnt, rcnt, score)`` of one
+    WordPiece round, computed on the driver: maximize
+    ``cnt / (scnt[l] · scnt[r])`` with ties broken by ascending ``l``
+    then ``r`` — the exact total order of the distributed
+    ``orderBy(desc(score), asc(l), asc(r)).limit(1)`` it replaces (same
+    IEEE doubles, same string order; see ``_FUSED_COLLECT_CAP``)."""
+
+    def key(p: tuple[str, str, int]):
+        l, r, cnt = p
+        return (-(float(cnt) / (float(scnt[l]) * float(scnt[r]))), l, r)
+
+    l, r, cnt = min(pairs, key=key)
+    lcnt, rcnt = scnt[l], scnt[r]
+    return l, r, cnt, lcnt, rcnt, float(cnt) / (float(lcnt) * float(rcnt))
+
 
 def wordpiece_word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct whitespace tokens with corpus frequencies and the
@@ -175,88 +205,108 @@ def wordpiece_train(
     spark = docs.sparkSession
     rules: list[tuple[int, str, str, str, int, int, int, float]] = []
     with iterative_stage_conf(spark):
+        # no eager count: the first round's fused-counts job populates
+        # the persisted word table as a side effect of scanning it, so a
+        # separate materialization job would be pure scheduler floor.
         cur = wordpiece_word_table(docs, text_col).persist()
-        cur.count()
         for rank in range(1, n_merges + 1):
             # ONE pass over the word table computes symbol and pair counts
             # together (r12; before: the symbol-count subtree was evaluated
             # TWICE under the two broadcast joins plus a third pass for pair
             # counts — 4 word-table passes and 4 jobs per round).  The fused
-            # table is vocabulary²-bounded, so persisting it per round is
-            # cheap at any scale; the vocab-SIZED symbol counts come to the
-            # driver (the same bounded-driver-traffic contract as the 1-row
-            # argmax) and re-enter the pair scoring as one parsed map
-            # literal — or, above a plan-size guard, as a broadcast-joined
-            # local table — in both cases the same exact BIGINTs the join
-            # produced, so the score doubles are bit-identical.
-            fused = _fused_counts(cur).persist()
-            scnt = {
-                r["a"]: int(r["cnt"])
-                for r in fused.filter(F.col("k") == "s").collect()
-            }
-            pc = fused.filter(F.col("k") == "p").select(
-                F.col("a").alias("l"), F.col("b").alias("r"), "cnt"
-            )
-            if len(scnt) <= 4096:
-                entries = ", ".join(
-                    f"{_qstr(tok)}, {c}L" for tok, c in sorted(scnt.items())
-                )
-                looked = pc.selectExpr(
-                    "l",
-                    "r",
-                    "cnt",
-                    f"element_at(map({entries}), l) AS lcnt",
-                    f"element_at(map({entries}), r) AS rcnt",
-                )
+            # table is vocabulary²-bounded; when it fits the driver cap the
+            # whole table comes back in ONE collect and the score/argmax run
+            # in pure Python, bit-identical to the distributed plan (see
+            # ``_best_pair``) — one job per round instead of two plus a
+            # persist.  Above the cap the round falls back to the
+            # distributed plan: persist the fused table, bring only the
+            # vocab-SIZED symbol counts to the driver (the same
+            # bounded-driver-traffic contract as the 1-row argmax), re-enter
+            # them into the pair scoring as one parsed map literal — or,
+            # above a plan-size guard, as a broadcast-joined local table —
+            # in both cases the same exact BIGINTs the join produced, so
+            # the score doubles are bit-identical.
+            probe = _fused_counts(cur).limit(_FUSED_COLLECT_CAP + 1).collect()
+            if len(probe) <= _FUSED_COLLECT_CAP:
+                scnt = {
+                    r["a"]: int(r["cnt"]) for r in probe if r["k"] == "s"
+                }
+                pairs = [
+                    (r["a"], r["b"], int(r["cnt"]))
+                    for r in probe
+                    if r["k"] == "p"
+                ]
+                if not pairs:
+                    break
+                l, r_, cnt, lcnt, rcnt, sc = _best_pair(scnt, pairs)
             else:
-                sdf = F.broadcast(
-                    spark.createDataFrame(
-                        pd.DataFrame(
-                            {
-                                "tok": list(scnt),
-                                "scnt": pd.Series(
-                                    list(scnt.values()), dtype="int64"
-                                ),
-                            }
+                fused = _fused_counts(cur).persist()
+                scnt = {
+                    r["a"]: int(r["cnt"])
+                    for r in fused.filter(F.col("k") == "s").collect()
+                }
+                pc = fused.filter(F.col("k") == "p").select(
+                    F.col("a").alias("l"), F.col("b").alias("r"), "cnt"
+                )
+                if len(scnt) <= 4096:
+                    entries = ", ".join(
+                        f"{_qstr(tok)}, {c}L" for tok, c in sorted(scnt.items())
+                    )
+                    looked = pc.selectExpr(
+                        "l",
+                        "r",
+                        "cnt",
+                        f"element_at(map({entries}), l) AS lcnt",
+                        f"element_at(map({entries}), r) AS rcnt",
+                    )
+                else:
+                    sdf = F.broadcast(
+                        spark.createDataFrame(
+                            pd.DataFrame(
+                                {
+                                    "tok": list(scnt),
+                                    "scnt": pd.Series(
+                                        list(scnt.values()), dtype="int64"
+                                    ),
+                                }
+                            )
                         )
                     )
-                )
-                looked = (
-                    pc.join(sdf.withColumnRenamed("tok", "l"), "l")
-                    .withColumnRenamed("scnt", "lcnt")
-                    .join(
-                        F.broadcast(sdf.withColumnRenamed("tok", "r")), "r"
+                    looked = (
+                        pc.join(sdf.withColumnRenamed("tok", "l"), "l")
+                        .withColumnRenamed("scnt", "lcnt")
+                        .join(
+                            F.broadcast(sdf.withColumnRenamed("tok", "r")), "r"
+                        )
+                        .withColumnRenamed("scnt", "rcnt")
                     )
-                    .withColumnRenamed("scnt", "rcnt")
+                score = F.col("cnt").cast("double") / (
+                    F.col("lcnt").cast("double") * F.col("rcnt").cast("double")
                 )
-            score = F.col("cnt").cast("double") / (
-                F.col("lcnt").cast("double") * F.col("rcnt").cast("double")
-            )
-            top = (
-                looked.select("l", "r", "cnt", "lcnt", "rcnt", score.alias("score"))
-                .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            fused.unpersist()
-            if not top:
-                break
-            t = top[0]
-            merged = t["l"] + t["r"][2:]
-            rules.append(
-                (
-                    rank,
+                top = (
+                    looked.select(
+                        "l", "r", "cnt", "lcnt", "rcnt", score.alias("score")
+                    )
+                    .orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+                    .limit(1)
+                    .collect()
+                )
+                fused.unpersist()
+                if not top:
+                    break
+                t = top[0]
+                l, r_, cnt, lcnt, rcnt, sc = (
                     t["l"],
                     t["r"],
-                    merged,
                     int(t["cnt"]),
                     int(t["lcnt"]),
                     int(t["rcnt"]),
                     float(t["score"]),
                 )
-            )
+            merged = l + r_[2:]
+            rules.append((rank, l, r_, merged, cnt, lcnt, rcnt, sc))
             nxt = cur.withColumn(
-                "sym", merge_fold_rule(F.col("sym"), t["l"], t["r"], merged)
+                "sym", merge_fold_rule(F.col("sym"), l, r_, merged)
             ).localCheckpoint(eager=True)
             cur.unpersist()
             cur = nxt
