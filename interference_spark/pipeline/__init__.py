@@ -2,7 +2,45 @@
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lit_double_array(values) -> Column:
+    """Literal ``array<double>`` built with ONE ``F.expr`` parse instead
+    of a ``F.lit`` per element (each Column op is a blocking py4j round
+    trip — a dim-64 query vector costs ~65 trips, a planes×dim
+    hyperplane matrix ~400, repeated on EVERY query construction).
+    Bit-identical to the lit loop: ``repr(float)`` round-trips and the
+    SQL parser's double conversion is correctly rounded (verified for
+    subnormals, max-double, -0.0)."""
+    vals = [float(v) for v in values]
+    if not vals:
+        return F.array().cast("array<double>")
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """Literal ``array<array<double>>`` in one parse — see
+    :func:`lit_double_array` for the py4j/bit-identity contract."""
+    inner = [
+        "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+        for row in rows
+    ]
+    if not inner:
+        return F.array().cast("array<array<double>>")
+    return F.expr("array(" + ",".join(inner) + ")")
+
+
+def lit_int_array(values) -> Column:
+    """Literal integer array in one parse.  Plain digit literals get the
+    same per-element INT-or-BIGINT typing rule as ``F.lit(int)``, and
+    ``array()`` applies the same widest-type coercion, so the element
+    type matches the lit-loop construction it replaces."""
+    vals = [int(v) for v in values]
+    if not vals:
+        return F.array().cast("array<int>")
+    return F.expr("array(" + ",".join(str(v) for v in vals) + ")")
 
 
 @contextmanager

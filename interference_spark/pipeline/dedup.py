@@ -1540,10 +1540,14 @@ def hyperplane_buckets(
     rng = np.random.RandomState(seed)
     hyper = rng.standard_normal((planes, dim))
 
+    from . import lit_double_matrix
+
+    # one F.expr parse, not planes×dim F.lit round trips (~400 blocking
+    # py4j calls per construction at planes=6, dim=64 — measured the
+    # dominant cost of building every LSH-family query); bit-identical
+    # (repr round-trip + correctly-rounded parse, see lit_double_array)
     hyper_rows = [[float(x) for x in row] for row in hyper]
-    planes_lit = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in hyper_rows
-    ])
+    planes_lit = lit_double_matrix(hyper_rows)
     # pre-project the cast vector: expressions are not CSE'd inside
     # higher-order-function lambdas, so an inline cast-transform would be
     # re-evaluated once per plane (see text.ngrams_from_tokens PERF note)

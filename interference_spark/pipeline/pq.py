@@ -204,10 +204,12 @@ def pq_search(
     lookups + integer adds per candidate (codegen — the encode UDF never
     runs at query time), then (adist ASC, id ASC) top-k →
     TakeOrderedAndProject."""
+    from . import lit_int_array
+
     table = adc_table(books, query_vec)
     cols = [
         F.element_at(
-            F.array(*[F.lit(int(v)) for v in table[s]]),
+            lit_int_array(table[s]),
             F.col("codes")[s].cast("int") + 1,
         )
         for s in range(len(books))

@@ -248,7 +248,9 @@ def rrf_fusion_topk(
             cosine(F.col(vec_col), F.col("__q")).alias("cosine"),
         )
     else:
-        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        from . import lit_double_array
+
+        q = lit_double_array(query_vec)
         sem_scored = emb.select(
             F.col(vec_id_col).alias(doc_id_col),
             cosine(F.col(vec_col), q).alias("cosine"),

@@ -56,7 +56,9 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact brute-force top-k by cosine vs a constant query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    from . import lit_double_array
+
+    q = lit_double_array(query_vec)
     out = df.select(
         F.col(id_col),
         cosine(F.col(vec_col), q).alias("cosine"),
@@ -165,8 +167,10 @@ def quantized_cosine_topk(
     from the integer dot and norms.  Same TakeOrderedAndProject shape as
     the float path but over 4× smaller vectors; scores are deterministic
     ints-then-one-division, so the ranking is engine-reproducible."""
+    from . import lit_int_array
+
     qz = quantize_int8(df, vec_col, id_col)
-    qlit = F.array(*[F.lit(int(v)) for v in query_q])
+    qlit = lit_int_array(query_q)
     dot = F.aggregate(
         F.zip_with(F.col("q"), qlit, lambda a, b: a.cast("long") * b),
         F.lit(0).cast("long"),
@@ -619,9 +623,10 @@ def _quantized_topk_single(
     (ties → lower id) — the shared scoring tail of the exact-math IVF
     variants, so the in-memory and stored probe paths cannot drift from
     each other or their SQL oracle."""
+    from . import lit_double_array
     from .dedup import quantized_cosine_sums, quantized_cosine_value
 
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = lit_double_array(query_vec)
     zipped = F.zip_with(
         F.transform(F.col(vec_col), lambda x: x.cast("double")),
         q,
